@@ -1,0 +1,57 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` at the given
+scale factor (default sf0.01, the driver's) and prints a PASS/FAIL line per
+query. Usage: python check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from kafka_streams_dexcom_spark.session import get_spark  # noqa: E402
+from tests.compare import compare, duckdb_con  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(app_name="check_parity")
+    con = duckdb_con(sf_dir)
+    qs, oracles = queries(), oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            if name in oracles:
+                res = compare(fn(spark, sf_dir), con, oracles[name])
+                ok = res["values_match"]
+                detail = (
+                    f"rows={res['spark_rows']}"
+                    if ok
+                    else {k: v for k, v in res.items() if k != "first_mismatches"}
+                )
+                if not ok and res.get("first_mismatches"):
+                    detail["examples"] = res["first_mismatches"]  # type: ignore[index]
+            else:
+                n = fn(spark, sf_dir).count()
+                ok, detail = n >= 0, f"rows-only n={n}"
+        except Exception as exc:  # noqa: BLE001
+            ok, detail = False, f"EXC {type(exc).__name__}: {exc}"
+        dt = time.time() - t0
+        print(f"{'PASS' if ok else 'FAIL'} {name:32s} {dt:6.2f}s  {detail}")
+        if not ok:
+            failed.append(name)
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,151 @@
+"""Relational/aggregation queries over the TPC-H-ish tables.
+
+These go beyond the reference's operator set (it has no aggregations,
+SURVEY.md §2.5) and serve as the bench headliners: they exercise the
+shuffle/broadcast/AQE machinery the 100 TB design depends on.
+
+Float discipline for oracle parity: money sums go through DECIMAL(18,2|4)
+per-row casts so the sum is exact (associative) in both engines, then back
+to DOUBLE; averages of doubles are rounded to 6 decimals. This removes
+summation-order nondeterminism between Spark and DuckDB (and between Spark
+partitions run-to-run).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.sources.files import load_table
+
+SHIPDATE_CUTOFF = "1998-09-02"
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy with 8 aggregates.
+
+    Scale: partial aggregation map-side (6 groups) means the shuffle moves
+    ~6 rows per task regardless of input size — this is the canonical
+    'aggregation is free, scan is the cost' query. Filter pushes to parquet.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    # decimal-first arithmetic: inputs have ≤2 decimal digits, so casting
+    # them (not the computed doubles) to DECIMAL is exact, and the products/
+    # sums are then exact in both engines — no rounding-mode divergence.
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = ep * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit(SHIPDATE_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_qty"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_base_price"),
+            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + deterministic top-10.
+
+    Scale: customer is the small side → explicit broadcast avoids
+    shuffling orders; top-k via orderBy+limit compiles to TakeOrdered
+    (per-partition heaps + driver merge), never a global sort.
+    Determinism: ranked by exact integer order count, custkey tiebreak;
+    revenue is decimal-exact before the final double cast.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"),
+                2,
+            ).alias("revenue"),
+        )
+        .orderBy(F.col("n_orders").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (batch form of the streaming windowed
+    agg): events per hour per type. The hour bucket is emitted as epoch
+    microseconds so the oracle comparison is integer-exact."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("sum_value"),
+        )
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "events_hourly": q_events_hourly,
+}
+
+ORACLES = {
+    "pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_qty,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_base_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                   AS DOUBLE), 2) AS sum_disc_price,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
+                   * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
+                   AS DOUBLE), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{SHIPDATE_CUTOFF} 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_customers": """
+        SELECT c_custkey, c_name, count(*) AS n_orders,
+               round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS revenue
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_custkey, c_name
+        ORDER BY n_orders DESC, c_custkey ASC
+        LIMIT 10
+    """,
+    "events_hourly": """
+        SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+               count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+}
