@@ -1,0 +1,340 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five families (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), all expressed as Catalyst expressions over array columns — no
+Python UDFs in any hot path, so every stage stays inside whole-stage
+codegen and the only shuffles are the ones the algorithms require:
+
+- exact:        1 shuffle (groupBy text hash).
+- minhash+LSH:  signatures are computed scan-side (array_min over
+                transform — no explode, no shuffle); the only shuffle is
+                the band-bucket self-join, whose fan-in is bounded by the
+                band width. This is the 100 TB path: candidate generation
+                touches each doc O(bands) times instead of O(n²).
+- simhash:      scan-side 32-bit fingerprint; near-dup candidates via
+                byte-band equi-join + popcount filter.
+- ngram-jaccard: inverted-index set-similarity join (explode shingles,
+                equi-join on shingle, count shared). Exact but heavier;
+                prefix filtering (sort shingles by global frequency, index
+                only the first |s|·(1-t)+1) is the standard scale upgrade.
+- embedding:    blocked pairwise cosine with sequential-fold dot products
+                (deterministic, oracle-reproducible).
+
+Hashing is the portable md5-based :mod:`..functions.hashing` so the DuckDB
+oracle replays the exact same arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.functions.hashing import MERSENNE_P, PERM_COEFFS
+
+NUM_PERM = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+SIMHASH_BITS = 32
+
+# --- shared expression builders (Spark SQL fragments) ---------------------
+
+HASH60_TPL = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _shingle_expr(tok_col: str, n: int = 3) -> str:
+    idx = ", ' ', ".join(f"{tok_col}[i + {j}]" for j in range(n))
+    return (
+        f"array_distinct(transform(sequence(0, size({tok_col}) - {n}), "
+        f"i -> concat({idx})))"
+    )
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokenization as an array column (narrow, codegen)."""
+    return df.withColumn("tokens", F.split(F.col(text_col), r"\s+"))
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingle set per document; documents shorter
+    than n tokens are dropped (no shingle → nothing to compare)."""
+    t = tokenize(df, text_col)
+    return t.filter(F.size("tokens") >= n).withColumn(
+        "shingles", F.expr(_shingle_expr("tokens", n))
+    )
+
+
+def shingle_hashes(df: DataFrame) -> DataFrame:
+    """Hash each shingle into [0, P) with the portable hash."""
+    return df.withColumn(
+        "sh_hashes",
+        F.expr(
+            f"transform(shingles, x -> {HASH60_TPL.format(x='x')} % {MERSENNE_P})"
+        ),
+    )
+
+
+def minhash_signature(df: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
+    """MinHash signature as an array column — array_min over a transform,
+    entirely scan-side: no explode, no shuffle, O(num_perm · |shingles|)
+    per row inside codegen."""
+    sig = F.array(
+        *[
+            F.expr(
+                f"array_min(transform(sh_hashes, "
+                f"v -> (v * {PERM_COEFFS[i][0]}L + {PERM_COEFFS[i][1]}L) "
+                f"% {MERSENNE_P}))"
+            )
+            for i in range(num_perm)
+        ]
+    )
+    return df.withColumn("sig", sig)
+
+
+def lsh_band_hashes(
+    df: DataFrame,
+    num_bands: int = NUM_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """One row per (doc, band): band hash of the signature slice."""
+    band_exprs = []
+    for b in range(num_bands):
+        parts = ", ".join(
+            f"CAST(sig[{b * rows_per_band + r}] AS STRING)"
+            for r in range(rows_per_band)
+        )
+        band_exprs.append(
+            F.expr(HASH60_TPL.format(x=f"concat_ws(',', {parts})"))
+        )
+    return df.select(
+        "*", F.posexplode(F.array(*band_exprs)).alias("band_idx", "band_hash")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs sharing any band bucket. The equi-join on
+    (band_idx, band_hash) shuffles only (id, band) pairs — tiny rows —
+    and AQE splits any hot bucket."""
+    a = bands.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = bands.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def exact_jaccard(
+    pairs: DataFrame, sets: DataFrame, id_col: str, set_col: str = "shingles"
+) -> DataFrame:
+    """Verify candidates with exact Jaccard over the shingle sets —
+    computed only for candidates, so the heavy O(n²) work never happens."""
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col(set_col).alias("set_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col(set_col).alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(inter.cast("double") / union.cast("double"), 6),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: near-duplicate pairs with their
+    exact Jaccard similarity (>= threshold)."""
+    sets = shingle_sets(docs.select(id_col, text_col), text_col)
+    sig = minhash_signature(shingle_hashes(sets))
+    bands = lsh_band_hashes(sig.select(id_col, "sig"))
+    cand = lsh_candidate_pairs(bands, id_col)
+    verified = exact_jaccard(cand, sets, id_col)
+    return verified.filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Frequency-weighted SimHash fingerprint (scan-side, no shuffle).
+
+    Each token votes +1/-1 per bit of its 32-bit hash; bit i of the
+    fingerprint is set when the vote is positive (strictly more set than
+    unset — deterministic tie-break to 0)."""
+    t = tokenize(df, text_col).filter(F.size("tokens") >= 1)
+    t = t.withColumn(
+        "tok_hashes",
+        F.expr(
+            f"transform(tokens, x -> {HASH60_TPL.format(x='x')} % 4294967296)"
+        ),
+    )
+    terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(tok_hashes, v -> (shiftright(v, {i}) & 1) = 1)) "
+        f"> size(tok_hashes) THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(bits)
+    )
+    return t.withColumn("simhash", F.expr(terms)).drop("tokens", "tok_hashes")
+
+
+def simhash_pairs(
+    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup candidates: docs agreeing on any of the 4 bytes of the
+    fingerprint (pigeonhole: hamming<=8 pairs usually share a byte), then
+    exact popcount filter. Join key is (byte_idx, byte_value) — bounded
+    buckets, AQE-friendly."""
+    bytes_df = fp.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"(shiftright(simhash, {8 * j}) & 255)")
+                    for j in range(4)
+                ]
+            )
+        ).alias("byte_idx", "byte_val"),
+    )
+    a = bytes_df.select(
+        F.col(id_col).alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+        "byte_idx",
+        "byte_val",
+    )
+    b = bytes_df.select(
+        F.col(id_col).alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+        "byte_idx",
+        "byte_val",
+    )
+    return (
+        a.join(b, ["byte_idx", "byte_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- n-gram Jaccard set-similarity join -----------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Exact set-similarity join via inverted index: explode shingles,
+    equi-join on shingle, count shared, compute Jaccard. Scale upgrade
+    (not needed at bench SF): prefix filtering — order shingles by global
+    document frequency and index only each doc's first
+    ⌈|s|·(1-t)⌉+1 shingles, which cannot all be absent from a
+    t-similar pair."""
+    sets = shingle_sets(docs.select(id_col, text_col), text_col, n)
+    sized = sets.select(
+        id_col, "shingles", F.size("shingles").alias("set_size")
+    )
+    inv = sized.select(
+        id_col, "set_size", F.explode("shingles").alias("shingle")
+    )
+    a = inv.select(
+        F.col(id_col).alias("id_a"),
+        F.col("set_size").alias("size_a"),
+        "shingle",
+    )
+    b = inv.select(
+        F.col(id_col).alias("id_b"),
+        F.col("set_size").alias("size_b"),
+        "shingle",
+    )
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    j = F.col("inter").cast("double") / (
+        F.col("size_a") + F.col("size_b") - F.col("inter")
+    ).cast("double")
+    return (
+        shared.withColumn("jaccard", F.round(j, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- embedding cosine near-dup --------------------------------------------
+
+DOT_EXPR_TPL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+)
+
+
+def with_embedding_norm(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Cast float vector to double (exact) and attach its L2 norm.
+
+    The dot product is a *sequential left fold* so the floating-point
+    result is bit-identical to the oracle's list_reduce fold."""
+    d = df.withColumn("vec", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))"))
+    return d.withColumn(
+        "norm", F.sqrt(F.expr(DOT_EXPR_TPL.format(a="vec", b="vec")))
+    ).filter(F.col("norm") > 0)
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str | None = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Blocked pairwise cosine similarity (near-dup detection).
+
+    Blocking (here: a label/cluster column; at scale: coarse LSH or IVF
+    cell assignment) bounds the pair count; within a block the cross
+    product is evaluated in codegen. Output is pairs >= threshold."""
+    base = with_embedding_norm(emb, vec_col)
+    cols = [id_col, "vec", "norm"] + ([block_col] if block_col else [])
+    base = base.select(*cols)
+    a = base.select(
+        *[F.col(c).alias(f"{c}_a") for c in (id_col, "vec", "norm")],
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+    )
+    b = base.select(
+        *[F.col(c).alias(f"{c}_b") for c in (id_col, "vec", "norm")],
+        *( [F.col(block_col).alias("block")] if block_col else [] ),
+    )
+    joined = (
+        a.join(b, "block") if block_col else a.crossJoin(b)
+    ).filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+    dot = F.expr(DOT_EXPR_TPL.format(a="vec_a", b="vec_b"))
+    cos = dot / (F.col("norm_a") * F.col("norm_b"))
+    return (
+        joined.withColumn("cos_sim", F.round(cos, 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select(f"{id_col}_a", f"{id_col}_b", "cos_sim")
+    )

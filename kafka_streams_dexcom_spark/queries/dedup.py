@@ -1,4 +1,273 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Dedup queries over the `documents`/`embeddings` tables, with DuckDB
+oracles generated from the same constants as the Spark pipeline
+(functions.hashing.PERM_COEFFS), so both engines replay identical
+arithmetic — including the md5-derived hashes and sequential-fold dot
+products."""
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.functions.hashing import MERSENNE_P, PERM_COEFFS
+from kafka_streams_dexcom_spark.operators import dedup as dd
+from kafka_streams_dexcom_spark.sources.files import load_table
+
+JACCARD_THRESHOLD = 0.2
+NGRAM_THRESHOLD = 0.3
+COSINE_THRESHOLD = 0.3
+MAX_HAMMING = 8
+
+DUCK_HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per distinct text, with the
+    duplicate count. Single shuffle on the text hash (never the full
+    text — at 100 TB you shuffle 8-byte hashes, not documents)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn(
+            "text_hash", F.expr(dd.HASH60_TPL.format(x="text"))
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = dd.minhash_lsh_dedup(d, threshold=JACCARD_THRESHOLD)
+    return out.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.simhash(d.select("doc_id", "text")).select("doc_id", "simhash")
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = dd.simhash(d.select("doc_id", "text"))
+    return dd.simhash_pairs(fp, max_hamming=MAX_HAMMING).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_cosine_pairs(e, threshold=COSINE_THRESHOLD).select(
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        "cos_sim",
+    )
+
+
+# --- oracle SQL generation -------------------------------------------------
+
+
+def _duck_shingles_cte() -> str:
+    h = DUCK_HASH60.format(x="x")
+    return f"""
+        toks AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS t
+            FROM documents
+        ),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+            FROM toks WHERE len(t) >= 3
+        ),
+        hs AS (
+            SELECT doc_id, s,
+                   list_transform(s, x -> {h} % {MERSENNE_P}) AS h
+            FROM sh
+        )
+    """
+
+
+def _minhash_oracle() -> str:
+    sig_elems = ", ".join(
+        f"list_min(list_transform(h, v -> (v * {a} + {b}) % {MERSENNE_P}))"
+        for a, b in PERM_COEFFS[: dd.NUM_PERM]
+    )
+    band_elems = []
+    for bidx in range(dd.NUM_BANDS):
+        parts = " || ',' || ".join(
+            f"CAST(sig[{bidx * dd.ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+            for r in range(dd.ROWS_PER_BAND)
+        )
+        band_elems.append(DUCK_HASH60.format(x=f"({parts})"))
+    bands_list = ", ".join(band_elems)
+    return f"""
+        WITH {_duck_shingles_cte()},
+        sig AS (
+            SELECT doc_id, [{sig_elems}] AS sig FROM hs
+        ),
+        bands AS (
+            SELECT doc_id, bi - 1 AS band_idx, bh[bi] AS band_hash
+            FROM (SELECT doc_id, [{bands_list}] AS bh FROM sig),
+                 generate_series(1, {dd.NUM_BANDS}) AS g(bi)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                     / CAST(len(x.s) + len(y.s)
+                            - len(list_intersect(x.s, y.s)) AS DOUBLE),
+                     6) AS jaccard
+        FROM cand
+        JOIN sh x ON x.doc_id = doc_a
+        JOIN sh y ON y.doc_id = doc_b
+        WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                    / CAST(len(x.s) + len(y.s)
+                           - len(list_intersect(x.s, y.s)) AS DOUBLE),
+                    6) >= {JACCARD_THRESHOLD}
+    """
+
+
+def _simhash_expr_duck() -> str:
+    h = DUCK_HASH60.format(x="x")
+    terms = " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(th, v -> ((v >> {i}) & 1) = 1)) "
+        f"> len(th) THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(dd.SIMHASH_BITS)
+    )
+    return f"""
+        toks AS (
+            SELECT doc_id, string_split_regex(text, '\\s+') AS t
+            FROM documents
+        ),
+        th_cte AS (
+            SELECT doc_id,
+                   list_transform(t, x -> {h} % 4294967296) AS th
+            FROM toks WHERE len(t) >= 1
+        ),
+        fp AS (
+            SELECT doc_id, {terms} AS simhash FROM th_cte
+        )
+    """
+
+
+def _simhash_oracle() -> str:
+    return f"WITH {_simhash_expr_duck()} SELECT doc_id, simhash FROM fp"
+
+
+def _simhash_pairs_oracle() -> str:
+    return f"""
+        WITH {_simhash_expr_duck()},
+        bytes_cte AS (
+            SELECT doc_id, simhash, bi AS byte_idx,
+                   (simhash >> (8 * bi)) & 255 AS byte_val
+            FROM fp, generate_series(0, 3) AS g(bi)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM bytes_cte a JOIN bytes_cte b
+              ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+             AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM cand
+        WHERE hamming <= {MAX_HAMMING}
+    """
+
+
+def _ngram_jaccard_oracle() -> str:
+    return f"""
+        WITH {_duck_shingles_cte()},
+        inv AS (
+            SELECT doc_id, len(s) AS set_size, unnest(s) AS shingle FROM sh
+        ),
+        shared AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.set_size AS size_a, b.set_size AS size_b,
+                   count(*) AS inter
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(inter AS DOUBLE)
+                     / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
+        FROM shared
+        WHERE round(CAST(inter AS DOUBLE)
+                    / CAST(size_a + size_b - inter AS DOUBLE), 6)
+              >= {NGRAM_THRESHOLD}
+    """
+
+
+def _embedding_oracle() -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, label, vec,
+                   sqrt({dot.format(a='vec', b='vec')}) AS norm
+            FROM v
+        ),
+        pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round({dot.format(a='a.vec', b='b.vec')}
+                         / (a.norm * b.norm), 6) AS cos_sim
+            FROM n a JOIN n b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE a.norm > 0 AND b.norm > 0
+        )
+        SELECT vec_a, vec_b, cos_sim FROM pairs
+        WHERE cos_sim >= {COSINE_THRESHOLD}
+    """
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_embedding": q_dedup_embedding,
+}
+
+ORACLES = {
+    "dedup_exact": f"""
+        SELECT {DUCK_HASH60.format(x='text')} AS text_hash,
+               min(doc_id) AS doc_id, count(*) AS dup_count
+        FROM documents
+        GROUP BY 1
+    """,
+    "dedup_minhash_lsh": _minhash_oracle(),
+    "dedup_simhash": _simhash_oracle(),
+    "dedup_simhash_pairs": _simhash_pairs_oracle(),
+    "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+    "dedup_embedding": _embedding_oracle(),
+}
