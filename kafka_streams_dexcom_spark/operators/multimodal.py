@@ -1,0 +1,117 @@
+"""Multimodal column support: opaque binary payloads + typed metadata,
+with decode/feature-extraction as Arrow-batched Pandas stages.
+
+Design (per the 100 TB pipeline shape):
+- media payloads are `binary` columns with a `media_type` discriminator and
+  a metadata struct; parquet stores them column-wise so metadata-only
+  queries never read the bytes (column pruning).
+- decode / feature-extract / resize / frame-sample run as `mapInPandas`
+  stages: each task receives Arrow record batches, the payload bytes stay
+  off the driver, and output is a flat typed schema.
+- the actual codec call is STUBBED here (image/audio libs are not in this
+  container): `_decode_stub` produces deterministic fake features from the
+  byte content. The Spark-side plumbing — schema, batching, partitioning —
+  is real and tested; swap `_decode_stub` for PIL/torchaudio in production.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = (
+    "doc_id bigint, media_type string, width bigint, height bigint, "
+    "n_frames bigint, feature_mean double"
+)
+
+_HAVE_REAL_CODECS = False
+try:  # pragma: no cover - not present in this container
+    import PIL.Image  # noqa: F401
+
+    _HAVE_REAL_CODECS = True
+except Exception:
+    pass
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build the multimodal column set from the documents table: the text
+    bytes stand in for an encoded media payload."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.col(text_col).cast("binary").alias("payload"),
+        F.struct(
+            F.octet_length(F.col(text_col).cast("binary")).alias("byte_len"),
+            F.col("source").alias("source"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int, int, float]:
+    """STUB decode — deterministic fake features from the raw bytes.
+
+    Replace with a real codec (PIL / ffmpeg / torchaudio) in production;
+    the signature and the mapInPandas plumbing stay identical."""
+    n = len(payload)
+    first = payload[0] if n else 0
+    width = 64 + n % 256
+    height = 64 + (n * 7) % 256
+    n_frames = 1 + n % 7
+    feature_mean = round(((first + n) % 1000) / 1000.0, 6)
+    return width, height, n_frames, feature_mean
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extraction over the payload column.
+
+    mapInPandas: one pandas DataFrame per Arrow batch per task — payloads
+    are processed executor-side in batch, never collected. Output rows are
+    flat/typed so downstream stages are plain columnar ops again."""
+    if _HAVE_REAL_CODECS:  # pragma: no cover
+        raise NotImplementedError(
+            "real codec path intentionally not implemented in this "
+            "container; wire PIL/ffmpeg decoding here"
+        )
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = [_decode_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                    "feature_mean": [f[3] for f in feats],
+                }
+            )
+
+    return media.select("doc_id", "media_type", "payload").mapInPandas(
+        run, schema=DECODE_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame-sampling plumbing demo: expand each video payload into frame
+    rows (stub: one row per fake frame index), keeping every n-th. The
+    explode happens executor-side; at scale this is the fan-out stage
+    before per-frame feature extraction."""
+    frames = decode_features(media.filter(F.col("media_type") == "video"))
+    return (
+        frames.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1)).alias(
+                "frame_idx"
+            ),
+            "feature_mean",
+        )
+        .filter(F.col("frame_idx") % every_n == 0)
+    )

@@ -1,0 +1,215 @@
+"""Approximate-nearest-neighbor similarity search over embedding columns.
+
+Three strategies, cheapest-to-run first at small scale, rightmost at 100 TB:
+
+- brute-force: broadcast the query set, cross-join, cosine per pair,
+  two-level top-k (local per-partition top-k, then global) so no single
+  reducer ever sees more than num_partitions · k candidate rows per query.
+- sign-LSH: 4 random-hyperplane sign bits → 16 buckets; only same-bucket
+  candidates are scored. Hyperplanes are inline literal constants shared
+  with the oracle. At scale: more tables + multi-probe, constants
+  broadcast instead of inlined.
+- IVF: coarse quantizer from a cluster column (here the embedding table's
+  label; in production, k-means centroids) — centroids computed as
+  elementwise means, each query probes its nearest centroid's cell only.
+
+Dot products are sequential left folds (aggregate over zip_with) so
+results are bit-identical to the DuckDB oracle's list_reduce fold — which
+makes ranking deterministic without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators.dedup import (
+    DOT_EXPR_TPL,
+    with_embedding_norm,
+)
+
+LSH_BITS = 4
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
+
+
+def lsh_planes(bits: int = LSH_BITS, dim: int = 64, seed: int = 7):
+    """Deterministic pseudo-random hyperplanes with components in
+    [-1, 1] at 3-decimal resolution — inlined as literals in both the
+    Spark expression and the oracle SQL so both engines use the exact
+    same planes."""
+    state = seed
+    planes = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (_LCG_A * state + _LCG_C) % _LCG_M
+            row.append((state % 2001 - 1000) / 1000.0)
+        planes.append(row)
+    return planes
+
+
+def _topk(
+    scored: DataFrame, part_cols: list[str], order, k: int
+) -> DataFrame:
+    """Two-level top-k: per-(partition, key) heads first, then the global
+    head — the union of local top-ks provably contains the global top-k,
+    and no reducer materializes the full candidate list."""
+    local_w = Window.partitionBy(
+        *part_cols, F.spark_partition_id()
+    ).orderBy(*order)
+    pruned = (
+        scored.withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= k)
+        .drop("__lrn")
+    )
+    global_w = Window.partitionBy(*part_cols).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def scored_pairs(queries: DataFrame, candidates: DataFrame, on=None) -> DataFrame:
+    """Join queries to candidates (cross when ``on`` is None) and score
+    with exact cosine. Queries are broadcast — the candidate side never
+    shuffles."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        *([F.col(c) for c in (on or [])]),
+    )
+    c = candidates.select(
+        "vec_id",
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+        *([F.col(c_) for c_ in (on or [])]),
+    )
+    joined = (
+        c.join(F.broadcast(q), on) if on else c.crossJoin(F.broadcast(q))
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    dot = F.expr(DOT_EXPR_TPL.format(a="qvec", b="cvec"))
+    return joined.withColumn(
+        "cos_sim_raw", dot / (F.col("qnorm") * F.col("cnorm"))
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, query_ids, k: int = 10
+) -> DataFrame:
+    """Baseline exact top-k cosine search for a set of query vectors."""
+    base = with_embedding_norm(emb)
+    queries = base.filter(F.col("vec_id").isin(list(query_ids)))
+    scored = scored_pairs(queries, base)
+    out = _topk(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim_raw").desc(), F.col("vec_id").asc()],
+        k,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim_raw", 6).alias("cos_sim"),
+        "rank",
+    )
+
+
+def bucket_expr(vec_col: str, planes) -> str:
+    """Spark SQL expression for the sign-LSH bucket id of a vector."""
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "array(" + ", ".join(f"{x}D" for x in plane) + ")"
+        dot = DOT_EXPR_TPL.format(a=vec_col, b=lit)
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def lsh_topk(emb: DataFrame, query_ids, k: int = 10) -> DataFrame:
+    """ANN: score only candidates in the query's sign-LSH bucket."""
+    planes = lsh_planes()
+    base = with_embedding_norm(emb).withColumn(
+        "bucket", F.expr(bucket_expr("vec", planes))
+    )
+    queries = base.filter(F.col("vec_id").isin(list(query_ids)))
+    scored = scored_pairs(queries, base, on=["bucket"])
+    out = _topk(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim_raw").desc(), F.col("vec_id").asc()],
+        k,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim_raw", 6).alias("cos_sim"),
+        "rank",
+    )
+
+
+def ivf_centroids(base: DataFrame, cell_col: str = "label") -> DataFrame:
+    """Elementwise-mean centroid per cell. Components are rounded to 6
+    decimals to absorb summation-order jitter across engines/partitions
+    (the coarse quantizer only needs approximate centroids anyway)."""
+    dim = F.posexplode(F.col("vec")).alias("pos", "x")
+    per_dim = (
+        base.select(cell_col, dim)
+        .groupBy(cell_col, "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+    )
+    return per_dim.groupBy(cell_col).agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, cx))), s -> s.cx)")
+        .alias("centroid")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame, query_ids, k: int = 10, cell_col: str = "label"
+) -> DataFrame:
+    """IVF search: assign each query to its nearest centroid (dot-product
+    argmax over ~#cells rows — broadcast), then brute-force only within
+    that cell. nprobe=1; raise by taking top-n cells instead of top-1."""
+    base = with_embedding_norm(emb)
+    cents = ivf_centroids(base, cell_col)
+    queries = base.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    qc = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "cdot", F.expr(DOT_EXPR_TPL.format(a="qvec", b="centroid"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col(cell_col).asc()
+    )
+    probe = (
+        qc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("query_id", "qvec", "qnorm", F.col(cell_col).alias("cell"))
+    )
+    cands = base.select(
+        "vec_id",
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+        F.col(cell_col).alias("cell"),
+    )
+    scored = cands.join(F.broadcast(probe), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = scored.withColumn(
+        "cos_sim_raw",
+        F.expr(DOT_EXPR_TPL.format(a="qvec", b="cvec"))
+        / (F.col("qnorm") * F.col("cnorm")),
+    )
+    out = _topk(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim_raw").desc(), F.col("vec_id").asc()],
+        k,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim_raw", 6).alias("cos_sim"),
+        "rank",
+    )

@@ -1,0 +1,157 @@
+"""Text-analysis operators for training-data pipelines: statistics,
+language ID, quality scoring, tokenizer-ish counting, fingerprinting.
+
+All scan-side Catalyst expressions (length/split/regexp/array ops inside
+whole-stage codegen); the only shuffle anywhere is the language-ID
+marker-dictionary aggregation, and the dictionary itself is broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
+
+# Marker tokens per language for the n-gram/stopword heuristic. Tiny on
+# purpose — a broadcast dimension, exactly like the reference's ranges
+# KTable (CategorizeWithKTableLookup.java:60-62) but keyed by token.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+# GPT-2-flavored pre-tokenizer approximation: letter runs, digit runs,
+# or single non-alphanumeric glyphs.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document surface statistics."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n_tokens = F.size(toks)
+    tok_len_sum = F.expr(
+        f"aggregate(transform(split({text_col}, '\\\\s+'), t -> length(t)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars_calc"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.round(tok_len_sum.cast("double") / n_tokens.cast("double"), 6).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+def lang_markers_df(spark: SparkSession) -> DataFrame:
+    rows = [(lang, tok) for lang, toks in LANG_MARKERS.items() for tok in toks]
+    return spark.createDataFrame(rows, "lang_code string, marker string")
+
+
+def language_id(df: DataFrame, spark: SparkSession, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID: explode tokens, equi-join the broadcast
+    marker dictionary, argmax matches per doc (count desc, lang asc for
+    determinism); docs with no marker hit → 'unknown'.
+
+    Scale: tokens shuffle once for the per-(doc, lang) count; the marker
+    join is broadcast so the explode output never shuffles twice."""
+    toks = df.select(
+        "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
+    )
+    hits = (
+        toks.join(F.broadcast(lang_markers_df(spark)), toks.tok == F.col("marker"))
+        .groupBy("doc_id", "lang_code")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("n_hits").desc(), F.col("lang_code").asc()
+    )
+    best = (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("doc_id", "lang_code", "n_hits")
+    )
+    return (
+        df.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang_code", F.lit("unknown")).alias("pred_lang"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("marker_hits"),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic composite quality score in [0,1]:
+    0.3·len_score + 0.3·lexical_diversity + 0.2·stopword_ratio +
+    0.2·alpha_ratio — the standard cheap pre-filter shape for LLM
+    training corpora (length, diversity, naturalness, cleanliness)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    n_tokens = F.size(toks).cast("double")
+    stop_list = ", ".join(f"'{t}'" for t in LANG_MARKERS["en"])
+    n_stop = F.expr(
+        f"size(filter(split({text_col}, '\\\\s+'), t -> t IN ({stop_list})))"
+    ).cast("double")
+    n_alpha = F.expr(
+        f"size(filter(split({text_col}, '\\\\s+'), "
+        "t -> t RLIKE '^[A-Za-z]+$'))"
+    ).cast("double")
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
+    len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
+    score = (
+        0.3 * len_score
+        + 0.3 * diversity
+        + 0.2 * (n_stop / n_tokens)
+        + 0.2 * (n_alpha / n_tokens)
+    )
+    return df.select(
+        "doc_id",
+        F.round(len_score, 6).alias("len_score"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_alpha / n_tokens, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace and BPE-ish token counts + chars/token — the unit
+    economics column set for token-budget planning."""
+    n_ws = F.size(F.split(F.col(text_col), r"\s+")).cast("bigint")
+    n_bpe = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+    ).cast("bigint")
+    return df.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        F.round(
+            F.length(text_col).cast("double") / n_bpe.cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Rolling character k-gram fingerprint: hash every k-gram window
+    (the full winnowing candidate set), keep the minimum — a MinHash-1
+    content fingerprint robust to word reordering at the edges. All
+    scan-side; at 100 TB this is a narrow map over the corpus."""
+    grams = (
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k}))"
+    )
+    min_hash = F.expr(
+        f"array_min(transform({grams}, g -> {HASH60_TPL.format(x='g')}))"
+    )
+    return df.filter(F.length(text_col) >= k).select(
+        "doc_id",
+        min_hash.alias("fingerprint"),
+        (F.length(text_col) - (k - 1)).cast("bigint").alias("n_grams"),
+    )

@@ -1,4 +1,83 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Multimodal-column queries: metadata-only access (column pruning keeps
+the payload bytes unread) and the Arrow-batched decode stub. The decode
+features are deterministic functions of the payload bytes, so the oracle
+can replay them in SQL even though Spark runs them through mapInPandas —
+this checks the full binary-column plumbing end-to-end."""
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators import multimodal as mm
+from kafka_streams_dexcom_spark.sources.files import load_table
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "doc_id",
+        "media_type",
+        F.col("meta.byte_len").cast("bigint").alias("byte_len"),
+        F.col("meta.source").alias("source"),
+        F.upper(F.expr("hex(substring(payload, 1, 4))")).alias("header_hex"),
+    )
+
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.decode_features(media)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return mm.frame_sample(media, every_n=2)
+
+
+_MEDIA_TYPE = "['image', 'audio', 'video'][(doc_id % 3) + 1]"
+
+QUERIES = {
+    "multimodal_meta": q_multimodal_meta,
+    "multimodal_decode": q_multimodal_decode,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
+}
+
+ORACLES = {
+    "multimodal_meta": f"""
+        SELECT doc_id,
+               {_MEDIA_TYPE} AS media_type,
+               CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
+               source,
+               upper(hex(substring(text, 1, 4)::BLOB)) AS header_hex
+        FROM documents
+    """,
+    "multimodal_decode": f"""
+        SELECT doc_id,
+               {_MEDIA_TYPE} AS media_type,
+               CAST(64 + octet_length(text::BLOB) % 256 AS BIGINT) AS width,
+               CAST(64 + (octet_length(text::BLOB) * 7) % 256 AS BIGINT)
+                   AS height,
+               CAST(1 + octet_length(text::BLOB) % 7 AS BIGINT) AS n_frames,
+               round(((ascii(text) + octet_length(text::BLOB)) % 1000)
+                     / 1000.0, 6) AS feature_mean
+        FROM documents
+    """,
+    "multimodal_frame_sample": f"""
+        WITH frames AS (
+            SELECT doc_id,
+                   CAST(1 + octet_length(text::BLOB) % 7 AS BIGINT)
+                       AS n_frames,
+                   round(((ascii(text) + octet_length(text::BLOB)) % 1000)
+                         / 1000.0, 6) AS feature_mean
+            FROM documents
+            WHERE {_MEDIA_TYPE} = 'video'
+        )
+        SELECT doc_id, frame_idx, feature_mean FROM (
+            SELECT doc_id,
+                   CAST(unnest(range(0, n_frames)) AS BIGINT) AS frame_idx,
+                   feature_mean
+            FROM frames
+        )
+        WHERE frame_idx % 2 = 0
+    """,
+}

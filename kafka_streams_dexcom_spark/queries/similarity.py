@@ -1,4 +1,169 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Similarity-search queries over `embeddings`, with DuckDB oracles that
+replay the identical sequential-fold arithmetic (see operators.similarity).
+"""
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from kafka_streams_dexcom_spark.operators import similarity as sim
+from kafka_streams_dexcom_spark.sources.files import load_table
+
+QUERY_IDS = (0, 1, 2, 3, 4)
+TOP_K = 10
+
+_DOT = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+)
+
+_BASE_CTES = f"""
+    v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    n AS (
+        SELECT * FROM (
+            SELECT vec_id, label, vec,
+                   sqrt({_DOT.format(a='vec', b='vec')}) AS norm
+            FROM v
+        ) WHERE norm > 0
+    ),
+    q AS (
+        SELECT vec_id AS query_id, label AS qlabel, vec AS qvec,
+               norm AS qnorm
+        FROM n WHERE vec_id IN {QUERY_IDS}
+    )
+"""
+
+
+def q_sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = sim.brute_force_topk(e, QUERY_IDS, TOP_K)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = sim.lsh_topk(e, QUERY_IDS, TOP_K)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = sim.ivf_topk(e, QUERY_IDS, TOP_K)
+    return out.withColumnRenamed("rank", "rnk")
+
+
+def _brute_oracle() -> str:
+    return f"""
+        WITH {_BASE_CTES},
+        scored AS (
+            SELECT q.query_id, n.vec_id,
+                   {_DOT.format(a='q.qvec', b='n.vec')} / (q.qnorm * n.norm)
+                       AS cs
+            FROM q JOIN n ON n.vec_id != q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cs,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cs DESC, vec_id ASC
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rnk
+        FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+def _lsh_oracle() -> str:
+    planes = sim.lsh_planes()
+    terms = []
+    for j, plane in enumerate(planes):
+        lit = "[" + ", ".join(str(x) for x in plane) + "]"
+        dot = _DOT.format(a="vec", b=lit)
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+    bucket = " + ".join(terms)
+    return f"""
+        WITH {_BASE_CTES},
+        nb AS (SELECT *, {bucket} AS bucket FROM n),
+        qb AS (SELECT nb.vec_id AS query_id, vec AS qvec, norm AS qnorm,
+                      bucket
+               FROM nb WHERE vec_id IN {QUERY_IDS}),
+        scored AS (
+            SELECT qb.query_id, nb.vec_id,
+                   {_DOT.format(a='qb.qvec', b='nb.vec')}
+                       / (qb.qnorm * nb.norm) AS cs
+            FROM qb JOIN nb USING (bucket)
+            WHERE nb.vec_id != qb.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cs,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cs DESC, vec_id ASC
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rnk
+        FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+def _ivf_oracle() -> str:
+    return f"""
+        WITH {_BASE_CTES},
+        cent AS (
+            SELECT label, list(cx ORDER BY pos) AS centroid
+            FROM (
+                SELECT label, pos, round(avg(x), 6) AS cx
+                FROM (
+                    SELECT label, unnest(vec) AS x,
+                           generate_subscripts(vec, 1) AS pos
+                    FROM n
+                )
+                GROUP BY label, pos
+            )
+            GROUP BY label
+        ),
+        probe AS (
+            SELECT query_id, qvec, qnorm, label AS cell FROM (
+                SELECT q.query_id, q.qvec, q.qnorm, c.label,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_DOT.format(a='q.qvec', b='c.centroid')}
+                               DESC, c.label ASC
+                       ) AS rn
+                FROM q CROSS JOIN cent c
+            ) WHERE rn = 1
+        ),
+        scored AS (
+            SELECT p.query_id, n.vec_id,
+                   {_DOT.format(a='p.qvec', b='n.vec')} / (p.qnorm * n.norm)
+                       AS cs
+            FROM probe p JOIN n ON n.label = p.cell
+            WHERE n.vec_id != p.query_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cs,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cs DESC, vec_id ASC
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rnk
+        FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+QUERIES = {
+    "sim_search_bruteforce": q_sim_search_bruteforce,
+    "sim_search_lsh": q_sim_search_lsh,
+    "sim_search_ivf": q_sim_search_ivf,
+}
+
+ORACLES = {
+    "sim_search_bruteforce": _brute_oracle(),
+    "sim_search_lsh": _lsh_oracle(),
+    "sim_search_ivf": _ivf_oracle(),
+}
