@@ -154,6 +154,66 @@ def interval_join_categorize(
     )
 
 
+def interval_lookup_categorize_scan(
+    events: DataFrame,
+    ranges_rows: Sequence[tuple],
+    tod_col: Column,
+    value_col: str,
+) -> DataFrame:
+    """Scan-side variant of :func:`interval_join_categorize` for a small,
+    driver-known ranges dimension: the ranges are inlined as an
+    array<struct> literal and the first match is found with
+    sort_array(filter(...))[0] — a pure narrow projection.
+
+    Zero shuffle, zero join: at 100 TB the fact side streams through the
+    scan untouched. This is exactly the reference's execution strategy
+    (per-record scan of a tiny in-memory store, EgvTransformer.java:51-81)
+    vectorized — and struct sort order starts at range_id, giving the
+    deterministic lowest-range_id first-match (§2.6 #6). Use the join
+    variant when the dimension is too big to inline/broadcast.
+    """
+    ranges_lit = F.array(
+        *[
+            F.struct(
+                F.lit(rid).cast("int").alias("range_id"),
+                F.lit(st).alias("start_time"),
+                F.lit(et).alias("end_time"),
+                F.lit(lo).cast("int").alias("lower_bound"),
+                F.lit(hi).cast("int").alias("upper_bound"),
+            )
+            for rid, st, et, lo, hi in ranges_rows
+        ]
+    )
+    e = events.withColumn("__tod", tod_col).withColumn("__ranges", ranges_lit)
+    first = F.get(
+        F.expr(
+            "sort_array(filter(__ranges, "
+            "r -> __tod >= r.start_time AND __tod <= r.end_time))"
+        ),
+        0,
+    )
+    return (
+        e.withColumn("range_id", first.getField("range_id"))
+        .withColumn("start_time", first.getField("start_time"))
+        .withColumn("end_time", first.getField("end_time"))
+        .withColumn("lower_bound", first.getField("lower_bound"))
+        .withColumn("upper_bound", first.getField("upper_bound"))
+        .withColumn(
+            "in_range",
+            F.when(
+                F.col("lower_bound").isNull(), F.lit(None).cast("string")
+            ).otherwise(
+                categorize_from_bounds(
+                    F.col(value_col),
+                    F.col("lower_bound"),
+                    F.col("upper_bound"),
+                )
+            ),
+        )
+        .drop("__tod", "__ranges")
+    )
+
+
 def categorize_from_bounds(
     value: Column, lower: Column, upper: Column
 ) -> Column:

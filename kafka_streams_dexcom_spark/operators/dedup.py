@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.functions.hashing import MERSENNE_P, PERM_COEFFS
+from kafka_streams_dexcom_spark.sources.files import fan_out_small, materialize
 
 NUM_PERM = 16
 NUM_BANDS = 4
@@ -59,19 +60,24 @@ def shingle_sets(
 ) -> DataFrame:
     """Distinct word n-gram shingle set per document; documents shorter
     than n tokens are dropped (no shingle → nothing to compare)."""
-    t = tokenize(df, text_col)
-    return t.filter(F.size("tokens") >= n).withColumn(
+    t = tokenize(fan_out_small(df), text_col)
+    out = t.filter(F.size("tokens") >= n).withColumn(
         "shingles", F.expr(_shingle_expr("tokens", n))
-    )
+    ).drop("tokens")
+    # barrier: shingle arrays are consumed by explodes / multi-expression
+    # signatures downstream — materialize once (see sources.files.materialize)
+    return materialize(out)
 
 
 def shingle_hashes(df: DataFrame) -> DataFrame:
     """Hash each shingle into [0, P) with the portable hash."""
-    return df.withColumn(
-        "sh_hashes",
-        F.expr(
-            f"transform(shingles, x -> {HASH60_TPL.format(x='x')} % {MERSENNE_P})"
-        ),
+    return materialize(
+        df.withColumn(
+            "sh_hashes",
+            F.expr(
+                f"transform(shingles, x -> {HASH60_TPL.format(x='x')} % {MERSENNE_P})"
+            ),
+        )
     )
 
 
@@ -89,7 +95,7 @@ def minhash_signature(df: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
             for i in range(num_perm)
         ]
     )
-    return df.withColumn("sig", sig)
+    return materialize(df.withColumn("sig", sig))
 
 
 def lsh_band_hashes(
@@ -112,20 +118,57 @@ def lsh_band_hashes(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
-    """Distinct candidate pairs sharing any band bucket. The equi-join on
-    (band_idx, band_hash) shuffles only (id, band) pairs — tiny rows —
-    and AQE splits any hot bucket."""
-    a = bands.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+def pairs_within_buckets(
+    df: DataFrame,
+    bucket_cols: Sequence[str],
+    item_expr: Column,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Generate unordered within-bucket pairs WITHOUT a self-join.
+
+    groupBy bucket → collect_list(items) → combinations via nested
+    transform/slice → explode. One shuffle, and the upstream pipeline that
+    produced ``df`` runs ONCE (a self-join would compute it twice — plan
+    exchange-reuse does not apply across a BroadcastExchange).
+
+    Pairs are id-order-normalized (pair_a.id < pair_b.id) so downstream
+    grouping is stable regardless of collect_list order.
+
+    Scale guard: ``max_bucket`` drops degenerate hot buckets (a bucket of
+    m docs emits m(m-1)/2 pairs — a stop-shingle hitting 1M docs would
+    emit 5·10^11 pairs). Dropping them is the standard trade: ubiquitous
+    features carry no near-dup signal. None = keep everything (exact).
+    """
+    # sort once per bucket at aggregation time (struct order starts at id)
+    # so every emitted pair is already id-ascending — no per-pair swap
+    grouped = df.groupBy(*bucket_cols).agg(
+        F.sort_array(F.collect_list(item_expr)).alias("items")
     )
-    b = bands.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    grouped = grouped.filter(F.size("items") >= 2)
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("items") <= max_bucket)
+    combos = F.expr(
+        "flatten(transform(items, (a, i) -> "
+        "transform(slice(items, i + 2, size(items) - i - 1), "
+        "b -> struct(a, b))))"
+    )
+    return grouped.select(F.explode(combos).alias("p")).select(
+        F.col("p.a").alias("pair_a"), F.col("p.b").alias("pair_b")
+    )
+
+
+def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct candidate pairs sharing any band bucket (no self-join —
+    see pairs_within_buckets)."""
+    pairs = pairs_within_buckets(
+        bands,
+        ["band_idx", "band_hash"],
+        F.struct(F.col(id_col).alias("id")),
     )
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        pairs.select(
+            F.col("pair_a.id").alias("id_a"), F.col("pair_b.id").alias("id_b")
+        )
         .distinct()
     )
 
@@ -181,12 +224,14 @@ def simhash(
     Each token votes +1/-1 per bit of its 32-bit hash; bit i of the
     fingerprint is set when the vote is positive (strictly more set than
     unset — deterministic tie-break to 0)."""
-    t = tokenize(df, text_col).filter(F.size("tokens") >= 1)
-    t = t.withColumn(
-        "tok_hashes",
-        F.expr(
-            f"transform(tokens, x -> {HASH60_TPL.format(x='x')} % 4294967296)"
-        ),
+    t = tokenize(fan_out_small(df), text_col).filter(F.size("tokens") >= 1)
+    t = materialize(
+        t.withColumn(
+            "tok_hashes",
+            F.expr(
+                f"transform(tokens, x -> {HASH60_TPL.format(x='x')} % 4294967296)"
+            ),
+        )
     )
     terms = " + ".join(
         f"(CASE WHEN 2 * size(filter(tok_hashes, v -> (shiftright(v, {i}) & 1) = 1)) "
@@ -215,22 +260,17 @@ def simhash_pairs(
             )
         ).alias("byte_idx", "byte_val"),
     )
-    a = bytes_df.select(
-        F.col(id_col).alias("id_a"),
-        F.col("simhash").alias("sh_a"),
-        "byte_idx",
-        "byte_val",
-    )
-    b = bytes_df.select(
-        F.col(id_col).alias("id_b"),
-        F.col("simhash").alias("sh_b"),
-        "byte_idx",
-        "byte_val",
+    pairs = pairs_within_buckets(
+        bytes_df,
+        ["byte_idx", "byte_val"],
+        F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")),
     )
     return (
-        a.join(b, ["byte_idx", "byte_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        pairs.select(
+            F.col("pair_a.id").alias("id_a"),
+            F.col("pair_b.id").alias("id_b"),
+            F.expr("bit_count(pair_a.sh ^ pair_b.sh)").alias("hamming"),
+        )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
@@ -253,25 +293,22 @@ def ngram_jaccard_pairs(
     ⌈|s|·(1-t)⌉+1 shingles, which cannot all be absent from a
     t-similar pair."""
     sets = shingle_sets(docs.select(id_col, text_col), text_col, n)
-    sized = sets.select(
-        id_col, "shingles", F.size("shingles").alias("set_size")
+    inv = sets.select(
+        id_col, F.size("shingles").alias("set_size"),
+        F.explode("shingles").alias("shingle"),
     )
-    inv = sized.select(
-        id_col, "set_size", F.explode("shingles").alias("shingle")
-    )
-    a = inv.select(
-        F.col(id_col).alias("id_a"),
-        F.col("set_size").alias("size_a"),
-        "shingle",
-    )
-    b = inv.select(
-        F.col(id_col).alias("id_b"),
-        F.col("set_size").alias("size_b"),
-        "shingle",
+    pairs = pairs_within_buckets(
+        inv,
+        ["shingle"],
+        F.struct(F.col(id_col).alias("id"), F.col("set_size").alias("sz")),
     )
     shared = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.select(
+            F.col("pair_a.id").alias("id_a"),
+            F.col("pair_b.id").alias("id_b"),
+            F.col("pair_a.sz").alias("size_a"),
+            F.col("pair_b.sz").alias("size_b"),
+        )
         .groupBy("id_a", "id_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -299,7 +336,9 @@ def with_embedding_norm(
 
     The dot product is a *sequential left fold* so the floating-point
     result is bit-identical to the oracle's list_reduce fold."""
-    d = df.withColumn("vec", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))"))
+    d = fan_out_small(df).withColumn(
+        "vec", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    )
     return d.withColumn(
         "norm", F.sqrt(F.expr(DOT_EXPR_TPL.format(a="vec", b="vec")))
     ).filter(F.col("norm") > 0)

@@ -21,6 +21,8 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_dexcom_spark.sources.files import fan_out_small
+
 DECODE_SCHEMA = (
     "doc_id bigint, media_type string, width bigint, height bigint, "
     "n_frames bigint, feature_mean double"
@@ -38,7 +40,7 @@ except Exception:
 def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Build the multimodal column set from the documents table: the text
     bytes stand in for an encoded media payload."""
-    return docs.select(
+    return fan_out_small(docs).select(
         "doc_id",
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),

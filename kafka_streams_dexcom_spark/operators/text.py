@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
+from kafka_streams_dexcom_spark.sources.files import fan_out_small
 
 # Marker tokens per language for the n-gram/stopword heuristic. Tiny on
 # purpose — a broadcast dimension, exactly like the reference's ranges
@@ -30,6 +31,7 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document surface statistics."""
+    df = fan_out_small(df)
     toks = F.split(F.col(text_col), r"\s+")
     n_tokens = F.size(toks)
     tok_len_sum = F.expr(
@@ -59,7 +61,7 @@ def language_id(df: DataFrame, spark: SparkSession, text_col: str = "text") -> D
 
     Scale: tokens shuffle once for the per-(doc, lang) count; the marker
     join is broadcast so the explode output never shuffles twice."""
-    toks = df.select(
+    toks = fan_out_small(df).select(
         "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("tok")
     )
     hits = (
@@ -91,6 +93,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     0.3·len_score + 0.3·lexical_diversity + 0.2·stopword_ratio +
     0.2·alpha_ratio — the standard cheap pre-filter shape for LLM
     training corpora (length, diversity, naturalness, cleanliness)."""
+    df = fan_out_small(df)
     toks = F.split(F.col(text_col), r"\s+")
     n_tokens = F.size(toks).cast("double")
     stop_list = ", ".join(f"'{t}'" for t in LANG_MARKERS["en"])
@@ -122,6 +125,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace and BPE-ish token counts + chars/token — the unit
     economics column set for token-budget planning."""
+    df = fan_out_small(df)
     n_ws = F.size(F.split(F.col(text_col), r"\s+")).cast("bigint")
     n_bpe = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
@@ -143,6 +147,7 @@ def doc_fingerprint(
     (the full winnowing candidate set), keep the minimum — a MinHash-1
     content fingerprint robust to word reordering at the edges. All
     scan-side; at 100 TB this is a narrow map over the corpus."""
+    df = fan_out_small(df)
     grams = (
         f"transform(sequence(1, length({text_col}) - {k - 1}), "
         f"i -> substring({text_col}, i, {k}))"

@@ -75,14 +75,15 @@ def q_categorize_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_interval_join_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship (P5): time-of-day interval lookup join against the ranges
-    dimension + per-row-bounds categorize. BroadcastNestedLoopJoin on a
-    3-row dimension — zero shuffle of the fact side at any scale."""
-    e = load_table(spark, sf_dir, "events").withColumn(
-        "__event_pk", F.col("event_id")
-    )
-    out = ops.interval_join_categorize(
-        e, ranges_df(spark), time_of_day(F.col("ts")), "value"
+    """Flagship (P5): time-of-day interval lookup against the ranges
+    dimension + per-row-bounds categorize. The 3-row dimension is inlined
+    scan-side (interval_lookup_categorize_scan) — zero shuffle, zero join;
+    the fact side streams through a narrow projection at any scale. The
+    join-based variant (ops.interval_join_categorize, BroadcastNLJ) covers
+    dimensions too large to inline and is plan-audited in tests."""
+    e = load_table(spark, sf_dir, "events")
+    out = ops.interval_lookup_categorize_scan(
+        e, GOLDEN_RANGES, time_of_day(F.col("ts")), "value"
     )
     return out.select(
         "event_id",

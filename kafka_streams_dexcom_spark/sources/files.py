@@ -26,3 +26,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
+
+
+def fan_out_small(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition a *small* input before a compute-heavy stage.
+
+    Small parquet files arrive as one partition, which serializes
+    CPU-bound pipelines (higher-order array functions, Pandas UDF decode)
+    onto one core. A 2 MB shuffle that unlocks 32 cores is the right
+    trade. On real cluster data (many input splits) the partition count
+    already exceeds the target and this is a no-op — so the shuffle cost
+    never appears at 100 TB scale, where repartitioning would be wrong.
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
+def materialize(df: DataFrame) -> DataFrame:
+    """Expression-materialization barrier (a round-robin exchange).
+
+    Catalyst's CollapseProject inlines a projected expression into every
+    consumer: explode(expensive_array) re-evaluates the array PER OUTPUT
+    ROW, and N sibling expressions over one expensive array evaluate it N
+    times (measured 10-25x slowdowns on the shingle/minhash pipelines).
+    An exchange is a hard plan boundary: the expression is computed once,
+    its *result* crosses the shuffle, and consumers read an attribute.
+
+    Use between an expensive narrow computation (md5 transforms, shingle
+    construction) and a fan-out consumer (explode, multi-expression
+    signature). Cost: one shuffle of the computed column — at 100 TB
+    that's usually far cheaper than a 50x recompute, but reconsider per
+    pipeline (skip it when the downstream is a single cheap consumer).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)

@@ -1,0 +1,87 @@
+"""Physical-plan audits: assert the scale-critical optimizations actually
+fire (pushdown, pruning, broadcast, map-side partial aggregation). These
+are the properties that make the engine viable at 100 TB; a silent
+regression here wouldn't change results, only the cluster bill."""
+
+from __future__ import annotations
+
+from kafka_streams_dexcom_spark.plans import (
+    explain_str,
+    plan_has,
+    scan_read_schema,
+)
+from kafka_streams_dexcom_spark.queries.core import (
+    q_filter_high,
+    q_interval_join_categorize,
+    q_project_extract,
+)
+from kafka_streams_dexcom_spark.queries.relational import (
+    q_pricing_summary,
+    q_top_customers,
+)
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    df = q_filter_high(spark, sf_dir)
+    plan = explain_str(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(value,200.0)" in plan, plan
+
+
+def test_projection_prunes_scan_columns(spark, sf_dir):
+    df = q_project_extract(spark, sf_dir)
+    read = scan_read_schema(df)
+    # events has 6 columns; the projection needs only these 3
+    assert set(read) == {"user_id", "event_id", "value"}, read
+
+
+def test_flagship_interval_lookup_is_shuffle_free(spark, sf_dir):
+    # scan-side inlined dimension: no join, no exchange anywhere
+    df = q_interval_join_categorize(spark, sf_dir)
+    plan = explain_str(df)
+    assert "Join" not in plan and "Exchange" not in plan, plan
+
+
+def test_interval_join_variant_is_broadcast_nlj(spark, sf_dir):
+    # the join-based variant (for non-inlinable dimensions) must broadcast
+    # the dimension, never shuffle the fact side into a SortMergeJoin
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.functions.timeofday import time_of_day
+    from kafka_streams_dexcom_spark.operators.core import (
+        interval_join_categorize,
+    )
+    from kafka_streams_dexcom_spark.queries.core import ranges_df
+    from kafka_streams_dexcom_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__event_pk", F.col("event_id")
+    )
+    df = interval_join_categorize(
+        e, ranges_df(spark), time_of_day(F.col("ts")), "value"
+    )
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_customers_broadcasts_dimension(spark, sf_dir):
+    df = q_top_customers(spark, sf_dir)
+    assert plan_has(df, "BroadcastHashJoin"), explain_str(df)
+    # top-k compiles to TakeOrdered, not a global Sort + Limit
+    assert plan_has(df, "TakeOrderedAndProject"), explain_str(df)
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    df = q_pricing_summary(spark, sf_dir)
+    plan = explain_str(df)
+    # map-side combine: two HashAggregate phases (partial + final)
+    assert plan.count("HashAggregate") >= 2, plan
+    # shipdate filter pushed down to the scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+
+
+def test_whole_stage_codegen_on_scan_queries(spark, sf_dir):
+    df = q_filter_high(spark, sf_dir)
+    # formatted mode tags whole-stage-codegen stages with "[codegen id : N]"
+    assert plan_has(df, "codegen id"), explain_str(df)
