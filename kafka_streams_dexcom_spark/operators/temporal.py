@@ -1,0 +1,122 @@
+"""Temporal/event-stream operators beyond the reference's surface:
+as-of join, sessionization, top-k per group.
+
+These are the standard event-analytics building blocks a user of the
+reference would reach for next; each is a single-shuffle window pipeline
+(shuffle on the entity key — unavoidable and AQE-managed), never a
+driver-side loop or a per-row subquery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_payload: dict[str, Column],
+    tiebreak_col: str,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right.ts <= left.ts within the key (inclusive).
+
+    Spark has no native as-of join; the scalable form is the union trick:
+    tag both sides, sort by (key, ts, side, tiebreak) — right rows sort
+    before left rows at equal ts so 'at-or-before' is inclusive — and
+    carry the right payload forward with last(..., ignorenulls) over an
+    unbounded-preceding frame. ONE shuffle+sort on the key, streaming
+    through the sorted partition; a pd.merge_asof via applyInPandas needs
+    the same shuffle plus Python serialization, so this is strictly
+    better until per-group state exceeds memory.
+    """
+    payload_names = list(right_payload)
+    l_tagged = left.select(
+        *key_cols,
+        ts_col,
+        tiebreak_col,
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast("bigint").alias(f"__p_{n}") for n in payload_names],
+        *[
+            F.col(c).alias(f"__keep_{c}")
+            for c in left.columns
+            if c not in (*key_cols, ts_col, tiebreak_col)
+        ],
+    )
+    keep_nulls = [
+        F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__keep_{c}")
+        for c in left.columns
+        if c not in (*key_cols, ts_col, tiebreak_col)
+    ]
+    r_tagged = right.select(
+        *key_cols,
+        ts_col,
+        tiebreak_col,
+        F.lit(0).alias("__is_left"),
+        *[expr.alias(f"__p_{n}") for n, expr in right_payload.items()],
+        *keep_nulls,
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(ts_col, "__is_left", tiebreak_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for n in payload_names:
+        merged = merged.withColumn(
+            n, F.last(F.col(f"__p_{n}"), ignorenulls=True).over(w)
+        )
+    out = merged.filter(F.col("__is_left") == 1)
+    renames = [
+        F.col(f"__keep_{c}").alias(c)
+        for c in left.columns
+        if c not in (*key_cols, ts_col, tiebreak_col)
+    ]
+    return out.select(
+        *key_cols, ts_col, tiebreak_col, *renames, *payload_names
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Assign session indexes: a new session starts when the gap from the
+    previous event (per key) exceeds ``gap_seconds``. Classic lag + cumsum
+    over one keyed sort; batch analog of session_window in streaming."""
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(
+        F.lag(F.col(ts_col)).over(w)
+    )
+    new_sess = F.when(
+        gap.isNull() | (gap > gap_seconds * 1_000_000), 1
+    ).otherwise(0)
+    cum = Window.partitionBy(*key_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return df.withColumn("__new_sess", new_sess).withColumn(
+        "session_idx", F.sum("__new_sess").over(cum).cast("bigint")
+    ).drop("__new_sess")
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order: list[Column],
+    k: int,
+) -> DataFrame:
+    """Deterministic top-k rows per group via row_number (callers provide
+    a total order). For huge groups prefer the two-level pattern in
+    operators.similarity._topk; this is the simple declarative form."""
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -19,11 +19,12 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         multimodal,
         relational,
         similarity,
+        temporal,
         text,
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (core, relational, dedup, similarity, text, multimodal):
+    for mod in (core, relational, temporal, dedup, similarity, text, multimodal):
         out.update(mod.QUERIES)
     return out
 
@@ -35,10 +36,11 @@ def all_oracles() -> dict[str, str]:
         multimodal,
         relational,
         similarity,
+        temporal,
         text,
     )
 
     out: dict[str, str] = {}
-    for mod in (core, relational, dedup, similarity, text, multimodal):
+    for mod in (core, relational, temporal, dedup, similarity, text, multimodal):
         out.update(mod.ORACLES)
     return out

@@ -1,0 +1,174 @@
+"""Temporal/analytical queries over `events` with DuckDB oracles:
+as-of join, sessionization, top-k per group, quantiles, pivot."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators import temporal as tp
+from kafka_streams_dexcom_spark.sources.files import load_table
+
+SESSION_GAP_S = 1800
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each event: the user's latest purchase at-or-before it."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase")
+    out = tp.asof_join(
+        e.select("user_id", "ts", "event_id", "event_type"),
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts",
+        right_payload={"last_purchase_id": F.col("event_id")},
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "last_purchase_id",
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session stats per (user, session): gap > 30 min starts a session."""
+    e = load_table(spark, sf_dir, "events")
+    s = tp.sessionize(e, ["user_id"], "ts", "event_id", SESSION_GAP_S)
+    return s.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+        F.max(F.unix_micros("ts")).alias("session_end_us"),
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 highest-value events per event_type (deterministic order)."""
+    e = load_table(spark, sf_dir, "events")
+    out = tp.topk_per_group(
+        e.select("event_type", "event_id", "value"),
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        3,
+    )
+    return out.select("event_type", "event_id", "value", "rnk")
+
+
+def q_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of value per event_type."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts pivoted to columns (fixed column set so
+    the pivot is a single pass — no distinct-values pre-query)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(EVENT_TYPES))
+        .select(
+            "user_id",
+            *[F.col(t).cast("bigint").alias(f"n_{t}") for t in EVENT_TYPES],
+        )
+    )
+
+
+QUERIES = {
+    "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    "topk_per_group": q_topk_per_group,
+    "value_quantiles": q_value_quantiles,
+    "event_type_pivot": q_event_type_pivot,
+}
+
+ORACLES = {
+    "asof_join": """
+        WITH u AS (
+            SELECT user_id, ts, event_id, event_type, 1 AS is_left,
+                   CAST(NULL AS BIGINT) AS pid
+            FROM events
+            UNION ALL
+            SELECT user_id, ts, event_id, event_type, 0 AS is_left,
+                   event_id AS pid
+            FROM events WHERE event_type = 'purchase'
+        ),
+        m AS (
+            SELECT *,
+                   last_value(pid IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, is_left, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS last_purchase_id
+            FROM u
+        )
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+               last_purchase_id
+        FROM m WHERE is_left = 1
+    """,
+    "sessionize": f"""
+        WITH g AS (
+            SELECT user_id, ts, event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS gap
+            FROM events
+        ),
+        s AS (
+            SELECT user_id, ts,
+                   sum(CASE WHEN gap IS NULL
+                            OR gap > {SESSION_GAP_S} * 1000000
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_idx
+            FROM g
+        )
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               count(*) AS n_events,
+               min(epoch_us(ts)) AS session_start_us,
+               max(epoch_us(ts)) AS session_end_us
+        FROM s
+        GROUP BY user_id, session_idx
+    """,
+    "topk_per_group": """
+        SELECT event_type, event_id, value,
+               CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT event_type, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id ASC
+                   ) AS rnk
+            FROM events
+        )
+        WHERE rnk <= 3
+    """,
+    "value_quantiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    "event_type_pivot": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS n_click,
+               count(*) FILTER (event_type = 'error') AS n_error,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup') AS n_signup,
+               count(*) FILTER (event_type = 'view') AS n_view
+        FROM events
+        GROUP BY user_id
+    """,
+}

@@ -38,6 +38,8 @@ def fan_out_small(df: DataFrame, min_partitions: int | None = None) -> DataFrame
     already exceeds the target and this is a no-op — so the shuffle cost
     never appears at 100 TB scale, where repartitioning would be wrong.
     """
+    if df.isStreaming:  # partitioning is the source's business in streaming
+        return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
         return df
@@ -60,4 +62,6 @@ def materialize(df: DataFrame) -> DataFrame:
     that's usually far cheaper than a 50x recompute, but reconsider per
     pipeline (skip it when the downstream is a single cheap consumer).
     """
+    if df.isStreaming:
+        return df
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
