@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators import text as tx
 from kafka_streams_dexcom_spark.sources.files import load_table
@@ -30,6 +31,38 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.doc_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-set selection — the composition the toolkit
+    exists for: exact-dedup survivors ∩ quality gate ∩ token budget.
+
+    Plan shape: three scan-side pipelines over one table joined on
+    doc_id; dedup contributes one groupBy shuffle; the joins are
+    broadcast-eligible at this dimensionality and AQE-planned at scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
+
+    survivors = (
+        d.withColumn("text_hash", F.expr(HASH60_TPL.format(x="text")))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    quality = tx.quality_score(d).select("doc_id", "quality_score")
+    tokens = tx.token_counts(d).select("doc_id", "n_bpe_tokens")
+    return (
+        d.select("doc_id", "lang", "source")
+        .join(survivors, "doc_id")
+        .join(quality, "doc_id")
+        .join(tokens, "doc_id")
+        .filter(
+            (F.col("quality_score") >= 0.5)
+            & F.col("n_bpe_tokens").between(20, 10_000)
+        )
+        .select("doc_id", "lang", "source", "quality_score", "n_bpe_tokens")
+    )
+
+
 def _markers_values() -> str:
     rows = ", ".join(
         f"('{lang}', '{tok}')"
@@ -47,6 +80,7 @@ QUERIES = {
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
+    "training_mix": q_training_mix,
 }
 
 ORACLES = {
@@ -135,5 +169,46 @@ ORACLES = {
                CAST(length(text) - 7 AS BIGINT) AS n_grams
         FROM documents
         WHERE length(text) >= 8
+    """,
+    "training_mix": f"""
+        WITH survivors AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY {DUCK_HASH60.format(x='text')}
+        ),
+        q AS (
+            SELECT doc_id,
+                   round(0.3 * least(CAST(len(string_split_regex(text, '\\s+'))
+                             AS DOUBLE) / 100.0, 1.0)
+                         + 0.3 * (CAST(len(list_distinct(
+                               string_split_regex(text, '\\s+'))) AS DOUBLE)
+                             / CAST(len(string_split_regex(text, '\\s+'))
+                             AS DOUBLE))
+                         + 0.2 * (CAST(len(list_filter(
+                               string_split_regex(text, '\\s+'),
+                               x -> x IN ({_STOPS}))) AS DOUBLE)
+                             / CAST(len(string_split_regex(text, '\\s+'))
+                             AS DOUBLE))
+                         + 0.2 * (CAST(len(list_filter(
+                               string_split_regex(text, '\\s+'),
+                               x -> regexp_full_match(x, '[A-Za-z]+')))
+                             AS DOUBLE)
+                             / CAST(len(string_split_regex(text, '\\s+'))
+                             AS DOUBLE)), 6) AS quality_score
+            FROM documents
+        ),
+        t AS (
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))
+                       AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        )
+        SELECT d.doc_id, d.lang, d.source, q.quality_score, t.n_bpe_tokens
+        FROM documents d
+        JOIN survivors s ON d.doc_id = s.doc_id
+        JOIN q ON d.doc_id = q.doc_id
+        JOIN t ON d.doc_id = t.doc_id
+        WHERE q.quality_score >= 0.5
+          AND t.n_bpe_tokens BETWEEN 20 AND 10000
     """,
 }
