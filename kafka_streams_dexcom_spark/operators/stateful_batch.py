@@ -1,0 +1,42 @@
+"""Batch counterpart of the stateful streaming operators: per-key
+sequential logic via applyInPandas (grouped-map, Arrow-batched).
+
+This is the §2.7 UDF surface for logic that is genuinely sequential per
+key (carried state between rows) — inexpressible as window functions
+without recursion. The group is the parallelism unit: each user's history
+is processed in one task, users fan out across the cluster. At 100 TB,
+per-group history must fit in a task (bound it with time-bucketed keys
+when it can't)."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+ALERT_SCHEMA = "user_id bigint, ts_us bigint, value double"
+
+
+def debounced_alerts_batch(
+    events: DataFrame,
+    threshold: float = 200.0,
+    debounce_s: int = 600,
+) -> DataFrame:
+    """Batch replay of streaming.stateful.debounced_alerts: at most one
+    alert per user per debounce window, computed over full history."""
+    debounce_us = debounce_s * 1_000_000
+
+    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_us")
+        out = []
+        last = None
+        for r in pdf.itertuples(index=False):
+            if r.value >= threshold and (
+                last is None or r.ts_us - last >= debounce_us
+            ):
+                out.append((r.user_id, r.ts_us, r.value))
+                last = r.ts_us
+        return pd.DataFrame(out, columns=["user_id", "ts_us", "value"])
+
+    return events.select("user_id", "ts_us", "value").groupBy(
+        "user_id"
+    ).applyInPandas(per_user, ALERT_SCHEMA)

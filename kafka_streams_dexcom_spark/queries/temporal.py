@@ -83,7 +83,24 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stateful_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounced high-value alerts per user — per-key sequential state via
+    applyInPandas (batch twin of the streaming applyInPandasWithState
+    operator; see streaming/stateful.py). No SQL oracle: carried-state
+    recurrence is not window-expressible; the driver records the weaker
+    rows-only check and tests/test_stateful.py pins exact semantics."""
+    from kafka_streams_dexcom_spark.operators.stateful_batch import (
+        debounced_alerts_batch,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    return debounced_alerts_batch(e, threshold=200.0, debounce_s=3600)
+
+
 QUERIES = {
+    "stateful_debounce": q_stateful_debounce,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "topk_per_group": q_topk_per_group,
