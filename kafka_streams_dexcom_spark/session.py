@@ -53,6 +53,16 @@ def get_spark(
         # sources.files.load_table (DuckDB also truncates ns→µs internally,
         # so both engines see identical values).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate synthesizes size(expr)>0 filters from
+        # explode() and pushes them below exchanges — duplicating expensive
+        # array expressions onto the pre-fan-out (often single-partition)
+        # side. Generate drops empty arrays itself (outer=false), so the
+        # inferred filter only re-derives what Generate already does;
+        # excluding the rule measured 3-7x on shingle/explode pipelines.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         # Keep parquet scans chunky: fewer, larger input partitions beat
         # many tiny ones for columnar scans (default 128m is kept; files
         # smaller than this coalesce via AQE anyway).
