@@ -41,6 +41,10 @@ HEADLINE = [
     "quality_score",             # scan-side text expressions
     "doc_fingerprint",           # rolling-hash fingerprint
     "multimodal_decode",         # Arrow-batched mapInPandas
+    "asof_join",                 # union+window as-of join
+    "sessionize",                # lag+cumsum sessionization
+    "training_mix",              # composed dedup x quality x tokens
+    "stateful_debounce",         # applyInPandas per-key sequential state
 ]
 
 

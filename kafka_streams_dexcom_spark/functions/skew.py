@@ -1,0 +1,63 @@
+"""Skew mitigation: salting for hot keys.
+
+AQE's skew-join splitting (enabled in session.py) handles most runtime
+skew; salting is the explicit tool for the two cases AQE can't fix:
+a skewed *aggregation* (one reducer owns the hot key) and a skewed join
+where the hot side must pair with a replicated build side.
+
+Two-phase salted aggregation: groupBy(key, salt) partial → groupBy(key)
+final. Works for any algebraic aggregate; the hot key's rows spread over
+``n_salts`` reducers in phase 1 and phase 2 touches n_salts rows per key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Deterministic salt in [0, n_salts): cheap, reproducible (derived
+    from a stable hash of the whole row via monotonically increasing id
+    would NOT be reproducible — use xxhash64 over all columns)."""
+    return df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation: ``aggs`` maps output name to
+    (partial_agg_expr, final_agg_expr-over-partial). Example:
+
+        salted_agg(df, ["k"], {
+            "n":   (F.count(F.lit(1)),  F.sum("n")),
+            "s":   (F.sum("v"),         F.sum("s")),
+        })
+    """
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*key_cols, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*key_cols).agg(
+        *[final.alias(name) for name, (_, final) in aggs.items()]
+    )
+
+
+def replicate_for_salted_join(
+    small: DataFrame, n_salts: int = 16
+) -> DataFrame:
+    """Build side for a salted join: replicate each small-side row once
+    per salt so `big.join(replicated, key_cols + ["__salt"])` spreads the
+    hot key across n_salts tasks. Build-side size multiplies by n_salts —
+    keep it for genuinely small dimensions."""
+    return small.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )

@@ -103,10 +103,35 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinality per event_type (oracle-checked) — the
+    truth the sketch below approximates."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregations for 100 TB interactive profiling:
+    approx_count_distinct (HyperLogLog++) and percentile_approx
+    (t-digest-ish histogram). No oracle — sketch values are
+    implementation-defined; the driver records the rows-only check and
+    `q_distinct_users`/`q_value_quantiles` pin the exact counterparts."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
+        F.percentile_approx("value", 0.99, 10_000).alias("approx_p99"),
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
+    "distinct_users": q_distinct_users,
+    "approx_sketches": q_approx_sketches,
 }
 
 ORACLES = {
@@ -147,5 +172,10 @@ ORACLES = {
                    AS sum_value
         FROM events
         GROUP BY 1, 2
+    """,
+    "distinct_users": """
+        SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
     """,
 }

@@ -1,0 +1,55 @@
+"""Salting correctness: salted two-phase aggregation must equal the plain
+aggregation; salted join must equal the plain join."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.functions.skew import (
+    replicate_for_salted_join,
+    salted_agg,
+    with_salt,
+)
+from kafka_streams_dexcom_spark.sources.files import load_table
+
+
+def test_salted_agg_equals_plain_agg(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    plain = {
+        (r.user_id): (r.n, round(r.s, 6))
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.user_id): (r.n, round(r.s, 6))
+        for r in salted_agg(
+            e.select("user_id", "value"),
+            ["user_id"],
+            {
+                "n": (F.count(F.lit(1)), F.sum("n")),
+                "s": (F.sum("value"), F.sum("s")),
+            },
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("tag", F.col("user_id") * 10)
+    )
+    plain = set(
+        (r.event_id, r.tag) for r in e.join(dim, "user_id").collect()
+    )
+    big = with_salt(e)
+    small = replicate_for_salted_join(dim)
+    salted = set(
+        (r.event_id, r.tag)
+        for r in big.join(small, ["user_id", "__salt"]).collect()
+    )
+    assert plain == salted
