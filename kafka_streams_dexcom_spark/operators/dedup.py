@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.functions.hashing import MERSENNE_P, PERM_COEFFS
+from kafka_streams_dexcom_spark.functions.rounding import trunc6
 from kafka_streams_dexcom_spark.sources.files import fan_out_small, materialize
 
 NUM_PERM = 16
@@ -191,7 +192,7 @@ def exact_jaccard(
         .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(inter.cast("double") / union.cast("double"), 6),
+            trunc6(inter.cast("double") / union.cast("double")),
         )
         .select("id_a", "id_b", "jaccard")
     )
@@ -316,7 +317,7 @@ def ngram_jaccard_pairs(
         F.col("size_a") + F.col("size_b") - F.col("inter")
     ).cast("double")
     return (
-        shared.withColumn("jaccard", F.round(j, 6))
+        shared.withColumn("jaccard", trunc6(j))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

@@ -24,6 +24,10 @@ def debounced_alerts_batch(
     """Batch replay of streaming.stateful.debounced_alerts: at most one
     alert per user per debounce window, computed over full history."""
     debounce_us = debounce_s * 1_000_000
+    # state only advances on rows that fire (value >= threshold), so
+    # below-threshold rows can be dropped BEFORE the shuffle and the
+    # Python loop — at 1-2% alert rate that is a 50x shuffle reduction.
+    events = events.filter(events.value >= threshold)
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("ts_us")

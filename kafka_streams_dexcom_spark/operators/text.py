@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
+from kafka_streams_dexcom_spark.functions.rounding import trunc6
 from kafka_streams_dexcom_spark.sources.files import fan_out_small
 
 # Marker tokens per language for the n-gram/stopword heuristic. Tiny on
@@ -43,7 +44,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(text_col).alias("n_chars_calc"),
         n_tokens.cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
-        F.round(tok_len_sum.cast("double") / n_tokens.cast("double"), 6).alias(
+        trunc6(tok_len_sum.cast("double") / n_tokens.cast("double")).alias(
             "avg_token_len"
         ),
     )
@@ -114,11 +115,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
-        F.round(len_score, 6).alias("len_score"),
-        F.round(diversity, 6).alias("diversity"),
-        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
-        F.round(n_alpha / n_tokens, 6).alias("alpha_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        trunc6(len_score).alias("len_score"),
+        trunc6(diversity).alias("diversity"),
+        trunc6(n_stop / n_tokens).alias("stopword_ratio"),
+        trunc6(n_alpha / n_tokens).alias("alpha_ratio"),
+        trunc6(score).alias("quality_score"),
     )
 
 
@@ -134,8 +135,8 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_ws.alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
-        F.round(
-            F.length(text_col).cast("double") / n_bpe.cast("double"), 6
+        trunc6(
+            F.length(text_col).cast("double") / n_bpe.cast("double")
         ).alias("chars_per_token"),
     )
 

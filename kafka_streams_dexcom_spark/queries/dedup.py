@@ -135,17 +135,17 @@ def _minhash_oracle() -> str:
              AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b,
-               round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+               floor(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
                      / CAST(len(x.s) + len(y.s)
-                            - len(list_intersect(x.s, y.s)) AS DOUBLE),
-                     6) AS jaccard
+                            - len(list_intersect(x.s, y.s)) AS DOUBLE)
+                     * 1000000) / 1000000.0 AS jaccard
         FROM cand
         JOIN sh x ON x.doc_id = doc_a
         JOIN sh y ON y.doc_id = doc_b
-        WHERE round(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+        WHERE floor(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
                     / CAST(len(x.s) + len(y.s)
-                           - len(list_intersect(x.s, y.s)) AS DOUBLE),
-                    6) >= {JACCARD_THRESHOLD}
+                           - len(list_intersect(x.s, y.s)) AS DOUBLE)
+                    * 1000000) / 1000000.0 >= {JACCARD_THRESHOLD}
     """
 
 
@@ -211,11 +211,13 @@ def _ngram_jaccard_oracle() -> str:
             GROUP BY 1, 2, 3, 4
         )
         SELECT doc_a, doc_b,
-               round(CAST(inter AS DOUBLE)
-                     / CAST(size_a + size_b - inter AS DOUBLE), 6) AS jaccard
+               floor(CAST(inter AS DOUBLE)
+                     / CAST(size_a + size_b - inter AS DOUBLE)
+                     * 1000000) / 1000000.0 AS jaccard
         FROM shared
-        WHERE round(CAST(inter AS DOUBLE)
-                    / CAST(size_a + size_b - inter AS DOUBLE), 6)
+        WHERE floor(CAST(inter AS DOUBLE)
+                    / CAST(size_a + size_b - inter AS DOUBLE)
+                    * 1000000) / 1000000.0
               >= {NGRAM_THRESHOLD}
     """
 

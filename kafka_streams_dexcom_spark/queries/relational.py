@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_streams_dexcom_spark.functions.rounding import trunc6
 from kafka_streams_dexcom_spark.sources.files import load_table
 
 SHIPDATE_CUTOFF = "1998-09-02"
@@ -50,7 +51,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_base_price"),
             F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
             F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            trunc6(F.avg("l_quantity")).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -148,7 +149,7 @@ ORACLES = {
                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
                    * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
                    AS DOUBLE), 2) AS sum_charge,
-               round(avg(l_quantity), 6) AS avg_qty,
+               floor(avg(l_quantity) * 1000000) / 1000000.0 AS avg_qty,
                round(avg(l_extendedprice), 6) AS avg_price,
                round(avg(l_discount), 6) AS avg_disc,
                count(*) AS count_order

@@ -91,12 +91,12 @@ ORACLES = {
                    AS n_tokens,
                CAST(len(list_distinct(string_split_regex(text, '\\s+')))
                    AS BIGINT) AS n_distinct_tokens,
-               round(CAST(list_reduce(list_transform(
+               floor(CAST(list_reduce(list_transform(
                          string_split_regex(text, '\\s+'),
                          t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b)
                      AS DOUBLE)
-                     / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE),
-                     6) AS avg_token_len
+                     / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)
+                     * 1000000) / 1000000.0 AS avg_token_len
         FROM documents
     """,
     "lang_id": f"""
@@ -139,14 +139,19 @@ ORACLES = {
             FROM t
         )
         SELECT doc_id,
-               round(least(n_tokens / 100.0, 1.0), 6) AS len_score,
-               round(n_distinct / n_tokens, 6) AS diversity,
-               round(n_stop / n_tokens, 6) AS stopword_ratio,
-               round(n_alpha / n_tokens, 6) AS alpha_ratio,
-               round(0.3 * least(n_tokens / 100.0, 1.0)
+               floor(least(n_tokens / 100.0, 1.0) * 1000000) / 1000000.0
+                   AS len_score,
+               floor(n_distinct / n_tokens * 1000000) / 1000000.0
+                   AS diversity,
+               floor(n_stop / n_tokens * 1000000) / 1000000.0
+                   AS stopword_ratio,
+               floor(n_alpha / n_tokens * 1000000) / 1000000.0
+                   AS alpha_ratio,
+               floor((0.3 * least(n_tokens / 100.0, 1.0)
                      + 0.3 * (n_distinct / n_tokens)
                      + 0.2 * (n_stop / n_tokens)
-                     + 0.2 * (n_alpha / n_tokens), 6) AS quality_score
+                     + 0.2 * (n_alpha / n_tokens)) * 1000000) / 1000000.0
+                   AS quality_score
         FROM c
     """,
     "token_count": f"""
@@ -155,9 +160,10 @@ ORACLES = {
                    AS n_ws_tokens,
                CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))
                    AS BIGINT) AS n_bpe_tokens,
-               round(CAST(length(text) AS DOUBLE)
+               floor(CAST(length(text) AS DOUBLE)
                      / CAST(len(regexp_extract_all(text,
-                           '{tx.BPE_ISH_PATTERN}')) AS DOUBLE), 6)
+                           '{tx.BPE_ISH_PATTERN}')) AS DOUBLE)
+                     * 1000000) / 1000000.0
                    AS chars_per_token
         FROM documents
     """,
@@ -178,7 +184,7 @@ ORACLES = {
         ),
         q AS (
             SELECT doc_id,
-                   round(0.3 * least(CAST(len(string_split_regex(text, '\\s+'))
+                   floor((0.3 * least(CAST(len(string_split_regex(text, '\\s+'))
                              AS DOUBLE) / 100.0, 1.0)
                          + 0.3 * (CAST(len(list_distinct(
                                string_split_regex(text, '\\s+'))) AS DOUBLE)
@@ -194,7 +200,8 @@ ORACLES = {
                                x -> regexp_full_match(x, '[A-Za-z]+')))
                              AS DOUBLE)
                              / CAST(len(string_split_regex(text, '\\s+'))
-                             AS DOUBLE)), 6) AS quality_score
+                             AS DOUBLE))) * 1000000) / 1000000.0
+                       AS quality_score
             FROM documents
         ),
         t AS (

@@ -41,6 +41,9 @@ def debounced_alerts(
     Materialized.as("rangesStore") + changelog restore.
     """
     debounce_us = debounce_s * 1_000_000
+    # below-threshold rows never change state nor emit — filter them
+    # before the stateful shuffle (50x less state traffic at ~2% rate)
+    events = events.filter(events.value >= threshold)
 
     def fn(
         key: tuple[Any, ...],
