@@ -26,7 +26,9 @@ oracle replays the exact same arithmetic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.functions.hashing import MERSENNE_P, PERM_COEFFS
@@ -234,12 +236,25 @@ def simhash(
             ),
         )
     )
-    terms = " + ".join(
-        f"(CASE WHEN 2 * size(filter(tok_hashes, v -> (shiftright(v, {i}) & 1) = 1)) "
-        f"> size(tok_hashes) THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    # single fold over the tokens accumulating per-bit set-counts (vs the
+    # naive 32 separate filter() passes — 16x fewer interpreted
+    # higher-order evals), then assemble the fingerprint from the counts.
+    counts = (
+        f"aggregate(tok_hashes, "
+        f"array_repeat(0L, {bits}), "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {bits - 1}), i -> shiftright(h, i) & 1), "
+        f"(a, b) -> a + b))"
+    )
+    t = materialize(t.withColumn("bit_counts", F.expr(counts)))
+    fingerprint = " + ".join(
+        f"(CASE WHEN 2 * bit_counts[{i}] > size(tok_hashes) "
+        f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i in range(bits)
     )
-    return t.withColumn("simhash", F.expr(terms)).drop("tokens", "tok_hashes")
+    return t.withColumn("simhash", F.expr(fingerprint)).drop(
+        "tokens", "tok_hashes", "bit_counts"
+    )
 
 
 def simhash_pairs(
