@@ -72,6 +72,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CC_ROUNDS = 5
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → connected components → dedup clusters: the final
+    step of a dedup pipeline (drop everything but each cluster's min-id
+    representative). Min-label propagation, fixed rounds (graph diameter
+    of near-dup blobs is tiny)."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    return connected_components(pairs, rounds=CC_ROUNDS)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return dd.embedding_cosine_pairs(e, threshold=COSINE_THRESHOLD).select(
@@ -251,12 +270,43 @@ def _embedding_oracle() -> str:
     """
 
 
+def _cc_oracle() -> str:
+    """Unrolled min-label propagation over the ngram near-dup graph —
+    the same fixed number of rounds the Spark operator runs."""
+    rounds = []
+    for k in range(CC_ROUNDS):
+        rounds.append(
+            f"""
+        l{k + 1} AS (
+            SELECT l.u AS u,
+                   least(l.label, coalesce(nm.nbr, l.label)) AS label
+            FROM l{k} l LEFT JOIN (
+                SELECT e.u AS node, min(x.label) AS nbr
+                FROM edges e JOIN l{k} x ON e.v = x.u
+                GROUP BY e.u
+            ) nm ON l.u = nm.node
+        )"""
+        )
+    return f"""
+        WITH p AS ({_ngram_jaccard_oracle()}),
+        edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM p
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM p
+        ),
+        l0 AS (SELECT DISTINCT u, u AS label FROM edges),
+        {",".join(rounds)}
+        SELECT u AS node, label AS component FROM l{CC_ROUNDS}
+    """
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_embedding": q_dedup_embedding,
 }
 
@@ -271,5 +321,6 @@ ORACLES = {
     "dedup_simhash": _simhash_oracle(),
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
     "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
+    "dedup_clusters": _cc_oracle(),
     "dedup_embedding": _embedding_oracle(),
 }

@@ -156,14 +156,52 @@ def _ivf_oracle() -> str:
     """
 
 
+def q_sim_search_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality measurement: recall@10 of the LSH index against the
+    brute-force ground truth, per query — the metric that decides the
+    bits/tables/probes configuration at scale."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = sim.brute_force_topk(e, QUERY_IDS, TOP_K).select(
+        "query_id", "vec_id"
+    )
+    lsh = sim.lsh_topk(e, QUERY_IDS, TOP_K).select(
+        "query_id", F.col("vec_id").alias("lsh_vec_id")
+    )
+    hits = brute.join(
+        lsh,
+        (brute.query_id == lsh.query_id)
+        & (brute.vec_id == lsh.lsh_vec_id),
+        "left",
+    ).groupBy(brute.query_id.alias("query_id")).agg(
+        (F.count("lsh_vec_id") / F.lit(float(TOP_K))).alias("recall_at_10")
+    )
+    return hits
+
+
+def _recall_oracle() -> str:
+    return f"""
+        WITH brute AS ({_brute_oracle()}),
+        lsh AS ({_lsh_oracle()})
+        SELECT b.query_id,
+               count(l.vec_id) / {TOP_K}.0 AS recall_at_10
+        FROM brute b LEFT JOIN lsh l
+          ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+        GROUP BY b.query_id
+    """
+
+
 QUERIES = {
     "sim_search_bruteforce": q_sim_search_bruteforce,
     "sim_search_lsh": q_sim_search_lsh,
     "sim_search_ivf": q_sim_search_ivf,
+    "sim_search_recall": q_sim_search_recall,
 }
 
 ORACLES = {
     "sim_search_bruteforce": _brute_oracle(),
     "sim_search_lsh": _lsh_oracle(),
     "sim_search_ivf": _ivf_oracle(),
+    "sim_search_recall": _recall_oracle(),
 }
