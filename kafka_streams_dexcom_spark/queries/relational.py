@@ -127,12 +127,68 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window frame: 4-event moving sum/avg of value per user.
+    Float discipline: the frame sum runs on DECIMAL (exact regardless of
+    the engine's frame-evaluation strategy — DuckDB uses segment trees,
+    Spark a running frame), divided as double and truncated."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-3, 0)
+    )
+    mov_sum = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    mov_cnt = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(mov_sum.cast("double"), 2).alias("mov_sum"),
+        trunc6(mov_sum.cast("double") / mov_cnt.cast("double")).alias(
+            "mov_avg"
+        ),
+    )
+
+
+def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotal hierarchy over lineitem (returnflag → linestatus →
+    grand total) — single-pass multi-level aggregation."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("sum_price"),
+        )
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct set algebra: users who purchased AND clicked but never
+    errored (INTERSECT + EXCEPT)."""
+    e = load_table(spark, sf_dir, "events")
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id")
+    error_users = e.filter(F.col("event_type") == "error").select("user_id")
+    return buyers.intersect(clickers).subtract(error_users)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
     "distinct_users": q_distinct_users,
     "approx_sketches": q_approx_sketches,
+    "moving_avg": q_moving_avg,
+    "sales_rollup": q_sales_rollup,
+    "set_ops": q_set_ops,
 }
 
 ORACLES = {
@@ -178,5 +234,33 @@ ORACLES = {
         SELECT event_type, count(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY event_type
+    """,
+    "moving_avg": """
+        SELECT event_id, user_id,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                   AS DOUBLE), 2) AS mov_sum,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                   AS DOUBLE)
+                   / CAST(count(*) OVER w AS DOUBLE) * 1000000)
+                   / 1000000.0 AS mov_avg
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+        )
+    """,
+    "sales_rollup": """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS DOUBLE), 2) AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "set_ops": """
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'click'
+        EXCEPT
+        SELECT user_id FROM events WHERE event_type = 'error'
     """,
 }

@@ -63,6 +63,24 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text cleaning pass: lowercase, strip non-alphanumerics,
+    collapse whitespace — the first narrow map of every corpus pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9\\s]", ""),
+            "\\s+",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        norm.alias("norm_text"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
 def _markers_values() -> str:
     rows = ", ".join(
         f"('{lang}', '{tok}')"
@@ -81,6 +99,7 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "training_mix": q_training_mix,
+    "text_normalize": q_text_normalize,
 }
 
 ORACLES = {
@@ -175,6 +194,16 @@ ORACLES = {
                CAST(length(text) - 7 AS BIGINT) AS n_grams
         FROM documents
         WHERE length(text) >= 8
+    """,
+    "text_normalize": """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
+                   AS norm_text,
+               length(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+                   AS norm_len
+        FROM documents
     """,
     "training_mix": f"""
         WITH survivors AS (
