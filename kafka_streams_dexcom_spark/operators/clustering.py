@@ -1,0 +1,75 @@
+"""Iterative k-means over embedding columns — the trainer for the IVF
+coarse quantizer (operators/similarity.ivf_topk) and the template for
+iterative algorithms on DataFrames generally.
+
+Per iteration: assign (cross join with the broadcast centroid set +
+argmin) → update (elementwise mean via posexplode/avg). Iterative
+hygiene as in operators/graph.py: centroids are tiny and re-broadcast
+each round; their lineage is cut with an eager localCheckpoint so round
+k's plan does not re-derive rounds 1..k-1.
+
+Determinism: fixed seed-free init (the first k vec_ids), ties broken by
+lowest centroid id, centroid components truncated to 6 decimals so
+partial-aggregation order cannot leak into assignments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators.dedup import with_embedding_norm
+
+DIST2_TPL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0.0D, (acc, v) -> acc + v)"
+)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell) assignment after ``iterations`` Lloyd rounds."""
+    base = with_embedding_norm(emb.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("vid"), "vec"
+    )
+    cents = base.filter(F.col("vid") < k).select(
+        F.col("vid").alias("cid"), F.col("vec").alias("cvec")
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        scored = base.crossJoin(F.broadcast(centroids)).withColumn(
+            "d2", F.expr(DIST2_TPL.format(a="vec", b="cvec"))
+        )
+        w = Window.partitionBy("vid").orderBy(
+            F.col("d2").asc(), F.col("cid").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("vid", "vec", "cid")
+        )
+
+    assigned = assign(cents)
+    for _ in range(iterations - 1):
+        per_dim = (
+            assigned.select("cid", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+        )
+        cents = (
+            per_dim.groupBy("cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cx))), "
+                    "s -> s.cx)"
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+        assigned = assign(cents)
+    return assigned.select(F.col("vid").alias("vec_id"), F.col("cid").alias("cell"))

@@ -192,7 +192,19 @@ def _recall_oracle() -> str:
     """
 
 
+def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the IVF coarse quantizer: 3 Lloyd rounds of k-means (k=8)
+    over the embeddings. Iterative algorithm — no SQL oracle (the driver
+    records the rows-only check); determinism is pinned by fixed init,
+    lowest-cid tie-breaks, and truncated centroid components."""
+    from kafka_streams_dexcom_spark.operators.clustering import kmeans_assign
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(e, k=8, iterations=3)
+
+
 QUERIES = {
+    "kmeans_cells": q_kmeans_cells,
     "sim_search_bruteforce": q_sim_search_bruteforce,
     "sim_search_lsh": q_sim_search_lsh,
     "sim_search_ivf": q_sim_search_ivf,
