@@ -285,7 +285,7 @@ def simhash_pairs(
         pairs.select(
             F.col("pair_a.id").alias("id_a"),
             F.col("pair_b.id").alias("id_b"),
-            F.expr("bit_count(pair_a.sh ^ pair_b.sh)").alias("hamming"),
+            F.expr("CAST(bit_count(pair_a.sh ^ pair_b.sh) AS BIGINT)").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)

@@ -41,7 +41,7 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
-        F.length(text_col).alias("n_chars_calc"),
+        F.length(text_col).cast("bigint").alias("n_chars_calc"),
         n_tokens.cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
         trunc6(tok_len_sum.cast("double") / n_tokens.cast("double")).alias(

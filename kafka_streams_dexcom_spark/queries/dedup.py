@@ -205,7 +205,7 @@ def _simhash_pairs_oracle() -> str:
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
             FROM bytes_cte a JOIN bytes_cte b
               ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
              AND a.doc_id < b.doc_id

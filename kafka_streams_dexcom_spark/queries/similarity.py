@@ -41,19 +41,19 @@ _BASE_CTES = f"""
 def q_sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = sim.brute_force_topk(e, QUERY_IDS, TOP_K)
-    return out.withColumnRenamed("rank", "rnk")
+    return out.withColumn("rnk", out["rank"].cast("bigint")).drop("rank")
 
 
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = sim.lsh_topk(e, QUERY_IDS, TOP_K)
-    return out.withColumnRenamed("rank", "rnk")
+    return out.withColumn("rnk", out["rank"].cast("bigint")).drop("rank")
 
 
 def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = sim.ivf_topk(e, QUERY_IDS, TOP_K)
-    return out.withColumnRenamed("rank", "rnk")
+    return out.withColumn("rnk", out["rank"].cast("bigint")).drop("rank")
 
 
 def _brute_oracle() -> str:

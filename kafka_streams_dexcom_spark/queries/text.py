@@ -77,7 +77,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         norm.alias("norm_text"),
-        F.length(norm).alias("norm_len"),
+        F.length(norm).cast("bigint").alias("norm_len"),
     )
 
 
