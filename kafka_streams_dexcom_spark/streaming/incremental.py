@@ -1,0 +1,91 @@
+"""Incremental materialized aggregate — a streaming-maintained upsert view.
+
+The pattern: each micro-batch computes its partial aggregate, merges it
+with the stored table (full outer on the group key, combine partials),
+and rewrites atomically. This is the KTable-with-aggregation shape the
+reference's stack offers via Kafka Streams state stores, implemented as
+a foreachBatch over a parquet-backed view.
+
+Only *algebraic* aggregates merge correctly (count, sum, min, max —
+anything where combine(partial_a, partial_b) exists). avg is carried as
+(sum, count).
+
+Scale: the merge join is keyed on the group key; the stored table is
+partition-pruned if partitioned by a stable key prefix. For very large
+views, swap the rewrite for a MERGE INTO on a table format (Delta/
+Iceberg) — identical logic, transactional commit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class IncrementalCounts:
+    """Maintains (key → n_events, sum_value) across micro-batches."""
+
+    def __init__(self, spark: SparkSession, path: str, key_col: str) -> None:
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+
+    def read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame(
+                [], f"{self.key_col} long, n_events long, sum_value double"
+            )
+        return self.spark.read.parquet(self.path)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(self.key_col).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        current = self.read()
+        merged = (
+            current.alias("c")
+            .join(partial.alias("p"), self.key_col, "full_outer")
+            .select(
+                F.col(self.key_col),
+                (
+                    F.coalesce(F.col("c.n_events"), F.lit(0))
+                    + F.coalesce(F.col("p.n_events"), F.lit(0))
+                ).alias("n_events"),
+                (
+                    F.coalesce(F.col("c.sum_value"), F.lit(0.0))
+                    + F.coalesce(F.col("p.sum_value"), F.lit(0.0))
+                ).alias("sum_value"),
+            )
+        )
+        # rewrite atomically: stage then swap (parquet has no MERGE; a
+        # table format would make this a transactional MERGE INTO)
+        tmp = self.path + ".staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = self.spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(self.path)
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_file_mb: int = 128
+) -> int:
+    """Data-lake hygiene: rewrite a directory of many small parquet files
+    into ~target-sized files (the small-files problem kills scan
+    parallelism economics at scale — per-file open cost dominates).
+    Returns the new file count."""
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
+    tmp = path + ".compacting"
+    df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    return n_files

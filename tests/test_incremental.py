@@ -1,0 +1,93 @@
+"""Incremental materialized aggregate, compaction, and schema-evolution
+reads."""
+
+from __future__ import annotations
+
+import glob
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.streaming.incremental import (
+    IncrementalCounts,
+    compact_small_files,
+)
+
+
+def test_incremental_counts_across_batches(spark):
+    with tempfile.TemporaryDirectory() as d:
+        view = IncrementalCounts(spark, f"{d}/view", "user_id")
+        b1 = spark.createDataFrame(
+            [(1, 10.0), (1, 20.0), (2, 5.0)], "user_id long, value double"
+        )
+        b2 = spark.createDataFrame(
+            [(1, 1.0), (3, 7.0)], "user_id long, value double"
+        )
+        view(b1, 0)
+        view(b2, 1)
+        got = {
+            r.user_id: (r.n_events, r.sum_value)
+            for r in view.read().collect()
+        }
+        assert got == {1: (3, 31.0), 2: (1, 5.0), 3: (1, 7.0)}
+
+
+def test_incremental_equals_full_recompute(spark, sf_dir):
+    from kafka_streams_dexcom_spark.sources.files import load_table
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    full = {
+        r.user_id: (r.n_events, round(r.sum_value, 2))
+        for r in e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        view = IncrementalCounts(spark, f"{d}/view", "user_id")
+        rows = e.collect()
+        third = len(rows) // 3 + 1
+        for i, start in enumerate(range(0, len(rows), third)):
+            view(
+                spark.createDataFrame(rows[start : start + third], e.schema),
+                i,
+            )
+        inc = {
+            r.user_id: (r.n_events, round(r.sum_value, 2))
+            for r in view.read().collect()
+        }
+    assert inc == full
+
+
+def test_compact_small_files(spark):
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/frag"
+        df = spark.range(1000).withColumn("v", F.col("id") * 2)
+        df.repartition(24).write.parquet(path)  # 24 tiny files
+        assert len(glob.glob(f"{path}/*.parquet")) == 24
+        compact_small_files(spark, path, target_file_mb=128)
+        assert len(glob.glob(f"{path}/*.parquet")) == 1  # tiny data → 1 file
+        back = spark.read.parquet(path)
+        assert back.count() == 1000
+        assert back.agg(F.sum("v")).collect()[0][0] == 999 * 1000
+
+
+def test_schema_evolution_merge_read(spark):
+    """New columns appearing in later files read seamlessly with
+    mergeSchema — the forward-compatible ingestion contract."""
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame([(1, "a")], "id long, x string").write.parquet(
+            f"{d}/t/p1"
+        )
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, x string, score double"
+        ).write.parquet(f"{d}/t/p2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{d}/t/p1", f"{d}/t/p2"
+        )
+        rows = {r.id: (r.x, r.score) for r in merged.collect()}
+        assert rows == {1: ("a", None), 2: ("b", 9.5)}
