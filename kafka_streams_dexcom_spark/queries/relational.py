@@ -180,7 +180,73 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buyers.intersect(clickers).subtract(error_users)
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (customer ⋈ orders ⋈ lineitem) +
+    aggregate + deterministic top-10 by exact decimal revenue.
+
+    Scale: lineitem (the 100 TB side) joins last and never re-shuffles —
+    customer filters broadcast into orders, the surviving orders
+    broadcast into the lineitem scan when small enough, else AQE picks
+    the shuffle join and skew-splits."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    revenue_exact = F.sum(ep * disc)
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue_exact.cast("double"), 2).alias("revenue"))
+        .select(
+            "o_orderkey",
+            # o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the
+            # cast to TIMESTAMP is value-identity
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join network (region → nation →
+    customer/supplier → orders → lineitem) with the local-supplier
+    constraint, aggregated per nation. The dimension chain broadcasts;
+    only orders⋈lineitem can shuffle."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)")
+    return (
+        r.filter(F.col("r_name") == "ASIA")
+        .join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            s,
+            (F.col("s_suppkey") == F.col("l_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.round(F.sum(ep * disc).cast("double"), 2).alias("revenue"))
+    )
+
+
 QUERIES = {
+    "shipping_priority": q_shipping_priority,
+    "regional_revenue": q_regional_revenue,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "events_hourly": q_events_hourly,
@@ -192,6 +258,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "shipping_priority": """
+        SELECT o_orderkey,
+               epoch_us(o_orderdate) AS o_orderdate_us,
+               o_orderpriority,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2))
+                      - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+                   AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "regional_revenue": """
+        SELECT n_name,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2))
+                      - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+                   AS revenue
+        FROM region
+        JOIN nation ON n_regionkey = r_regionkey
+        JOIN customer ON c_nationkey = n_nationkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON s_suppkey = l_suppkey
+                     AND s_nationkey = c_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY n_name
+    """,
     "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
