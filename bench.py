@@ -28,6 +28,8 @@ HEADLINE = [
     "filter_high",               # pushdown filter scan
     "latest_per_key",            # shuffle + window dedup
     "pricing_summary",           # scan-heavy groupBy (TPC-H Q1 shape)
+    "shipping_priority",         # 3-way join + agg + top-k (Q3 shape)
+    "regional_revenue",          # 6-table join network (Q5 shape)
     "top_customers",             # broadcast equi-join + agg + top-k
     "events_hourly",             # time-bucket aggregation
     "dedup_exact",               # hash-groupBy dedup
