@@ -34,18 +34,6 @@ def asof_join(
     better until per-group state exceeds memory.
     """
     payload_names = list(right_payload)
-    l_tagged = left.select(
-        *key_cols,
-        ts_col,
-        tiebreak_col,
-        F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast("bigint").alias(f"__p_{n}") for n in payload_names],
-        *[
-            F.col(c).alias(f"__keep_{c}")
-            for c in left.columns
-            if c not in (*key_cols, ts_col, tiebreak_col)
-        ],
-    )
     keep_nulls = [
         F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__keep_{c}")
         for c in left.columns
@@ -58,6 +46,24 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         *[expr.alias(f"__p_{n}") for n, expr in right_payload.items()],
         *keep_nulls,
+    )
+    # null payload literals on the left take the RIGHT side's actual
+    # payload types (read off r_tagged) so unionByName never coerces
+    r_types = dict(r_tagged.dtypes)
+    l_tagged = left.select(
+        *key_cols,
+        ts_col,
+        tiebreak_col,
+        F.lit(1).alias("__is_left"),
+        *[
+            F.lit(None).cast(r_types[f"__p_{n}"]).alias(f"__p_{n}")
+            for n in payload_names
+        ],
+        *[
+            F.col(c).alias(f"__keep_{c}")
+            for c in left.columns
+            if c not in (*key_cols, ts_col, tiebreak_col)
+        ],
     )
     merged = l_tagged.unionByName(r_tagged)
     w = (
