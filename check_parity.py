@@ -13,15 +13,31 @@ import time
 
 sys.path.insert(0, ".")
 
+from pyspark.sql import SparkSession  # noqa: E402
+
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
-from kafka_streams_dexcom_spark.session import get_spark  # noqa: E402
 from tests.compare import compare, duckdb_con  # noqa: E402
+
+
+def vanilla_spark() -> SparkSession:
+    """A deliberately *unconfigured* session, mirroring the external
+    driver's: no nanosAsLong, no UTC pin, no excluded optimizer rules.
+    Queries must work here — session hardening lives in load_table, not in
+    get_spark() (round-1 lesson: 20/47 driver ERRs from exactly this skew).
+    """
+    return (
+        SparkSession.builder.appName("check_parity_vanilla")
+        .master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(app_name="check_parity")
+    spark = vanilla_spark()
     con = duckdb_con(sf_dir)
     qs, oracles = queries(), oracle_sql()
     failed = []

@@ -16,6 +16,15 @@ from kafka_streams_dexcom_spark.schemas import TESTDATA_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet carries parquet TIMESTAMP(NANOS); without this conf a
+    # vanilla session (e.g. an external driver's) fails the read outright
+    # with PARQUET_TYPE_ILLEGAL. Runtime-settable, so set it here rather
+    # than depend on the session having been built by session.get_spark().
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # date_trunc/hour/date→timestamp casts are session-timezone dependent;
+    # the DuckDB oracle treats timestamps as naive UTC, so pin the session
+    # TZ at load time too instead of assuming the caller built the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # parquet TIMESTAMP(NANOS) read as long (see session.py); truncate

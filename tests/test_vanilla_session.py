@@ -1,0 +1,92 @@
+"""Regression: queries must run on a session the repo did NOT build.
+
+Round-1 driver failure mode: the external correctness driver constructs its
+own SparkSession (no ``spark.sql.legacy.parquet.nanosAsLong``, no UTC pin),
+so a bare ``spark.read.parquet`` on events.parquet (parquet TIMESTAMP(NANOS))
+raised PARQUET_TYPE_ILLEGAL before any query logic ran — 20/47 queries ERR
+while pytest (whose fixture uses session.get_spark) stayed green.
+
+The fix lives in ``sources.files.load_table``: it sets the conf at runtime,
+on whatever session it is handed. These tests simulate the foreign session
+by *stripping* the confs from the shared test session, asserting the bare
+read really does fail without them, then asserting load_table + a few
+representative events queries still work end-to-end.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
+
+from kafka_streams_dexcom_spark.sources.files import load_table
+
+
+@pytest.fixture()
+def stripped_session(spark):
+    """Yield the shared session with the hardening confs removed (as the
+    driver's session would be), restoring them afterwards."""
+    confs = ["spark.sql.legacy.parquet.nanosAsLong", "spark.sql.session.timeZone"]
+    saved = {}
+    for c in confs:
+        try:
+            saved[c] = spark.conf.get(c)
+        except Exception:
+            saved[c] = None
+        try:
+            spark.conf.unset(c)
+        except Exception:
+            pass
+    yield spark
+    for c, v in saved.items():
+        if v is not None:
+            spark.conf.set(c, v)
+
+
+def test_bare_read_fails_without_conf(stripped_session, sf_dir):
+    """Sanity: the failure mode is real — without nanosAsLong the plain
+    parquet read of events raises (PARQUET_TYPE_ILLEGAL)."""
+    with pytest.raises(AnalysisException):
+        stripped_session.read.parquet(f"{sf_dir}/events.parquet").schema
+
+
+def test_load_table_self_heals(stripped_session, sf_dir):
+    df = load_table(stripped_session, sf_dir, "events")
+    # ts normalized to a µs timestamp regardless of who built the session
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() > 0
+    # and the conf is now present for subsequent reads on this session
+    assert (
+        stripped_session.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+        == "true"
+    )
+    assert stripped_session.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_representative_queries_on_foreign_session(stripped_session, sf_dir):
+    """Run a slice of the round-1 ERR set end-to-end on the stripped
+    session: a filter, the flagship interval join, and a tz-sensitive
+    hourly rollup."""
+    from __spark_entry__ import queries
+
+    qs = queries()
+    for name in ["filter_high", "interval_join_categorize", "events_hourly"]:
+        rows = qs[name](stripped_session, sf_dir).limit(5).collect()
+        assert rows is not None, name
+
+
+def test_hourly_truncation_is_utc(stripped_session, sf_dir):
+    """date_trunc must agree with the DuckDB oracle's naive-UTC semantics
+    even when the caller's session TZ was something else."""
+    stripped_session.conf.set(
+        "spark.sql.session.timeZone", "America/New_York"
+    )
+    df = load_table(stripped_session, sf_dir, "events")
+    # load_table re-pins UTC, so truncation boundaries are UTC hours
+    assert stripped_session.conf.get("spark.sql.session.timeZone") == "UTC"
+    row = (
+        df.select(F.unix_micros(F.date_trunc("hour", "ts")).alias("h"))
+        .limit(1)
+        .collect()[0]
+    )
+    assert row["h"] % 3_600_000_000 == 0
