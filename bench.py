@@ -34,7 +34,7 @@ HEADLINE = [
     "events_hourly",             # time-bucket aggregation
     "dedup_exact",               # hash-groupBy dedup
     "dedup_minhash_lsh",         # minhash sigs + LSH band join + verify
-    "dedup_simhash_pairs",       # simhash + byte-band join
+    "dedup_simhash_pairs",       # simhash + 15-bit-band join
     "dedup_ngram_jaccard",       # inverted-index set-similarity join
     "dedup_embedding",           # blocked cosine pairs
     "sim_search_bruteforce",     # broadcast cross-join top-k

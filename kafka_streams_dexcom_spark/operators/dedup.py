@@ -38,7 +38,23 @@ from kafka_streams_dexcom_spark.sources.files import fan_out_small, materialize
 NUM_PERM = 16
 NUM_BANDS = 4
 ROWS_PER_BAND = NUM_PERM // NUM_BANDS
-SIMHASH_BITS = 32
+# Full width of the portable md5 hash (15 hex chars = 60 bits). 4 bands
+# of 15 bits give 32768 buckets per band — at 1B docs that's ~30k docs
+# per bucket *if uniform*, vs the 8-bit-band scheme's 256 buckets (~4M
+# docs each, ~10^13 candidate pairs). Banding width is the primary
+# simhash scale knob; the max_bucket cap below handles the skewed rest.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15 → 32768 buckets
+
+# Hot-bucket caps for candidate-pair generation (see pairs_within_buckets:
+# a bucket of m items emits m(m-1)/2 pairs; dropping degenerate buckets is
+# the standard trade — ubiquitous features carry no near-dup signal).
+# Values are far above anything the bench SFs produce (so results there
+# are exact) while bounding the worst bucket to ~10^5..10^6 pairs at 100 TB.
+LSH_MAX_BUCKET = 1_000
+SIMHASH_MAX_BUCKET = 2_000
+NGRAM_MAX_BUCKET = 1_000
 
 # --- shared expression builders (Spark SQL fragments) ---------------------
 
@@ -160,13 +176,33 @@ def pairs_within_buckets(
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame, id_col: str) -> DataFrame:
+def dropped_buckets(
+    df: DataFrame, bucket_cols: Sequence[str], max_bucket: int
+) -> DataFrame:
+    """Diagnostic twin of pairs_within_buckets' ``max_bucket`` guard: the
+    buckets that the cap WOULD drop, with their sizes. Run it (cheap — one
+    partial-aggregated groupBy over the same input) alongside any capped
+    pair generation to report how much signal the cap discarded, instead
+    of truncating silently."""
+    return (
+        df.groupBy(*bucket_cols)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, id_col: str, max_bucket: int | None = LSH_MAX_BUCKET
+) -> DataFrame:
     """Distinct candidate pairs sharing any band bucket (no self-join —
-    see pairs_within_buckets)."""
+    see pairs_within_buckets). Buckets larger than ``max_bucket`` are
+    dropped — a degenerate band value (e.g. the signature of the empty
+    shingle set) would otherwise emit O(m²) pairs."""
     pairs = pairs_within_buckets(
         bands,
         ["band_idx", "band_hash"],
         F.struct(F.col(id_col).alias("id")),
+        max_bucket=max_bucket,
     )
     return (
         pairs.select(
@@ -224,16 +260,18 @@ def simhash(
 ) -> DataFrame:
     """Frequency-weighted SimHash fingerprint (scan-side, no shuffle).
 
-    Each token votes +1/-1 per bit of its 32-bit hash; bit i of the
-    fingerprint is set when the vote is positive (strictly more set than
-    unset — deterministic tie-break to 0)."""
+    Each token votes +1/-1 per bit of its 60-bit md5 hash (the portable
+    hash's full width); bit i of the fingerprint is set when the vote is
+    positive (strictly more set than unset — deterministic tie-break
+    to 0). 60 bits (vs a 32-bit fingerprint) is what makes the banded
+    candidate join survive scale: band selectivity grows with band width,
+    and hamming distance over a wider fingerprint separates near-dups
+    from random collisions far more sharply."""
     t = tokenize(fan_out_small(df), text_col).filter(F.size("tokens") >= 1)
     t = materialize(
         t.withColumn(
             "tok_hashes",
-            F.expr(
-                f"transform(tokens, x -> {HASH60_TPL.format(x='x')} % 4294967296)"
-            ),
+            F.expr(f"transform(tokens, x -> {HASH60_TPL.format(x='x')})"),
         )
     )
     # single fold over the tokens accumulating per-bit set-counts (vs the
@@ -258,28 +296,39 @@ def simhash(
 
 
 def simhash_pairs(
-    fp: DataFrame, id_col: str = "doc_id", max_hamming: int = 8
+    fp: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    max_bucket: int | None = SIMHASH_MAX_BUCKET,
 ) -> DataFrame:
-    """Near-dup candidates: docs agreeing on any of the 4 bytes of the
-    fingerprint (pigeonhole: hamming<=8 pairs usually share a byte), then
-    exact popcount filter. Join key is (byte_idx, byte_value) — bounded
-    buckets, AQE-friendly."""
-    bytes_df = fp.select(
+    """Near-dup candidates: docs agreeing on any of the 4 15-bit bands of
+    the 60-bit fingerprint (pigeonhole: a hamming<=max_hamming pair has
+    some band with <=2 differing bits, and near-dups usually share one
+    exactly), then exact popcount filter. Join key is (band_idx,
+    band_val) — 32768 buckets per band, and ``max_bucket`` drops the
+    degenerate hot buckets (e.g. the all-zero band of trivially-short
+    docs) that would otherwise emit O(m²) pairs at 100 TB."""
+    band_mask = (1 << SIMHASH_BAND_BITS) - 1
+    bands_df = fp.select(
         id_col,
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.expr(f"(shiftright(simhash, {8 * j}) & 255)")
-                    for j in range(4)
+                    F.expr(
+                        f"(shiftright(simhash, {SIMHASH_BAND_BITS * j})"
+                        f" & {band_mask})"
+                    )
+                    for j in range(SIMHASH_BANDS)
                 ]
             )
-        ).alias("byte_idx", "byte_val"),
+        ).alias("band_idx", "band_val"),
     )
     pairs = pairs_within_buckets(
-        bytes_df,
-        ["byte_idx", "byte_val"],
+        bands_df,
+        ["band_idx", "band_val"],
         F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("sh")),
+        max_bucket=max_bucket,
     )
     return (
         pairs.select(

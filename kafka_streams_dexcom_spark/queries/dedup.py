@@ -147,11 +147,18 @@ def _minhash_oracle() -> str:
             FROM (SELECT doc_id, [{bands_list}] AS bh FROM sig),
                  generate_series(1, {dd.NUM_BANDS}) AS g(bi)
         ),
+        bsz AS (
+            SELECT band_idx, band_hash, count(*) AS c
+            FROM bands GROUP BY 1, 2
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
              AND a.doc_id < b.doc_id
+            JOIN bsz s
+              ON s.band_idx = a.band_idx AND s.band_hash = a.band_hash
+            WHERE s.c <= {dd.LSH_MAX_BUCKET}
         )
         SELECT doc_a, doc_b,
                floor(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
@@ -182,7 +189,7 @@ def _simhash_expr_duck() -> str:
         ),
         th_cte AS (
             SELECT doc_id,
-                   list_transform(t, x -> {h} % 4294967296) AS th
+                   list_transform(t, x -> {h}) AS th
             FROM toks WHERE len(t) >= 1
         ),
         fp AS (
@@ -196,19 +203,31 @@ def _simhash_oracle() -> str:
 
 
 def _simhash_pairs_oracle() -> str:
+    # Mirrors simhash_pairs exactly: 15-bit bands over the 60-bit
+    # fingerprint, and the same max_bucket cap on band buckets (buckets
+    # larger than the cap contribute no candidate pairs on either engine).
+    mask = (1 << dd.SIMHASH_BAND_BITS) - 1
     return f"""
         WITH {_simhash_expr_duck()},
-        bytes_cte AS (
-            SELECT doc_id, simhash, bi AS byte_idx,
-                   (simhash >> (8 * bi)) & 255 AS byte_val
-            FROM fp, generate_series(0, 3) AS g(bi)
+        bands_cte AS (
+            SELECT doc_id, simhash, bi AS band_idx,
+                   (simhash >> ({dd.SIMHASH_BAND_BITS} * bi)) & {mask}
+                       AS band_val
+            FROM fp, generate_series(0, {dd.SIMHASH_BANDS - 1}) AS g(bi)
+        ),
+        bsz AS (
+            SELECT band_idx, band_val, count(*) AS c
+            FROM bands_cte GROUP BY 1, 2
         ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-            FROM bytes_cte a JOIN bytes_cte b
-              ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+            FROM bands_cte a JOIN bands_cte b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
              AND a.doc_id < b.doc_id
+            JOIN bsz s
+              ON s.band_idx = a.band_idx AND s.band_val = a.band_val
+            WHERE s.c <= {dd.SIMHASH_MAX_BUCKET}
         )
         SELECT doc_a, doc_b, hamming FROM cand
         WHERE hamming <= {MAX_HAMMING}
