@@ -15,7 +15,7 @@ partial-aggregation order cannot leak into assignments.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators.dedup import with_embedding_norm
@@ -45,13 +45,17 @@ def kmeans_assign(
         scored = base.crossJoin(F.broadcast(centroids)).withColumn(
             "d2", F.expr(DIST2_TPL.format(a="vec", b="cvec"))
         )
-        w = Window.partitionBy("vid").orderBy(
-            F.col("d2").asc(), F.col("cid").asc()
-        )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("vid", "vec", "cid")
+        # argmin via min_by on the (d2, cid) struct: a hash aggregate with
+        # map-side partials — no per-vid sort, unlike a row_number window.
+        # Struct ordering preserves the lowest-cid tie-break exactly.
+        return scored.groupBy("vid").agg(
+            F.min_by(
+                F.struct("vec", "cid"), F.struct("d2", "cid")
+            ).alias("__m")
+        ).select(
+            "vid",
+            F.col("__m.vec").alias("vec"),
+            F.col("__m.cid").alias("cid"),
         )
 
     assigned = assign(cents)

@@ -11,12 +11,12 @@ codegen and the only shuffles are the ones the algorithms require:
                 the band-bucket self-join, whose fan-in is bounded by the
                 band width. This is the 100 TB path: candidate generation
                 touches each doc O(bands) times instead of O(n²).
-- simhash:      scan-side 32-bit fingerprint; near-dup candidates via
-                byte-band equi-join + popcount filter.
-- ngram-jaccard: inverted-index set-similarity join (explode shingles,
-                equi-join on shingle, count shared). Exact but heavier;
-                prefix filtering (sort shingles by global frequency, index
-                only the first |s|·(1-t)+1) is the standard scale upgrade.
+- simhash:      scan-side 60-bit fingerprint; near-dup candidates via
+                15-bit-band equi-join + popcount filter.
+- ngram-jaccard: prefix-filtered set-similarity join (PPJoin-style):
+                shingles ordered by global document frequency, only each
+                doc's first |s|-ceil(t*|s|)+1 indexed — lossless for
+                J >= t — then exact-Jaccard verification of candidates.
 - embedding:    blocked pairwise cosine with sequential-fold dot products
                 (deterministic, oracle-reproducible).
 
@@ -236,6 +236,35 @@ def exact_jaccard(
     )
 
 
+def hashed_shingle_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, sh_hashes) corpus, eagerly materialized once.
+
+    Fuses tokenize → shingle → hash into one narrow stage (each
+    intermediate expression has exactly one consumer, so CollapseProject
+    inlining computes it once per row — the fan-out recompute trap only
+    bites when multiple consumers inline the same expensive expression),
+    then cuts lineage with an eager localCheckpoint because every caller
+    (prefix index, signature chain, verify sides) consumes it from
+    multiple plan branches that BroadcastExchange would otherwise force
+    to recompute. One exchange + one store pass, instead of the three
+    stacked materialize() barriers the layered builders pay."""
+    t = tokenize(fan_out_small(docs.select(id_col, text_col)), text_col)
+    t = t.filter(F.size("tokens") >= n)  # == "has at least one shingle"
+    hashed = t.select(
+        id_col,
+        F.expr(
+            f"transform({_shingle_expr('tokens', n)}, "
+            f"x -> {HASH60_TPL.format(x='x')} % {MERSENNE_P})"
+        ).alias("sh_hashes"),
+    )
+    return hashed.localCheckpoint()
+
+
 def minhash_lsh_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -244,11 +273,14 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: near-duplicate pairs with their
     exact Jaccard similarity (>= threshold)."""
-    sets = shingle_sets(docs.select(id_col, text_col), text_col)
-    sig = minhash_signature(shingle_hashes(sets))
+    # single-pass hashed corpus, consumed by the signature chain AND both
+    # verify sides (see hashed_shingle_corpus); verification runs over the
+    # hash sets — identical counts, far cheaper arrays to intersect.
+    hashed = hashed_shingle_corpus(docs, id_col, text_col)
+    sig = minhash_signature(hashed)
     bands = lsh_band_hashes(sig.select(id_col, "sig"))
     cand = lsh_candidate_pairs(bands, id_col)
-    verified = exact_jaccard(cand, sets, id_col)
+    verified = exact_jaccard(cand, hashed, id_col, set_col="sh_hashes")
     return verified.filter(F.col("jaccard") >= threshold)
 
 
@@ -344,46 +376,121 @@ def simhash_pairs(
 # --- n-gram Jaccard set-similarity join -----------------------------------
 
 
+def prefix_index(
+    hashed: DataFrame,
+    id_col: str,
+    threshold: float,
+    set_col: str = "sh_hashes",
+) -> DataFrame:
+    """Prefix-filtered inverted index for a Jaccard set-similarity join.
+
+    Prefix-filtering principle (Bayardo et al. "Scaling Up All Pairs",
+    PPJoin): order every set by a single global order — here ascending
+    global document frequency, rarest first, ties broken by the element
+    value — and keep only each set's first |s| - ceil(t*|s|) + 1
+    elements. Any pair with J >= t shares >= ceil(t*|s|) elements, so its
+    *minimum* common element lands inside BOTH prefixes (it is preceded
+    only by non-common elements, of which each side has <= |s| - ceil(t*|s|)).
+    Candidate generation on prefixes is therefore lossless, while the
+    stop-shingle buckets that blow up a raw inverted index shrink to
+    near-nothing: a ubiquitous shingle sorts LAST and falls outside
+    almost every prefix. This is the scale fix for the m²-pairs failure
+    mode; the residual skew is handled by max_bucket at the pair stage.
+
+    Operates on the 60-bit shingle *hashes* (``sh_hashes``), not the
+    strings: every shuffle/join/compare in the index is then over fixed
+    8-byte bigints (measured several-fold cheaper than the string-keyed
+    version), and the hash universe is the same one the verify stage
+    intersects, so the pipeline is self-consistent. A hash collision can
+    only *add* a candidate (removed by verification), never lose one.
+
+    Output: one row per (doc, prefix element hash ``sh``), with set_size
+    retained. Cost: two shuffles (df count, per-doc regroup) before the
+    bucket stage — linear in corpus size, vs quadratic blowup without it.
+    """
+    inv = hashed.select(
+        id_col,
+        F.size(set_col).alias("set_size"),
+        F.explode(set_col).alias("sh"),
+    )
+    dfc = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # rare-first per-doc ordering, then slice the prefix. collect per doc
+    # and sort the (small) array instead of a row_number window: a hash
+    # aggregate beats a partition sort, and shingle sets are bounded by
+    # document length.
+    plen = (
+        F.col("set_size")
+        - F.ceil(F.lit(threshold) * F.col("set_size")).cast("int")
+        + F.lit(1)
+    )
+    per_doc = (
+        inv.join(dfc, "sh")
+        .groupBy(id_col, "set_size")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "sh"))).alias(
+                "ordered"
+            )
+        )
+        .select(
+            id_col,
+            "set_size",
+            F.explode(F.slice("ordered", F.lit(1), plen)).alias("pref"),
+        )
+        .select(id_col, "set_size", F.col("pref.sh").alias("sh"))
+    )
+    return per_doc
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.3,
+    max_bucket: int | None = NGRAM_MAX_BUCKET,
 ) -> DataFrame:
-    """Exact set-similarity join via inverted index: explode shingles,
-    equi-join on shingle, count shared, compute Jaccard. Scale upgrade
-    (not needed at bench SF): prefix filtering — order shingles by global
-    document frequency and index only each doc's first
-    ⌈|s|·(1-t)⌉+1 shingles, which cannot all be absent from a
-    t-similar pair."""
-    sets = shingle_sets(docs.select(id_col, text_col), text_col, n)
-    inv = sets.select(
-        id_col, F.size("shingles").alias("set_size"),
-        F.explode("shingles").alias("shingle"),
-    )
-    pairs = pairs_within_buckets(
-        inv,
-        ["shingle"],
-        F.struct(F.col(id_col).alias("id"), F.col("set_size").alias("sz")),
-    )
-    shared = (
-        pairs.select(
+    """Exact set-similarity join, prefix-filtered: index only each doc's
+    rare-first shingle prefix (lossless for J >= threshold — see
+    prefix_index), generate candidates within prefix buckets, then verify
+    with exact Jaccard over the full shingle sets. Equality with the
+    exhaustive inverted-index join is oracle-checked (the DuckDB oracle
+    stays exhaustive on purpose: a lost pair would hash-mismatch)."""
+    # The hashed corpus is consumed by FOUR plan branches (df count,
+    # prefix index, and both sides of the verify join). Exchange reuse
+    # does not cross BroadcastExchange, so without a lineage cut the md5
+    # shingle pipeline would be recomputed once per branch (measured 4x);
+    # hashed_shingle_corpus materializes it once.
+    hashed = hashed_shingle_corpus(docs, id_col, text_col, n)
+    pref = prefix_index(hashed, id_col, threshold)
+    cand = (
+        pairs_within_buckets(
+            pref,
+            ["sh"],
+            F.struct(F.col(id_col).alias("id"), F.col("set_size").alias("sz")),
+            max_bucket=max_bucket,
+        )
+        .select(
             F.col("pair_a.id").alias("id_a"),
             F.col("pair_b.id").alias("id_b"),
-            F.col("pair_a.sz").alias("size_a"),
-            F.col("pair_b.sz").alias("size_b"),
+            F.col("pair_a.sz").alias("sz_a"),
+            F.col("pair_b.sz").alias("sz_b"),
         )
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        # PPJoin length filter: J >= t implies min|s| >= ceil(t * max|s|)
+        # (inter <= min, union >= max) — prunes before the verify join.
+        .filter(
+            F.least("sz_a", "sz_b")
+            >= F.ceil(F.lit(threshold) * F.greatest("sz_a", "sz_b"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
     )
-    j = F.col("inter").cast("double") / (
-        F.col("size_a") + F.col("size_b") - F.col("inter")
-    ).cast("double")
-    return (
-        shared.withColumn("jaccard", trunc6(j))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    # verify on the 60-bit shingle hashes, not the strings: bigint
+    # array_intersect is several-fold cheaper to shuffle and probe, and
+    # the counts are identical (md5-collision probability ~|s|^2/2^61 —
+    # and the exhaustive string-based oracle would expose any collision).
+    verified = exact_jaccard(cand, hashed, id_col, set_col="sh_hashes")
+    return verified.filter(F.col("jaccard") >= threshold).select(
+        "id_a", "id_b", "jaccard"
     )
 
 

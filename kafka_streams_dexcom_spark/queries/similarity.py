@@ -192,15 +192,88 @@ def _recall_oracle() -> str:
     """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF coarse quantizer: 3 Lloyd rounds of k-means (k=8)
-    over the embeddings. Iterative algorithm — no SQL oracle (the driver
-    records the rows-only check); determinism is pinned by fixed init,
-    lowest-cid tie-breaks, and truncated centroid components."""
+    over the embeddings. The determinism discipline (fixed init,
+    lowest-cid tie-breaks, round(avg, 6) centroid components,
+    sequential-fold distances) exists precisely so the iterations can be
+    replayed exactly in SQL — see _kmeans_oracle's unrolled rounds."""
     from kafka_streams_dexcom_spark.operators.clustering import kmeans_assign
 
     e = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(e, k=8, iterations=3)
+    return kmeans_assign(e, k=KMEANS_K, iterations=KMEANS_ITERS)
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
+    """DuckDB replay of kmeans_assign: the Lloyd rounds unrolled as CTEs.
+
+    Distances are the same sequential left fold as the Spark side
+    (bit-identical doubles — see DOT/DIST parity rules), argmin ties
+    break on lowest cid, and centroid components are round(avg(x), 6) on
+    both engines, so assignments agree exactly."""
+    dist2 = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    norm2 = (
+        "list_reduce(list_transform(range(1, len(vec) + 1), "
+        "i -> vec[i] * vec[i]), (x, y) -> x + y)"
+    )
+
+    def assign_cte(label: str, cents: str) -> str:
+        d2 = dist2.format(a="n.vec", b="c.cvec")
+        return f"""
+        {label} AS (
+            SELECT vid, vec, cid FROM (
+                SELECT n.vid, n.vec, c.cid,
+                       row_number() OVER (
+                           PARTITION BY n.vid
+                           ORDER BY {d2} ASC, c.cid ASC
+                       ) AS rk
+                FROM n CROSS JOIN {cents} c
+            ) WHERE rk = 1
+        )"""
+
+    ctes = [
+        f"""v AS (
+            SELECT vec_id AS vid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+        )""",
+        f"""n AS (
+            SELECT vid, vec FROM v WHERE sqrt({norm2}) > 0
+        )""",
+        f"""c0 AS (
+            SELECT vid AS cid, vec AS cvec FROM n WHERE vid < {k}
+        )""",
+        assign_cte("a1", "c0"),
+    ]
+    for it in range(1, iterations):
+        ctes.append(
+            f"""u{it} AS (
+            SELECT cid, pos, round(avg(x), 6) AS cx FROM (
+                SELECT cid, unnest(vec) AS x,
+                       unnest(range(1, len(vec) + 1)) AS pos
+                FROM a{it}
+            ) GROUP BY cid, pos
+        )"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+            SELECT cid, list(cx ORDER BY pos) AS cvec
+            FROM u{it} GROUP BY cid
+        )"""
+        )
+        ctes.append(assign_cte(f"a{it + 1}", f"c{it}"))
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT vid AS vec_id, cid AS cell FROM a{iterations}"
+    )
 
 
 QUERIES = {
@@ -212,6 +285,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "kmeans_cells": _kmeans_oracle(),
     "sim_search_bruteforce": _brute_oracle(),
     "sim_search_lsh": _lsh_oracle(),
     "sim_search_ivf": _ivf_oracle(),
