@@ -38,10 +38,18 @@ def cosine_to_query_udf(query_vec: list[float]):
 
     @pandas_udf("double")
     def score(emb: pd.Series) -> pd.Series:
-        m = np.stack(emb.to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(m, axis=1)
-        norms[norms == 0.0] = np.inf  # zero vectors score 0, not NaN
-        return pd.Series(m @ q / (norms * qn))
+        if qn == 0.0:  # zero query: cosine undefined — score everything 0
+            return pd.Series(np.zeros(len(emb)))
+        # np.stack raises on a batch containing NULL embeddings; score
+        # the non-null rows and emit NaN (→ SQL NULL) for the null ones.
+        mask = emb.notna().to_numpy()
+        out = np.full(len(emb), np.nan)
+        if mask.any():
+            m = np.stack(emb[mask].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0.0] = np.inf  # zero vectors score 0, not NaN
+            out[mask] = m @ q / (norms * qn)
+        return pd.Series(out)
 
     return score
 

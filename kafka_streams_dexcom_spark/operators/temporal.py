@@ -39,26 +39,28 @@ def asof_join(
         for c in left.columns
         if c not in (*key_cols, ts_col, tiebreak_col)
     ]
+    # the payloads ride in ONE struct that is non-null exactly on right
+    # rows: last(ignorenulls) then selects the latest right ROW, so a
+    # genuinely-NULL payload value on the winning row is preserved
+    # (merge_asof semantics) instead of falling back to an older row's
+    # value, which per-column last(ignorenulls) would do.
     r_tagged = right.select(
         *key_cols,
         ts_col,
         tiebreak_col,
         F.lit(0).alias("__is_left"),
-        *[expr.alias(f"__p_{n}") for n, expr in right_payload.items()],
+        F.struct(
+            *[expr.alias(n) for n, expr in right_payload.items()]
+        ).alias("__r"),
         *keep_nulls,
     )
-    # null payload literals on the left take the RIGHT side's actual
-    # payload types (read off r_tagged) so unionByName never coerces
-    r_types = dict(r_tagged.dtypes)
+    r_struct_type = dict(r_tagged.dtypes)["__r"]
     l_tagged = left.select(
         *key_cols,
         ts_col,
         tiebreak_col,
         F.lit(1).alias("__is_left"),
-        *[
-            F.lit(None).cast(r_types[f"__p_{n}"]).alias(f"__p_{n}")
-            for n in payload_names
-        ],
+        F.lit(None).cast(r_struct_type).alias("__r"),
         *[
             F.col(c).alias(f"__keep_{c}")
             for c in left.columns
@@ -71,10 +73,11 @@ def asof_join(
         .orderBy(ts_col, "__is_left", tiebreak_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    merged = merged.withColumn(
+        "__r_last", F.last(F.col("__r"), ignorenulls=True).over(w)
+    )
     for n in payload_names:
-        merged = merged.withColumn(
-            n, F.last(F.col(f"__p_{n}"), ignorenulls=True).over(w)
-        )
+        merged = merged.withColumn(n, F.col(f"__r_last.{n}"))
     out = merged.filter(F.col("__is_left") == 1)
     renames = [
         F.col(f"__keep_{c}").alias(c)

@@ -8,6 +8,8 @@ plans.assert_pushed_filters).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -37,6 +39,12 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TESTDATA_TABLES}
 
 
+# Above this input size the scan already yields ample partitions via
+# spark.sql.files.maxPartitionBytes; below it, one shuffle to unlock all
+# cores is the right trade for CPU-bound pipelines.
+_FAN_OUT_MAX_BYTES = 256 * 1024 * 1024
+
+
 def fan_out_small(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition a *small* input before a compute-heavy stage.
 
@@ -50,8 +58,24 @@ def fan_out_small(df: DataFrame, min_partitions: int | None = None) -> DataFrame
     if df.isStreaming:  # partitioning is the source's business in streaming
         return df
     target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # File heuristic instead of df.rdd.getNumPartitions(): building the
+    # RDD materializes the physical plan driver-side on every call, while
+    # inputFiles() only consults the already-cached file index. Fan out
+    # only inputs that are verifiably SMALL: many files, a non-local
+    # store, or enough local bytes all mean the scan already splits into
+    # plenty of partitions (maxPartitionBytes), and repartitioning big
+    # data here would be the real scale bug.
+    files = df.inputFiles()
+    if len(files) >= target:
         return df
+    if files:
+        total = 0
+        for p in files:
+            if not p.startswith("file:"):
+                return df  # remote store: can't cheaply verify smallness
+            total += os.path.getsize(p[len("file:"):])
+        if total > _FAN_OUT_MAX_BYTES:
+            return df
     return df.repartition(target)
 
 

@@ -19,9 +19,35 @@ Iceberg) — identical logic, transactional commit.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def swap_directory(staging: str, live: str) -> None:
+    """Publish ``staging`` as ``live`` via two renames (never a
+    delete-and-rewrite of the live copy: the data always exists in full
+    somewhere on disk). A crash between the renames leaves ``live``
+    missing but ``live + ".old"`` intact — readers recover it (see
+    IncrementalCounts.read). The staging directory ceases to exist after
+    the swap, so nothing accumulates."""
+    old = live + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(staging, live)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
+def recover_directory(live: str) -> None:
+    """Crash recovery for swap_directory: if only the .old copy exists
+    (crash between the two renames), restore it."""
+    old = live + ".old"
+    if not os.path.exists(live) and os.path.exists(old):
+        os.rename(old, live)
 
 
 class IncrementalCounts:
@@ -33,6 +59,7 @@ class IncrementalCounts:
         self.key_col = key_col
 
     def read(self) -> DataFrame:
+        recover_directory(self.path)
         if not os.path.exists(self.path):
             return self.spark.createDataFrame(
                 [], f"{self.key_col} long, n_events long, sum_value double"
@@ -62,12 +89,12 @@ class IncrementalCounts:
                 ).alias("sum_value"),
             )
         )
-        # rewrite atomically: stage then swap (parquet has no MERGE; a
-        # table format would make this a transactional MERGE INTO)
+        # stage then swap-by-rename (parquet has no MERGE; a table format
+        # would make this a transactional MERGE INTO). The live view is
+        # never deleted-then-rewritten, so a crash cannot lose it.
         tmp = self.path + ".staging"
         merged.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path)
+        swap_directory(tmp, self.path)
 
 
 def compact_small_files(
@@ -87,5 +114,5 @@ def compact_small_files(
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     tmp = path + ".compacting"
     df.coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    swap_directory(tmp, path)
     return n_files

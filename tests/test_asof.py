@@ -45,3 +45,31 @@ def test_asof_inclusive_and_no_prior(spark):
     assert rows[100] == (7, 1.5)      # inclusive: same-instant right counts
     assert rows[101] == (8, 2.5)      # latest at-or-before 11:00
     assert rows[200] == (None, None)  # nothing at-or-before 09:00 for key 2
+
+
+def test_asof_null_payload_on_winning_row_is_preserved(spark):
+    """merge_asof semantics: the latest at-or-before right ROW wins even
+    when its payload value is NULL — an older row's non-null value must
+    NOT leak through (per-column last(ignorenulls) would do that)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("u1", 100, 1)], "k string, ts long, seq int"
+    )
+    right = spark.createDataFrame(
+        [("u1", 10, 1, 7), ("u1", 50, 2, None)],
+        "k string, ts long, seq int, payload int",
+    )
+    out = asof_join(
+        left,
+        right,
+        key_cols=["k"],
+        ts_col="ts",
+        right_payload={"payload": F.col("payload")},
+        tiebreak_col="seq",
+    ).collect()
+    assert len(out) == 1
+    # winning right row is ts=50 whose payload is NULL — must stay NULL
+    assert out[0]["payload"] is None

@@ -91,3 +91,28 @@ def test_schema_evolution_merge_read(spark):
         )
         rows = {r.id: (r.x, r.score) for r in merged.collect()}
         assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
+def test_swap_directory_and_crash_recovery(tmp_path):
+    """swap publishes staging by rename (live never delete-rewritten);
+    recover_directory restores the .old copy if a crash stranded it."""
+    import os
+
+    from kafka_streams_dexcom_spark.streaming.incremental import (
+        recover_directory,
+        swap_directory,
+    )
+
+    live, staging = str(tmp_path / "view"), str(tmp_path / "view.staging")
+    os.makedirs(live), os.makedirs(staging)
+    open(os.path.join(live, "v1"), "w").write("old")
+    open(os.path.join(staging, "v2"), "w").write("new")
+    swap_directory(staging, live)
+    assert os.listdir(live) == ["v2"]
+    assert not os.path.exists(staging)
+    assert not os.path.exists(live + ".old")
+
+    # simulate a crash between the two renames: live missing, .old present
+    os.rename(live, live + ".old")
+    recover_directory(live)
+    assert os.listdir(live) == ["v2"]

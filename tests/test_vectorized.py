@@ -41,3 +41,37 @@ def test_pandas_udf_cosine_matches_fold_cosine(spark, sf_dir):
     ), sorted(
         ((k, a, b) for k, (a, b) in joined.items() if abs(a - b) >= 1e-9)
     )[:3]
+
+
+def test_cosine_udf_null_embedding_rows(spark):
+    """A batch containing NULL embeddings must not crash np.stack; null
+    rows come back null, others scored."""
+    from kafka_streams_dexcom_spark.functions.vectorized import (
+        cosine_to_query,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 0.0])],
+        "id int, embedding array<double>",
+    )
+    rows = {
+        r.id: r.cs
+        for r in df.select(
+            "id", cosine_to_query(df, [1.0, 0.0]).alias("cs")
+        ).collect()
+    }
+    assert rows[1] == 1.0
+    assert rows[2] is None
+    assert rows[3] == 0.0  # zero vector scores 0, not NaN
+
+
+def test_cosine_udf_zero_query_vector(spark):
+    from kafka_streams_dexcom_spark.functions.vectorized import (
+        cosine_to_query,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "id int, embedding array<double>"
+    )
+    [r] = df.select(cosine_to_query(df, [0.0, 0.0]).alias("cs")).collect()
+    assert r.cs == 0.0
