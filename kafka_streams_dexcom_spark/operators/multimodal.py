@@ -8,10 +8,12 @@ Design (per the 100 TB pipeline shape):
 - decode / feature-extract / resize / frame-sample run as `mapInPandas`
   stages: each task receives Arrow record batches, the payload bytes stay
   off the driver, and output is a flat typed schema.
-- the actual codec call is STUBBED here (image/audio libs are not in this
-  container): `_decode_stub` produces deterministic fake features from the
-  byte content. The Spark-side plumbing — schema, batching, partitioning —
-  is real and tested; swap `_decode_stub` for PIL/torchaudio in production.
+- decode dispatches per availability: `_decode_real` (PIL for images,
+  lazily imported) when codecs are installed, else `_decode_stub`'s
+  deterministic fake features. Oracle-checked queries pin the stub
+  explicitly (use_real_codecs=False) since DuckDB can replay its
+  arithmetic but not real pixels. The Spark-side plumbing — schema,
+  batching, partitioning — is identical on both paths and fully tested.
 """
 
 from __future__ import annotations
@@ -55,10 +57,8 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int, int, float]:
-    """STUB decode — deterministic fake features from the raw bytes.
-
-    Replace with a real codec (PIL / ffmpeg / torchaudio) in production;
-    the signature and the mapInPandas plumbing stay identical."""
+    """STUB decode — deterministic fake features from the raw bytes
+    (the oracle-reproducible twin of _decode_real)."""
     n = len(payload)
     first = payload[0] if n else 0
     width = 64 + n % 256
@@ -68,23 +68,58 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int, float]:
     return width, height, n_frames, feature_mean
 
 
-def decode_features(media: DataFrame) -> DataFrame:
+def _decode_real(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
+    """Real codec adapter: PIL for images (width/height/frame count/mean
+    pixel intensity). Audio/video would wire torchaudio/ffmpeg the same
+    way; until those land they fall back to the stub so a mixed-media
+    frame still decodes. Imported lazily so executors only pay for (and
+    only require) PIL when this path is actually taken."""
+    if media_type == "image":
+        import io
+
+        import numpy as np
+        import PIL.Image
+
+        with PIL.Image.open(io.BytesIO(payload)) as img:
+            width, height = img.size
+            n_frames = int(getattr(img, "n_frames", 1))
+            arr = np.asarray(img.convert("L"), dtype=np.float64)
+            feature_mean = round(float(arr.mean()) / 255.0, 6)
+        return width, height, n_frames, feature_mean
+    return _decode_stub(payload)
+
+
+def decode_features(
+    media: DataFrame, use_real_codecs: bool | None = None
+) -> DataFrame:
     """Arrow-batched decode/feature-extraction over the payload column.
 
     mapInPandas: one pandas DataFrame per Arrow batch per task — payloads
     are processed executor-side in batch, never collected. Output rows are
-    flat/typed so downstream stages are plain columnar ops again."""
-    if _HAVE_REAL_CODECS:  # pragma: no cover
-        raise NotImplementedError(
-            "real codec path intentionally not implemented in this "
-            "container; wire PIL/ffmpeg decoding here"
+    flat/typed so downstream stages are plain columnar ops again.
+
+    ``use_real_codecs``: None = auto (real codecs when importable). The
+    oracle-checked queries pass False explicitly — the deterministic stub
+    is what the DuckDB replay reproduces; real decoded pixels cannot be."""
+    if use_real_codecs is None:
+        use_real_codecs = _HAVE_REAL_CODECS
+    if use_real_codecs and not _HAVE_REAL_CODECS:
+        raise RuntimeError(
+            "use_real_codecs=True but PIL is not importable in this "
+            "environment"
         )
+    decode = _decode_real if use_real_codecs else (
+        lambda p, _mt: _decode_stub(p)
+    )
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
-            feats = [_decode_stub(p) for p in pdf["payload"]]
+            feats = [
+                decode(p, mt)
+                for p, mt in zip(pdf["payload"], pdf["media_type"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -101,12 +136,19 @@ def decode_features(media: DataFrame) -> DataFrame:
     )
 
 
-def frame_sample(media: DataFrame, every_n: int = 2) -> DataFrame:
+def frame_sample(
+    media: DataFrame,
+    every_n: int = 2,
+    use_real_codecs: bool | None = None,
+) -> DataFrame:
     """Frame-sampling plumbing demo: expand each video payload into frame
     rows (stub: one row per fake frame index), keeping every n-th. The
     explode happens executor-side; at scale this is the fan-out stage
     before per-frame feature extraction."""
-    frames = decode_features(media.filter(F.col("media_type") == "video"))
+    frames = decode_features(
+        media.filter(F.col("media_type") == "video"),
+        use_real_codecs=use_real_codecs,
+    )
     return (
         frames.select(
             "doc_id",

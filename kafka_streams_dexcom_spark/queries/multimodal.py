@@ -26,12 +26,12 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.attach_payload(load_table(spark, sf_dir, "documents"))
-    return mm.decode_features(media)
+    return mm.decode_features(media, use_real_codecs=False)
 
 
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.attach_payload(load_table(spark, sf_dir, "documents"))
-    return mm.frame_sample(media, every_n=2)
+    return mm.frame_sample(media, every_n=2, use_real_codecs=False)
 
 
 _MEDIA_TYPE = "['image', 'audio', 'video'][(doc_id % 3) + 1]"

@@ -75,3 +75,56 @@ def test_cosine_udf_zero_query_vector(spark):
     )
     [r] = df.select(cosine_to_query(df, [0.0, 0.0]).alias("cs")).collect()
     assert r.cs == 0.0
+
+
+def test_decode_real_image_adapter_with_fake_pil(monkeypatch):
+    """_decode_real's PIL adapter, exercised without PIL installed: inject
+    a minimal fake PIL module and check the (w, h, frames, mean) mapping."""
+    import sys
+    import types
+
+    import numpy as np
+
+    from kafka_streams_dexcom_spark.operators import multimodal as mm
+
+    class FakeImg:
+        size = (320, 240)
+        n_frames = 3
+
+        def convert(self, mode):
+            assert mode == "L"
+            return np.full((240, 320), 51, dtype=np.uint8)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    fake_image_mod = types.SimpleNamespace(open=lambda buf: FakeImg())
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(
+        sys.modules, "PIL.Image", fake_image_mod
+    )
+
+    w, h, nf, fm = mm._decode_real(b"\x89PNG...", "image")
+    assert (w, h, nf) == (320, 240, 3)
+    assert fm == round(51 / 255.0, 6)
+    # non-image media falls back to the deterministic stub
+    assert mm._decode_real(b"abc", "audio") == mm._decode_stub(b"abc")
+
+
+def test_decode_features_real_requested_but_unavailable(spark):
+    import pytest as _pytest
+
+    from kafka_streams_dexcom_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(b"x"))],
+        "doc_id long, media_type string, payload binary",
+    )
+    if not mm._HAVE_REAL_CODECS:
+        with _pytest.raises(RuntimeError, match="PIL"):
+            mm.decode_features(df, use_real_codecs=True)
