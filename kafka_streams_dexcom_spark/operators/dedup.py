@@ -494,6 +494,73 @@ def ngram_jaccard_pairs(
     )
 
 
+# --- train/eval contamination (asymmetric n-gram containment) -------------
+
+
+def contamination_report(
+    eval_docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per eval document: the train document with the highest n-gram
+    containment C(e,t) = |shingles(e) ∩ shingles(t)| / |shingles(e)| —
+    the standard benchmark-contamination screen for a training corpus
+    (containment, not Jaccard: a small eval doc fully inside a big train
+    doc must score 1.0).
+
+    Shape: two hashed shingle corpora (each one narrow pass + checkpoint),
+    inverted-index equi-join on the shingle hash (a genuine two-relation
+    join — skew on hot shingles is AQE's skew-join case), co-occurrence
+    count per (eval, train) pair, then an argmax per eval doc via a
+    struct max (hash aggregate, no sort). Eval docs sharing nothing with
+    the train side are kept with containment 0.0 / NULL train doc.
+    Deterministic: containment ties break to the lowest train doc id.
+    """
+    ec = hashed_shingle_corpus(eval_docs, id_col, text_col, n)
+    tc = hashed_shingle_corpus(train_docs, id_col, text_col, n)
+    einv = ec.select(
+        F.col(id_col).alias("e_id"),
+        F.size("sh_hashes").alias("esz"),
+        F.explode("sh_hashes").alias("sh"),
+    )
+    tinv = tc.select(
+        F.col(id_col).alias("t_id"), F.explode("sh_hashes").alias("sh")
+    )
+    shared = (
+        einv.join(tinv, "sh")
+        .groupBy("e_id", "t_id", "esz")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    cont = trunc6(F.col("inter").cast("double") / F.col("esz").cast("double"))
+    # lexicographic struct max = (max containment, then max(-t_id) = min t_id)
+    top = (
+        shared.select(
+            "e_id",
+            F.struct(
+                cont.alias("c"), (-F.col("t_id")).alias("nt")
+            ).alias("s"),
+        )
+        .groupBy("e_id")
+        .agg(F.max("s").alias("m"))
+        .select(
+            "e_id",
+            (-F.col("m.nt")).alias("train_doc"),
+            F.col("m.c").alias("containment"),
+        )
+    )
+    return (
+        ec.select(F.col(id_col).alias("e_id"))
+        .join(top, "e_id", "left")
+        .select(
+            F.col("e_id").alias("eval_doc"),
+            "train_doc",
+            F.coalesce("containment", F.lit(0.0)).alias("containment"),
+        )
+    )
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 DOT_EXPR_TPL = (

@@ -91,6 +91,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, rounds=CC_ROUNDS)
 
 
+EVAL_SOURCE = "src0"
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final materialization: every document mapped
+    to its cluster canonical (min doc_id of its near-dup component; its
+    own id if it has no near-dup), plus the keep/drop decision. This is
+    the row a 100 TB dedup job actually writes back out."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = connected_components(pairs, rounds=CC_ROUNDS)
+    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            canonical.alias("canonical_id"),
+            (canonical == F.col("doc_id")).cast("int").alias("is_survivor"),
+        )
+    )
+
+
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: treat source=src0 as the eval set
+    and every other source as training data; report each eval doc's most
+    contaminating train doc by n-gram containment."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.contamination_report(
+        d.filter(F.col("source") == EVAL_SOURCE),
+        d.filter(F.col("source") != EVAL_SOURCE),
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return dd.embedding_cosine_pairs(e, threshold=COSINE_THRESHOLD).select(
@@ -319,8 +359,62 @@ def _cc_oracle() -> str:
     """
 
 
+def _survivors_oracle() -> str:
+    return f"""
+        WITH comp AS ({_cc_oracle()})
+        SELECT d.doc_id,
+               coalesce(c.component, d.doc_id) AS canonical_id,
+               CAST(coalesce(c.component, d.doc_id) = d.doc_id AS INT)
+                   AS is_survivor
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+def _contamination_oracle() -> str:
+    cont = (
+        "floor(CAST(inter AS DOUBLE) / CAST(esz AS DOUBLE) * 1000000)"
+        " / 1000000.0"
+    )
+    return f"""
+        WITH {_duck_shingles_cte()},
+        einv AS (
+            SELECT s.doc_id AS e_id, len(s.s) AS esz,
+                   unnest(s.s) AS shingle
+            FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+            WHERE d.source = '{EVAL_SOURCE}'
+        ),
+        tinv AS (
+            SELECT s.doc_id AS t_id, unnest(s.s) AS shingle
+            FROM sh s JOIN documents d ON d.doc_id = s.doc_id
+            WHERE d.source <> '{EVAL_SOURCE}'
+        ),
+        shared AS (
+            SELECT e_id, t_id, esz, count(*) AS inter
+            FROM einv JOIN tinv USING (shingle)
+            GROUP BY 1, 2, 3
+        ),
+        ranked AS (
+            SELECT e_id, t_id, {cont} AS cont,
+                   row_number() OVER (
+                       PARTITION BY e_id
+                       ORDER BY {cont} DESC, t_id ASC
+                   ) AS rk
+            FROM shared
+        ),
+        top AS (SELECT e_id, t_id, cont FROM ranked WHERE rk = 1)
+        SELECT s.doc_id AS eval_doc, t.t_id AS train_doc,
+               coalesce(t.cont, 0.0) AS containment
+        FROM sh s
+        JOIN documents d ON d.doc_id = s.doc_id
+        LEFT JOIN top t ON t.e_id = s.doc_id
+        WHERE d.source = '{EVAL_SOURCE}'
+    """
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "dedup_survivors": q_dedup_survivors,
+    "contamination_check": q_contamination_check,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -336,6 +430,8 @@ ORACLES = {
         FROM documents
         GROUP BY 1
     """,
+    "dedup_survivors": _survivors_oracle(),
+    "contamination_check": _contamination_oracle(),
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),
     "dedup_simhash_pairs": _simhash_pairs_oracle(),
