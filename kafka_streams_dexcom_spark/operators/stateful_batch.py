@@ -30,7 +30,10 @@ def debounced_alerts_batch(
     events = events.filter(events.value >= threshold)
 
     def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("ts_us")
+        # (ts, value) order: equal-timestamp rows would otherwise emit
+        # whichever arrived first off the shuffle — nondeterministic and
+        # un-replayable by the SQL oracle
+        pdf = pdf.sort_values(["ts_us", "value"])
         out = []
         last = None
         for r in pdf.itertuples(index=False):

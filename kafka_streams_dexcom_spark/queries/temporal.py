@@ -86,9 +86,10 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stateful_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debounced high-value alerts per user — per-key sequential state via
     applyInPandas (batch twin of the streaming applyInPandasWithState
-    operator; see streaming/stateful.py). No SQL oracle: carried-state
-    recurrence is not window-expressible; the driver records the weaker
-    rows-only check and tests/test_stateful.py pins exact semantics."""
+    operator; see streaming/stateful.py). The carried-state recurrence is
+    not window-expressible, but it IS replayable as a recursive CTE (each
+    recursion step = the next emission per user), so it gets a full SQL
+    oracle; ties at equal ts break on value in both engines."""
     from kafka_streams_dexcom_spark.operators.stateful_batch import (
         debounced_alerts_batch,
     )
@@ -109,6 +110,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    # debounce as a recursive CTE: seed = each user's first qualifying
+    # event; step = the earliest event >= last emission + debounce. The
+    # recursion advances one emission per level — exactly the Python
+    # loop's carried state, replayed set-at-a-time.
+    "stateful_debounce": """
+        WITH RECURSIVE
+        f AS (
+            SELECT user_id, epoch_us(ts) AS ts_us, value
+            FROM events WHERE value >= 200
+        ),
+        e AS (
+            SELECT user_id, ts_us, value,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts_us, value
+                   ) AS rn
+            FROM f
+        ),
+        r AS (
+            SELECT user_id, ts_us, value FROM e WHERE rn = 1
+            UNION ALL
+            SELECT nxt.user_id, nxt.ts_us, nxt.value
+            FROM r, LATERAL (
+                SELECT e.user_id, e.ts_us, e.value
+                FROM e
+                WHERE e.user_id = r.user_id
+                  AND e.ts_us >= r.ts_us + 3600000000
+                ORDER BY e.ts_us, e.value
+                LIMIT 1
+            ) nxt
+        )
+        SELECT user_id, ts_us, value FROM r
+    """,
     "asof_join": """
         WITH u AS (
             SELECT user_id, ts, event_id, event_type, 1 AS is_left,
