@@ -29,6 +29,8 @@ from kafka_streams_dexcom_spark.operators.dedup import (
 )
 
 LSH_BITS = 4
+MP_TABLES = 3
+MP_BITS = 6
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
 
 
@@ -147,6 +149,94 @@ def lsh_topk(emb: DataFrame, query_ids, k: int = 10) -> DataFrame:
     )
 
 
+def table_planes(
+    tables: int = MP_TABLES, bits: int = MP_BITS, dim: int = 64
+):
+    """One independent hyperplane set per hash table (distinct seeds)."""
+    return [lsh_planes(bits, dim, seed=11 + 13 * t) for t in range(tables)]
+
+
+def multiprobe_lsh_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = 10,
+    tables: int = MP_TABLES,
+    bits: int = MP_BITS,
+) -> DataFrame:
+    """Multi-table, multi-probe sign-LSH ANN — the scale configuration of
+    ``lsh_topk`` (which is the single-table teaching baseline).
+
+    - L independent tables: a true neighbor is missed only if it hashes
+      away from the query in EVERY table (miss rate ε^L, not ε).
+    - Multi-probe: each query also probes every bucket at Hamming
+      distance 1 from its own (bits+1 probes per table), recovering
+      neighbors that flipped one low-margin sign bit — the standard way
+      to hold recall while keeping tables (memory) low.
+
+    Scale shape: candidates are exploded to one row per (vector, table)
+    — linear in L, no pairwise blowup; the probe set (|Q|·L·(bits+1)
+    rows) is broadcast, so the candidate side never shuffles for the
+    join; the dedup groupBy shuffles only matched candidates. Bucket
+    signatures are computed once per vector in a projection BELOW the
+    generator, so the 18 fold dot-products are not re-evaluated per
+    generated row."""
+    planes = table_planes(tables, bits)
+    base = with_embedding_norm(emb)
+    for t in range(tables):
+        base = base.withColumn(
+            f"__b{t}", F.expr(bucket_expr("vec", planes[t]))
+        )
+    cand_structs = ", ".join(
+        f"struct({t} AS tbl, __b{t} AS bucket)" for t in range(tables)
+    )
+    cands = base.select(
+        "vec_id",
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+        F.explode(F.expr(f"array({cand_structs})")).alias("tb"),
+    ).select(
+        "vec_id", "cvec", "cnorm",
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    )
+    flips = [0] + [1 << j for j in range(bits)]
+    probe_structs = ", ".join(
+        f"struct({t} AS tbl, (__b{t} ^ {f}) AS bucket)"
+        for t in range(tables)
+        for f in flips
+    )
+    probes = base.filter(F.col("vec_id").isin(list(query_ids))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.explode(F.expr(f"array({probe_structs})")).alias("tb"),
+    ).select(
+        "query_id", "qvec", "qnorm",
+        F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+    )
+    dot = F.expr(DOT_EXPR_TPL.format(a="qvec", b="cvec"))
+    scored = (
+        cands.join(F.broadcast(probes), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos_sim_raw", dot / (F.col("qnorm") * F.col("cnorm")))
+        # a candidate can match in several tables/probes — keep one row
+        # (the score is identical on every match, max() just dedups)
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cos_sim_raw").alias("cos_sim_raw"))
+    )
+    out = _topk(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim_raw").desc(), F.col("vec_id").asc()],
+        k,
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cos_sim_raw", 6).alias("cos_sim"),
+        "rank",
+    )
+
+
 def ivf_centroids(base: DataFrame, cell_col: str = "label") -> DataFrame:
     """Elementwise-mean centroid per cell. Components are rounded to 6
     decimals to absorb summation-order jitter across engines/partitions
@@ -164,11 +254,18 @@ def ivf_centroids(base: DataFrame, cell_col: str = "label") -> DataFrame:
 
 
 def ivf_topk(
-    emb: DataFrame, query_ids, k: int = 10, cell_col: str = "label"
+    emb: DataFrame,
+    query_ids,
+    k: int = 10,
+    cell_col: str = "label",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF search: assign each query to its nearest centroid (dot-product
-    argmax over ~#cells rows — broadcast), then brute-force only within
-    that cell. nprobe=1; raise by taking top-n cells instead of top-1."""
+    """IVF search: assign each query to its ``nprobe`` nearest centroids
+    (dot-product ranking over ~#cells rows — broadcast), then brute-force
+    only within the probed cells. Cells partition the corpus, so a
+    candidate is scored at most once per query even with nprobe > 1;
+    scanned fraction grows linearly with nprobe while recall climbs
+    toward exact."""
     base = with_embedding_norm(emb)
     cents = ivf_centroids(base, cell_col)
     queries = base.filter(F.col("vec_id").isin(list(query_ids))).select(
@@ -184,7 +281,7 @@ def ivf_topk(
     )
     probe = (
         qc.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= nprobe)
         .select("query_id", "qvec", "qnorm", F.col(cell_col).alias("cell"))
     )
     cands = base.select(

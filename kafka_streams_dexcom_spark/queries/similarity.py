@@ -56,6 +56,12 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", out["rank"].cast("bigint")).drop("rank")
 
 
+def q_sim_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    out = sim.multiprobe_lsh_topk(e, QUERY_IDS, TOP_K)
+    return out.withColumn("rnk", out["rank"].cast("bigint")).drop("rank")
+
+
 def _brute_oracle() -> str:
     return f"""
         WITH {_BASE_CTES},
@@ -110,7 +116,64 @@ def _lsh_oracle() -> str:
     """
 
 
-def _ivf_oracle() -> str:
+def _multiprobe_oracle(
+    tables: int = sim.MP_TABLES, bits: int = sim.MP_BITS
+) -> str:
+    """DuckDB replay of multiprobe_lsh_topk: same inline plane literals,
+    tables via unnest cross join, 1-bit-flip probes via a flips list
+    (flip 0 = the home bucket), max() to dedup multi-table matches."""
+    planes_by_table = sim.table_planes(tables, bits)
+    bucket_cols = []
+    for t, planes in enumerate(planes_by_table):
+        terms = []
+        for j, plane in enumerate(planes):
+            lit = "[" + ", ".join(str(x) for x in plane) + "]"
+            dot = _DOT.format(a="vec", b=lit)
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
+        bucket_cols.append("(" + " + ".join(terms) + f") AS b{t}")
+    case_tbl = (
+        "CASE t.tbl "
+        + " ".join(f"WHEN {t} THEN b{t}" for t in range(tables))
+        + " END"
+    )
+    tbls = "[" + ", ".join(str(t) for t in range(tables)) + "]"
+    flips = "[" + ", ".join(str(f) for f in [0] + [1 << j for j in range(bits)]) + "]"
+    return f"""
+        WITH {_BASE_CTES},
+        nb AS (SELECT *, {", ".join(bucket_cols)} FROM n),
+        cand AS (
+            SELECT vec_id, vec, norm, t.tbl, {case_tbl} AS bucket
+            FROM nb CROSS JOIN (SELECT unnest({tbls}) AS tbl) t
+        ),
+        probes AS (
+            SELECT nb.vec_id AS query_id, vec AS qvec, norm AS qnorm,
+                   t.tbl, xor({case_tbl}, f.flip) AS bucket
+            FROM nb
+                 CROSS JOIN (SELECT unnest({tbls}) AS tbl) t
+                 CROSS JOIN (SELECT unnest({flips}) AS flip) f
+            WHERE nb.vec_id IN {QUERY_IDS}
+        ),
+        matched AS (
+            SELECT p.query_id, c.vec_id,
+                   max({_DOT.format(a='p.qvec', b='c.vec')}
+                       / (p.qnorm * c.norm)) AS cs
+            FROM probes p JOIN cand c USING (tbl, bucket)
+            WHERE c.vec_id != p.query_id
+            GROUP BY p.query_id, c.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, vec_id, cs,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cs DESC, vec_id ASC
+                   ) AS rnk
+            FROM matched
+        )
+        SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rnk
+        FROM ranked WHERE rnk <= {TOP_K}
+    """
+
+
+def _ivf_oracle(nprobe: int = 1) -> str:
     return f"""
         WITH {_BASE_CTES},
         cent AS (
@@ -135,7 +198,7 @@ def _ivf_oracle() -> str:
                                DESC, c.label ASC
                        ) AS rn
                 FROM q CROSS JOIN cent c
-            ) WHERE rn = 1
+            ) WHERE rn <= {nprobe}
         ),
         scored AS (
             SELECT p.query_id, n.vec_id,
@@ -189,6 +252,79 @@ def _recall_oracle() -> str:
         FROM brute b LEFT JOIN lsh l
           ON b.query_id = l.query_id AND b.vec_id = l.vec_id
         GROUP BY b.query_id
+    """
+
+
+def q_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-tuning deliverable: recall@10 of every ANN configuration
+    against brute-force ground truth, one row per method — single-table
+    LSH vs multi-table/multi-probe LSH vs IVF at nprobe 1 and 2. At
+    scale this is the query you run on a sample to pick the
+    tables/bits/nprobe operating point before indexing the full corpus."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = sim.brute_force_topk(e, QUERY_IDS, TOP_K).select(
+        "query_id", "vec_id"
+    )
+    methods = {
+        "lsh": sim.lsh_topk(e, QUERY_IDS, TOP_K),
+        "multiprobe": sim.multiprobe_lsh_topk(e, QUERY_IDS, TOP_K),
+        "ivf1": sim.ivf_topk(e, QUERY_IDS, TOP_K, nprobe=1),
+        "ivf2": sim.ivf_topk(e, QUERY_IDS, TOP_K, nprobe=2),
+    }
+    ann = None
+    for m, df in methods.items():
+        part = df.select(
+            F.lit(m).alias("method"),
+            "query_id",
+            F.col("vec_id").alias("ann_vec_id"),
+        )
+        ann = part if ann is None else ann.unionByName(part)
+    names = spark.createDataFrame(
+        [(m,) for m in methods], "method string"
+    )
+    gt = brute.crossJoin(F.broadcast(names))
+    denom = float(len(QUERY_IDS) * TOP_K)
+    return (
+        gt.join(
+            ann,
+            (gt.method == ann.method)
+            & (gt.query_id == ann.query_id)
+            & (gt.vec_id == ann.ann_vec_id),
+            "left",
+        )
+        .groupBy(gt.method.alias("method"))
+        .agg((F.count("ann_vec_id") / F.lit(denom)).alias("recall_at_10"))
+    )
+
+
+def _recall_matrix_oracle() -> str:
+    denom = float(len(QUERY_IDS) * TOP_K)
+    return f"""
+        WITH brute AS ({_brute_oracle()}),
+        lsh AS ({_lsh_oracle()}),
+        mp AS ({_multiprobe_oracle()}),
+        ivf1 AS ({_ivf_oracle(nprobe=1)}),
+        ivf2 AS ({_ivf_oracle(nprobe=2)}),
+        ann AS (
+            SELECT 'lsh' AS method, query_id, vec_id FROM lsh
+            UNION ALL SELECT 'multiprobe', query_id, vec_id FROM mp
+            UNION ALL SELECT 'ivf1', query_id, vec_id FROM ivf1
+            UNION ALL SELECT 'ivf2', query_id, vec_id FROM ivf2
+        ),
+        gt AS (
+            SELECT m.method, b.query_id, b.vec_id
+            FROM brute b CROSS JOIN (
+                SELECT unnest(['lsh', 'multiprobe', 'ivf1', 'ivf2'])
+                    AS method
+            ) m
+        )
+        SELECT gt.method, count(a.vec_id) / {denom} AS recall_at_10
+        FROM gt LEFT JOIN ann a
+          ON a.method = gt.method AND a.query_id = gt.query_id
+         AND a.vec_id = gt.vec_id
+        GROUP BY gt.method
     """
 
 
@@ -280,14 +416,18 @@ QUERIES = {
     "kmeans_cells": q_kmeans_cells,
     "sim_search_bruteforce": q_sim_search_bruteforce,
     "sim_search_lsh": q_sim_search_lsh,
+    "sim_search_multiprobe": q_sim_search_multiprobe,
     "sim_search_ivf": q_sim_search_ivf,
     "sim_search_recall": q_sim_search_recall,
+    "ann_recall_matrix": q_ann_recall_matrix,
 }
 
 ORACLES = {
     "kmeans_cells": _kmeans_oracle(),
     "sim_search_bruteforce": _brute_oracle(),
     "sim_search_lsh": _lsh_oracle(),
+    "sim_search_multiprobe": _multiprobe_oracle(),
     "sim_search_ivf": _ivf_oracle(),
     "sim_search_recall": _recall_oracle(),
+    "ann_recall_matrix": _recall_matrix_oracle(),
 }
