@@ -141,6 +141,97 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Scale shape: explode → (doc, term) count is the only wide shuffle
+    over token volume; document frequency is derived FROM the tf table
+    (already one row per (doc, term)) so tokens shuffle exactly once;
+    the corpus size N joins in as a broadcast single-row aggregate, never
+    a driver-side collect. idf = ln(N/df) is truncated to 6 decimals
+    before ranking so the ordering is replayable cross-engine."""
+    toks = fan_out_small(df).select(
+        "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count_distinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(term_df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            trunc6(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df").cast("double")
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "tfidf",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def bigram_lm(
+    df: DataFrame, text_col: str = "text", top_n: int = 20
+) -> DataFrame:
+    """Corpus bigram language-model counts: top-N bigrams with their
+    conditional probability p(w2 | w1) = c(w1,w2) / c(w1,·).
+
+    Bigram structs are built scan-side (transform over sequence — a
+    narrow map, no join between adjacent tokens); counting is one
+    shuffle; c(w1,·) is a window sum over the already-aggregated bigram
+    table (vocabulary-sized, not token-sized); top-N is a TakeOrdered
+    with a total order so the cut is deterministic."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    bigrams = F.expr(
+        f"transform(sequence(1, size({toks_expr}) - 1), "
+        f"i -> struct(element_at({toks_expr}, i) AS w1, "
+        f"element_at({toks_expr}, i + 1) AS w2))"
+    )
+    pairs = (
+        fan_out_small(df)
+        .filter(F.expr(f"size({toks_expr}) >= 2"))
+        .select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_bigram")
+    )
+    w1_tot = Window.partitionBy("w1")
+    return (
+        counts.withColumn("n_w1", F.sum("n_bigram").over(w1_tot))
+        .withColumn(
+            "cond_p",
+            trunc6(
+                F.col("n_bigram").cast("double")
+                / F.col("n_w1").cast("double")
+            ),
+        )
+        .orderBy(
+            F.col("n_bigram").desc(), F.col("w1").asc(), F.col("w2").asc()
+        )
+        .limit(top_n)
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", k: int = 8
 ) -> DataFrame:

@@ -31,6 +31,14 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.doc_fingerprint(load_table(spark, sf_dir, "documents"))
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.bigram_lm(load_table(spark, sf_dir, "documents"))
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-set selection — the composition the toolkit
     exists for: exact-dedup survivors ∩ quality gate ∩ token budget.
@@ -93,6 +101,8 @@ def _markers_values() -> str:
 _STOPS = ", ".join(f"'{t}'" for t in tx.LANG_MARKERS["en"])
 
 QUERIES = {
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "bigram_lm": q_bigram_lm,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -103,6 +113,60 @@ QUERIES = {
 }
 
 ORACLES = {
+    "tfidf_top_terms": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM toks WHERE term != ''
+            GROUP BY doc_id, term
+        ),
+        dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, dfr.df,
+                   floor(tf.tf * ln(CAST(n_docs AS DOUBLE)
+                       / CAST(df AS DOUBLE)) * 1000000) / 1000000.0
+                       AS tfidf
+            FROM tf JOIN dfr USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, term, tf, df, tfidf, rnk FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+            ) AS rnk
+            FROM scored
+        ) WHERE rnk <= 3
+    """,
+    "bigram_lm": """
+        WITH t AS (
+            SELECT list_filter(string_split_regex(text, '\\s+'),
+                x -> x != '') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+            FROM t WHERE len(toks) >= 2
+        ),
+        c AS (
+            SELECT s.w1 AS w1, s.w2 AS w2, count(*) AS n_bigram
+            FROM bg GROUP BY s.w1, s.w2
+        ),
+        p AS (
+            SELECT w1, w2, n_bigram,
+                   CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT)
+                       AS n_w1
+            FROM c
+        )
+        SELECT w1, w2, n_bigram, n_w1,
+               floor(CAST(n_bigram AS DOUBLE) / CAST(n_w1 AS DOUBLE)
+                   * 1000000) / 1000000.0 AS cond_p
+        FROM p
+        ORDER BY n_bigram DESC, w1 ASC, w2 ASC
+        LIMIT 20
+    """,
     "text_stats": """
         SELECT doc_id,
                length(text) AS n_chars_calc,
