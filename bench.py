@@ -39,6 +39,9 @@ HEADLINE = [
     "dedup_embedding",           # blocked cosine pairs
     "sim_search_bruteforce",     # broadcast cross-join top-k
     "sim_search_lsh",            # bucketed ANN
+    "sim_search_multiprobe",     # multi-table multi-probe ANN
+    "tfidf_top_terms",           # single-token-shuffle tf-idf top-k
+    "bigram_lm",                 # scan-side bigrams + count shuffle
     "text_stats",                # scan-side text expressions
     "quality_score",             # scan-side text expressions
     "doc_fingerprint",           # rolling-hash fingerprint

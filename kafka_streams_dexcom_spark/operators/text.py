@@ -147,20 +147,25 @@ def tfidf_top_terms(
     """Top-k TF-IDF terms per document.
 
     Scale shape: explode → (doc, term) count is the only wide shuffle
-    over token volume; document frequency is derived FROM the tf table
-    (already one row per (doc, term)) so tokens shuffle exactly once;
-    the corpus size N joins in as a broadcast single-row aggregate, never
-    a driver-side collect. idf = ln(N/df) is truncated to 6 decimals
-    before ranking so the ordering is replayable cross-engine."""
+    over token volume; document frequency is a count window over the
+    already-aggregated tf table keyed by term (one row per (doc, term)),
+    NOT a second aggregation of the token stream — a groupBy-then-join
+    formulation plans as two full explode+shuffle subtrees because
+    Catalyst prunes the unused tf count from the df branch and exchange
+    reuse no longer matches. The corpus size N joins in as a broadcast
+    single-row aggregate, never a driver-side collect. idf = ln(N/df) is
+    truncated to 6 decimals before ranking so the ordering is replayable
+    cross-engine."""
     toks = fan_out_small(df).select(
         "doc_id", F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    term_df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     n_docs = df.select(F.count_distinct("doc_id").alias("n_docs"))
     scored = (
-        tf.join(term_df, "term")
-        .crossJoin(F.broadcast(n_docs))
+        tf.crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
             trunc6(
