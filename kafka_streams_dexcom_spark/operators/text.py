@@ -237,6 +237,41 @@ def bigram_lm(
     )
 
 
+def doc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Context-window chunking: split each document into ``window``-token
+    chunks every ``stride`` tokens (overlap = window - stride) — the
+    standard prep step for fixed-context training/embedding.
+
+    Entirely scan-side: chunk starts come from sequence(1, n, stride)
+    and each chunk is a slice of the token array, so the op is a narrow
+    map + explode with no shuffle at any scale; chunk_idx derives from
+    the start offset, not an order-dependent counter."""
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    chunks = F.expr(
+        f"transform(sequence(1, size({toks}), {stride}), "
+        f"s -> struct(s AS start_tok, slice({toks}, s, {window}) AS ctoks))"
+    )
+    return (
+        fan_out_small(df)
+        .filter(F.expr(f"size({toks}) >= 1"))
+        .select("doc_id", F.explode(chunks).alias("ch"))
+        .select(
+            "doc_id",
+            ((F.col("ch.start_tok") - 1) / stride)
+            .cast("bigint")
+            .alias("chunk_idx"),
+            F.col("ch.start_tok").cast("bigint").alias("start_tok"),
+            F.size("ch.ctoks").cast("bigint").alias("n_chunk_tokens"),
+            F.array_join("ch.ctoks", " ").alias("chunk_text"),
+        )
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", k: int = 8
 ) -> DataFrame:

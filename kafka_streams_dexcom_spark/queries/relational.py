@@ -244,7 +244,57 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+IDLE_SINCE = "1997-01-01"
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join: lapsed customers — no order since IDLE_SINCE —
+    per nation.
+
+    Scale: the date filter pushes to the orders scan before the anti
+    join, which shuffles on custkey (or broadcasts the distinct custkey
+    set when it fits); the nation dimension broadcasts. The anti side
+    only needs o_custkey + o_orderdate — column pruning keeps the probe
+    narrow."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit(IDLE_SINCE).cast("timestamp_ntz")
+    )
+    return (
+        c.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_idle_customers"),
+            F.min("c_custkey").alias("first_idle_custkey"),
+        )
+    )
+
+
+def q_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: suppliers with at least one returned lineitem
+    (l_returnflag = 'R'), counted per nation. The semi probe needs only
+    l_suppkey + the pushed returnflag filter — at 100 TB the scan reads
+    two columns and short-circuits on first match per key."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    returned = l.filter(F.col("l_returnflag") == "R")
+    return (
+        s.join(
+            returned, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
 QUERIES = {
+    "idle_customers": q_idle_customers,
+    "return_suppliers": q_return_suppliers,
     "shipping_priority": q_shipping_priority,
     "regional_revenue": q_regional_revenue,
     "pricing_summary": q_pricing_summary,
@@ -258,6 +308,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "idle_customers": """
+        SELECT n_name,
+               count(*) AS n_idle_customers,
+               min(c_custkey) AS first_idle_custkey
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+        )
+        GROUP BY n_name
+    """,
+    "return_suppliers": """
+        SELECT n_name, count(*) AS n_suppliers
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R'
+        )
+        GROUP BY n_name
+    """,
     "shipping_priority": """
         SELECT o_orderkey,
                epoch_us(o_orderdate) AS o_orderdate_us,

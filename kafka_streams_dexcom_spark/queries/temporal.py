@@ -83,6 +83,36 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+GAP_THRESHOLD_S = 3600
+
+
+def q_sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensor-dropout detection: per-user inter-event gaps longer than an
+    hour — the CGM monitoring question behind the reference's domain
+    (missed Dexcom readings). lag over (user, ts) is a single shuffle on
+    user_id; ties at equal ts order by event_id so the gap chain is
+    deterministic cross-engine."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    gaps = e.withColumn("prev_ts_us", F.lag("ts_us").over(w)).withColumn(
+        "gap_us", (F.col("ts_us") - F.col("prev_ts_us")).cast("bigint")
+    )
+    return gaps.filter(
+        F.col("gap_us") > GAP_THRESHOLD_S * 1_000_000
+    ).select(
+        "user_id",
+        F.col("prev_ts_us").alias("gap_start_us"),
+        F.col("ts_us").alias("gap_end_us"),
+        "gap_us",
+    )
+
+
 def q_stateful_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debounced high-value alerts per user — per-key sequential state via
     applyInPandas (batch twin of the streaming applyInPandasWithState
@@ -101,6 +131,7 @@ def q_stateful_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sensor_gaps": q_sensor_gaps,
     "stateful_debounce": q_stateful_debounce,
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
@@ -110,6 +141,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sensor_gaps": f"""
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS ts_us,
+                   lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ) AS prev_ts_us
+            FROM events
+        )
+        SELECT user_id, prev_ts_us AS gap_start_us, ts_us AS gap_end_us,
+               (ts_us - prev_ts_us) AS gap_us
+        FROM e
+        WHERE ts_us - prev_ts_us > {GAP_THRESHOLD_S * 1_000_000}
+    """,
     # debounce as a recursive CTE: seed = each user's first qualifying
     # event; step = the earliest event >= last emission + debounce. The
     # recursion advances one emission per level — exactly the Python

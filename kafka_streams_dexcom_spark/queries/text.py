@@ -39,6 +39,10 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bigram_lm(load_table(spark, sf_dir, "documents"))
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.doc_chunks(load_table(spark, sf_dir, "documents"))
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-set selection — the composition the toolkit
     exists for: exact-dedup survivors ∩ quality gate ∩ token budget.
@@ -103,6 +107,7 @@ _STOPS = ", ".join(f"'{t}'" for t in tx.LANG_MARKERS["en"])
 QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_lm": q_bigram_lm,
+    "doc_chunks": q_doc_chunks,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -166,6 +171,27 @@ ORACLES = {
         FROM p
         ORDER BY n_bigram DESC, w1 ASC, w2 ASC
         LIMIT 20
+    """,
+    "doc_chunks": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       x -> x != '') AS toks
+            FROM documents
+        ),
+        ch AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks) + 1, 48),
+                       s -> struct_pack(start_tok := s,
+                           ctoks := list_slice(toks, s, s + 63)))) AS c
+            FROM t WHERE len(toks) >= 1
+        )
+        SELECT doc_id,
+               CAST((c.start_tok - 1) // 48 AS BIGINT) AS chunk_idx,
+               CAST(c.start_tok AS BIGINT) AS start_tok,
+               CAST(len(c.ctoks) AS BIGINT) AS n_chunk_tokens,
+               array_to_string(c.ctoks, ' ') AS chunk_text
+        FROM ch
     """,
     "text_stats": """
         SELECT doc_id,
