@@ -10,6 +10,7 @@ when it can't)."""
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -34,15 +35,17 @@ def debounced_alerts_batch(
         # whichever arrived first off the shuffle — nondeterministic and
         # un-replayable by the SQL oracle
         pdf = pdf.sort_values(["ts_us", "value"])
-        out = []
-        last = None
-        for r in pdf.itertuples(index=False):
-            if r.value >= threshold and (
-                last is None or r.ts_us - last >= debounce_us
-            ):
-                out.append((r.user_id, r.ts_us, r.value))
-                last = r.ts_us
-        return pd.DataFrame(out, columns=["user_id", "ts_us", "value"])
+        ts = pdf["ts_us"].to_numpy()
+        # the carried-state recurrence only *lands* on emission rows, so
+        # jump emission→emission with searchsorted (first ts at-or-after
+        # last + debounce) instead of visiting every row in Python:
+        # O(emissions · log n) per user, not O(n) interpreter steps
+        idxs = []
+        i, n = 0, len(ts)
+        while i < n:
+            idxs.append(i)
+            i = int(np.searchsorted(ts, ts[i] + debounce_us, side="left"))
+        return pdf.iloc[idxs][["user_id", "ts_us", "value"]]
 
     return events.select("user_id", "ts_us", "value").groupBy(
         "user_id"
