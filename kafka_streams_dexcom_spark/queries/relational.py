@@ -292,7 +292,48 @@ def q_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin-per-group join (TPC-H Q2 shape, via lineitem since the
+    testdata has no partsupp): for each part, the supplier with the
+    lowest observed unit price.
+
+    Scale: min over a (price, suppkey) struct is a HASH aggregate with
+    map-side partial combine — never a window sort over the 100 TB fact
+    table; the tie-break is explicit in the struct field order. Both
+    dimension joins broadcast."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    best = (
+        l.select(
+            "l_partkey",
+            "l_suppkey",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit"),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("unit").alias("u"),
+                    F.col("l_suppkey").alias("sk"),
+                )
+            ).alias("b")
+        )
+    )
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("b.sk") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("cheapest_supplier"),
+            trunc6(F.col("b.u")).alias("unit_price"),
+        )
+    )
+
+
 QUERIES = {
+    "cheapest_supplier": q_cheapest_supplier,
     "idle_customers": q_idle_customers,
     "return_suppliers": q_return_suppliers,
     "shipping_priority": q_shipping_priority,
@@ -308,6 +349,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cheapest_supplier": """
+        WITH u AS (
+            SELECT l_partkey, l_suppkey,
+                   l_extendedprice / l_quantity AS unit
+            FROM lineitem
+        ),
+        m AS (
+            SELECT l_partkey,
+                   min(struct_pack(u := unit, sk := l_suppkey)) AS b
+            FROM u GROUP BY l_partkey
+        )
+        SELECT p.p_partkey, p.p_name,
+               s.s_name AS cheapest_supplier,
+               floor(m.b.u * 1000000) / 1000000.0 AS unit_price
+        FROM m
+        JOIN part p ON m.l_partkey = p.p_partkey
+        JOIN supplier s ON m.b.sk = s.s_suppkey
+    """,
     "idle_customers": """
         SELECT n_name,
                count(*) AS n_idle_customers,

@@ -85,3 +85,62 @@ def test_whole_stage_codegen_on_scan_queries(spark, sf_dir):
     df = q_filter_high(spark, sf_dir)
     # formatted mode tags whole-stage-codegen stages with "[codegen id : N]"
     assert plan_has(df, "codegen id"), explain_str(df)
+
+
+def test_tfidf_tokenizes_once(spark, sf_dir):
+    # df-via-window formulation: ONE explode of the token stream. A
+    # groupBy-then-join df would plan two Generate subtrees (Catalyst
+    # prunes the unused tf count, defeating exchange reuse) — the whole
+    # token volume shuffled twice at 100 TB.
+    from kafka_streams_dexcom_spark.queries.text import q_tfidf_top_terms
+
+    plan = explain_str(q_tfidf_top_terms(spark, sf_dir))
+    # formatted mode lists each node twice: tree line + detail section
+    assert plan.count("Generate") == 2, plan
+
+
+def test_bigram_lm_takeordered_single_generate(spark, sf_dir):
+    from kafka_streams_dexcom_spark.queries.text import q_bigram_lm
+
+    plan = explain_str(q_bigram_lm(spark, sf_dir))
+    assert plan.count("Generate") == 2, plan  # one node: tree + detail
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_doc_chunks_shuffle_free(spark, sf_dir):
+    # narrow map + explode only; the single Exchange allowed is the
+    # fan_out_small small-input repartition (a no-op at real scale)
+    from kafka_streams_dexcom_spark.queries.text import q_doc_chunks
+
+    plan = explain_str(q_doc_chunks(spark, sf_dir))
+    assert "Join" not in plan, plan
+    # at most the fan_out_small repartition node (tree + detail lines)
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_anti_semi_joins_broadcast(spark, sf_dir):
+    from kafka_streams_dexcom_spark.queries.relational import (
+        q_idle_customers,
+        q_return_suppliers,
+    )
+
+    anti = explain_str(q_idle_customers(spark, sf_dir))
+    assert "LeftAnti" in anti, anti
+    assert "SortMergeJoin" not in anti, anti
+    semi = explain_str(q_return_suppliers(spark, sf_dir))
+    assert "LeftSemi" in semi, semi
+    assert "SortMergeJoin" not in semi, semi
+    # the semi probe reads only the join key + pushed filter column
+    assert "l_returnflag" in semi and "PushedFilters" in semi, semi
+
+
+def test_multiprobe_candidates_never_shuffle_for_join(spark, sf_dir):
+    # probe set must broadcast; a shuffle join here would move the whole
+    # exploded candidate table at 100 TB
+    from kafka_streams_dexcom_spark.queries.similarity import (
+        q_sim_search_multiprobe,
+    )
+
+    plan = explain_str(q_sim_search_multiprobe(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
