@@ -31,7 +31,9 @@ HEADLINE = [
     "shipping_priority",         # 3-way join + agg + top-k (Q3 shape)
     "regional_revenue",          # 6-table join network (Q5 shape)
     "top_customers",             # broadcast equi-join + agg + top-k
+    "cheapest_supplier",         # argmin-per-group struct hash agg
     "events_hourly",             # time-bucket aggregation
+    "sensor_gaps",               # per-user lag window gap detection
     "dedup_exact",               # hash-groupBy dedup
     "dedup_minhash_lsh",         # minhash sigs + LSH band join + verify
     "dedup_simhash_pairs",       # simhash + 15-bit-band join
@@ -45,6 +47,7 @@ HEADLINE = [
     "text_stats",                # scan-side text expressions
     "quality_score",             # scan-side text expressions
     "doc_fingerprint",           # rolling-hash fingerprint
+    "winnow_fingerprints",       # windowed-minima fingerprint set
     "multimodal_decode",         # Arrow-batched mapInPandas
     "asof_join",                 # union+window as-of join
     "sessionize",                # lag+cumsum sessionization

@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
 from kafka_streams_dexcom_spark.functions.rounding import trunc6
-from kafka_streams_dexcom_spark.sources.files import fan_out_small
+from kafka_streams_dexcom_spark.sources.files import (
+    fan_out_small,
+    materialize,
+)
 
 # Marker tokens per language for the n-gram/stopword heuristic. Tiny on
 # purpose — a broadcast dimension, exactly like the reference's ranges
@@ -234,6 +237,73 @@ def bigram_lm(
             F.col("n_bigram").desc(), F.col("w1").asc(), F.col("w2").asc()
         )
         .limit(top_n)
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, window: int = 16
+) -> DataFrame:
+    """Full winnowing (MOSS-style): hash every character k-gram, then
+    keep the minimum of each sliding window of ``window`` gram hashes —
+    the distinct minima are the document's fingerprint set. Guarantees a
+    shared fingerprint for any match of length >= k + window - 1, unlike
+    the single-MinHash `doc_fingerprint`.
+
+    The gram-hash array goes through `materialize` before the window
+    pass: the window transform references the array once per window, so
+    without the barrier CollapseProject would inline the O(n) md5
+    construction into every window evaluation — O(n·w) md5 calls per
+    document instead of O(n)."""
+    grams = (
+        f"transform(sequence(1, length({text_col}) - {k - 1}), "
+        f"i -> substring({text_col}, i, {k}))"
+    )
+    h_expr = f"transform({grams}, g -> {HASH60_TPL.format(x='g')})"
+    d = materialize(
+        fan_out_small(df)
+        # below this length sequence(1, size - w + 1) would run backwards
+        .filter(F.length(text_col) >= k + window - 1)
+        .select("doc_id", F.expr(h_expr).alias("gh"))
+    )
+    mins = (
+        f"transform(sequence(1, size(gh) - {window - 1}), "
+        f"j -> array_min(slice(gh, j, {window})))"
+    )
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(mins))).alias("fingerprint"),
+    )
+
+
+SAMPLING_RATES_BP: dict[str, int] = {
+    # basis points of each language kept: downsample the high-resource
+    # majority, keep the tail whole — the standard corpus-balancing move
+    "en": 2500,
+    "de": 5000,
+    "es": 7500,
+    "fr": 10000,
+    "zh": 10000,
+}
+
+
+def stratified_sample(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Per-stratum deterministic sampling: md5-bucket each doc into
+    10,000 bins and keep it iff its bin < the stratum's rate. Hash-based
+    (not rand()) so the sample is reproducible run-to-run, engine-to-
+    engine, and stable under repartitioning; the rates table broadcasts.
+    """
+    rates = spark.createDataFrame(
+        list(SAMPLING_RATES_BP.items()), "lang string, rate_bp int"
+    )
+    bucket = F.expr(
+        f"pmod({HASH60_TPL.format(x='CAST(doc_id AS STRING)')}, 10000)"
+    )
+    return (
+        fan_out_small(df)
+        .withColumn("sample_bucket", bucket)
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("sample_bucket") < F.col("rate_bp"))
+        .select("doc_id", "lang", "source", "sample_bucket")
     )
 
 

@@ -43,6 +43,16 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.doc_chunks(load_table(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.stratified_sample(
+        load_table(spark, sf_dir, "documents"), spark
+    )
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-set selection — the composition the toolkit
     exists for: exact-dedup survivors ∩ quality gate ∩ token budget.
@@ -108,6 +118,8 @@ QUERIES = {
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_lm": q_bigram_lm,
     "doc_chunks": q_doc_chunks,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "stratified_sample": q_stratified_sample,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -171,6 +183,31 @@ ORACLES = {
         FROM p
         ORDER BY n_bigram DESC, w1 ASC, w2 ASC
         LIMIT 20
+    """,
+    "winnow_fingerprints": f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform(range(1, length(text) - 6),
+                       i -> {DUCK_HASH60.format(x='substring(text, i, 8)')})
+                       AS gh
+            FROM documents WHERE length(text) >= 23
+        )
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(range(1, len(gh) - 14),
+                   j -> list_min(gh[j:j+15])))) AS fingerprint
+        FROM h
+    """,
+    "stratified_sample": f"""
+        WITH rates(lang, rate_bp) AS (VALUES {", ".join(
+            f"('{lang}', {bp})"
+            for lang, bp in tx.SAMPLING_RATES_BP.items()
+        )})
+        SELECT d.doc_id, d.lang, d.source,
+               {DUCK_HASH60.format(x='CAST(doc_id AS VARCHAR)')} % 10000
+                   AS sample_bucket
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE {DUCK_HASH60.format(x='CAST(doc_id AS VARCHAR)')} % 10000
+              < r.rate_bp
     """,
     "doc_chunks": """
         WITH t AS (
@@ -285,7 +322,7 @@ ORACLES = {
         FROM documents
         WHERE length(text) >= 8
     """,
-    "text_normalize": """
+    "text_normalize": r"""
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(lower(text),
                    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))
