@@ -32,8 +32,11 @@ HEADLINE = [
     "regional_revenue",          # 6-table join network (Q5 shape)
     "top_customers",             # broadcast equi-join + agg + top-k
     "cheapest_supplier",         # argmin-per-group struct hash agg
+    "promo_revenue",             # month-pruned scan + broadcast + cond agg
+    "small_quantity_revenue",    # decorrelated per-part avg re-join (Q17)
     "events_hourly",             # time-bucket aggregation
     "sensor_gaps",               # per-user lag window gap detection
+    "rolling_1h",                # event-time RANGE frame per user
     "dedup_exact",               # hash-groupBy dedup
     "dedup_minhash_lsh",         # minhash sigs + LSH band join + verify
     "dedup_simhash_pairs",       # simhash + 15-bit-band join
@@ -46,8 +49,11 @@ HEADLINE = [
     "bigram_lm",                 # scan-side bigrams + count shuffle
     "text_stats",                # scan-side text expressions
     "quality_score",             # scan-side text expressions
+    "repetition_stats",          # shared bigram/trigram shuffle + cond agg
+    "pii_scan",                  # scan-side regex screen + redaction
     "doc_fingerprint",           # rolling-hash fingerprint
     "winnow_fingerprints",       # windowed-minima fingerprint set
+    "embedding_quantize",        # global dim stats + broadcast quantize
     "multimodal_decode",         # Arrow-batched mapInPandas
     "asof_join",                 # union+window as-of join
     "sessionize",                # lag+cumsum sessionization

@@ -307,6 +307,99 @@ def stratified_sample(df: DataFrame, spark: SparkSession) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters: per-document duplicate-n-gram
+    fractions and the most-frequent-bigram share — the standard screens
+    for degenerate/boilerplate text in a training corpus (Rae et al.,
+    "Scaling Language Models" App. A: docs dominated by repeated n-grams
+    are low-value and skew loss).
+
+    Scale shape: one explode carrying BOTH gram orders (each token row is
+    tagged with its n, so bigrams and trigrams share a single shuffle
+    instead of two explode+agg subtrees), a (doc, n, gram) count, then a
+    doc-level conditional aggregation — token-volume data crosses the
+    wire exactly once."""
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+
+    def gram_structs(n: int) -> str:
+        return (
+            f"transform(sequence(1, size({toks}) - {n - 1}), "
+            f"i -> struct({n} AS n, "
+            f"concat_ws(' ', slice({toks}, i, {n})) AS gram))"
+        )
+
+    g = (
+        fan_out_small(df)
+        # need at least one trigram so every output column is non-null
+        .filter(F.expr(f"size({toks}) >= 3"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"concat({gram_structs(2)}, {gram_structs(3)})")
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = g.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy("doc_id", "n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("top"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+
+    def pick(n: int, col: str):
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    dup = lambda n: trunc6(  # noqa: E731 — (total - distinct) / total
+        (pick(n, "total") - pick(n, "nd")).cast("double")
+        / pick(n, "total").cast("double")
+    )
+    return stats.groupBy("doc_id").agg(
+        pick(2, "total").cast("bigint").alias("n_bigrams"),
+        trunc6(
+            pick(2, "top").cast("double") / pick(2, "total").cast("double")
+        ).alias("top_bigram_frac"),
+        dup(2).alias("dup_bigram_frac"),
+        dup(3).alias("dup_trigram_frac"),
+    )
+
+
+# PII patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): character classes, bounded repetition,
+# \b word boundaries — no lookaround, no backreferences.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    "ipv4": (
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII screen: match counts per category plus the
+    redacted text (each match replaced by its category token) — the
+    compliance pass every training corpus runs before release.
+
+    Entirely scan-side regexp expressions (codegen, no shuffle at any
+    scale). Redaction order is fixed (email → phone → ipv4) so engines
+    agree when patterns could overlap."""
+    df = fan_out_small(df)
+    out_cols = [F.col("doc_id")]
+    for name, (pat, _) in PII_PATTERNS.items():
+        out_cols.append(
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+        )
+    redacted = F.col(text_col)
+    for name, (pat, token) in PII_PATTERNS.items():
+        redacted = F.regexp_replace(redacted, pat, token)
+    out_cols.append(redacted.alias("redacted"))
+    return df.select(*out_cols)
+
+
 def doc_chunks(
     df: DataFrame,
     text_col: str = "text",

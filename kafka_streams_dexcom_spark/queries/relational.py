@@ -332,7 +332,90 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PROMO_MONTH = ("1997-06-01", "1997-07-01")
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-type share of one month's revenue —
+    broadcast dimension join + conditional aggregation into one row.
+
+    Scale: the shipdate range predicate pushes to the lineitem scan
+    (reads one month of a 100 TB table), part broadcasts, and the
+    conditional sum folds map-side — the shuffle carries two decimal
+    partials per task. Ratio arithmetic: exact decimal sums, divide as
+    double, truncate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    rev = ep * disc
+    lo, hi = PROMO_MONTH
+    month = l.filter(
+        (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
+    )
+    promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
+    total_rev = F.sum(rev).cast("double")
+    return (
+        month.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.coalesce(promo_rev, F.lit(0.0)), 2).alias("promo_rev"),
+            F.round(total_rev, 2).alias("total_rev"),
+            trunc6(
+                F.lit(100.0) * F.coalesce(promo_rev, F.lit(0.0)) / total_rev
+            ).alias("promo_pct"),
+        )
+    )
+
+
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar subquery, decorrelated): yearly
+    revenue from orders whose quantity is below 20% of that part's
+    average — per brand.
+
+    Scale: the correlated `avg(l_quantity) per part` becomes a groupBy
+    on l_partkey re-joined to the fact rows; both the aggregate and the
+    probe hash-partition on l_partkey, so AQE plans one exchange per
+    side and the brand dimension broadcasts. The threshold is computed
+    as double from an exact decimal sum, so the < comparison is
+    bit-identical cross-engine."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    avg_q = (
+        l.groupBy("l_partkey")
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_qty")
+        )
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        l.join(avg_q, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0),
+                2,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
 QUERIES = {
+    "promo_revenue": q_promo_revenue,
+    "small_quantity_revenue": q_small_quantity_revenue,
     "cheapest_supplier": q_cheapest_supplier,
     "idle_customers": q_idle_customers,
     "return_suppliers": q_return_suppliers,
@@ -349,6 +432,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "promo_revenue": f"""
+        WITH m AS (
+            SELECT CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2))
+                      - CAST(l_discount AS DECIMAL(3,2))) AS rev,
+                   p.p_type AS p_type
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '{PROMO_MONTH[0]}'
+              AND l.l_shipdate <  TIMESTAMP '{PROMO_MONTH[1]}'
+        )
+        SELECT round(COALESCE(CAST(sum(rev) FILTER (WHERE p_type = 'PROMO')
+                   AS DOUBLE), 0.0), 2) AS promo_rev,
+               round(CAST(sum(rev) AS DOUBLE), 2) AS total_rev,
+               floor(100.0 * COALESCE(CAST(sum(rev)
+                         FILTER (WHERE p_type = 'PROMO') AS DOUBLE), 0.0)
+                     / CAST(sum(rev) AS DOUBLE) * 1000000) / 1000000.0
+                   AS promo_pct
+        FROM m
+    """,
+    "small_quantity_revenue": """
+        WITH t AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p.p_brand AS p_brand,
+               count(*) AS n_small,
+               round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                   AS DOUBLE) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN t ON l.l_partkey = t.l_partkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_quantity < 0.2 * t.avg_qty
+        GROUP BY p.p_brand
+    """,
     "cheapest_supplier": """
         WITH u AS (
             SELECT l_partkey, l_suppkey,

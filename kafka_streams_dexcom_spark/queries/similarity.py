@@ -412,7 +412,66 @@ def _kmeans_oracle(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
     )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-range scalar quantization of the embedding corpus with
+    per-vector reconstruction MSE (operators/quantize.py)."""
+    from kafka_streams_dexcom_spark.operators.quantize import (
+        quantize_embeddings,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(e)
+
+
+def _quantize_oracle() -> str:
+    """DuckDB replay of quantize_embeddings: per-dim min/max via unnest
+    with subscripts, quantize/dequantize with identical double
+    arithmetic, sequential-fold MSE. DuckDB subscripts are 1-based where
+    Spark's transform index is 0-based — both sides stay internally
+    consistent, so dimension k maps to the same stat either way."""
+    return """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+        ),
+        d AS (
+            SELECT unnest(vec) AS x,
+                   unnest(range(1, len(vec) + 1)) AS dim
+            FROM v
+        ),
+        s AS (
+            SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim
+        ),
+        arrs AS (
+            SELECT list(mn ORDER BY dim) AS mn, list(mx ORDER BY dim) AS mx
+            FROM s
+        ),
+        q AS (
+            SELECT vec_id, vec, arrs.mn AS mn, arrs.mx AS mx,
+                   list_transform(range(1, len(vec) + 1),
+                       i -> CASE WHEN arrs.mx[i] = arrs.mn[i] THEN 0
+                            ELSE CAST(floor((vec[i] - arrs.mn[i])
+                                / (arrs.mx[i] - arrs.mn[i]) * 255.0)
+                                AS INT) END) AS qc
+            FROM v CROSS JOIN arrs
+        )
+        SELECT vec_id,
+               array_to_string(qc, ',') AS q_codes,
+               floor(list_reduce(list_transform(range(1, len(vec) + 1),
+                         i -> CASE WHEN mx[i] = mn[i] THEN 0.0
+                              ELSE pow(vec[i] - (mn[i]
+                                  + CAST(qc[i] AS DOUBLE)
+                                  * (mx[i] - mn[i]) / 255.0), 2.0) END),
+                         (a, b) -> a + b)
+                     / CAST(len(vec) AS DOUBLE) * 1000000) / 1000000.0
+                   AS mse
+        FROM q
+    """
+
+
 QUERIES = {
+    "embedding_quantize": q_embedding_quantize,
     "kmeans_cells": q_kmeans_cells,
     "sim_search_bruteforce": q_sim_search_bruteforce,
     "sim_search_lsh": q_sim_search_lsh,
@@ -423,6 +482,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_quantize": _quantize_oracle(),
     "kmeans_cells": _kmeans_oracle(),
     "sim_search_bruteforce": _brute_oracle(),
     "sim_search_lsh": _lsh_oracle(),

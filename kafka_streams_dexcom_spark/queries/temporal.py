@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_streams_dexcom_spark.functions.rounding import trunc6
 from kafka_streams_dexcom_spark.operators import temporal as tp
 from kafka_streams_dexcom_spark.sources.files import load_table
 
@@ -113,6 +114,38 @@ def q_sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: per event, count/sum/avg of the same
+    user's values in the trailing hour — the event-time analytic a
+    row-count frame (`moving_avg`) can't express when events are
+    irregularly spaced (exactly the CGM cadence problem).
+
+    The frame bound is on unix_micros (Spark range frames need a numeric
+    order key); ties at equal ts are frame *peers* in both engines, so
+    no tiebreak column is needed. Float discipline: frame sum on
+    DECIMAL, divide as double, truncate (see moving_avg)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts_us").asc())
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    s = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    c = F.count(F.lit(1)).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        c.cast("bigint").alias("n_1h"),
+        F.round(s.cast("double"), 2).alias("sum_1h"),
+        trunc6(s.cast("double") / c.cast("double")).alias("avg_1h"),
+    )
+
+
 def q_stateful_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Debounced high-value alerts per user — per-key sequential state via
     applyInPandas (batch twin of the streaming applyInPandasWithState
@@ -131,6 +164,7 @@ def q_stateful_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "rolling_1h": q_rolling_1h,
     "sensor_gaps": q_sensor_gaps,
     "stateful_debounce": q_stateful_debounce,
     "asof_join": q_asof_join,
@@ -141,6 +175,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rolling_1h": """
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+               CAST(count(*) OVER w AS BIGINT) AS n_1h,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                   AS DOUBLE), 2) AS sum_1h,
+               floor(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                     AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE)
+                     * 1000000) / 1000000.0 AS avg_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id ORDER BY epoch_us(ts)
+            RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+        )
+    """,
     "sensor_gaps": f"""
         WITH e AS (
             SELECT user_id, epoch_us(ts) AS ts_us,

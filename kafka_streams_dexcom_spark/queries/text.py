@@ -53,6 +53,14 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.pii_scan(load_table(spark, sf_dir, "documents"))
+
+
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end training-set selection — the composition the toolkit
     exists for: exact-dedup survivors ∩ quality gate ∩ token budget.
@@ -120,6 +128,8 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     "winnow_fingerprints": q_winnow_fingerprints,
     "stratified_sample": q_stratified_sample,
+    "repetition_stats": q_repetition_stats,
+    "pii_scan": q_pii_scan,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -208,6 +218,63 @@ ORACLES = {
         FROM documents d JOIN rates r ON d.lang = r.lang
         WHERE {DUCK_HASH60.format(x='CAST(doc_id AS VARCHAR)')} % 10000
               < r.rate_bp
+    """,
+    "repetition_stats": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       x -> x != '') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, 2 AS n,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i + 1])) AS gram
+            FROM t WHERE len(toks) >= 3
+            UNION ALL
+            SELECT doc_id, 3 AS n,
+                   unnest(list_transform(range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i + 1] || ' '
+                            || toks[i + 2])) AS gram
+            FROM t WHERE len(toks) >= 3
+        ),
+        c AS (
+            SELECT doc_id, n, gram, count(*) AS c
+            FROM g GROUP BY doc_id, n, gram
+        ),
+        s AS (
+            SELECT doc_id, n, sum(c) AS total, max(c) AS top,
+                   count(*) AS nd
+            FROM c GROUP BY doc_id, n
+        )
+        SELECT doc_id,
+               CAST(max(total) FILTER (WHERE n = 2) AS BIGINT) AS n_bigrams,
+               floor(CAST(max(top) FILTER (WHERE n = 2) AS DOUBLE)
+                     / CAST(max(total) FILTER (WHERE n = 2) AS DOUBLE)
+                     * 1000000) / 1000000.0 AS top_bigram_frac,
+               floor(CAST(max(total) FILTER (WHERE n = 2)
+                          - max(nd) FILTER (WHERE n = 2) AS DOUBLE)
+                     / CAST(max(total) FILTER (WHERE n = 2) AS DOUBLE)
+                     * 1000000) / 1000000.0 AS dup_bigram_frac,
+               floor(CAST(max(total) FILTER (WHERE n = 3)
+                          - max(nd) FILTER (WHERE n = 3) AS DOUBLE)
+                     / CAST(max(total) FILTER (WHERE n = 3) AS DOUBLE)
+                     * 1000000) / 1000000.0 AS dup_trigram_frac
+        FROM s GROUP BY doc_id
+    """,
+    "pii_scan": f"""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                   '{tx.PII_PATTERNS["email"][0]}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text,
+                   '{tx.PII_PATTERNS["phone"][0]}')) AS BIGINT) AS n_phone,
+               CAST(len(regexp_extract_all(text,
+                   '{tx.PII_PATTERNS["ipv4"][0]}')) AS BIGINT) AS n_ipv4,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                   '{tx.PII_PATTERNS["email"][0]}', '<EMAIL>', 'g'),
+                   '{tx.PII_PATTERNS["phone"][0]}', '<PHONE>', 'g'),
+                   '{tx.PII_PATTERNS["ipv4"][0]}', '<IP>', 'g') AS redacted
+        FROM documents
     """,
     "doc_chunks": """
         WITH t AS (

@@ -1,0 +1,104 @@
+"""Unit tests for the repetition and PII screens (operators/text.py).
+
+The driver's documents table contains no PII-shaped strings and little
+degenerate repetition, so the oracle check alone under-exercises these
+operators; fixtures here pin the semantics (match counts, redaction
+tokens, duplicate-gram arithmetic) on adversarial inputs.
+"""
+
+from __future__ import annotations
+
+from kafka_streams_dexcom_spark.operators.text import pii_scan, repetition_stats
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_repetition_stats_degenerate_doc(spark):
+    df = spark.createDataFrame(
+        [
+            # "a b a b a b": bigrams [ab, ba, ab, ba, ab] -> top ab=3/5,
+            # distinct 2 -> dup 3/5; trigrams [aba, bab, aba, bab] ->
+            # distinct 2 of 4 -> dup 2/4
+            (1, "a b a b a b"),
+            # all-distinct tokens: no duplicate grams at all
+            (2, "one two three four five"),
+            # below the 3-token floor: dropped
+            (3, "x y"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(repetition_stats(df))
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["top_bigram_frac"] == 0.6
+    assert out[1]["dup_bigram_frac"] == 0.6
+    assert out[1]["dup_trigram_frac"] == 0.5
+    assert out[2]["top_bigram_frac"] == 0.25
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["dup_trigram_frac"] == 0.0
+
+
+def test_repetition_stats_whitespace_runs(spark):
+    # double spaces must not create empty-token grams
+    df = spark.createDataFrame(
+        [(1, "a  b   a  b")], "doc_id long, text string"
+    )
+    out = _rows(repetition_stats(df))
+    assert out[1]["n_bigrams"] == 3  # [a b, b a, a b]
+    assert out[1]["dup_bigram_frac"] == 0.333333
+
+
+def test_pii_scan_counts_and_redaction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@example.com and alice@test.org now"),
+            (2, "call 555-867-5309 or +1 212.555.1234 today"),
+            (3, "host 192.168.0.1 clean 999.1.1.1 edge"),
+            (4, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(pii_scan(df))
+    assert out[1]["n_email"] == 2 and out[1]["n_phone"] == 0
+    assert out[1]["redacted"] == "mail <EMAIL> and <EMAIL> now"
+    assert out[2]["n_phone"] == 2
+    assert "<PHONE>" in out[2]["redacted"]
+    assert "555" not in out[2]["redacted"].replace("<PHONE>", "")
+    # the simple byte-range pattern deliberately matches 999.1.1.1 too —
+    # over-redaction is the right failure direction for a PII screen
+    assert out[3]["n_ipv4"] == 2
+    assert out[4] == {
+        "doc_id": 4,
+        "n_email": 0,
+        "n_phone": 0,
+        "n_ipv4": 0,
+        "redacted": "nothing sensitive here",
+    }
+
+
+def test_pii_patterns_agree_with_duckdb(spark):
+    """The oracle only sees zero-match rows on driver data; replay the
+    fixture rows through DuckDB's RE2 to prove the dialects agree where
+    it matters."""
+    import duckdb
+
+    from kafka_streams_dexcom_spark.operators.text import PII_PATTERNS
+
+    rows = [
+        (1, "mail bob@example.com and alice@test.org now"),
+        (2, "call 555-867-5309 or +1 212.555.1234 today"),
+        (3, "host 192.168.0.1 clean 999.1.1.1 edge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    spark_out = {
+        r["doc_id"]: r.asDict() for r in pii_scan(df).collect()
+    }
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        for name, (pat, _) in PII_PATTERNS.items():
+            (n,) = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [text, pat]
+            ).fetchone()
+            assert n == spark_out[doc_id][f"n_{name}"], (doc_id, name)
