@@ -45,6 +45,7 @@ HEADLINE = [
     "sim_search_bruteforce",     # broadcast cross-join top-k
     "sim_search_lsh",            # bucketed ANN
     "sim_search_multiprobe",     # multi-table multi-probe ANN
+    "sim_search_pq",             # product-quantization ADC search
     "tfidf_top_terms",           # single-token-shuffle tf-idf top-k
     "bigram_lm",                 # scan-side bigrams + count shuffle
     "text_stats",                # scan-side text expressions

@@ -23,13 +23,24 @@ bit-identically (see functions/rounding.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.functions.rounding import trunc6
+from kafka_streams_dexcom_spark.operators.clustering import DIST2_TPL
+from kafka_streams_dexcom_spark.operators.dedup import with_embedding_norm
 from kafka_streams_dexcom_spark.sources.files import fan_out_small
 
 QLEVELS = 255  # quantized codes span [0, 255] — one unsigned byte
+
+# Product-quantization geometry: m subspaces × ksub codewords means each
+# 64-dim float vector compresses to m log2(ksub)-bit codes (here 4 × 4
+# bits = 2 bytes, a 128x reduction) while ADC distances stay a table
+# lookup — the FAISS-style memory budget that makes billion-scale ANN
+# fit on a cluster at all.
+PQ_M = 4
+PQ_KSUB = 16
+PQ_ITERS = 2
 
 
 def dimension_stats(emb: DataFrame, vec_col: str = "vec") -> DataFrame:
@@ -84,4 +95,164 @@ def quantize_embeddings(
             ",", F.expr("transform(q, v -> CAST(v AS STRING))")
         ).alias("q_codes"),
         trunc6(mse).alias("mse"),
+    )
+
+
+def _subvectors(base: DataFrame, m: int, dsub: int) -> DataFrame:
+    """One row per (vid, subspace): the length-``dsub`` slice. A single
+    generate over an inline struct array — the corpus is read once and
+    the explode multiplies rows by m (4), not by dimensionality."""
+    structs = ", ".join(
+        f"struct({s} AS s, slice(vec, {s * dsub + 1}, {dsub}) AS sv)"
+        for s in range(m)
+    )
+    return base.select(
+        "vid", F.explode(F.expr(f"array({structs})")).alias("t")
+    ).select(
+        "vid", F.col("t.s").alias("s"), F.col("t.sv").alias("sv")
+    )
+
+
+def pq_train_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iterations: int = PQ_ITERS,
+    dim: int = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Train per-subspace codebooks (Lloyd rounds, all subspaces in ONE
+    pipeline keyed by ``s``) and encode the corpus.
+
+    Returns (codebooks(s, cid, cvec), codes(vid, s, cid)). Same
+    determinism discipline as operators/clustering.kmeans_assign: first-
+    ksub init, lowest-cid tie-break, round(avg, 6) centroid components —
+    which is what lets the DuckDB oracle replay training exactly.
+
+    Scale: centroids are m·ksub tiny rows (broadcast every round,
+    lineage cut); assignment is a broadcast join + min_by hash agg, so
+    each round is one narrow pass over the corpus plus a dims-sized
+    shuffle for the update."""
+    base = with_embedding_norm(emb.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("vid"), "vec"
+    )
+    # dim is a declared constant, not probed with first(): no driver-side
+    # action in the plan-construction path
+    dsub = dim // m
+    sv = _subvectors(base, m, dsub)
+    cents = sv.filter(F.col("vid") < ksub).select(
+        "s", F.col("vid").alias("cid"), F.col("sv").alias("cvec")
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        scored = sv.join(F.broadcast(c), "s").withColumn(
+            "d2", F.expr(DIST2_TPL.format(a="sv", b="cvec"))
+        )
+        return (
+            scored.groupBy("vid", "s")
+            .agg(
+                F.min_by(
+                    F.struct("sv", "cid"), F.struct("d2", "cid")
+                ).alias("__m")
+            )
+            .select(
+                "vid",
+                "s",
+                F.col("__m.sv").alias("sv"),
+                F.col("__m.cid").alias("cid"),
+            )
+        )
+
+    assigned = assign(cents)
+    for _ in range(iterations - 1):
+        per_dim = (
+            assigned.select("s", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("cx"))
+        )
+        cents = (
+            per_dim.groupBy("s", "cid")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cx))), "
+                    "t -> t.cx)"
+                ).alias("cvec")
+            )
+            .localCheckpoint()
+        )
+        assigned = assign(cents)
+    return cents, assigned.select("vid", "s", "cid")
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ ADC top-k: approximate L2 via per-subspace distance tables.
+
+    Each query precomputes d²(query_sub, codeword) for all m·ksub
+    codewords (the ADC table — |Q|·m·ksub rows, broadcast); a candidate's
+    approximate distance is the sum of m table lookups on its codes.
+    Sub-distances are truncated to integer micro-units before the sum so
+    the total is order-independent (exact bigint addition) and replays
+    identically in SQL — float summation order across the m rows would
+    otherwise leak engine internals into the ranking.
+
+    Scale: the corpus is touched as (vid, s, cid) code rows — 2 bytes of
+    payload per vector in a real layout — and never re-reads the float
+    vectors after encoding; this is the memory shape that lets a
+    1000-executor cluster hold a trillion codes. Compose with IVF cell
+    pruning (sim_search_ivf) to avoid the full code scan per query."""
+    cents, codes = pq_train_encode(emb, id_col, vec_col, m, ksub, dim=dim)
+    base = with_embedding_norm(emb.select(id_col, vec_col), vec_col).select(
+        F.col(id_col).alias("vid"), "vec"
+    )
+    qsv = _subvectors(
+        base.filter(F.col("vid").isin(list(query_ids))), m, dim // m
+    )
+    dtab = (
+        qsv.join(F.broadcast(cents), "s")
+        .withColumn("d2", F.expr(DIST2_TPL.format(a="sv", b="cvec")))
+        .select(
+            F.col("vid").alias("query_id"),
+            "s",
+            "cid",
+            F.floor(F.col("d2") * 1_000_000).cast("long").alias("d2u"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(dtab), ["s", "cid"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(F.sum("d2u").alias("adist_u"))
+    )
+    local_w = Window.partitionBy(
+        "query_id", F.spark_partition_id()
+    ).orderBy(F.col("adist_u").asc(), F.col("vid").asc())
+    pruned = (
+        scored.withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= k)
+        .drop("__lrn")
+    )
+    global_w = Window.partitionBy("query_id").orderBy(
+        F.col("adist_u").asc(), F.col("vid").asc()
+    )
+    return (
+        pruned.withColumn("rnk", F.row_number().over(global_w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id",
+            F.col("vid").alias("vec_id"),
+            (F.col("adist_u").cast("double") / F.lit(1_000_000.0)).alias(
+                "adist"
+            ),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
     )

@@ -470,8 +470,128 @@ def _quantize_oracle() -> str:
     """
 
 
+def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC search (operators/quantize.py): train
+    per-subspace codebooks, encode the corpus to 4×4-bit codes, rank by
+    summed distance-table lookups."""
+    from kafka_streams_dexcom_spark.operators.quantize import pq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(e, QUERY_IDS, TOP_K)
+
+
+def _pq_oracle(
+    m: int = 4, ksub: int = 16, iterations: int = 2, dim: int = 64
+) -> str:
+    """DuckDB replay of pq_topk: subspace slicing, the unrolled Lloyd
+    rounds (same discipline as _kmeans_oracle, with the subspace id `s`
+    as an extra grouping column instead of per-subspace unrolling), the
+    micro-unit ADC table, and exact bigint distance sums."""
+    dsub = dim // m
+    dist2 = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    norm2 = (
+        "list_reduce(list_transform(range(1, len(vec) + 1), "
+        "i -> vec[i] * vec[i]), (x, y) -> x + y)"
+    )
+
+    def assign_cte(label: str, cents: str) -> str:
+        d2 = dist2.format(a="sv.sv", b="c.cvec")
+        return f"""
+        {label} AS (
+            SELECT vid, s, sv, cid FROM (
+                SELECT sv.vid, sv.s, sv.sv, c.cid,
+                       row_number() OVER (
+                           PARTITION BY sv.vid, sv.s
+                           ORDER BY {d2} ASC, c.cid ASC
+                       ) AS rk
+                FROM sv JOIN {cents} c ON sv.s = c.s
+            ) WHERE rk = 1
+        )"""
+
+    ctes = [
+        """v AS (
+            SELECT vec_id AS vid,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+        )""",
+        f"""n AS (
+            SELECT vid, vec FROM v WHERE sqrt({norm2}) > 0
+        )""",
+        f"""sv AS (
+            SELECT vid, subs.s AS s,
+                   list_slice(vec, subs.s * {dsub} + 1,
+                       subs.s * {dsub} + {dsub}) AS sv
+            FROM n CROSS JOIN (
+                SELECT unnest(range(0, {m})) AS s
+            ) subs
+        )""",
+        f"""c0 AS (
+            SELECT s, vid AS cid, sv AS cvec FROM sv WHERE vid < {ksub}
+        )""",
+        assign_cte("a1", "c0"),
+    ]
+    for it in range(1, iterations):
+        ctes.append(
+            f"""u{it} AS (
+            SELECT s, cid, pos, round(avg(x), 6) AS cx FROM (
+                SELECT s, cid, unnest(sv) AS x,
+                       unnest(range(1, len(sv) + 1)) AS pos
+                FROM a{it}
+            ) GROUP BY s, cid, pos
+        )"""
+        )
+        ctes.append(
+            f"""c{it} AS (
+            SELECT s, cid, list(cx ORDER BY pos) AS cvec
+            FROM u{it} GROUP BY s, cid
+        )"""
+        )
+        ctes.append(assign_cte(f"a{it + 1}", f"c{it}"))
+    final_c = f"c{iterations - 1}"
+    final_a = f"a{iterations}"
+    d2q = dist2.format(a="q.sv", b="c.cvec")
+    ctes.append(
+        f"""dtab AS (
+            SELECT q.vid AS query_id, c.s, c.cid,
+                   CAST(floor({d2q} * 1000000) AS BIGINT) AS d2u
+            FROM sv q JOIN {final_c} c ON q.s = c.s
+            WHERE q.vid IN {QUERY_IDS}
+        )"""
+    )
+    ctes.append(
+        f"""scored AS (
+            SELECT d.query_id, a.vid, sum(d.d2u) AS adist_u
+            FROM {final_a} a
+            JOIN dtab d ON a.s = d.s AND a.cid = d.cid
+            WHERE a.vid != d.query_id
+            GROUP BY d.query_id, a.vid
+        )"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, vid AS vec_id,
+               CAST(adist_u AS DOUBLE) / 1000000.0 AS adist,
+               rnk
+        FROM (
+            SELECT query_id, vid, adist_u,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY adist_u ASC, vid ASC
+                   ) AS rnk
+            FROM scored
+        ) WHERE rnk <= {TOP_K}
+        """
+    )
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
+    "sim_search_pq": q_sim_search_pq,
     "kmeans_cells": q_kmeans_cells,
     "sim_search_bruteforce": q_sim_search_bruteforce,
     "sim_search_lsh": q_sim_search_lsh,
@@ -483,6 +603,7 @@ QUERIES = {
 
 ORACLES = {
     "embedding_quantize": _quantize_oracle(),
+    "sim_search_pq": _pq_oracle(),
     "kmeans_cells": _kmeans_oracle(),
     "sim_search_bruteforce": _brute_oracle(),
     "sim_search_lsh": _lsh_oracle(),
