@@ -233,6 +233,12 @@ def pq_topk(
         .groupBy("query_id", "vid")
         .agg(F.sum("d2u").alias("adist_u"))
     )
+    return _adc_topk(scored, k)
+
+
+def _adc_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Two-level top-k over (query_id, vid, adist_u) — local heads per
+    partition first, so no reducer sees the full candidate list."""
     local_w = Window.partitionBy(
         "query_id", F.spark_partition_id()
     ).orderBy(F.col("adist_u").asc(), F.col("vid").asc())
@@ -256,3 +262,77 @@ def pq_topk(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = 64,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF-PQ: coarse cell pruning composed with PQ ADC ranking — the
+    FAISS IVFPQ shape, and the configuration that actually runs at
+    billion-vector scale: each query touches only its ``nprobe`` cells'
+    code lists, and each candidate costs m table lookups, never a float
+    vector read.
+
+    This variant encodes raw vectors (not cell residuals) so the ADC
+    table is query-global and the DuckDB oracle composes the PQ and IVF
+    replays directly. Production note: store the cell id WITH the codes
+    (one layout, partitioned by cell) — here the cell joins in by id
+    because the testdata keeps it as a column."""
+    from kafka_streams_dexcom_spark.operators.similarity import (
+        ivf_centroids,
+    )
+    from kafka_streams_dexcom_spark.operators.dedup import DOT_EXPR_TPL
+
+    cents, codes = pq_train_encode(emb, id_col, vec_col, m, ksub, dim=dim)
+    base = with_embedding_norm(
+        emb.select(id_col, vec_col, cell_col), vec_col
+    ).select(F.col(id_col).alias("vid"), "vec", cell_col)
+    ivf_cents = ivf_centroids(base, cell_col)
+    queries = base.filter(F.col("vid").isin(list(query_ids))).select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    qc = queries.crossJoin(F.broadcast(ivf_cents)).withColumn(
+        "cdot", F.expr(DOT_EXPR_TPL.format(a="qvec", b="centroid"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cdot").desc(), F.col(cell_col).asc()
+    )
+    probe = (
+        qc.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", F.col(cell_col).alias("cell"))
+    )
+    qsv = _subvectors(
+        base.filter(F.col("vid").isin(list(query_ids))).select("vid", "vec"),
+        m,
+        dim // m,
+    )
+    dtab = (
+        qsv.join(F.broadcast(cents), "s")
+        .withColumn("d2", F.expr(DIST2_TPL.format(a="sv", b="cvec")))
+        .select(
+            F.col("vid").alias("query_id"),
+            "s",
+            "cid",
+            F.floor(F.col("d2") * 1_000_000).cast("long").alias("d2u"),
+        )
+    )
+    cell_of = base.select("vid", F.col(cell_col).alias("cell"))
+    scored = (
+        codes.join(cell_of, "vid")
+        .join(F.broadcast(probe), "cell")
+        .join(F.broadcast(dtab), ["query_id", "s", "cid"])
+        .filter(F.col("vid") != F.col("query_id"))
+        .groupBy("query_id", "vid")
+        .agg(F.sum("d2u").alias("adist_u"))
+    )
+    return _adc_topk(scored, k)

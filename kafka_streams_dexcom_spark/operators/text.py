@@ -400,6 +400,90 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(*out_cols)
 
 
+def pmi_pairs(
+    df: DataFrame, text_col: str = "text", min_pair: int = 5, top_n: int = 30
+) -> DataFrame:
+    """Top co-occurring word pairs by pointwise mutual information:
+    PMI(a,b) = ln( p(a,b) / (p(a)·p(b)) ) over adjacent-token pairs —
+    the classic collocation/phrase-mining signal (and the building block
+    for phrase-aware tokenization of a training corpus).
+
+    Scale shape: ONE explode of adjacent pairs (order-normalized
+    scan-side so (a,b) and (b,a) merge without a second pass), one
+    count shuffle; unigram counts ride the SAME exploded stream via two
+    window sums over the aggregated pair table (vocabulary-sized), not a
+    second token-volume shuffle. Corpus total joins in as a broadcast
+    single-row aggregate."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    pairs_expr = (
+        f"transform(sequence(1, size({toks_expr}) - 1), "
+        f"i -> struct(least(element_at({toks_expr}, i), "
+        f"element_at({toks_expr}, i + 1)) AS a, "
+        f"greatest(element_at({toks_expr}, i), "
+        f"element_at({toks_expr}, i + 1)) AS b))"
+    )
+    pairs = (
+        fan_out_small(df)
+        .filter(F.expr(f"size({toks_expr}) >= 2"))
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select(F.col("p.a").alias("w_a"), F.col("p.b").alias("w_b"))
+    )
+    # the pair-count table feeds FOUR plan branches (both marginal sides,
+    # the corpus total, and the scored join); the total goes through a
+    # BroadcastExchange, which exchange reuse does not cross — checkpoint
+    # once (vocabulary-sized) instead of recomputing the explode+count
+    # per branch (same reasoning as dedup.hashed_shingle_corpus)
+    pc = (
+        pairs.groupBy("w_a", "w_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .localCheckpoint()
+    )
+    # marginal counts: every occurrence of a token in the pair stream is
+    # counted once per side it appears on — computed from the aggregated
+    # pair table (vocabulary-sized), so the token-volume rows shuffle
+    # exactly once (in pc)
+    side_a = pc.select(
+        F.col("w_a").alias("w"), F.col("n_pair").alias("n")
+    )
+    side_b = pc.select(
+        F.col("w_b").alias("w"), F.col("n_pair").alias("n")
+    )
+    marg = (
+        side_a.unionAll(side_b)
+        .groupBy("w")
+        .agg(F.sum("n").alias("n_w"))
+    )
+    total = pc.agg(F.sum("n_pair").alias("n_total"))
+    scored = (
+        pc.join(marg.withColumnRenamed("w", "w_a"), "w_a")
+        .withColumnRenamed("n_w", "n_a")
+        .join(marg.withColumnRenamed("w", "w_b"), "w_b")
+        .withColumnRenamed("n_w", "n_b")
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_pair") >= min_pair)
+        .withColumn(
+            "pmi",
+            trunc6(
+                F.log(
+                    (
+                        F.col("n_pair").cast("double")
+                        * F.col("n_total").cast("double")
+                    )
+                    / (
+                        F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double")
+                    )
+                )
+            ),
+        )
+    )
+    return (
+        scored.select("w_a", "w_b", "n_pair", "n_a", "n_b", "pmi")
+        .orderBy(F.col("pmi").desc(), F.col("w_a").asc(), F.col("w_b").asc())
+        .limit(top_n)
+    )
+
+
 def doc_chunks(
     df: DataFrame,
     text_col: str = "text",

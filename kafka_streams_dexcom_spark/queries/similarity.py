@@ -480,13 +480,18 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(e, QUERY_IDS, TOP_K)
 
 
-def _pq_oracle(
-    m: int = 4, ksub: int = 16, iterations: int = 2, dim: int = 64
-) -> str:
-    """DuckDB replay of pq_topk: subspace slicing, the unrolled Lloyd
-    rounds (same discipline as _kmeans_oracle, with the subspace id `s`
-    as an extra grouping column instead of per-subspace unrolling), the
-    micro-unit ADC table, and exact bigint distance sums."""
+def _pq_ctes(
+    m: int = 4,
+    ksub: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    with_label: bool = False,
+) -> tuple[list, str, str]:
+    """Shared CTE list for the PQ oracles: subspace slicing, the
+    unrolled Lloyd rounds (same discipline as _kmeans_oracle, with the
+    subspace id `s` as an extra grouping column instead of per-subspace
+    unrolling), and the micro-unit ADC table. Returns (ctes,
+    final_codebook_cte, final_codes_cte)."""
     dsub = dim // m
     dist2 = (
         "list_reduce(list_transform(range(1, len({a}) + 1), "
@@ -511,14 +516,15 @@ def _pq_oracle(
             ) WHERE rk = 1
         )"""
 
+    label_col = ", label" if with_label else ""
     ctes = [
-        """v AS (
-            SELECT vec_id AS vid,
+        f"""v AS (
+            SELECT vec_id AS vid{label_col},
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
             FROM embeddings
         )""",
         f"""n AS (
-            SELECT vid, vec FROM v WHERE sqrt({norm2}) > 0
+            SELECT vid{label_col}, vec FROM v WHERE sqrt({norm2}) > 0
         )""",
         f"""sv AS (
             SELECT vid, subs.s AS s,
@@ -561,19 +567,10 @@ def _pq_oracle(
             WHERE q.vid IN {QUERY_IDS}
         )"""
     )
-    ctes.append(
-        f"""scored AS (
-            SELECT d.query_id, a.vid, sum(d.d2u) AS adist_u
-            FROM {final_a} a
-            JOIN dtab d ON a.s = d.s AND a.cid = d.cid
-            WHERE a.vid != d.query_id
-            GROUP BY d.query_id, a.vid
-        )"""
-    )
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
+    return ctes, final_c, final_a
+
+
+_ADC_RANKED_SELECT = f"""
         SELECT query_id, vid AS vec_id,
                CAST(adist_u AS DOUBLE) / 1000000.0 AS adist,
                rnk
@@ -585,13 +582,95 @@ def _pq_oracle(
                    ) AS rnk
             FROM scored
         ) WHERE rnk <= {TOP_K}
-        """
+"""
+
+
+def _pq_oracle(
+    m: int = 4, ksub: int = 16, iterations: int = 2, dim: int = 64
+) -> str:
+    """DuckDB replay of pq_topk: the shared PQ CTEs plus an exact-bigint
+    distance sum and the ranked select."""
+    ctes, _final_c, final_a = _pq_ctes(m, ksub, iterations, dim)
+    ctes.append(
+        f"""scored AS (
+            SELECT d.query_id, a.vid, sum(d.d2u) AS adist_u
+            FROM {final_a} a
+            JOIN dtab d ON a.s = d.s AND a.cid = d.cid
+            WHERE a.vid != d.query_id
+            GROUP BY d.query_id, a.vid
+        )"""
     )
+    return "WITH " + ",\n".join(ctes) + _ADC_RANKED_SELECT
+
+
+def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell pruning composed with PQ ADC ranking — the billion-scale
+    ANN configuration (operators/quantize.ivfpq_topk)."""
+    from kafka_streams_dexcom_spark.operators.quantize import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(e, QUERY_IDS, TOP_K)
+
+
+def _ivfpq_oracle(
+    m: int = 4,
+    ksub: int = 16,
+    iterations: int = 2,
+    dim: int = 64,
+    nprobe: int = 1,
+) -> str:
+    """Composes the PQ replay with the IVF centroid/probe replay: the
+    candidate set is restricted to the query's probed cell(s) before the
+    ADC sum — exactly ivfpq_topk's plan."""
+    ctes, _final_c, final_a = _pq_ctes(m, ksub, iterations, dim, with_label=True)
+    ctes.append(
+        """cent AS (
+            SELECT label, list(cx ORDER BY pos) AS centroid
+            FROM (
+                SELECT label, pos, round(avg(x), 6) AS cx
+                FROM (
+                    SELECT label, unnest(vec) AS x,
+                           generate_subscripts(vec, 1) AS pos
+                    FROM n
+                )
+                GROUP BY label, pos
+            )
+            GROUP BY label
+        )"""
+    )
+    qdot = _DOT.format(a="q.vec", b="c.centroid")
+    ctes.append(
+        f"""probe AS (
+            SELECT query_id, cell FROM (
+                SELECT q.vid AS query_id, c.label AS cell,
+                       row_number() OVER (
+                           PARTITION BY q.vid
+                           ORDER BY {qdot} DESC, c.label ASC
+                       ) AS rn
+                FROM n q CROSS JOIN cent c
+                WHERE q.vid IN {QUERY_IDS}
+            ) WHERE rn <= {nprobe}
+        )"""
+    )
+    ctes.append(
+        f"""scored AS (
+            SELECT d.query_id, a.vid, sum(d.d2u) AS adist_u
+            FROM {final_a} a
+            JOIN n nv ON a.vid = nv.vid
+            JOIN probe p ON nv.label = p.cell
+            JOIN dtab d ON a.s = d.s AND a.cid = d.cid
+                       AND d.query_id = p.query_id
+            WHERE a.vid != d.query_id
+            GROUP BY d.query_id, a.vid
+        )"""
+    )
+    return "WITH " + ",\n".join(ctes) + _ADC_RANKED_SELECT
 
 
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "sim_search_pq": q_sim_search_pq,
+    "sim_search_ivfpq": q_sim_search_ivfpq,
     "kmeans_cells": q_kmeans_cells,
     "sim_search_bruteforce": q_sim_search_bruteforce,
     "sim_search_lsh": q_sim_search_lsh,
@@ -604,6 +683,7 @@ QUERIES = {
 ORACLES = {
     "embedding_quantize": _quantize_oracle(),
     "sim_search_pq": _pq_oracle(),
+    "sim_search_ivfpq": _ivfpq_oracle(),
     "kmeans_cells": _kmeans_oracle(),
     "sim_search_bruteforce": _brute_oracle(),
     "sim_search_lsh": _lsh_oracle(),

@@ -53,6 +53,37 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.pmi_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles (ntile) with per-bin stats — the
+    corpus-curation view behind 'keep the top 30% of each language'.
+
+    Scale note: ntile sorts within its partition, so the window is keyed
+    by language (bounded strata). A GLOBAL decile over 100 TB would
+    instead take approx_percentile cut points and bin scan-side — the
+    partitionBy here is what keeps the sort distributed."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = tx.quality_score(d).select("doc_id", "quality_score")
+    scored = d.select("doc_id", "lang").join(q, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("quality_score").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("quality_score").alias("min_score"),
+            F.max("quality_score").alias("max_score"),
+        )
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repetition_stats(load_table(spark, sf_dir, "documents"))
 
@@ -130,6 +161,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "repetition_stats": q_repetition_stats,
     "pii_scan": q_pii_scan,
+    "pmi_pairs": q_pmi_pairs,
+    "quality_deciles": q_quality_deciles,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
     "quality_score": q_quality_score,
@@ -218,6 +251,79 @@ ORACLES = {
         FROM documents d JOIN rates r ON d.lang = r.lang
         WHERE {DUCK_HASH60.format(x='CAST(doc_id AS VARCHAR)')} % 10000
               < r.rate_bp
+    """,
+    "pmi_pairs": """
+        WITH t AS (
+            SELECT list_filter(string_split_regex(text, '\\s+'),
+                x -> x != '') AS toks
+            FROM documents
+        ),
+        pr AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                i -> struct_pack(
+                    a := least(toks[i], toks[i + 1]),
+                    b := greatest(toks[i], toks[i + 1])))) AS p
+            FROM t WHERE len(toks) >= 2
+        ),
+        pc AS (
+            SELECT p.a AS w_a, p.b AS w_b, count(*) AS n_pair
+            FROM pr GROUP BY p.a, p.b
+        ),
+        marg AS (
+            SELECT w, CAST(sum(n) AS BIGINT) AS n_w FROM (
+                SELECT w_a AS w, n_pair AS n FROM pc
+                UNION ALL
+                SELECT w_b AS w, n_pair AS n FROM pc
+            ) GROUP BY w
+        ),
+        tot AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n_total FROM pc)
+        SELECT w_a, w_b, n_pair, ma.n_w AS n_a, mb.n_w AS n_b,
+               floor(ln((CAST(n_pair AS DOUBLE) * CAST(n_total AS DOUBLE))
+                     / (CAST(ma.n_w AS DOUBLE) * CAST(mb.n_w AS DOUBLE)))
+                     * 1000000) / 1000000.0 AS pmi
+        FROM pc
+        JOIN marg ma ON pc.w_a = ma.w
+        JOIN marg mb ON pc.w_b = mb.w
+        CROSS JOIN tot
+        WHERE n_pair >= 5
+        ORDER BY pmi DESC, w_a ASC, w_b ASC
+        LIMIT 30
+    """,
+    "quality_deciles": f"""
+        WITH q AS (
+            SELECT doc_id,
+                   floor((0.3 * least(CAST(len(string_split_regex(text,
+                             '\\s+')) AS DOUBLE) / 100.0, 1.0)
+                         + 0.3 * (CAST(len(list_distinct(
+                               string_split_regex(text, '\\s+'))) AS DOUBLE)
+                             / CAST(len(string_split_regex(text, '\\s+'))
+                             AS DOUBLE))
+                         + 0.2 * (CAST(len(list_filter(
+                               string_split_regex(text, '\\s+'),
+                               x -> x IN ({_STOPS}))) AS DOUBLE)
+                             / CAST(len(string_split_regex(text, '\\s+'))
+                             AS DOUBLE))
+                         + 0.2 * (CAST(len(list_filter(
+                               string_split_regex(text, '\\s+'),
+                               x -> regexp_full_match(x, '[A-Za-z]+')))
+                             AS DOUBLE)
+                             / CAST(len(string_split_regex(text, '\\s+'))
+                             AS DOUBLE))) * 1000000) / 1000000.0
+                       AS quality_score
+            FROM documents
+        ),
+        s AS (
+            SELECT d.lang, q.doc_id, q.quality_score,
+                   ntile(10) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY q.quality_score ASC, q.doc_id ASC
+                   ) AS decile
+            FROM documents d JOIN q ON d.doc_id = q.doc_id
+        )
+        SELECT lang, CAST(decile AS INT) AS decile, count(*) AS n_docs,
+               min(quality_score) AS min_score,
+               max(quality_score) AS max_score
+        FROM s GROUP BY lang, decile
     """,
     "repetition_stats": """
         WITH t AS (

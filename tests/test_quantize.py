@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators.quantize import (
+    ivfpq_topk,
     pq_topk,
     quantize_embeddings,
 )
@@ -46,6 +47,34 @@ def test_pq_identical_vectors_rank_first(spark):
     top = out.filter(F.col("rnk") == 1).collect()[0]
     assert top["query_id"] == 0
     assert top["vec_id"] == 30
+
+
+def test_ivfpq_restricts_candidates_to_probed_cell(spark):
+    import random
+
+    rng = random.Random(5)
+    # two well-separated clusters around +2 / -2 per dim; labels match
+    rows = []
+    for i in range(40):
+        center = 2.0 if i % 2 == 0 else -2.0
+        rows.append(
+            (
+                i,
+                [center + rng.uniform(-0.1, 0.1) for _ in range(64)],
+                i % 2,
+            )
+        )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], lbl) for i, v, lbl in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = ivfpq_topk(df, query_ids=(0, 1), k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    # query 0 (cluster even) must only see even ids; query 1 only odd
+    assert by_q[0] and all(v % 2 == 0 for v in by_q[0])
+    assert by_q[1] and all(v % 2 == 1 for v in by_q[1])
 
 
 def test_pq_excludes_self_and_ranks_densely(spark):
