@@ -18,20 +18,29 @@ from kafka_streams_dexcom_spark.schemas import TESTDATA_TABLES
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet carries parquet TIMESTAMP(NANOS); without this conf a
-    # vanilla session (e.g. an external driver's) fails the read outright
-    # with PARQUET_TYPE_ILLEGAL. Runtime-settable, so set it here rather
-    # than depend on the session having been built by session.get_spark().
+    # events.parquet has carried parquet TIMESTAMP(NANOS) in some driver
+    # testdata generations; without this conf a vanilla session (e.g. an
+    # external driver's) fails that read outright with PARQUET_TYPE_ILLEGAL.
+    # Runtime-settable, so set it here rather than depend on the session
+    # having been built by session.get_spark(). Harmless on µs data.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # date_trunc/hour/date→timestamp casts are session-timezone dependent;
     # the DuckDB oracle treats timestamps as naive UTC, so pin the session
     # TZ at load time too instead of assuming the caller built the session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # parquet TIMESTAMP(NANOS) read as long (see session.py); truncate
-        # to µs exactly as DuckDB does so oracle comparisons agree.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.LongType) and field.name == "ts":
+            # parquet TIMESTAMP(NANOS) read as long (see session.py);
+            # truncate to µs exactly as DuckDB does so oracles agree.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # parquet timestamp[us] with isAdjustedToUTC=false arrives as
+            # TIMESTAMP_NTZ, which unix_micros/window-frame arithmetic
+            # reject. With the session TZ pinned to UTC above, the cast to
+            # TIMESTAMP_LTZ preserves the wall-clock value (same instant
+            # DuckDB sees as a naive timestamp), so oracle parity holds.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
