@@ -539,3 +539,88 @@ def doc_fingerprint(
         min_hash.alias("fingerprint"),
         (F.length(text_col) - (k - 1)).cast("bigint").alias("n_grams"),
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """BM25 keyword retrieval for a fixed query-term bag.
+
+    Scale shape: because the query terms are known up front, per-doc term
+    frequencies are computed SCAN-SIDE (size(filter(tokens, t = term)) per
+    term) — the token stream is never exploded or shuffled, unlike the
+    general tfidf pipeline. The only wide operations are (a) a single-row
+    corpus-stats aggregate (N, Σdl, per-term document frequencies) that
+    broadcasts back, and (b) the two-level global top-k. At 100 TB this is
+    one narrow pass over the corpus plus a k-row result.
+
+    Determinism: idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the
+    Robertson-Sparck-Jones form, non-negative by construction); the
+    per-term score sum is written in fixed term order and truncated to 6
+    decimals before ranking so ordering replays identically in the DuckDB
+    oracle; ties break on doc_id.
+    """
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    safe = [t.replace("'", "''") for t in query_terms]
+    base = fan_out_small(df).select(
+        "doc_id",
+        F.expr(f"size({toks})").cast("bigint").alias("dl"),
+        *[
+            F.expr(f"size(filter({toks}, t -> t = '{t}'))")
+            .cast("bigint")
+            .alias(f"tf_{i}")
+            for i, t in enumerate(safe)
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+            for i in range(len(safe))
+        ],
+    )
+    scored = base.join(F.broadcast(stats), how="cross")
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    parts = []
+    for i in range(len(safe)):
+        tf = F.col(f"tf_{i}").cast("double")
+        dfreq = F.col(f"df_{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs").cast("double") - dfreq + F.lit(0.5))
+            / (dfreq + F.lit(0.5))
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+        )
+        parts.append(idf * (tf * F.lit(BM25_K1 + 1.0)) / denom)
+    total = parts[0]
+    for p in parts[1:]:
+        total = total + p
+    scored = scored.select(
+        "doc_id", "dl", trunc6(total).alias("score")
+    ).filter(F.col("score") > 0)
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    pruned = (
+        scored.withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= k)
+        .drop("__lrn")
+    )
+    global_w = Window.partitionBy().orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "dl", "score", F.col("rank").cast("bigint").alias("rank"))
+    )

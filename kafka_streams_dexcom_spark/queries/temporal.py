@@ -163,7 +163,92 @@ def q_stateful_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return debounced_alerts_batch(e, threshold=200.0, debounce_s=3600)
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → click → purchase): per user, the
+    earliest view, the earliest click at-or-after that view, the earliest
+    purchase at-or-after that click; output = users surviving each stage.
+
+    Scale shape: three hash aggregations + two joins, ALL keyed on
+    user_id — every exchange reuses the same partitioning, so the funnel
+    is one shuffle of each filtered event slice plus co-partitioned
+    joins. Each stage's input is pre-filtered to one event_type before
+    the shuffle (predicate reaches the scan), so stage volume shrinks as
+    the funnel narrows — the property that matters when the event log is
+    the 100 TB side."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    views = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_view"))
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts_us") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_click"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts_us") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("t_purchase"))
+    )
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("step"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(views, "1_view")
+        .unionByName(stage(clicks, "2_click"))
+        .unionByName(stage(purchases, "3_purchase"))
+    )
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their first
+    event; for each (cohort week, weeks-since-cohort offset), how many
+    cohort members were active. The standard growth-analytics triangle.
+
+    Scale shape: first-event agg (1 shuffle on user_id), distinct
+    (user, week) activity (1 shuffle), a co-partitioned user_id join,
+    then a bounded agg (weeks × offsets rows). Week arithmetic is pure
+    integer microseconds so Spark and DuckDB agree exactly."""
+    wk = 7 * 86_400 * 1_000_000
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    # epoch 0 is a Thursday; weeks bucket from the first Monday ≥ 0 like
+    # date_trunc('week') would, but plain integer division keeps both
+    # engines trivially identical (bucket boundary choice is arbitrary
+    # for retention offsets).
+    firsts = e.groupBy("user_id").agg(
+        (F.floor(F.min("ts_us") / wk) * wk).alias("cohort_week_us")
+    )
+    active = e.select(
+        "user_id", (F.floor(F.col("ts_us") / wk) * wk).alias("week_us")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week_us",
+            ((F.col("week_us") - F.col("cohort_week_us")) / wk)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 QUERIES = {
+    "funnel_steps": q_funnel_steps,
+    "retention_cohorts": q_retention_cohorts,
     "rolling_1h": q_rolling_1h,
     "sensor_gaps": q_sensor_gaps,
     "stateful_debounce": q_stateful_debounce,
@@ -175,6 +260,55 @@ QUERIES = {
 }
 
 ORACLES = {
+    "funnel_steps": """
+        WITH e AS (
+            SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+        ),
+        v AS (
+            SELECT user_id, min(ts_us) AS t_view
+            FROM e WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts_us) AS t_click
+            FROM e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts_us >= v.t_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts_us) AS t_purchase
+            FROM e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts_us >= c.t_click
+            GROUP BY e.user_id
+        )
+        SELECT '1_view' AS step, count(*) AS n_users FROM v
+        UNION ALL
+        SELECT '2_click', count(*) FROM c
+        UNION ALL
+        SELECT '3_purchase', count(*) FROM p
+    """,
+    "retention_cohorts": """
+        WITH e AS (
+            SELECT user_id, epoch_us(ts) AS ts_us FROM events
+        ),
+        firsts AS (
+            SELECT user_id,
+                   CAST(floor(min(ts_us) / 604800000000.0) AS BIGINT)
+                       * 604800000000 AS cohort_week_us
+            FROM e GROUP BY user_id
+        ),
+        active AS (
+            SELECT DISTINCT user_id,
+                   CAST(floor(ts_us / 604800000000.0) AS BIGINT)
+                       * 604800000000 AS week_us
+            FROM e
+        )
+        SELECT cohort_week_us,
+               CAST((week_us - cohort_week_us) / 604800000000 AS BIGINT)
+                   AS week_offset,
+               count(*) AS n_users
+        FROM active JOIN firsts USING (user_id)
+        GROUP BY cohort_week_us, week_offset
+    """,
     "rolling_1h": """
         SELECT event_id, user_id, epoch_us(ts) AS ts_us,
                CAST(count(*) OVER w AS BIGINT) AS n_1h,

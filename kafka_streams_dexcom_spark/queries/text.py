@@ -11,6 +11,21 @@ from kafka_streams_dexcom_spark.sources.files import load_table
 DUCK_HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 
+BM25_QUERY_TERMS = ("join", "hash", "vector")
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-20 documents for the query bag
+    'join hash vector' — the classic lexical-retrieval baseline a
+    training-data pipeline uses for targeted corpus slicing (and the
+    retrieval half of contamination checks). Shuffle-free candidate
+    scoring: term frequencies are scan-side expressions, corpus stats a
+    broadcast single-row aggregate (see operators/text.py:bm25_search)."""
+    return tx.bm25_search(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -154,6 +169,7 @@ def _markers_values() -> str:
 _STOPS = ", ".join(f"'{t}'" for t in tx.LANG_MARKERS["en"])
 
 QUERIES = {
+    "bm25_search": q_bm25_search,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_lm": q_bigram_lm,
     "doc_chunks": q_doc_chunks,
@@ -173,6 +189,61 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Mirrors operators/text.py:bm25_search exactly: same tokenization,
+    # same RSJ idf, same fixed term-order summation, same 6-decimal
+    # truncation before ranking. k1=1.2, b=0.75.
+    "bm25_search": """
+        WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                       t -> t != '')) AS dl,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                       t -> t = 'join')) AS tf_0,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                       t -> t = 'hash')) AS tf_1,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                       t -> t = 'vector')) AS tf_2
+            FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                   sum(CASE WHEN tf_0 > 0 THEN 1 ELSE 0 END) AS df_0,
+                   sum(CASE WHEN tf_1 > 0 THEN 1 ELSE 0 END) AS df_1,
+                   sum(CASE WHEN tf_2 > 0 THEN 1 ELSE 0 END) AS df_2
+            FROM base
+        ),
+        scored AS (
+            SELECT doc_id, dl,
+                   floor((
+                     ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_0 AS DOUBLE) + 0.5)
+                         / (CAST(df_0 AS DOUBLE) + 0.5))
+                       * (CAST(tf_0 AS DOUBLE) * 2.2)
+                       / (CAST(tf_0 AS DOUBLE) + 1.2 * (0.25
+                          + 0.75 * CAST(dl AS DOUBLE)
+                            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                   + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_1 AS DOUBLE) + 0.5)
+                         / (CAST(df_1 AS DOUBLE) + 0.5))
+                       * (CAST(tf_1 AS DOUBLE) * 2.2)
+                       / (CAST(tf_1 AS DOUBLE) + 1.2 * (0.25
+                          + 0.75 * CAST(dl AS DOUBLE)
+                            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                   + ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_2 AS DOUBLE) + 0.5)
+                         / (CAST(df_2 AS DOUBLE) + 0.5))
+                       * (CAST(tf_2 AS DOUBLE) * 2.2)
+                       / (CAST(tf_2 AS DOUBLE) + 1.2 * (0.25
+                          + 0.75 * CAST(dl AS DOUBLE)
+                            / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+                   ) * 1000000) / 1000000.0 AS score
+            FROM base CROSS JOIN stats
+        )
+        SELECT doc_id, dl, score, rank FROM (
+            SELECT doc_id, dl, score,
+                   row_number() OVER (
+                       ORDER BY score DESC, doc_id ASC
+                   ) AS rank
+            FROM scored WHERE score > 0
+        ) WHERE rank <= 20
+    """,
     "tfidf_top_terms": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
