@@ -83,3 +83,90 @@ def cluster_representatives(components: DataFrame) -> DataFrame:
         F.min("node").alias("representative"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
+
+
+PR_UNIT = 1_000_000_000_000  # fixed-point scale: 1.0 == 10^12 units
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping d = 0.85 as a ratio
+
+
+def pagerank(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    rounds: int = 3,
+) -> DataFrame:
+    """PageRank over an undirected pair graph, in fixed-point integers.
+
+    Distributed float determinism is the real problem with iterative
+    rank algorithms: a double sum's value depends on partition reduce
+    order, so two runs (or two engines) drift. Here every quantity is a
+    BIGINT number of 10^-12 units and every division is integer floor
+    division — sums of integers are order-independent, so the result is
+    bit-identical on any partitioning and exactly replayable by the SQL
+    oracle's unrolled rounds.
+
+    Per round: contribution = pr div degree per node (narrow), one join
+    edges->contributions + one groupBy on the target node (two shuffles,
+    both on node id), then the damped update. Same shape and hygiene as
+    connected_components: loop-invariant edges persisted, per-round
+    lineage cut with localCheckpoint. Undirected near-dup graphs have no
+    dangling nodes (every node has degree >= 1), so no dangling-mass
+    redistribution term is needed.
+    """
+    edges = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).union(
+        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    )
+    edges = edges.persist()
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.select(F.count(F.lit(1)).alias("n_nodes"))
+    base = F.expr(
+        f"(({PR_UNIT} * {PR_DAMP_DEN - PR_DAMP_NUM}) div {PR_DAMP_DEN})"
+        " div n_nodes"
+    )
+    pr = deg.join(F.broadcast(n_nodes), how="cross").select(
+        F.col("u").alias("node"),
+        "deg",
+        "n_nodes",
+        F.expr(f"{PR_UNIT} div n_nodes").alias("pr"),
+    )
+    for _ in range(rounds):
+        contrib = pr.select(
+            F.col("node").alias("src"), F.expr("pr div deg").alias("c")
+        )
+        incoming = (
+            edges.alias("e")
+            .join(contrib.alias("c"), F.col("e.u") == F.col("c.src"))
+            .groupBy(F.col("e.v").alias("in_node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            pr.alias("p")
+            .join(
+                incoming.alias("i"),
+                F.col("p.node") == F.col("i.in_node"),
+                "left",
+            )
+            .select(
+                F.col("p.node").alias("node"),
+                F.col("p.deg").alias("deg"),
+                F.col("p.n_nodes").alias("n_nodes"),
+                (
+                    base
+                    + F.expr(
+                        f"({PR_DAMP_NUM} * coalesce(i.s, 0L))"
+                        f" div {PR_DAMP_DEN}"
+                    )
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    edges.unpersist()
+    # float view truncated to 9 decimals via integer div — never round a
+    # computed double (engines disagree on ties; see BASELINE.md notes)
+    return pr.select(
+        "node",
+        F.col("pr").alias("pr_units"),
+        (F.expr("pr div 1000") / F.lit(1.0e9)).alias("pagerank"),
+    )

@@ -140,6 +140,25 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PR_ROUNDS = 3
+
+
+def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the embedding near-dup pair graph — similarity-graph
+    centrality for corpus curation (central docs are cluster-typical;
+    peripheral docs are outliers worth review). Fixed-point BIGINT
+    arithmetic makes the iterative rank bit-identical on any
+    partitioning and exactly replayable by the unrolled SQL oracle
+    (operators/graph.py:pagerank)."""
+    from kafka_streams_dexcom_spark.operators.graph import pagerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_cosine_pairs(e, threshold=COSINE_THRESHOLD)
+    return pagerank(
+        pairs, a_col="vec_id_a", b_col="vec_id_b", rounds=PR_ROUNDS
+    )
+
+
 # --- oracle SQL generation -------------------------------------------------
 
 
@@ -329,6 +348,66 @@ def _embedding_oracle() -> str:
     """
 
 
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank over the embedding pair graph —
+    identical integer arithmetic to operators/graph.py:pagerank, so the
+    match is exact (no float tolerance anywhere)."""
+    dot = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+    unit, dn, dd_ = 1_000_000_000_000, 85, 100
+    base = f"(({unit} * {dd_ - dn}) // {dd_}) // n_nodes"
+    rounds_sql = []
+    for k in range(1, 4):
+        rounds_sql.append(f"""
+        s{k} AS (
+            SELECT e.v AS node, sum(p.pr // p.deg) AS s
+            FROM edges e JOIN p{k - 1} p ON e.u = p.node
+            GROUP BY e.v
+        ),
+        p{k} AS (
+            SELECT p.node, p.deg,
+                   {base} + ({dn} * coalesce(s.s, 0) // {dd_}) AS pr
+            FROM p{k - 1} p CROSS JOIN nn LEFT JOIN s{k} s
+              ON s.node = p.node
+        )""")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, label, vec,
+                   sqrt({dot.format(a='vec', b='vec')}) AS norm
+            FROM v
+        ),
+        prp AS (
+            SELECT a.vec_id AS u0, b.vec_id AS v0
+            FROM n a JOIN n b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE a.norm > 0 AND b.norm > 0
+              AND round({dot.format(a='a.vec', b='b.vec')}
+                        / (a.norm * b.norm), 6) >= {COSINE_THRESHOLD}
+        ),
+        edges AS (
+            SELECT u0 AS u, v0 AS v FROM prp
+            UNION ALL
+            SELECT v0 AS u, u0 AS v FROM prp
+        ),
+        deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+        nn AS (SELECT count(*) AS n_nodes FROM deg),
+        p0 AS (
+            SELECT u AS node, deg, {unit} // n_nodes AS pr
+            FROM deg CROSS JOIN nn
+        ),{",".join(rounds_sql)}
+        SELECT node, pr AS pr_units,
+               (pr // 1000) / 1000000000.0 AS pagerank
+        FROM p3
+    """
+
+
 def _cc_oracle() -> str:
     """Unrolled min-label propagation over the ngram near-dup graph —
     the same fixed number of rounds the Spark operator runs."""
@@ -421,6 +500,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding": q_dedup_embedding,
+    "pagerank_centrality": q_pagerank_centrality,
 }
 
 ORACLES = {
@@ -438,4 +518,5 @@ ORACLES = {
     "dedup_ngram_jaccard": _ngram_jaccard_oracle(),
     "dedup_clusters": _cc_oracle(),
     "dedup_embedding": _embedding_oracle(),
+    "pagerank_centrality": _pagerank_oracle(),
 }
