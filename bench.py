@@ -46,6 +46,11 @@ HEADLINE = [
     "sim_search_lsh",            # bucketed ANN
     "sim_search_multiprobe",     # multi-table multi-probe ANN
     "sim_search_pq",             # product-quantization ADC search
+    "bm25_search",               # scan-side tf + broadcast stats retrieval
+    "zipf_slope",                # token shuffle + decimal-exact regression
+    "pagerank_centrality",       # fixed-point iterative rank (3 rounds)
+    "funnel_steps",              # co-partitioned sequential funnel
+    "retention_cohorts",         # weekly cohort triangle
     "tfidf_top_terms",           # single-token-shuffle tf-idf top-k
     "bigram_lm",                 # scan-side bigrams + count shuffle
     "text_stats",                # scan-side text expressions

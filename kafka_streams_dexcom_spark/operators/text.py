@@ -624,3 +624,73 @@ def bm25_search(
         .filter(F.col("rank") <= k)
         .select("doc_id", "dl", "score", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+ZIPF_TOP_K = 1000
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", k: int = ZIPF_TOP_K
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ln(frequency) against ln(rank) for the top-k terms (a healthy natural
+    corpus slopes ≈ -1; synthetic/templated corpora flatten — a standard
+    corpus-quality diagnostic).
+
+    Scale shape: one token-count shuffle (the same single wide op as
+    tfidf), then ranking and regression run on the vocabulary-sized count
+    table. Top-k uses the two-level pattern (per-partition heads, then
+    global) so no reducer sorts the full vocabulary.
+
+    Float determinism: every regression term is truncated to 6 decimals
+    and summed as DECIMAL — integer-exact, partition-order independent —
+    then a single double division at the end, replayed identically by the
+    oracle."""
+    toks = fan_out_small(df).select(
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    pruned = (
+        counts.withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= k)
+        .drop("__lrn")
+    )
+    global_w = Window.partitionBy().orderBy(
+        F.col("cnt").desc(), F.col("term").asc()
+    )
+    ranked = (
+        pruned.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= k)
+    )
+    x = trunc6(F.log(F.col("rank").cast("double")))
+    y = trunc6(F.log(F.col("cnt").cast("double")))
+    terms = ranked.select(
+        x.cast("decimal(28,6)").alias("x"),
+        y.cast("decimal(28,6)").alias("y"),
+        trunc6(x * y).cast("decimal(28,6)").alias("xy"),
+        trunc6(x * x).cast("decimal(28,6)").alias("xx"),
+    )
+    sums = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    # sums are DECIMAL (exact, order-independent); convert each to double
+    # once, then fixed-order double arithmetic — identical IEEE results in
+    # both engines without tripping engine-specific decimal-width rules.
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    den = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    slope = trunc6(num / den)
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        trunc6((sy_d - slope * sx_d) / n_d).alias("intercept"),
+    )

@@ -168,46 +168,60 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest view, the earliest click at-or-after that view, the earliest
     purchase at-or-after that click; output = users surviving each stage.
 
-    Scale shape: three hash aggregations + two joins, ALL keyed on
-    user_id — every exchange reuses the same partitioning, so the funnel
-    is one shuffle of each filtered event slice plus co-partitioned
-    joins. Each stage's input is pre-filtered to one event_type before
-    the shuffle (predicate reaches the scan), so stage volume shrinks as
-    the funnel narrows — the property that matters when the event log is
-    the 100 TB side."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
-    )
-    views = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_view"))
-    )
-    clicks = (
-        e.filter(F.col("event_type") == "click")
-        .join(views, "user_id")
-        .filter(F.col("ts_us") >= F.col("t_view"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_click"))
-    )
-    purchases = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(clicks, "user_id")
-        .filter(F.col("ts_us") >= F.col("t_click"))
-        .groupBy("user_id")
-        .agg(F.min("ts_us").alias("t_purchase"))
-    )
+    Scale shape: ONE scan (pre-filtered to the three funnel types, so the
+    predicate reaches parquet) and ONE exchange on user_id. The three
+    stage times are successive whole-partition window minima over that
+    single shuffle — a join-free formulation; the naive
+    filter-join-filter-join version scans the event log once per stage
+    and re-shuffles each slice, which is exactly what cannot happen when
+    the log is the 100 TB side. The per-user rollup after the windows
+    reuses the same partitioning (no further exchange)."""
+    from pyspark.sql import Window
 
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("step"),
-            F.count(F.lit(1)).alias("n_users"),
-        )
-
-    return (
-        stage(views, "1_view")
-        .unionByName(stage(clicks, "2_click"))
-        .unionByName(stage(purchases, "3_purchase"))
+    types = ("view", "click", "purchase")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(*types))
+        .select("user_id", "event_type", F.unix_micros("ts").alias("ts_us"))
+    )
+    w = Window.partitionBy("user_id")
+    e = e.withColumn(
+        "t_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+    )
+    e = e.withColumn(
+        "t_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts_us") >= F.col("t_view")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    e = e.withColumn(
+        "t_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") >= F.col("t_click")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.min("t_view").alias("t_view"),
+        F.min("t_click").alias("t_click"),
+        F.min("t_purchase").alias("t_purchase"),
+    )
+    counts = per_user.agg(
+        F.count("t_view").alias("nv"),
+        F.count("t_click").alias("nc"),
+        F.count("t_purchase").alias("np"),
+    )
+    return counts.selectExpr(
+        "stack(3, '1_view', nv, '2_click', nc, '3_purchase', np)"
+        " AS (step, n_users)"
     )
 
 

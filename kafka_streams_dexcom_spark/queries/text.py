@@ -26,6 +26,13 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law corpus diagnostic: least-squares ln(freq)~ln(rank) fit
+    over the top-1000 vocabulary terms (see operators/text.py:zipf_slope
+    for the decimal-exact regression discipline)."""
+    return tx.zipf_slope(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -169,6 +176,7 @@ def _markers_values() -> str:
 _STOPS = ", ".join(f"'{t}'" for t in tx.LANG_MARKERS["en"])
 
 QUERIES = {
+    "zipf_slope": q_zipf_slope,
     "bm25_search": q_bm25_search,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_lm": q_bigram_lm,
@@ -189,6 +197,58 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Mirrors operators/text.py:zipf_slope: trunc6'd ln terms summed as
+    # DECIMAL (exact), one double division at the end.
+    "zipf_slope": """
+        WITH toks AS (
+            SELECT unnest(string_split_regex(text, '\\s+')) AS term
+            FROM documents
+        ),
+        counts AS (
+            SELECT term, count(*) AS cnt
+            FROM toks WHERE term != '' GROUP BY term
+        ),
+        ranked AS (
+            SELECT cnt, row_number() OVER (
+                ORDER BY cnt DESC, term ASC
+            ) AS rank
+            FROM counts
+            QUALIFY rank <= 1000
+        ),
+        t AS (
+            SELECT
+              CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000) / 1000000.0
+                   AS DECIMAL(28,6)) AS x,
+              CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1000000) / 1000000.0
+                   AS DECIMAL(28,6)) AS y,
+              CAST(floor((floor(ln(CAST(rank AS DOUBLE)) * 1000000) / 1000000.0)
+                   * (floor(ln(CAST(cnt AS DOUBLE)) * 1000000) / 1000000.0)
+                   * 1000000) / 1000000.0 AS DECIMAL(28,6)) AS xy,
+              CAST(floor((floor(ln(CAST(rank AS DOUBLE)) * 1000000) / 1000000.0)
+                   * (floor(ln(CAST(rank AS DOUBLE)) * 1000000) / 1000000.0)
+                   * 1000000) / 1000000.0 AS DECIMAL(28,6)) AS xx
+            FROM ranked
+        ),
+        sums AS (
+            SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(xy) AS sxy, sum(xx) AS sxx
+            FROM t
+        )
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * 1000000) / 1000000.0 AS zipf_slope,
+               floor((CAST(sy AS DOUBLE)
+                      - (floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * 1000000) / 1000000.0) * CAST(sx AS DOUBLE))
+                     / CAST(n AS DOUBLE) * 1000000) / 1000000.0 AS intercept
+        FROM sums
+    """,
     # Mirrors operators/text.py:bm25_search exactly: same tokenization,
     # same RSJ idf, same fixed term-order summation, same 6-decimal
     # truncation before ranking. k1=1.2, b=0.75.
