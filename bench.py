@@ -39,6 +39,7 @@ HEADLINE = [
     "rolling_1h",                # event-time RANGE frame per user
     "dedup_exact",               # hash-groupBy dedup
     "dedup_minhash_lsh",         # minhash sigs + LSH band join + verify
+    "dedup_incremental",         # asymmetric new-vs-corpus band join
     "dedup_simhash_pairs",       # simhash + 15-bit-band join
     "dedup_ngram_jaccard",       # inverted-index set-similarity join
     "dedup_embedding",           # blocked cosine pairs

@@ -284,6 +284,67 @@ def minhash_lsh_dedup(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def incremental_minhash_dedup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.2,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Asymmetric near-dup screen: each NEW document against the EXISTING
+    corpus — the shape a daily-ingest dedup job actually runs at 100 TB
+    (the symmetric all-pairs job runs once; every day after that is this).
+
+    The corpus side's band table is the big one; in production it is
+    precomputed and bucketed by (band_idx, band_hash)
+    (sources/bucketing.py pattern) so the candidate join shuffles only
+    the new batch. Hot corpus buckets are capped exactly like
+    pairs_within_buckets' guard — a degenerate band value joined against
+    a large batch is the same m x n blowup.
+
+    Verification is exact Jaccard over the hashed shingle sets, computed
+    only for candidates."""
+    hn = hashed_shingle_corpus(new_docs, id_col, text_col)
+    hc = hashed_shingle_corpus(corpus_docs, id_col, text_col)
+    bn = lsh_band_hashes(minhash_signature(hn).select(id_col, "sig")).select(
+        F.col(id_col).alias("new_id"), "band_idx", "band_hash"
+    )
+    bc = lsh_band_hashes(minhash_signature(hc).select(id_col, "sig")).select(
+        F.col(id_col).alias("old_id"), "band_idx", "band_hash"
+    )
+    if max_bucket is not None:
+        ok = (
+            bc.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") <= max_bucket)
+            .drop("__c")
+        )
+        bc = bc.join(ok, ["band_idx", "band_hash"], "left_semi")
+    cand = (
+        bn.join(bc, ["band_idx", "band_hash"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sa = hn.select(
+        F.col(id_col).alias("new_id"), F.col("sh_hashes").alias("set_a")
+    )
+    sb = hc.select(
+        F.col(id_col).alias("old_id"), F.col("sh_hashes").alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    union = F.size("set_a") + F.size("set_b") - inter
+    return (
+        cand.join(sa, "new_id")
+        .join(sb, "old_id")
+        .withColumn(
+            "jaccard", trunc6(inter.cast("double") / union.cast("double"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", "jaccard")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 

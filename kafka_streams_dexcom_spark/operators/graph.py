@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_dexcom_spark.functions.rounding import trunc6
+
 
 def connected_components(
     pairs: DataFrame,
@@ -169,4 +171,62 @@ def pagerank(
         "node",
         F.col("pr").alias("pr_units"),
         (F.expr("pr div 1000") / F.lit(1.0e9)).alias("pagerank"),
+    )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected pair graph — the density diagnostic for near-dup blobs
+    (a clique-like component is one duplicated source; a chain of
+    borderline matches is transitive-closure noise).
+
+    Standard ordered-edge enumeration: every triangle u<v<w is found
+    exactly once by joining ascending edges (u,v)+(v,w) and closing with
+    (u,w). Two equi-joins on node id over the (small) edge list — never
+    on the corpus — then one explode+groupBy to attribute the triangle
+    to its three corners. Degrees come from the same edge list; nodes in
+    no triangle keep count 0 via the left join."""
+    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    paths = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
+        .select(
+            F.col("e1.a").alias("u"),
+            F.col("e1.b").alias("v"),
+            F.col("e2.b").alias("w"),
+        )
+    )
+    tri = paths.join(
+        e.alias("e3"),
+        (F.col("u") == F.col("e3.a")) & (F.col("w") == F.col("e3.b")),
+    ).select("u", "v", "w")
+    corner = tri.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
+    ).groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .union(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    wedges = F.col("degree") * (F.col("degree") - 1)
+    return (
+        deg.join(corner, "node", "left")
+        .na.fill(0, ["triangles"])
+        .select(
+            "node",
+            "degree",
+            F.col("triangles").cast("bigint").alias("triangles"),
+            F.when(F.col("degree") >= 2,
+                   trunc6(
+                       (F.lit(2) * F.col("triangles")).cast("double")
+                       / wedges.cast("double")
+                   ))
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
     )

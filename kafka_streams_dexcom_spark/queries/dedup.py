@@ -140,6 +140,31 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest dedup: documents with doc_id % 10 == 0 play the NEW
+    batch, the rest the existing corpus; emit each new doc's near-dups in
+    the corpus (exact Jaccard >= threshold after LSH banding). The
+    asymmetric production shape of dedup_minhash_lsh."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.incremental_minhash_dedup(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+        threshold=JACCARD_THRESHOLD,
+    )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    embedding near-dup graph (operators/graph.py:triangle_counts) —
+    distinguishes clique-like duplicate blobs from chain-like
+    transitive noise before committing to cluster-level dedup."""
+    from kafka_streams_dexcom_spark.operators.graph import triangle_counts
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_cosine_pairs(e, threshold=COSINE_THRESHOLD)
+    return triangle_counts(pairs, a_col="vec_id_a", b_col="vec_id_b")
+
+
 PR_ROUNDS = 3
 
 
@@ -231,6 +256,60 @@ def _minhash_oracle() -> str:
                     / CAST(len(x.s) + len(y.s)
                            - len(list_intersect(x.s, y.s)) AS DOUBLE)
                     * 1000000) / 1000000.0 >= {JACCARD_THRESHOLD}
+    """
+
+
+def _incremental_oracle() -> str:
+    """Two-sided replay of _minhash_oracle: new batch (doc_id % 10 = 0)
+    banded against the corpus, corpus-side bucket cap, exact-Jaccard
+    verify."""
+    sig_elems = ", ".join(
+        f"list_min(list_transform(h, v -> (v * {a} + {b}) % {MERSENNE_P}))"
+        for a, b in PERM_COEFFS[: dd.NUM_PERM]
+    )
+    band_elems = []
+    for bidx in range(dd.NUM_BANDS):
+        parts = " || ',' || ".join(
+            f"CAST(sig[{bidx * dd.ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+            for r in range(dd.ROWS_PER_BAND)
+        )
+        band_elems.append(DUCK_HASH60.format(x=f"({parts})"))
+    bands_list = ", ".join(band_elems)
+    jac = (
+        "floor(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)"
+        " / CAST(len(x.s) + len(y.s)"
+        " - len(list_intersect(x.s, y.s)) AS DOUBLE)"
+        " * 1000000) / 1000000.0"
+    )
+    return f"""
+        WITH {_duck_shingles_cte()},
+        sig AS (
+            SELECT doc_id, [{sig_elems}] AS sig FROM hs
+        ),
+        bands AS (
+            SELECT doc_id, bi - 1 AS band_idx, bh[bi] AS band_hash
+            FROM (SELECT doc_id, [{bands_list}] AS bh FROM sig),
+                 generate_series(1, {dd.NUM_BANDS}) AS g(bi)
+        ),
+        nb AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+        cb AS (SELECT * FROM bands WHERE doc_id % 10 != 0),
+        bsz AS (
+            SELECT band_idx, band_hash, count(*) AS c
+            FROM cb GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS old_id
+            FROM nb n JOIN cb c
+              ON n.band_idx = c.band_idx AND n.band_hash = c.band_hash
+            JOIN bsz s
+              ON s.band_idx = n.band_idx AND s.band_hash = n.band_hash
+            WHERE s.c <= {dd.LSH_MAX_BUCKET}
+        )
+        SELECT new_id, old_id, {jac} AS jaccard
+        FROM cand
+        JOIN sh x ON x.doc_id = new_id
+        JOIN sh y ON y.doc_id = old_id
+        WHERE {jac} >= {JACCARD_THRESHOLD}
     """
 
 
@@ -408,6 +487,59 @@ def _pagerank_oracle() -> str:
     """
 
 
+def _triangle_oracle() -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+    return f"""
+        WITH v AS (
+            SELECT vec_id, label,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, label, vec,
+                   sqrt({dot.format(a='vec', b='vec')}) AS norm
+            FROM v
+        ),
+        e AS (
+            SELECT a.vec_id AS a, b.vec_id AS b
+            FROM n a JOIN n b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE a.norm > 0 AND b.norm > 0
+              AND round({dot.format(a='a.vec', b='b.vec')}
+                        / (a.norm * b.norm), 6) >= {COSINE_THRESHOLD}
+        ),
+        tri AS (
+            SELECT e1.a AS u, e1.b AS v, e2.b AS w
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corner AS (
+            SELECT node, count(*) AS triangles FROM (
+                SELECT u AS node FROM tri
+                UNION ALL SELECT v FROM tri
+                UNION ALL SELECT w FROM tri
+            ) GROUP BY node
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e
+            ) GROUP BY node
+        )
+        SELECT d.node, d.degree,
+               CAST(coalesce(c.triangles, 0) AS BIGINT) AS triangles,
+               CASE WHEN d.degree >= 2 THEN
+                   floor(CAST(2 * coalesce(c.triangles, 0) AS DOUBLE)
+                         / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+                         * 1000000) / 1000000.0
+               ELSE 0.0 END AS clustering
+        FROM deg d LEFT JOIN corner c ON c.node = d.node
+    """
+
+
 def _cc_oracle() -> str:
     """Unrolled min-label propagation over the ngram near-dup graph —
     the same fixed number of rounds the Spark operator runs."""
@@ -501,6 +633,8 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_embedding": q_dedup_embedding,
     "pagerank_centrality": q_pagerank_centrality,
+    "dedup_incremental": q_dedup_incremental,
+    "triangle_count": q_triangle_count,
 }
 
 ORACLES = {
@@ -519,4 +653,6 @@ ORACLES = {
     "dedup_clusters": _cc_oracle(),
     "dedup_embedding": _embedding_oracle(),
     "pagerank_centrality": _pagerank_oracle(),
+    "dedup_incremental": _incremental_oracle(),
+    "triangle_count": _triangle_oracle(),
 }
