@@ -34,6 +34,8 @@ HEADLINE = [
     "cheapest_supplier",         # argmin-per-group struct hash agg
     "promo_revenue",             # month-pruned scan + broadcast + cond agg
     "small_quantity_revenue",    # decorrelated per-part avg re-join (Q17)
+    "special_revenue",           # Q19 disjunctive hull-extraction join
+    "corpus_rollup",             # one-pass GROUPING SETS Expand
     "events_hourly",             # time-bucket aggregation
     "sensor_gaps",               # per-user lag window gap detection
     "rolling_1h",                # event-time RANGE frame per user

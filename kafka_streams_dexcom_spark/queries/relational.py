@@ -170,6 +170,69 @@ def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BINS = 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values: global extent from a
+    single-row broadcast aggregate, then a purely narrow binning pass —
+    the two-pass profile-the-column primitive every 100 TB EDA session
+    starts with (one scan for extent, one for counts; no sort, no
+    per-bin shuffle beyond the bounded bin-count aggregate).
+
+    Bin arithmetic is fixed-order double math on both engines; the max
+    value clamps into the last bin."""
+    e = load_table(spark, sf_dir, "events").select("value")
+    ext = e.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(HIST_BINS))
+    binned = (
+        e.join(F.broadcast(ext), how="cross")
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width),
+                F.lit(HIST_BINS - 1),
+            ).cast("bigint").alias("bin"),
+            "mn",
+            "mx",
+        )
+    )
+    return (
+        binned.groupBy("bin", "mn", "mx")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            trunc6(
+                F.col("mn")
+                + F.col("bin").cast("double")
+                * ((F.col("mx") - F.col("mn")) / F.lit(float(HIST_BINS)))
+            ).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS over the documents table: per (lang, source), per
+    lang, per source, and the grand total in ONE pass (a single Expand +
+    aggregate — four separate groupBys would scan the corpus four
+    times). The curation dashboard query behind 'how much of each
+    language does each source contribute'."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupingSets(
+            [["lang", "source"], ["lang"], ["source"], []],
+            "lang",
+            "source",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct set algebra: users who purchased AND clicked but never
     errored (INTERSECT + EXCEPT)."""
@@ -334,6 +397,60 @@ def q_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PROMO_MONTH = ("1997-06-01", "1997-07-01")
 
+# Q19-shape disjunctive branches: (brand, max_size, qty_lo, qty_hi)
+SPECIAL_BRANCHES = (
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#3", 15, 20, 30),
+)
+
+
+def q_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    fact and dimension columns (brand x size x quantity branches).
+
+    Scale: the disjunction's common hull is pushed to each side
+    explicitly — lineitem scans only quantity ∈ [1,30] (reaches the
+    parquet scan as a PushedFilter) and the part dimension pre-filters
+    to the branch brands/sizes before broadcasting, so the join input is
+    a sliver of both tables; the exact branch predicate then evaluates
+    post-join in codegen. This mirrors what Catalyst's
+    constraint-propagation cannot always derive from a raw OR — hull
+    extraction is the standard hand-optimization for Q19 at scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qty_lo = min(b[2] for b in SPECIAL_BRANCHES)
+    qty_hi = max(b[3] for b in SPECIAL_BRANCHES)
+    size_hi = max(b[1] for b in SPECIAL_BRANCHES)
+    brands = [b[0] for b in SPECIAL_BRANCHES]
+    lf = l.filter(F.col("l_quantity").between(qty_lo, qty_hi)).select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    pf = p.filter(
+        F.col("p_brand").isin(brands)
+        & F.col("p_size").between(1, size_hi)
+    ).select("p_partkey", "p_brand", "p_size")
+    branch = None
+    for b, sz, lo, hi in SPECIAL_BRANCHES:
+        c = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(1, sz)
+            & F.col("l_quantity").between(lo, hi)
+        )
+        branch = c if branch is None else (branch | c)
+    ep = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc = F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(
+        "decimal(3,2)"
+    )
+    return (
+        lf.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(
+            F.round(F.sum(ep * disc).cast("double"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
 
 def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: promo-type share of one month's revenue —
@@ -415,6 +532,9 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "promo_revenue": q_promo_revenue,
+    "special_revenue": q_special_revenue,
+    "value_histogram": q_value_histogram,
+    "corpus_rollup": q_corpus_rollup,
     "small_quantity_revenue": q_small_quantity_revenue,
     "cheapest_supplier": q_cheapest_supplier,
     "idle_customers": q_idle_customers,
@@ -432,6 +552,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "value_histogram": """
+        WITH ext AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+        b AS (
+            SELECT CAST(least(floor((value - mn) / ((mx - mn) / 20.0)),
+                        19) AS BIGINT) AS bin, mn, mx
+            FROM events CROSS JOIN ext
+        )
+        SELECT bin,
+               floor((mn + CAST(bin AS DOUBLE) * ((mx - mn) / 20.0))
+                     * 1000000) / 1000000.0 AS bin_lo,
+               count(*) AS n
+        FROM b GROUP BY bin, mn, mx
+    """,
+    "corpus_rollup": """
+        SELECT lang, source, count(*) AS n_docs,
+               sum(n_chars) AS sum_chars
+        FROM documents
+        GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+    """,
+    "special_revenue": """
+        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
+                   AS DOUBLE), 2) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
     "promo_revenue": f"""
         WITH m AS (
             SELECT CAST(l_extendedprice AS DECIMAL(12,2))
