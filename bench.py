@@ -38,6 +38,7 @@ HEADLINE = [
     "corpus_rollup",             # one-pass GROUPING SETS Expand
     "events_hourly",             # time-bucket aggregation
     "sensor_gaps",               # per-user lag window gap detection
+    "value_anomalies",           # two-pass z-score screen
     "rolling_1h",                # event-time RANGE frame per user
     "dedup_exact",               # hash-groupBy dedup
     "dedup_minhash_lsh",         # minhash sigs + LSH band join + verify

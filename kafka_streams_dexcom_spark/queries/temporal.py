@@ -260,7 +260,59 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Z_THRESHOLD = 3.0
+
+
+def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score anomaly screen: events whose value deviates more
+    than 3σ from that user's mean — the glucose-spike alert done
+    statistically rather than with a fixed threshold (the reference's
+    value >= 200 rule, StreamsFilterEgvs.java:28-31, generalized).
+
+    Two-pass standardization: per-user moments from ONE decimal-exact
+    aggregation (sum, sum of squares — order-independent), broadcast
+    back via a co-partitioned join on user_id, then a narrow flag pass.
+    Variance = (Σx² − (Σx)²/n)/n computed in fixed-order double math
+    from the exact decimal sums, so the σ cut is bit-identical
+    cross-engine; events with σ = 0 never flag."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
+    )
+    moments = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s1"),
+        F.sum(
+            (
+                F.col("value").cast("decimal(18,2)")
+                * F.col("value").cast("decimal(18,2)")
+            ).cast("decimal(38,4)")
+        ).alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    mean = s1_d / n_d
+    var = (s2_d - s1_d * s1_d / n_d) / n_d
+    stats = moments.select(
+        "user_id", mean.alias("mean"), F.sqrt(var).alias("sd")
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        e.join(stats, "user_id")
+        .filter((F.col("sd") > 0) & (F.abs(z) > Z_THRESHOLD))
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "value",
+            trunc6(F.col("mean")).alias("user_mean"),
+            trunc6(z).alias("z_score"),
+        )
+    )
+
+
 QUERIES = {
+    "value_anomalies": q_value_anomalies,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
     "rolling_1h": q_rolling_1h,
@@ -274,6 +326,30 @@ QUERIES = {
 }
 
 ORACLES = {
+    "value_anomalies": """
+        WITH m AS (
+            SELECT user_id, count(*) AS n,
+                   sum(CAST(value AS DECIMAL(18,2))) AS s1,
+                   sum(CAST(CAST(value AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+                       AS s2
+            FROM events GROUP BY user_id
+        ),
+        st AS (
+            SELECT user_id,
+                   CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+                   sqrt((CAST(s2 AS DOUBLE)
+                         - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) AS sd
+            FROM m
+        )
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, e.value,
+               floor(st.mean * 1000000) / 1000000.0 AS user_mean,
+               floor((e.value - st.mean) / st.sd * 1000000) / 1000000.0
+                   AS z_score
+        FROM events e JOIN st ON e.user_id = st.user_id
+        WHERE st.sd > 0 AND abs((e.value - st.mean) / st.sd) > 3.0
+    """,
     "funnel_steps": """
         WITH e AS (
             SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
