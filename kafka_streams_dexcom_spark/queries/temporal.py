@@ -269,44 +269,44 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistically rather than with a fixed threshold (the reference's
     value >= 200 rule, StreamsFilterEgvs.java:28-31, generalized).
 
-    Two-pass standardization: per-user moments from ONE decimal-exact
-    aggregation (sum, sum of squares — order-independent), broadcast
-    back via a co-partitioned join on user_id, then a narrow flag pass.
-    Variance = (Σx² − (Σx)²/n)/n computed in fixed-order double math
-    from the exact decimal sums, so the σ cut is bit-identical
-    cross-engine; events with σ = 0 never flag."""
+    Per-user moments as whole-partition window aggregates over ONE
+    user_id exchange (no sort: the window has no ordering) — the
+    groupBy-then-join-back formulation pays a second exchange for the
+    probe side; the window formulation annotates rows in place (same
+    trick as funnel_steps). Sums are decimal-exact (order-independent);
+    variance = (Σx² − (Σx)²/n)/n in fixed-order double math, so the σ
+    cut is bit-identical cross-engine; users with σ = 0 never flag."""
+    from pyspark.sql import Window
+
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
-    moments = e.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).alias("s1"),
-        F.sum(
-            (
-                F.col("value").cast("decimal(18,2)")
-                * F.col("value").cast("decimal(18,2)")
-            ).cast("decimal(38,4)")
-        ).alias("s2"),
-    )
-    n_d = F.col("n").cast("double")
-    s1_d = F.col("s1").cast("double")
-    s2_d = F.col("s2").cast("double")
+    w = Window.partitionBy("user_id")
+    vd = F.col("value").cast("decimal(18,2)")
+    n_d = F.count(F.lit(1)).over(w).cast("double")
+    s1_d = F.sum(vd).over(w).cast("double")
+    s2_d = F.sum((vd * vd).cast("decimal(38,4)")).over(w).cast("double")
     mean = s1_d / n_d
-    var = (s2_d - s1_d * s1_d / n_d) / n_d
-    stats = moments.select(
-        "user_id", mean.alias("mean"), F.sqrt(var).alias("sd")
-    )
-    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    sd = F.sqrt((s2_d - s1_d * s1_d / n_d) / n_d)
+    z = (F.col("value") - mean) / sd
     return (
-        e.join(stats, "user_id")
-        .filter((F.col("sd") > 0) & (F.abs(z) > Z_THRESHOLD))
+        e.select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            "value",
+            mean.alias("mean"),
+            sd.alias("sd"),
+            z.alias("z"),
+        )
+        .filter((F.col("sd") > 0) & (F.abs(F.col("z")) > Z_THRESHOLD))
         .select(
             "event_id",
             "user_id",
             "ts_us",
             "value",
             trunc6(F.col("mean")).alias("user_mean"),
-            trunc6(z).alias("z_score"),
+            trunc6(F.col("z")).alias("z_score"),
         )
     )
 
