@@ -50,3 +50,70 @@ def test_connected_components_exact_on_known_graph(spark):
         ).collect()
     }
     assert reps == {1: (1, 3), 10: (10, 2)}
+
+
+def test_pagerank_known_graph(spark):
+    """Path graph 1-2-3: the middle node must outrank the ends, total
+    mass stays ~1, and the result is bit-identical across runs
+    (fixed-point arithmetic)."""
+    from kafka_streams_dexcom_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    r1 = {r.node: r.pr_units for r in pagerank(pairs, rounds=3).collect()}
+    r2 = {r.node: r.pr_units for r in pagerank(pairs, rounds=3).collect()}
+    assert r1 == r2  # deterministic to the unit
+    assert r1[2] > r1[1] and r1[2] > r1[3]
+    assert r1[1] == r1[3]  # symmetry of the path ends
+    # mass conservation up to integer-floor leakage (3 rounds x 3 nodes)
+    assert abs(sum(r1.values()) - 1_000_000_000_000) < 100
+
+
+def test_triangle_counts_known_graph(spark):
+    """K3 plus a pendant edge: triangle corners count 1, pendant counts
+    0; clustering = 1.0 inside the triangle (deg-2 corners)."""
+    from kafka_streams_dexcom_spark.operators.graph import triangle_counts
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r for r in triangle_counts(pairs).collect()}
+    assert got[1].triangles == got[2].triangles == got[3].triangles == 1
+    assert got[4].triangles == 0
+    assert got[1].clustering == 1.0 and got[2].clustering == 1.0
+    assert got[3].degree == 3  # in triangle + pendant
+    # deg 3, 1 triangle -> 2*1/(3*2) = 0.333333 (floor-truncated)
+    assert got[3].clustering == 0.333333
+    assert got[4].clustering == 0.0
+
+
+def test_incremental_dedup_matches_symmetric_subset(spark, sf_dir):
+    """Every (new, old) pair the incremental screen finds must also be
+    found by the symmetric all-pairs job on the same corpus — and vice
+    versa for pairs that straddle the batch split."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        incremental_minhash_dedup,
+        minhash_lsh_dedup,
+    )
+    from kafka_streams_dexcom_spark.sources.files import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    inc = incremental_minhash_dedup(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+        threshold=0.2,
+    )
+    inc_pairs = {
+        (min(r.new_id, r.old_id), max(r.new_id, r.old_id), r.jaccard)
+        for r in inc.collect()
+    }
+    sym = minhash_lsh_dedup(d, threshold=0.2)
+    straddling = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in sym.collect()
+        if (r.id_a % 10 == 0) != (r.id_b % 10 == 0)
+    }
+    assert inc_pairs == straddling
