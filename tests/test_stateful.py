@@ -146,3 +146,29 @@ def test_tws_debounce_state_spans_micro_batches(spark):
             raise
     got = sorted((r.user_id, r.ts_us, r.value) for r in collected)
     assert got == expected
+
+
+def test_debounce_on_rocksdb_state_store(spark):
+    """The RocksDB state store provider (SCALE.md's state ≫ heap path)
+    must produce identical debounce output. providerClass is read at
+    query start, so a runtime conf flip on the shared session works."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        expected = sorted(debounced_alerts_batch_reference(ROWS))
+        with tempfile.TemporaryDirectory() as d:
+            got = _run_stream_in_chunks(spark, ROWS, d, n_files=5)
+        assert got == expected
+    finally:
+        if saved is not None:
+            spark.conf.set(key, saved)
+        else:
+            spark.conf.unset(key)
