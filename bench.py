@@ -46,6 +46,7 @@ HEADLINE = [
     "dedup_simhash_pairs",       # simhash + 15-bit-band join
     "dedup_ngram_jaccard",       # inverted-index set-similarity join
     "dedup_embedding",           # blocked cosine pairs
+    "dedup_embedding_ivf",       # trained-IVF-cell blocked pairs
     "sim_search_bruteforce",     # broadcast cross-join top-k
     "sim_search_lsh",            # bucketed ANN
     "sim_search_multiprobe",     # multi-table multi-probe ANN

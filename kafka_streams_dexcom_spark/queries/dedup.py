@@ -153,6 +153,32 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs blocked by TRAINED IVF cells instead of
+    the label column — the actual 100 TB configuration of
+    dedup_embedding (labels don't exist in production; the coarse
+    quantizer from kmeans_cells does). Pairs are generated only within a
+    k-means cell, so candidate volume is Σ cell² under a learned,
+    data-adaptive partition; the oracle replays the 3 Lloyd rounds and
+    the in-cell pair generation exactly."""
+    from kafka_streams_dexcom_spark.operators.clustering import kmeans_assign
+    from kafka_streams_dexcom_spark.queries.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_assign(e, k=KMEANS_K, iterations=KMEANS_ITERS)
+    base = e.join(cells, "vec_id")
+    return dd.embedding_cosine_pairs(
+        base, block_col="cell", threshold=COSINE_THRESHOLD
+    ).select(
+        F.col("vec_id_a").alias("vec_a"),
+        F.col("vec_id_b").alias("vec_b"),
+        "cos_sim",
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over the
     embedding near-dup graph (operators/graph.py:triangle_counts) —
@@ -487,6 +513,41 @@ def _pagerank_oracle() -> str:
     """
 
 
+def _embedding_ivf_oracle() -> str:
+    """Replay the Lloyd rounds (kmeans_oracle_ctes), then the in-cell
+    pair generation with the same cosine fold as _embedding_oracle."""
+    from kafka_streams_dexcom_spark.queries.similarity import (
+        KMEANS_ITERS,
+        kmeans_oracle_ctes,
+    )
+
+    dot = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+    ctes = kmeans_oracle_ctes()
+    final = f"a{KMEANS_ITERS}"
+    ctes.append(f"""nn AS (
+            SELECT vid, cid, vec,
+                   sqrt({dot.format(a='vec', b='vec')}) AS norm
+            FROM {final}
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT a.vid AS vec_a, b.vid AS vec_b,
+               round({dot.format(a='a.vec', b='b.vec')}
+                     / (a.norm * b.norm), 6) AS cos_sim
+        FROM nn a JOIN nn b
+          ON a.cid = b.cid AND a.vid < b.vid
+        WHERE a.norm > 0 AND b.norm > 0
+          AND round({dot.format(a='a.vec', b='b.vec')}
+                    / (a.norm * b.norm), 6) >= {COSINE_THRESHOLD}
+    """
+    )
+
+
 def _triangle_oracle() -> str:
     dot = (
         "list_reduce(list_transform(range(1, len({a}) + 1), "
@@ -635,6 +696,7 @@ QUERIES = {
     "pagerank_centrality": q_pagerank_centrality,
     "dedup_incremental": q_dedup_incremental,
     "triangle_count": q_triangle_count,
+    "dedup_embedding_ivf": q_dedup_embedding_ivf,
 }
 
 ORACLES = {
@@ -655,4 +717,5 @@ ORACLES = {
     "pagerank_centrality": _pagerank_oracle(),
     "dedup_incremental": _incremental_oracle(),
     "triangle_count": _triangle_oracle(),
+    "dedup_embedding_ivf": _embedding_ivf_oracle(),
 }

@@ -344,7 +344,7 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign(e, k=KMEANS_K, iterations=KMEANS_ITERS)
 
 
-def _kmeans_oracle(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
+def kmeans_oracle_ctes(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> list[str]:
     """DuckDB replay of kmeans_assign: the Lloyd rounds unrolled as CTEs.
 
     Distances are the same sequential left fold as the Spark side
@@ -405,6 +405,12 @@ def _kmeans_oracle(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
         )"""
         )
         ctes.append(assign_cte(f"a{it + 1}", f"c{it}"))
+    return ctes
+
+
+def _kmeans_oracle(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
+    """DuckDB replay of kmeans_assign (see kmeans_oracle_ctes)."""
+    ctes = kmeans_oracle_ctes(k, iterations)
     return (
         "WITH "
         + ",\n".join(ctes)

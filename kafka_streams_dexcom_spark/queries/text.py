@@ -33,6 +33,48 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.zipf_slope(load_table(spark, sf_dir, "documents"))
 
 
+PACK_CONTEXT = 1024
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document a training
+    bin of ~PACK_CONTEXT whitespace tokens per language — the step that
+    turns a filtered corpus into fixed-length pretraining sequences.
+
+    Greedy streaming packing in document order: a doc starts in the bin
+    its running predecessor-token-count falls into (documents may span a
+    bin boundary, concat-and-chunk style). One window exchange per
+    language stratum (sort by doc_id); token counts are scan-side.
+    Output includes the offset inside the bin so a downstream writer can
+    split exactly."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = "size(filter(split(text, '\\\\s+'), t -> t != ''))"
+    base = d.select(
+        "doc_id", "lang", F.expr(toks).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "prev_tokens"
+    )
+    return base.select("doc_id", "lang", "n_tokens", prev).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.floor(F.col("prev_tokens") / PACK_CONTEXT)
+        .cast("bigint")
+        .alias("bin_idx"),
+        (F.col("prev_tokens") % PACK_CONTEXT).cast("bigint").alias(
+            "bin_offset"
+        ),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -177,6 +219,7 @@ _STOPS = ", ".join(f"'{t}'" for t in tx.LANG_MARKERS["en"])
 
 QUERIES = {
     "zipf_slope": q_zipf_slope,
+    "sequence_packing": q_sequence_packing,
     "bm25_search": q_bm25_search,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_lm": q_bigram_lm,
@@ -197,6 +240,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sequence_packing": """
+        WITH base AS (
+            SELECT doc_id, lang,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                       t -> t != '')) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, lang, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS prev_tokens
+            FROM base
+        )
+        SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(floor(prev_tokens / 1024.0) AS BIGINT) AS bin_idx,
+               CAST(prev_tokens % 1024 AS BIGINT) AS bin_offset
+        FROM c
+    """,
     # Mirrors operators/text.py:zipf_slope: trunc6'd ln terms summed as
     # DECIMAL (exact), one double division at the end.
     "zipf_slope": """
