@@ -36,6 +36,7 @@ HEADLINE = [
     "small_quantity_revenue",    # decorrelated per-part avg re-join (Q17)
     "special_revenue",           # Q19 disjunctive hull-extraction join
     "corpus_rollup",             # one-pass GROUPING SETS Expand
+    "value_histogram",           # broadcast extent + narrow binning
     "events_hourly",             # time-bucket aggregation
     "sensor_gaps",               # per-user lag window gap detection
     "value_anomalies",           # two-pass z-score screen
@@ -53,6 +54,7 @@ HEADLINE = [
     "sim_search_pq",             # product-quantization ADC search
     "bm25_search",               # scan-side tf + broadcast stats retrieval
     "zipf_slope",                # token shuffle + decimal-exact regression
+    "sequence_packing",          # per-language cumsum packing window
     "pagerank_centrality",       # fixed-point iterative rank (3 rounds)
     "funnel_steps",              # co-partitioned sequential funnel
     "retention_cohorts",         # weekly cohort triangle
