@@ -75,6 +75,82 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared `lang` column vs the
+    marker-based prediction, with per-cell counts — the
+    classifier-quality view that decides whether the cheap n-gram
+    heuristic is good enough before spending on a real model. One extra
+    bounded aggregation (langs x predictions) over the lang_id pipeline.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pred = tx.language_id(d, spark).select("doc_id", "pred_lang")
+    return (
+        d.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard overlap between every pair of sources — the
+    corpus-diversity matrix (near-identical vocabularies flag mirrored
+    or templated sources before dedup even runs).
+
+    Shape: distinct (source, term) — one shuffle; per-term source lists
+    feed the same within-bucket combination generator the LSH pipelines
+    use (dedup.pairs_within_buckets: no self-join, the term table is
+    computed once); intersection counts aggregate per source pair and
+    join two broadcast vocab-size rows. Terms in k sources emit C(k,2)
+    pairs — bounded by (#sources choose 2) per term, NOT by corpus
+    size."""
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        pairs_within_buckets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source",
+            F.explode(F.split(F.col("text"), r"\s+")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    inter = (
+        pairs_within_buckets(
+            st, ["term"], F.struct(F.col("source").alias("id"))
+        )
+        .select(
+            F.col("pair_a.id").alias("src_a"),
+            F.col("pair_b.id").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    vocab = st.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    va = vocab.select(
+        F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a")
+    )
+    vb = vocab.select(
+        F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b")
+    )
+    union = F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")
+    return (
+        inter.join(F.broadcast(va), "src_a")
+        .join(F.broadcast(vb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            trunc6(
+                F.col("n_common").cast("double") / union.cast("double")
+            ).alias("vocab_jaccard"),
+        )
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -232,6 +308,8 @@ QUERIES = {
     "quality_deciles": q_quality_deciles,
     "text_stats": q_text_stats,
     "lang_id": q_lang_id,
+    "lang_confusion": q_lang_confusion,
+    "source_overlap": q_source_overlap,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -240,6 +318,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_overlap": """
+        WITH st AS (
+            SELECT DISTINCT source,
+                   unnest(string_split_regex(text, '\\s+')) AS term
+            FROM documents
+        ),
+        stf AS (SELECT source, term FROM st WHERE term != ''),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS n_common
+            FROM stf a JOIN stf b
+              ON a.term = b.term AND a.source < b.source
+            GROUP BY a.source, b.source
+        ),
+        vocab AS (
+            SELECT source, count(*) AS vocab FROM stf GROUP BY source
+        )
+        SELECT src_a, src_b, n_common,
+               floor(CAST(n_common AS DOUBLE)
+                     / CAST(va.vocab + vb.vocab - n_common AS DOUBLE)
+                     * 1000000) / 1000000.0 AS vocab_jaccard
+        FROM inter
+        JOIN vocab va ON va.source = src_a
+        JOIN vocab vb ON vb.source = src_b
+    """,
     "sequence_packing": """
         WITH base AS (
             SELECT doc_id, lang,
@@ -611,6 +714,28 @@ ORACLES = {
                      / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)
                      * 1000000) / 1000000.0 AS avg_token_len
         FROM documents
+    """,
+    "lang_confusion": f"""
+        WITH {_markers_values()},
+        toks AS (
+            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS tok
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id, lang_code, count(*) AS n_hits
+            FROM toks JOIN markers ON tok = marker
+            GROUP BY doc_id, lang_code
+        ),
+        best AS (
+            SELECT doc_id, lang_code, n_hits FROM hits
+            QUALIFY row_number() OVER (
+                PARTITION BY doc_id ORDER BY n_hits DESC, lang_code ASC
+            ) = 1
+        )
+        SELECT d.lang, COALESCE(b.lang_code, 'unknown') AS pred_lang,
+               count(*) AS n_docs
+        FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        GROUP BY d.lang, COALESCE(b.lang_code, 'unknown')
     """,
     "lang_id": f"""
         WITH {_markers_values()},
