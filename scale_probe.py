@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Scaling-linearity probe: run shuffle-bounded queries on sf0.1 and on
+a ×10 self-union of it, and report the wall-clock ratio.
+
+A ratio well under 10× on a fixed-size machine means the plan is
+fixed-overhead- or throughput-dominated (no super-linear shuffle or
+pair blowup) — the profile that scales out linearly when executors grow
+with the data. Pair-quadratic operators (dedup_*, sim_*) are excluded
+on purpose: a self-union duplicates every row, which inflates their
+within-block pair counts ×100 and says nothing about real-data scaling.
+
+Usage: python scale_probe.py [out_dir]  (writes the ×10 copy once,
+reuses it on re-runs).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_streams_dexcom_spark.queries import all_queries  # noqa: E402
+from kafka_streams_dexcom_spark.session import get_spark  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+PROBE_QUERIES = [
+    "filter_high",
+    "events_hourly",
+    "pricing_summary",
+    "interval_join_categorize",
+    "funnel_steps",
+    "retention_cohorts",
+    "value_anomalies",
+    "value_histogram",
+    "bm25_search",
+    "zipf_slope",
+    "sequence_packing",
+    "corpus_rollup",
+    "lang_confusion",
+]
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_x10(spark, out_dir: str) -> None:
+    for t in TABLES:
+        dst = f"{out_dir}/{t}.parquet"
+        if os.path.exists(dst):
+            continue
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        u = functools.reduce(lambda a, b: a.union(b), [df] * 10)
+        u.write.mode("overwrite").parquet(dst)
+
+
+def timed(fn, spark, sf_dir: str) -> float:
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def main() -> None:
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_x10"
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_x10(spark, out_dir)
+    qs = all_queries()
+    rows = {}
+    for name in PROBE_QUERIES:
+        base = timed(qs[name], spark, SRC)
+        x10 = timed(qs[name], spark, out_dir)
+        ratio = round(x10 / base, 2) if base > 0 else None
+        rows[name] = {"sf0.1_s": base, "x10_s": x10, "ratio": ratio}
+        print(f"{name:28s} {base:6.2f}s -> {x10:6.2f}s  x{ratio}")
+    print(json.dumps({"probe": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
