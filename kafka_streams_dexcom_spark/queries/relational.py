@@ -233,6 +233,59 @@ def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_numeric_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over lineitem's numeric
+    columns — the single-pass profiling primitive (feature redundancy /
+    sanity screen) done with exact arithmetic.
+
+    ONE aggregation computes every moment (n, Σx, Σx², Σxy for all 6
+    pairs) with DECIMAL sums of the ≤2-decimal inputs — exact and
+    partition-order independent; correlations come out of the single
+    moment row in fixed-order double math and unpivot to (col_a, col_b,
+    corr) rows. One scan, one 1-row shuffle, at any data size."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cols = list(CORR_COLS)
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(dec[c]).alias(f"s_{c}"))
+        aggs.append(
+            F.sum((dec[c] * dec[c]).cast("decimal(38,4)")).alias(f"ss_{c}")
+        )
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    for a, b in pairs:
+        aggs.append(
+            F.sum((dec[a] * dec[b]).cast("decimal(38,4)")).alias(
+                f"sp_{a}_{b}"
+            )
+        )
+    m = l.agg(*aggs)
+    n = F.col("n").cast("double")
+
+    def corr(a: str, b: str):
+        sa = F.col(f"s_{a}").cast("double")
+        sb = F.col(f"s_{b}").cast("double")
+        num = n * F.col(f"sp_{a}_{b}").cast("double") - sa * sb
+        da = n * F.col(f"ss_{a}").cast("double") - sa * sa
+        db = n * F.col(f"ss_{b}").cast("double") - sb * sb
+        return trunc6(num / F.sqrt(da * db))
+
+    stack_args = ", ".join(
+        f"'{a}', '{b}', corr_{a}_{b}" for a, b in pairs
+    )
+    row = m.select(
+        *[corr(a, b).alias(f"corr_{a}_{b}") for a, b in pairs]
+    )
+    return row.selectExpr(
+        f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+    )
+
+
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct set algebra: users who purchased AND clicked but never
     errored (INTERSECT + EXCEPT)."""
@@ -535,6 +588,7 @@ QUERIES = {
     "special_revenue": q_special_revenue,
     "value_histogram": q_value_histogram,
     "corpus_rollup": q_corpus_rollup,
+    "numeric_corr": q_numeric_corr,
     "small_quantity_revenue": q_small_quantity_revenue,
     "cheapest_supplier": q_cheapest_supplier,
     "idle_customers": q_idle_customers,
@@ -552,6 +606,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "numeric_corr": """
+        WITH m AS (
+            SELECT count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_l_quantity, sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_l_quantity, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_l_extendedprice, sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_l_extendedprice, sum(CAST(l_discount AS DECIMAL(18,2))) AS s_l_discount, sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_l_discount, sum(CAST(l_tax AS DECIMAL(18,2))) AS s_l_tax, sum(CAST(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_l_tax, sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_quantity_l_extendedprice, sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_quantity_l_discount, sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_quantity_l_tax, sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_extendedprice_l_discount, sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_extendedprice_l_tax, sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_discount_l_tax
+            FROM lineitem
+        )
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, floor((CAST(n AS DOUBLE) * CAST(sp_l_quantity_l_extendedprice AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(ss_l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE))) * 1000000) / 1000000.0 AS corr FROM m
+        UNION ALL
+        SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, floor((CAST(n AS DOUBLE) * CAST(sp_l_quantity_l_discount AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_discount AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(ss_l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE))) * 1000000) / 1000000.0 AS corr FROM m
+        UNION ALL
+        SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, floor((CAST(n AS DOUBLE) * CAST(sp_l_quantity_l_tax AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_tax AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_quantity AS DOUBLE) - CAST(s_l_quantity AS DOUBLE) * CAST(s_l_quantity AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(ss_l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))) * 1000000) / 1000000.0 AS corr FROM m
+        UNION ALL
+        SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, floor((CAST(n AS DOUBLE) * CAST(sp_l_extendedprice_l_discount AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_discount AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(ss_l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE))) * 1000000) / 1000000.0 AS corr FROM m
+        UNION ALL
+        SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, floor((CAST(n AS DOUBLE) * CAST(sp_l_extendedprice_l_tax AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_tax AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_extendedprice AS DOUBLE) - CAST(s_l_extendedprice AS DOUBLE) * CAST(s_l_extendedprice AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(ss_l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))) * 1000000) / 1000000.0 AS corr FROM m
+        UNION ALL
+        SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, floor((CAST(n AS DOUBLE) * CAST(sp_l_discount_l_tax AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_tax AS DOUBLE)) / sqrt((CAST(n AS DOUBLE) * CAST(ss_l_discount AS DOUBLE) - CAST(s_l_discount AS DOUBLE) * CAST(s_l_discount AS DOUBLE)) * (CAST(n AS DOUBLE) * CAST(ss_l_tax AS DOUBLE) - CAST(s_l_tax AS DOUBLE) * CAST(s_l_tax AS DOUBLE))) * 1000000) / 1000000.0 AS corr FROM m
+    """,
     "value_histogram": """
         WITH ext AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
         b AS (

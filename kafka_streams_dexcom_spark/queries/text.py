@@ -151,6 +151,54 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WS_K = 100
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (A-ES / exponential race):
+    top-100 documents by the deterministic race key -ln(u)/w with weight
+    w = n_chars and u an md5-derived uniform — longer documents are
+    proportionally likelier, yet the draw is reproducible and exactly
+    oracle-replayable (no RNG anywhere). The standard distributed
+    weighted-reservoir trick: the race key is narrow per-row compute,
+    selection is a two-level top-k, so sampling 100 of 100 billion rows
+    never materializes more than partition-local heads.
+
+    Keys are truncated to 6 decimals BEFORE ranking (libm ln may differ
+    in the last ulp across engines), ties break on doc_id."""
+    from pyspark.sql import Window
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+    from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.expr(HASH60_TPL.format(x="concat('ws|', CAST(doc_id AS STRING))"))
+    # (h+1)/2^60 in (0, 1]: never 0, so ln is finite
+    u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = trunc6(-F.log(u) / F.col("n_chars").cast("double"))
+    base = d.select("doc_id", "n_chars", key.alias("race_key"))
+    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(
+        F.col("race_key").asc(), F.col("doc_id").asc()
+    )
+    pruned = (
+        base.withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= WS_K)
+        .drop("__lrn")
+    )
+    global_w = Window.partitionBy().orderBy(
+        F.col("race_key").asc(), F.col("doc_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= WS_K)
+        .select(
+            "doc_id",
+            "n_chars",
+            "race_key",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -310,6 +358,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "lang_confusion": q_lang_confusion,
     "source_overlap": q_source_overlap,
+    "weighted_sample": q_weighted_sample,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -318,6 +367,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "weighted_sample": """
+        WITH b AS (
+            SELECT doc_id, n_chars,
+                   floor(-ln((CAST('0x' || substr(md5('ws|' ||
+                       CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) + 1)
+                       / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE) * 1000000) / 1000000.0
+                       AS race_key
+            FROM documents
+        )
+        SELECT doc_id, n_chars, race_key, rank FROM (
+            SELECT doc_id, n_chars, race_key,
+                   row_number() OVER (
+                       ORDER BY race_key ASC, doc_id ASC
+                   ) AS rank
+            FROM b
+        ) WHERE rank <= 100
+    """,
     "source_overlap": """
         WITH st AS (
             SELECT DISTINCT source,
