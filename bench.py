@@ -37,6 +37,8 @@ HEADLINE = [
     "special_revenue",           # Q19 disjunctive hull-extraction join
     "corpus_rollup",             # one-pass GROUPING SETS Expand
     "value_histogram",           # broadcast extent + narrow binning
+    "numeric_corr",              # one-pass decimal moment aggregation
+    "source_overlap",            # per-term source pair combinations
     "events_hourly",             # time-bucket aggregation
     "sensor_gaps",               # per-user lag window gap detection
     "value_anomalies",           # two-pass z-score screen
