@@ -191,6 +191,101 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs, a_col="vec_id_a", b_col="vec_id_b")
 
 
+def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE-sketch demo: per-source MinHash signatures built as
+    min-of-document-minima (a MinHash of a union IS the elementwise min
+    of the parts' signatures — the property that lets 1000 executors
+    sketch shards independently and merge in one tiny reduce), then
+    pairwise estimated Jaccard (signature agreement / 16) side-by-side
+    with the exact shingle-set Jaccard so the sketch error is visible.
+
+    Scale: per-doc signatures are the scan-side minhash pipeline; the
+    source signature is a 20-row aggregate; exact Jaccard runs on
+    distinct (source, shingle-hash) pairs via the bucket combination
+    generator — bounded by C(sources, 2) pairs per shingle."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = dd.hashed_shingle_corpus(d)  # doc_id, sh_hashes
+    src = d.select("doc_id", "source")
+    sig = dd.minhash_signature(hashed).join(src, "doc_id")
+    per_source = sig.groupBy("source").agg(
+        *[
+            F.min(F.col("sig")[i]).alias(f"m{i}")
+            for i in range(dd.NUM_PERM)
+        ]
+    )
+    a = per_source.select(
+        F.col("source").alias("src_a"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(dd.NUM_PERM)],
+    )
+    b = per_source.select(
+        F.col("source").alias("src_b"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(dd.NUM_PERM)],
+    )
+    matches = None
+    for i in range(dd.NUM_PERM):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        matches = t if matches is None else matches + t
+    est = a.join(b, F.col("src_a") < F.col("src_b")).select(
+        "src_a",
+        "src_b",
+        (matches.cast("double") / F.lit(float(dd.NUM_PERM))).alias(
+            "est_jaccard"
+        ),
+    )
+    sh = (
+        hashed.join(src, "doc_id")
+        .select("source", F.explode("sh_hashes").alias("h"))
+        .distinct()
+    )
+    inter = (
+        dd.pairs_within_buckets(
+            sh, ["h"], F.struct(F.col("source").alias("id"))
+        )
+        .select(
+            F.col("pair_a.id").alias("src_a"),
+            F.col("pair_b.id").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    vocab = sh.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+
+    exact = (
+        inter.join(
+            F.broadcast(
+                vocab.select(
+                    F.col("source").alias("src_a"),
+                    F.col("v").alias("va"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                vocab.select(
+                    F.col("source").alias("src_b"),
+                    F.col("v").alias("vb"),
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            trunc6(
+                F.col("n_common").cast("double")
+                / (F.col("va") + F.col("vb") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("exact_jaccard"),
+        )
+    )
+    return est.join(exact, ["src_a", "src_b"], "left").na.fill(
+        0.0, ["exact_jaccard"]
+    )
+
+
 PR_ROUNDS = 3
 
 
@@ -453,6 +548,58 @@ def _embedding_oracle() -> str:
     """
 
 
+def _source_minhash_oracle() -> str:
+    sig_elems = ", ".join(
+        f"list_min(list_transform(h, v -> (v * {a} + {b}) % {MERSENNE_P}))"
+        for a, b in PERM_COEFFS[: dd.NUM_PERM]
+    )
+    mins = ", ".join(
+        f"min(sig[{i + 1}]) AS m{i}" for i in range(dd.NUM_PERM)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END)"
+        for i in range(dd.NUM_PERM)
+    )
+    return f"""
+        WITH {_duck_shingles_cte()},
+        ds AS (
+            SELECT h.doc_id, d.source, [{sig_elems}] AS sig
+            FROM hs h JOIN documents d ON d.doc_id = h.doc_id
+        ),
+        ps AS (
+            SELECT source, {mins} FROM ds GROUP BY source
+        ),
+        est AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   CAST(({agree}) AS DOUBLE) / {float(dd.NUM_PERM)}
+                       AS est_jaccard
+            FROM ps a JOIN ps b ON a.source < b.source
+        ),
+        sh2 AS (
+            SELECT DISTINCT d.source, unnest(h.h) AS hv
+            FROM hs h JOIN documents d ON d.doc_id = h.doc_id
+        ),
+        inter AS (
+            SELECT a.source AS src_a, b.source AS src_b,
+                   count(*) AS n_common
+            FROM sh2 a JOIN sh2 b
+              ON a.hv = b.hv AND a.source < b.source
+            GROUP BY a.source, b.source
+        ),
+        vocab AS (
+            SELECT source, count(*) AS v FROM sh2 GROUP BY source
+        )
+        SELECT e.src_a, e.src_b, e.est_jaccard,
+               COALESCE(floor(CAST(i.n_common AS DOUBLE)
+                   / CAST(va.v + vb.v - i.n_common AS DOUBLE)
+                   * 1000000) / 1000000.0, 0.0) AS exact_jaccard
+        FROM est e
+        LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+        LEFT JOIN vocab va ON va.source = e.src_a
+        LEFT JOIN vocab vb ON vb.source = e.src_b
+    """
+
+
 def _pagerank_oracle() -> str:
     """Unrolled fixed-point PageRank over the embedding pair graph —
     identical integer arithmetic to operators/graph.py:pagerank, so the
@@ -697,6 +844,7 @@ QUERIES = {
     "dedup_incremental": q_dedup_incremental,
     "triangle_count": q_triangle_count,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
+    "source_minhash_jaccard": q_source_minhash_jaccard,
 }
 
 ORACLES = {
@@ -718,4 +866,5 @@ ORACLES = {
     "dedup_incremental": _incremental_oracle(),
     "triangle_count": _triangle_oracle(),
     "dedup_embedding_ivf": _embedding_ivf_oracle(),
+    "source_minhash_jaccard": _source_minhash_oracle(),
 }
