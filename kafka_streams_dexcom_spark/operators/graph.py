@@ -30,15 +30,15 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``; component
     = min node id reachable within ``rounds`` hops (exact CC when rounds
     >= graph diameter)."""
-    edges = (
-        pairs.select(
-            F.col(a_col).alias("u"), F.col(b_col).alias("v")
-        )
-        .union(
-            pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
-        )
-        .distinct()
-    )
+    # cut the pair pipeline ONCE before mirroring (the union's two
+    # branches would otherwise re-execute candidate generation twice
+    # during the persist materialization below)
+    p0 = pairs.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint()
+    edges = p0.union(
+        p0.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct()
     # iterative algorithm hygiene: without this, round k's plan re-derives
     # the whole upstream pairs pipeline k times (measured 23s -> 4s at
     # sf0.01). Persist the loop-invariant edge list; cut the label
@@ -115,10 +115,14 @@ def pagerank(
     dangling nodes (every node has degree >= 1), so no dangling-mass
     redistribution term is needed.
     """
-    edges = pairs.select(
+    # cut the pair pipeline ONCE before mirroring: the union references
+    # it from two branches, which would execute candidate generation
+    # twice during the persist materialization
+    p0 = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
-    ).union(
-        pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
+    ).localCheckpoint()
+    edges = p0.union(
+        p0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     edges = edges.persist()
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
@@ -189,8 +193,16 @@ def triangle_counts(
     (u,w). Two equi-joins on node id over the (small) edge list — never
     on the corpus — then one explode+groupBy to attribute the triangle
     to its three corners. Degrees come from the same edge list; nodes in
-    no triangle keep count 0 via the left join."""
-    e = pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+    no triangle keep count 0 via the left join.
+
+    The edge list is consumed from FOUR plan branches (both path sides,
+    the closing join, degrees), so the upstream pair pipeline is
+    materialized once with an eager localCheckpoint — without it the
+    whole candidate-generation pipeline re-executes per branch (same
+    hygiene as connected_components/hashed_shingle_corpus)."""
+    e = pairs.select(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).localCheckpoint()
     paths = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))
