@@ -207,12 +207,14 @@ def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = dd.hashed_shingle_corpus(d)  # doc_id, sh_hashes
     src = d.select("doc_id", "source")
     sig = dd.minhash_signature(hashed).join(src, "doc_id")
+    # consumed by both self-join sides: materialize the 20-row sketch
+    # table once instead of re-running the signature pipeline per branch
     per_source = sig.groupBy("source").agg(
         *[
             F.min(F.col("sig")[i]).alias(f"m{i}")
             for i in range(dd.NUM_PERM)
         ]
-    )
+    ).localCheckpoint()
     a = per_source.select(
         F.col("source").alias("src_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(dd.NUM_PERM)],
@@ -232,10 +234,13 @@ def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard"
         ),
     )
+    # (source, hash) vocabulary feeds both the pair generator and the
+    # per-source sizes — one distinct, materialized once
     sh = (
         hashed.join(src, "doc_id")
         .select("source", F.explode("sh_hashes").alias("h"))
         .distinct()
+        .localCheckpoint()
     )
     inter = (
         dd.pairs_within_buckets(
