@@ -58,6 +58,7 @@ HEADLINE = [
     "zipf_slope",                # token shuffle + decimal-exact regression
     "sequence_packing",          # per-language cumsum packing window
     "pagerank_centrality",       # fixed-point iterative rank (3 rounds)
+    "triangle_count",            # ordered-edge triangle enumeration
     "funnel_steps",              # co-partitioned sequential funnel
     "retention_cohorts",         # weekly cohort triangle
     "tfidf_top_terms",           # single-token-shuffle tf-idf top-k
