@@ -102,3 +102,47 @@ def test_pii_patterns_agree_with_duckdb(spark):
                 "SELECT len(regexp_extract_all(?, ?))", [text, pat]
             ).fetchone()
             assert n == spark_out[doc_id][f"n_{name}"], (doc_id, name)
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    """A document saturated with the query terms must outrank one with a
+    single hit; a document with none is absent (score 0 filtered)."""
+    from kafka_streams_dexcom_spark.operators.text import bm25_search
+
+    rows = [
+        (1, "join hash vector join hash vector join"),
+        (2, "join table scan filter merge sort batch"),
+        (3, "table scan filter merge sort batch row"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = bm25_search(df, ("join", "hash", "vector"), k=10).collect()
+    ranked = [r.doc_id for r in sorted(got, key=lambda r: r.rank)]
+    assert ranked[0] == 1
+    assert 3 not in ranked  # no query term -> filtered out
+    assert all(r.score > 0 for r in got)
+
+
+def test_sequence_packing_bin_invariants(spark, sf_dir):
+    """Bins are dense per language (0..max with no gaps), offsets lie in
+    [0, context), and a doc's bin equals floor(prev-cumsum/context) —
+    the concat-and-chunk contract."""
+    from kafka_streams_dexcom_spark.queries.text import (
+        PACK_CONTEXT,
+        q_sequence_packing,
+    )
+
+    rows = q_sequence_packing(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        bins = set()
+        for r in rs:
+            assert 0 <= r.bin_offset < PACK_CONTEXT, (lang, r)
+            assert r.bin_idx == cum // PACK_CONTEXT, (lang, r)
+            assert r.bin_offset == cum % PACK_CONTEXT, (lang, r)
+            bins.add(r.bin_idx)
+            cum += r.n_tokens
+        assert bins == set(range(max(bins) + 1))  # dense, no gaps
