@@ -191,6 +191,34 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs, a_col="vec_id_a", b_col="vec_id_b")
 
 
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate accounting: how many of each source's
+    documents survive hash dedup (min-doc_id policy) and the duplicate
+    rate — the 'which source is polluting the corpus' curation view.
+    One hash groupBy for survivor election (the 8-byte text hash, never
+    the text) + a bounded per-source rollup."""
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "source", F.expr(dd.HASH60_TPL.format(x="text")).alias("h")
+    )
+    survivors = hashed.groupBy("h").agg(F.min("doc_id").alias("min_id"))
+    marked = hashed.join(F.broadcast(survivors), "h").select(
+        "source",
+        (F.col("doc_id") == F.col("min_id")).cast("int").alias("kept"),
+    )
+    n = F.count(F.lit(1))
+    k = F.sum("kept")
+    return marked.groupBy("source").agg(
+        n.alias("n_docs"),
+        k.cast("bigint").alias("n_kept"),
+        trunc6(
+            (n - k).cast("double") / n.cast("double")
+        ).alias("dup_rate"),
+    )
+
+
 def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGEABLE-sketch demo: per-source MinHash signatures built as
     min-of-document-minima (a MinHash of a union IS the elementwise min
@@ -850,9 +878,27 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "source_minhash_jaccard": q_source_minhash_jaccard,
+    "dedup_rate_by_source": q_dedup_rate_by_source,
 }
 
 ORACLES = {
+    "dedup_rate_by_source": f"""
+        WITH h AS (
+            SELECT doc_id, source,
+                   {DUCK_HASH60.format(x='text')} AS hh
+            FROM documents
+        ),
+        surv AS (SELECT hh, min(doc_id) AS min_id FROM h GROUP BY hh)
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id = min_id THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_kept,
+               floor(CAST(count(*) - sum(CASE WHEN doc_id = min_id
+                       THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) * 1000000) / 1000000.0
+                   AS dup_rate
+        FROM h JOIN surv USING (hh)
+        GROUP BY source
+    """,
     "dedup_exact": f"""
         SELECT {DUCK_HASH60.format(x='text')} AS text_hash,
                min(doc_id) AS doc_id, count(*) AS dup_count
