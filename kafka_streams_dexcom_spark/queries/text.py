@@ -199,6 +199,43 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration (Lorenz curve) by source: sources ranked by
+    token volume with their cumulative share — the balance diagnostic
+    behind 'is 80% of the corpus coming from 3 sources'.
+
+    One scan-side token count + one bounded source aggregation; the
+    ranking window runs over #sources rows. Shares are exact integer
+    token sums divided once as fixed-order doubles, truncated before
+    output."""
+    from pyspark.sql import Window
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = "size(filter(split(text, '\\\\s+'), t -> t != ''))"
+    per_source = (
+        d.select("source", F.expr(toks).cast("bigint").alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    w = Window.orderBy(F.col("n_tokens").asc(), F.col("source").asc())
+    cum = F.sum("n_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = F.sum("n_tokens").over(
+        Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return per_source.select(
+        F.row_number().over(w).cast("bigint").alias("rank"),
+        "source",
+        "n_tokens",
+        trunc6(cum.cast("double") / total.cast("double")).alias(
+            "cum_share"
+        ),
+    )
+
+
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.text_stats(load_table(spark, sf_dir, "documents"))
 
@@ -359,6 +396,7 @@ QUERIES = {
     "lang_confusion": q_lang_confusion,
     "source_overlap": q_source_overlap,
     "weighted_sample": q_weighted_sample,
+    "source_lorenz": q_source_lorenz,
     "quality_score": q_quality_score,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -367,6 +405,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "source_lorenz": """
+        WITH ps AS (
+            SELECT source,
+                   sum(len(list_filter(string_split_regex(text, '\\s+'),
+                       t -> t != ''))) AS n_tokens
+            FROM documents GROUP BY source
+        )
+        SELECT CAST(row_number() OVER (
+                   ORDER BY n_tokens ASC, source ASC) AS BIGINT) AS rank,
+               source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               floor(CAST(sum(n_tokens) OVER (
+                       ORDER BY n_tokens ASC, source ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS DOUBLE)
+                   / CAST(sum(n_tokens) OVER () AS DOUBLE)
+                   * 1000000) / 1000000.0 AS cum_share
+        FROM ps
+    """,
     "weighted_sample": """
         WITH b AS (
             SELECT doc_id, n_chars,
