@@ -48,7 +48,7 @@ def main() -> int:
         try:
             if name in oracles:
                 res = compare(fn(spark, sf_dir), con, oracles[name])
-                ok = res["values_match"]
+                ok = res["values_match"] and res["types_match"]
                 detail = (
                     f"rows={res['spark_rows']}"
                     if ok

@@ -4,10 +4,12 @@ per cluster).
 
 Algorithm: iterative min-id label propagation. Each node starts with its
 own id as label; each round every node adopts the minimum label in its
-neighborhood; converges in O(diameter) rounds. Near-dup graphs are
-forests of small dense blobs (diameter 2-4), so a fixed small round count
-converges in practice; at true scale swap in the large-star/small-star
-algorithm (same DataFrame shape, provably fewer rounds).
+neighborhood; converges in O(diameter) rounds. The loop runs to an
+explicit fixpoint — it stops the first round no label changes — so the
+result is exact CC for any diameter up to ``max_rounds`` (a safety cap,
+not a tuning knob). The changed-count check is one cheap scan of the
+round's already-materialized localCheckpoint, negligible next to the
+round's two shuffles even at cluster scale.
 
 Each round is one join + one groupBy — two shuffles on node id, both
 AQE-managed. No driver-side iteration state beyond the loop counter.
@@ -25,11 +27,12 @@ def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
-    rounds: int = 5,
+    max_rounds: int = 50,
 ) -> DataFrame:
-    """(node, component) for every node appearing in ``pairs``; component
-    = min node id reachable within ``rounds`` hops (exact CC when rounds
-    >= graph diameter)."""
+    """(node, component) for every node appearing in ``pairs``; exact
+    connected components — the propagation loop runs until no label
+    changes (or ``max_rounds``, a safety cap well above any plausible
+    near-dup graph diameter)."""
     # cut the pair pipeline ONCE before mirroring (the union's two
     # branches would otherwise re-execute candidate generation twice
     # during the persist materialization below)
@@ -49,7 +52,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(rounds):
+    for _ in range(max_rounds):
         # qualified aliases: labels derives from edges, so every round is
         # a self-join by lineage — name-qualify to keep Catalyst unambiguous
         neighbor_min = (
@@ -58,7 +61,7 @@ def connected_components(
             .groupBy(F.col("e.u").alias("nm_node"))
             .agg(F.min(F.col("lx.label")).alias("nbr_label"))
         )
-        labels = (
+        updated = (
             labels.alias("l")
             .join(
                 neighbor_min.alias("nm"),
@@ -67,6 +70,7 @@ def connected_components(
             )
             .select(
                 F.col("l.node").alias("node"),
+                F.col("l.label").alias("prev_label"),
                 F.least(
                     F.col("l.label"),
                     F.coalesce(F.col("nm.nbr_label"), F.col("l.label")),
@@ -74,6 +78,16 @@ def connected_components(
             )
             .localCheckpoint()
         )
+        labels = updated.select("node", "label")
+        # fixpoint test on the materialized checkpoint: once a round
+        # changes nothing, every further round is an identical no-op
+        if (
+            updated.where(F.col("label") != F.col("prev_label"))
+            .limit(1)
+            .count()
+            == 0
+        ):
+            break
     edges.unpersist()
     return labels.select("node", F.col("label").alias("component"))
 
@@ -147,7 +161,7 @@ def pagerank(
             .groupBy(F.col("e.v").alias("in_node"))
             .agg(F.sum("c").alias("s"))
         )
-        pr = (
+        updated = (
             pr.alias("p")
             .join(
                 incoming.alias("i"),
@@ -158,6 +172,7 @@ def pagerank(
                 F.col("p.node").alias("node"),
                 F.col("p.deg").alias("deg"),
                 F.col("p.n_nodes").alias("n_nodes"),
+                F.col("p.pr").alias("prev_pr"),
                 (
                     base
                     + F.expr(
@@ -168,6 +183,17 @@ def pagerank(
             )
             .localCheckpoint()
         )
+        pr = updated.select("node", "deg", "n_nodes", "pr")
+        # fixed-point ranks are integers: exact equality is meaningful.
+        # If a round changed nothing, every later round is a no-op —
+        # stop early (the check scans the materialized checkpoint only).
+        if (
+            updated.where(F.col("pr") != F.col("prev_pr"))
+            .limit(1)
+            .count()
+            == 0
+        ):
+            break
     edges.unpersist()
     # float view truncated to 9 decimals via integer div — never round a
     # computed double (engines disagree on ties; see BASELINE.md notes)
@@ -182,6 +208,7 @@ def triangle_counts(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node triangle count + local clustering coefficient over an
     undirected pair graph — the density diagnostic for near-dup blobs
@@ -199,10 +226,43 @@ def triangle_counts(
     the closing join, degrees), so the upstream pair pipeline is
     materialized once with an eager localCheckpoint — without it the
     whole candidate-generation pipeline re-executes per branch (same
-    hygiene as connected_components/hashed_shingle_corpus)."""
+    hygiene as connected_components/hashed_shingle_corpus).
+
+    ``max_degree``: skew guard for the quadratic step. The path join
+    emits deg(v)^2 wedges per pivot node, so one celebrity node of
+    degree d contributes d^2 rows — at corpus scale that single key is
+    the job. With a cap, nodes of degree > max_degree (a tiny set of
+    heavy hitters — broadcast anti-join, no shuffle) are removed before
+    enumeration, and the result is EXACT triangle counting on the capped
+    subgraph: per-pivot wedge count is bounded by max_degree^2. The
+    standard corpus diagnostic (near-dup blob density) loses nothing —
+    a celebrity node's neighborhood is better inspected directly than
+    triangle-counted."""
     e = pairs.select(
         F.col(a_col).alias("a"), F.col(b_col).alias("b")
     ).localCheckpoint()
+    if max_degree is not None:
+        deg0 = (
+            e.select(F.col("a").alias("node"))
+            .union(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d0"))
+        )
+        hot = deg0.where(F.col("d0") > max_degree).select("node")
+        e = (
+            e.join(
+                F.broadcast(hot.select(F.col("node").alias("a"))),
+                "a",
+                "left_anti",
+            )
+            .join(
+                F.broadcast(hot.select(F.col("node").alias("b"))),
+                "b",
+                "left_anti",
+            )
+            .select("a", "b")
+            .localCheckpoint()
+        )
     paths = (
         e.alias("e1")
         .join(e.alias("e2"), F.col("e1.b") == F.col("e2.a"))

@@ -72,14 +72,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CC_ROUNDS = 5
-
-
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs → connected components → dedup clusters: the final
     step of a dedup pipeline (drop everything but each cluster's min-id
-    representative). Min-label propagation, fixed rounds (graph diameter
-    of near-dup blobs is tiny)."""
+    representative). Min-label propagation run to fixpoint (exact CC for
+    any diameter); the oracle is an exact recursive-CTE CC, so parity
+    holds on pathological chain graphs too, not just shallow blobs."""
     from kafka_streams_dexcom_spark.operators.graph import (
         connected_components,
     )
@@ -88,7 +86,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    return connected_components(pairs, rounds=CC_ROUNDS)
+    return connected_components(pairs)
 
 
 EVAL_SOURCE = "src0"
@@ -107,7 +105,7 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
-    comp = connected_components(pairs, rounds=CC_ROUNDS)
+    comp = connected_components(pairs)
     canonical = F.coalesce(F.col("component"), F.col("doc_id"))
     return (
         d.select("doc_id")
@@ -191,22 +189,51 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs, a_col="vec_id_a", b_col="vec_id_b")
 
 
+TRI_DEGREE_CAP = 2  # small on purpose: exercises the cap on testdata
+
+
+def q_triangle_count_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-capped triangle counting — the 100 TB-safe variant. The
+    path join emits deg(v)^2 wedges per pivot, so one celebrity node
+    makes the uncapped join quadratic in its degree; here heavy nodes
+    (degree > cap, a tiny broadcast set) are anti-joined out first and
+    counting is EXACT on the capped subgraph. Cap is 2 at test scale so
+    the filter path is actually exercised (max degree on testdata is 3);
+    production would use ~1000."""
+    from kafka_streams_dexcom_spark.operators.graph import triangle_counts
+
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_cosine_pairs(e, threshold=COSINE_THRESHOLD)
+    return triangle_counts(
+        pairs, a_col="vec_id_a", b_col="vec_id_b", max_degree=TRI_DEGREE_CAP
+    )
+
+
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplicate accounting: how many of each source's
     documents survive hash dedup (min-doc_id policy) and the duplicate
     rate — the 'which source is polluting the corpus' curation view.
     One hash groupBy for survivor election (the 8-byte text hash, never
-    the text) + a bounded per-source rollup."""
+    the text) + a bounded per-source rollup.
+
+    Survivor election is a min(doc_id) window over the hash — ONE
+    shuffle on the 8-byte hash and no join at all. (The previous shape
+    broadcast the survivor table, which is corpus-sized — one row per
+    distinct text — and would blow the broadcast limit at 100 TB.)"""
+    from pyspark.sql import Window
+
     from kafka_streams_dexcom_spark.functions.rounding import trunc6
 
     d = load_table(spark, sf_dir, "documents")
     hashed = d.select(
         "doc_id", "source", F.expr(dd.HASH60_TPL.format(x="text")).alias("h")
     )
-    survivors = hashed.groupBy("h").agg(F.min("doc_id").alias("min_id"))
-    marked = hashed.join(F.broadcast(survivors), "h").select(
+    marked = hashed.select(
         "source",
-        (F.col("doc_id") == F.col("min_id")).cast("int").alias("kept"),
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy("h"))
+        ).cast("int").alias("kept"),
     )
     n = F.count(F.lit(1))
     k = F.sum("kept")
@@ -687,7 +714,7 @@ def _pagerank_oracle() -> str:
             SELECT u AS node, deg, {unit} // n_nodes AS pr
             FROM deg CROSS JOIN nn
         ),{",".join(rounds_sql)}
-        SELECT node, pr AS pr_units,
+        SELECT node, CAST(pr AS BIGINT) AS pr_units,
                (pr // 1000) / 1000000000.0 AS pagerank
         FROM p3
     """
@@ -728,11 +755,25 @@ def _embedding_ivf_oracle() -> str:
     )
 
 
-def _triangle_oracle() -> str:
+def _triangle_oracle(max_degree: int | None = None) -> str:
     dot = (
         "list_reduce(list_transform(range(1, len({a}) + 1), "
         "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
     )
+    if max_degree is None:
+        cap_ctes = "e AS (SELECT a, b FROM e0),"
+    else:
+        cap_ctes = f"""deg0 AS (
+            SELECT node, count(*) AS d0 FROM (
+                SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+            ) GROUP BY node
+        ),
+        hot AS (SELECT node FROM deg0 WHERE d0 > {max_degree}),
+        e AS (
+            SELECT a, b FROM e0
+            WHERE a NOT IN (SELECT node FROM hot)
+              AND b NOT IN (SELECT node FROM hot)
+        ),"""
     return f"""
         WITH v AS (
             SELECT vec_id, label,
@@ -744,7 +785,7 @@ def _triangle_oracle() -> str:
                    sqrt({dot.format(a='vec', b='vec')}) AS norm
             FROM v
         ),
-        e AS (
+        e0 AS (
             SELECT a.vec_id AS a, b.vec_id AS b
             FROM n a JOIN n b
               ON a.label = b.label AND a.vec_id < b.vec_id
@@ -752,6 +793,7 @@ def _triangle_oracle() -> str:
               AND round({dot.format(a='a.vec', b='b.vec')}
                         / (a.norm * b.norm), 6) >= {COSINE_THRESHOLD}
         ),
+        {cap_ctes}
         tri AS (
             SELECT e1.a AS u, e1.b AS v, e2.b AS w
             FROM e e1
@@ -782,32 +824,25 @@ def _triangle_oracle() -> str:
 
 
 def _cc_oracle() -> str:
-    """Unrolled min-label propagation over the ngram near-dup graph —
-    the same fixed number of rounds the Spark operator runs."""
-    rounds = []
-    for k in range(CC_ROUNDS):
-        rounds.append(
-            f"""
-        l{k + 1} AS (
-            SELECT l.u AS u,
-                   least(l.label, coalesce(nm.nbr, l.label)) AS label
-            FROM l{k} l LEFT JOIN (
-                SELECT e.u AS node, min(x.label) AS nbr
-                FROM edges e JOIN l{k} x ON e.v = x.u
-                GROUP BY e.u
-            ) nm ON l.u = nm.node
-        )"""
-        )
+    """Exact connected components over the ngram near-dup graph:
+    recursive-CTE reachability (UNION dedups, so the recursion
+    terminates), then min reachable id per node — matches the Spark
+    operator's run-to-fixpoint label propagation on ANY graph, not just
+    ones whose diameter fits a fixed round count."""
     return f"""
-        WITH p AS ({_ngram_jaccard_oracle()}),
+        WITH RECURSIVE p AS ({_ngram_jaccard_oracle()}),
         edges AS (
             SELECT doc_a AS u, doc_b AS v FROM p
             UNION
             SELECT doc_b AS u, doc_a AS v FROM p
         ),
-        l0 AS (SELECT DISTINCT u, u AS label FROM edges),
-        {",".join(rounds)}
-        SELECT u AS node, label AS component FROM l{CC_ROUNDS}
+        reach AS (
+            SELECT DISTINCT u AS node, u AS label FROM edges
+            UNION
+            SELECT e.u AS node, r.label
+            FROM edges e JOIN reach r ON e.v = r.node
+        )
+        SELECT node, min(label) AS component FROM reach GROUP BY node
     """
 
 
@@ -876,6 +911,7 @@ QUERIES = {
     "pagerank_centrality": q_pagerank_centrality,
     "dedup_incremental": q_dedup_incremental,
     "triangle_count": q_triangle_count,
+    "triangle_count_capped": q_triangle_count_capped,
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "source_minhash_jaccard": q_source_minhash_jaccard,
     "dedup_rate_by_source": q_dedup_rate_by_source,
@@ -916,6 +952,7 @@ ORACLES = {
     "pagerank_centrality": _pagerank_oracle(),
     "dedup_incremental": _incremental_oracle(),
     "triangle_count": _triangle_oracle(),
+    "triangle_count_capped": _triangle_oracle(max_degree=TRI_DEGREE_CAP),
     "dedup_embedding_ivf": _embedding_ivf_oracle(),
     "source_minhash_jaccard": _source_minhash_oracle(),
 }

@@ -181,7 +181,10 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bin shuffle beyond the bounded bin-count aggregate).
 
     Bin arithmetic is fixed-order double math on both engines; the max
-    value clamps into the last bin."""
+    value clamps into the last bin. Degenerate extent (mn == mx, e.g. a
+    constant column or a single row) is guarded to bin 0 on both sides —
+    unguarded it divides by a zero width, where Spark and DuckDB
+    NaN/Inf floor semantics can silently diverge."""
     e = load_table(spark, sf_dir, "events").select("value")
     ext = e.agg(
         F.min("value").alias("mn"), F.max("value").alias("mx")
@@ -190,10 +193,14 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         e.join(F.broadcast(ext), how="cross")
         .select(
-            F.least(
-                F.floor((F.col("value") - F.col("mn")) / width),
-                F.lit(HIST_BINS - 1),
-            ).cast("bigint").alias("bin"),
+            F.when(F.col("mx") == F.col("mn"), F.lit(0))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("value") - F.col("mn")) / width),
+                    F.lit(HIST_BINS - 1),
+                )
+            )
+            .cast("bigint").alias("bin"),
             "mn",
             "mx",
         )
@@ -626,8 +633,9 @@ ORACLES = {
     "value_histogram": """
         WITH ext AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
         b AS (
-            SELECT CAST(least(floor((value - mn) / ((mx - mn) / 20.0)),
-                        19) AS BIGINT) AS bin, mn, mx
+            SELECT CAST(CASE WHEN mx = mn THEN 0
+                        ELSE least(floor((value - mn) / ((mx - mn) / 20.0)),
+                                   19) END AS BIGINT) AS bin, mn, mx
             FROM events CROSS JOIN ext
         )
         SELECT bin,
@@ -638,7 +646,7 @@ ORACLES = {
     """,
     "corpus_rollup": """
         SELECT lang, source, count(*) AS n_docs,
-               sum(n_chars) AS sum_chars
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
         FROM documents
         GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
     """,

@@ -32,6 +32,96 @@ def _sortable(row: tuple) -> tuple:
     return tuple((v is None, str(type(v)), str(v)) for v in row)
 
 
+# The driver's hash check is serialization-type-sensitive (Arrow-level), so
+# value equality alone is not enough: a DuckDB HUGEINT vs Spark BIGINT column
+# hashes differently even when every value matches (round-2 lesson:
+# corpus_rollup / pagerank_centrality red rows). Map DuckDB DESCRIBE types
+# onto Spark simpleString types and demand exact agreement.
+_DUCK_SCALARS = {
+    "BIGINT": "bigint",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "TINYINT": "tinyint",
+    "HUGEINT": "hugeint",  # no Spark equivalent — always a mismatch, by design
+    "UBIGINT": "ubigint",
+    "UINTEGER": "uint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "REAL": "float",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIME": "time",
+    "BLOB": "binary",
+}
+
+# DuckDB TIMESTAMP is Arrow timestamp[us] (no tz); Spark's session-tz
+# timestamp and timestamp_ntz both serialize as timestamp[us] under the
+# driver's UTC runner, so accept either.
+_TS_EQUIV = {"timestamp", "timestamp_ntz"}
+
+
+def duck_to_spark_type(t: str) -> str:
+    t = t.strip()
+    if t.endswith("[]"):
+        return f"array<{duck_to_spark_type(t[:-2])}>"
+    if t.startswith("DECIMAL"):
+        return "decimal" + t[len("DECIMAL") :].replace(" ", "").lower()
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.startswith("STRUCT(") and t.endswith(")"):
+        inner = t[len("STRUCT(") : -1]
+        fields = []
+        depth = 0
+        buf = ""
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                fields.append(buf)
+                buf = ""
+            else:
+                buf += ch
+        if buf:
+            fields.append(buf)
+        parts = []
+        for f in fields:
+            name, _, ft = f.strip().partition(" ")
+            parts.append(f"{name.strip(chr(34))}:{duck_to_spark_type(ft)}")
+        return "struct<" + ",".join(parts) + ">"
+    return _DUCK_SCALARS.get(t, t.lower())
+
+
+def _types_equiv(spark_t: str, duck_mapped: str) -> bool:
+    if spark_t == duck_mapped:
+        return True
+    if spark_t in _TS_EQUIV and duck_mapped == "timestamp":
+        return True
+    return False
+
+
+def type_mismatches(
+    spark_df, con: duckdb.DuckDBPyConnection, sql: str
+) -> list[tuple]:
+    """(col, spark_type, duckdb_type) for every column whose oracle output
+    type would not Arrow-serialize identically to the Spark output type."""
+    s_types = {f.name: f.dataType.simpleString() for f in spark_df.schema.fields}
+    d_types = {
+        r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()
+    }
+    out = []
+    for col, dt in d_types.items():
+        st = s_types.get(col)
+        if st is None:
+            continue  # column-name mismatch is reported separately
+        mapped = duck_to_spark_type(dt)
+        if not _types_equiv(st, mapped):
+            out.append((col, st, f"{dt} -> {mapped}"))
+    return out
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
     oracle = con.execute(sql)
     o_cols = [d[0] for d in oracle.description]
@@ -46,6 +136,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> dict:
         "oracle_cols": sorted(o_cols),
     }
     result["cols_match"] = sorted(s_cols) == sorted(o_cols)
+    tm = type_mismatches(spark_df, con, sql)
+    result["types_match"] = not tm
+    result["type_mismatches"] = tm
     result["count_match"] = len(s_rows) == len(o_rows)
     if not (result["cols_match"] and result["count_match"]):
         result["values_match"] = False

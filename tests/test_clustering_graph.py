@@ -117,3 +117,94 @@ def test_incremental_dedup_matches_symmetric_subset(spark, sf_dir):
         if (r.id_a % 10 == 0) != (r.id_b % 10 == 0)
     }
     assert inc_pairs == straddling
+
+
+def test_connected_components_deep_chain_converges(spark):
+    """Diameter-8 chain 0-1-...-8: a fixed 5-round propagation labels the
+    far end wrong; the fixpoint loop must give every node component 0.
+    (This is the exact failure mode the convergence guard exists for.)"""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    cc = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert cc == {i: 0 for i in range(9)}
+
+
+def test_connected_components_round_cap_respected(spark):
+    """max_rounds is a hard cap: with max_rounds=2 the far end of the
+    chain must NOT yet carry label 0 (documents that the default is a
+    safety cap, not a semantic knob)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    cc = {
+        r.node: r.component
+        for r in connected_components(pairs, max_rounds=2).collect()
+    }
+    assert cc[8] != 0  # under-converged by construction
+
+
+def test_pagerank_early_exit_identity(spark):
+    """Early exit is a pure optimization: a graph that stabilizes fast
+    must produce bit-identical ranks whether rounds=3 or rounds=10
+    (after stabilization every round is a no-op)."""
+    from kafka_streams_dexcom_spark.operators.graph import pagerank
+
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r3 = {r.node: r.pr_units for r in pagerank(pairs, rounds=3).collect()}
+    r10 = {r.node: r.pr_units for r in pagerank(pairs, rounds=10).collect()}
+    assert r3 == r10
+
+
+def test_triangle_counts_degree_cap_excludes_celebrity(spark):
+    """Star of degree 40 fused with a K3: uncapped sees the celebrity;
+    capped (max_degree=5) must drop the hub and every edge touching it,
+    count EXACTLY on the remaining subgraph, and never enumerate the
+    hub's quadratic wedge set."""
+    from kafka_streams_dexcom_spark.operators.graph import triangle_counts
+
+    star = [(100, i) for i in range(40)]  # hub 100, degree 40
+    k3 = [(1, 2), (2, 3), (1, 3)]
+    pairs = spark.createDataFrame(
+        star + k3, "doc_a long, doc_b long"
+    )
+    capped = {
+        r.node: r for r in triangle_counts(pairs, max_degree=5).collect()
+    }
+    assert 100 not in capped  # celebrity removed
+    # star leaves (degree 1 after hub removal) vanish from the edge list
+    # entirely except 1,2,3 which keep their K3 edges
+    assert set(capped) == {1, 2, 3}
+    for n in (1, 2, 3):
+        assert capped[n].triangles == 1
+        assert capped[n].degree == 2
+        assert capped[n].clustering == 1.0
+    # uncapped still sees everything
+    uncapped = {r.node: r for r in triangle_counts(pairs).collect()}
+    assert uncapped[100].degree == 40
+
+
+def test_value_histogram_degenerate_extent(spark, tmp_path):
+    """Constant value column: mn == mx makes the bin width 0; the guard
+    must put every row in bin 0 instead of NaN-flooring."""
+    import duckdb
+
+    from kafka_streams_dexcom_spark.queries.relational import (
+        q_value_histogram,
+    )
+    from kafka_streams_dexcom_spark.queries import all_oracles
+
+    src = spark.read.parquet(str(SF_EVENTS := "/root/testdata/sf0.001/events.parquet"))
+    const = src.limit(7).withColumn("value", F.lit(42.0))
+    const.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = q_value_histogram(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    assert got[0].bin == 0 and got[0].bin_lo == 42.0 and got[0].n == 7
+    # oracle agrees on the degenerate case
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet/*.parquet')"
+    )
+    o = con.execute(all_oracles()["value_histogram"]).fetchall()
+    assert [(r[0], r[1], r[2]) for r in o] == [(0, 42.0, 7)]

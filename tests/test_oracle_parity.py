@@ -23,3 +23,5 @@ def test_query_matches_oracle(spark, sf_dir, name, fn, oracle):
     con = duckdb_con(sf_dir)
     res = compare(df, con, oracle)
     assert res["values_match"], res
+    # driver's hash is serialization-type-sensitive — enforce the same contract
+    assert res["types_match"], res["type_mismatches"]
