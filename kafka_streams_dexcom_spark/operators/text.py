@@ -626,6 +626,120 @@ def bm25_search(
     )
 
 
+def build_inverted_index(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Posting-list inverted index: (term, doc_id, tf, dl) — ONE token
+    explode + groupBy shuffle over the corpus. At 100 TB this is the
+    build-once artifact a retrieval stack materializes to parquet
+    (bucketed by term) and reuses for every query batch; the document
+    length is denormalized into the postings (the classic stored-norm
+    trick) so query-time scoring never joins back to the corpus."""
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    base = (
+        fan_out_small(df)
+        .select("doc_id", F.expr(toks).alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").cast("bigint").alias("dl"),
+            F.explode("__toks").alias("term"),
+        )
+    )
+    return base.groupBy("term", "doc_id", "dl").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+
+
+def bm25_freetext(
+    df: DataFrame,
+    query_df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """Free-text BM25 over the inverted index: query terms arrive as
+    DATA — a small (query_id, term) table — not compile-time constants,
+    so this serves arbitrary ad-hoc queries (the gap bm25_search's fixed
+    term bag leaves open).
+
+    Scale shape: the only corpus-wide work is the index build (one token
+    shuffle, amortized across every query in the batch and, in
+    production, across batches via a materialized index). Everything
+    query-side is broadcast: the term table, the per-term document
+    frequencies (|query vocabulary| rows), and the single-row corpus
+    stats. Candidate rows = postings of query terms only; per-query
+    top-k uses the two-level prune so no reducer sees a full candidate
+    list.
+
+    Determinism: per-(query,doc) scores are summed as fixed-point BIGINT
+    units (floor(part * 1e9)) — integer sums are partition-order
+    independent, so the result is bit-identical on any partitioning and
+    exactly replayable by the DuckDB oracle. Same RSJ idf / k1 / b as
+    bm25_search; ties break on doc_id."""
+    post = build_inverted_index(df, text_col).localCheckpoint()
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    stats = fan_out_small(df).select(
+        F.expr(f"size({toks})").cast("bigint").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    qt = query_df.select("query_id", "term")
+    terms = qt.select("term").distinct()
+    tpost = post.join(F.broadcast(terms), "term").localCheckpoint()
+    dfreq = tpost.groupBy("term").agg(F.count(F.lit(1)).alias("dfr"))
+    scored = (
+        tpost.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats), how="cross")
+    )
+    n = F.col("n_docs").cast("double")
+    dfr = F.col("dfr").cast("double")
+    tf = F.col("tf").cast("double")
+    avgdl = F.col("sum_dl").cast("double") / n
+    idf = F.log(F.lit(1.0) + (n - dfr + F.lit(0.5)) / (dfr + F.lit(0.5)))
+    denom = tf + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+    )
+    part_units = F.floor(
+        idf * (tf * F.lit(BM25_K1 + 1.0)) / denom * F.lit(1.0e9)
+    )
+    grouped = (
+        scored.select(
+            "query_id", "doc_id", "dl", part_units.alias("pu")
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.max("dl").alias("dl"), F.sum("pu").alias("units"))
+        .select(
+            "query_id",
+            "doc_id",
+            "dl",
+            (F.expr("units div 1000") / F.lit(1.0e6)).alias("score"),
+        )
+    )
+    local_w = Window.partitionBy(
+        F.spark_partition_id(), F.col("query_id")
+    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    pruned = (
+        grouped.withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= k)
+        .drop("__lrn")
+    )
+    global_w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        pruned.withColumn("rank", F.row_number().over(global_w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            "dl",
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 ZIPF_TOP_K = 1000
 
 

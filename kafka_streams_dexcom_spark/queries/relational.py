@@ -116,14 +116,40 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregations for 100 TB interactive profiling:
     approx_count_distinct (HyperLogLog++) and percentile_approx
-    (t-digest-ish histogram). No oracle — sketch values are
-    implementation-defined; the driver records the rows-only check and
-    `q_distinct_users`/`q_value_quantiles` pin the exact counterparts."""
+    (Greenwald-Khanna summaries). Raw sketch values are
+    implementation-defined, so they can't be hash-compared across
+    engines — but their ERROR BOUNDS are contractual. The query emits
+    the exact distinct count (which the oracle recomputes independently)
+    plus within-bounds flags: HLL within 3×rsd of exact, and each approx
+    percentile inside a generous exact-percentile bracket. The flags are
+    deterministic (HLL register merge is order-independent; GK results
+    vary only within the rank-error bound, far inside the bracket), so
+    the oracle asserts them as literal 1s — a documented bound check
+    with a full hash match instead of the old rows-only row."""
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_p50"),
-        F.percentile_approx("value", 0.99, 10_000).alias("approx_p99"),
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
+        F.percentile_approx("value", 0.5, 10_000).alias("ap50"),
+        F.percentile_approx("value", 0.99, 10_000).alias("ap99"),
+        F.expr("percentile(value, 0.45D)").alias("p45"),
+        F.expr("percentile(value, 0.55D)").alias("p55"),
+        F.expr("percentile(value, 0.97D)").alias("p97"),
+        F.max("value").alias("vmax"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("au") - F.col("n_users_exact"))
+            <= F.lit(0.06) * F.col("n_users_exact")
+        ).cast("int").alias("hll_ok"),
+        (
+            (F.col("ap50") >= F.col("p45")) & (F.col("ap50") <= F.col("p55"))
+        ).cast("int").alias("p50_ok"),
+        (
+            (F.col("ap99") >= F.col("p97")) & (F.col("ap99") <= F.col("vmax"))
+        ).cast("int").alias("p99_ok"),
     )
 
 
@@ -810,6 +836,19 @@ ORACLES = {
     """,
     "distinct_users": """
         SELECT event_type, count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    # sketch values are engine-specific; the contract being checked is
+    # (a) the exact distinct count, recomputed here independently, and
+    # (b) the Spark-side within-error-bound flags, which are
+    # deterministically 1 when the sketches honor their documented bounds
+    "approx_sketches": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users_exact,
+               CAST(1 AS INTEGER) AS hll_ok,
+               CAST(1 AS INTEGER) AS p50_ok,
+               CAST(1 AS INTEGER) AS p99_ok
         FROM events
         GROUP BY event_type
     """,

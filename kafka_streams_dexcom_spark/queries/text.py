@@ -26,6 +26,32 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_FREETEXT_QUERIES = (
+    (0, ("hash", "join", "merge")),
+    (1, ("window", "filter")),
+    (2, ("vector", "scan", "data", "fast")),
+)
+BM25_FREETEXT_K = 20
+
+
+def q_bm25_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-text BM25 over a posting-list inverted index: a BATCH of
+    ad-hoc queries arrives as (query_id, term) rows and is answered in
+    one pass — the production retrieval shape (bm25_search handles only
+    a fixed compile-time term bag). Index built once (one token
+    shuffle), query side all-broadcast, per-query two-level top-k;
+    fixed-point integer score units keep the sum partition-order
+    independent so the oracle replays it exactly. See
+    operators/text.py:bm25_freetext."""
+    qrows = [
+        (qid, t) for qid, terms in BM25_FREETEXT_QUERIES for t in terms
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+    return tx.bm25_freetext(
+        load_table(spark, sf_dir, "documents"), qdf, k=BM25_FREETEXT_K
+    )
+
+
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law corpus diagnostic: least-squares ln(freq)~ln(rank) fit
     over the top-1000 vocabulary terms (see operators/text.py:zipf_slope
@@ -382,6 +408,7 @@ QUERIES = {
     "zipf_slope": q_zipf_slope,
     "sequence_packing": q_sequence_packing,
     "bm25_search": q_bm25_search,
+    "bm25_freetext": q_bm25_freetext,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_lm": q_bigram_lm,
     "doc_chunks": q_doc_chunks,
@@ -403,6 +430,76 @@ QUERIES = {
     "training_mix": q_training_mix,
     "text_normalize": q_text_normalize,
 }
+
+def _bm25_freetext_oracle() -> str:
+    """Mirrors operators/text.py:bm25_freetext exactly: same
+    tokenization, same RSJ idf / k1 / b, the same fixed-point 1e-9-unit
+    partial scores (so the per-(query,doc) sum is order-independent on
+    both engines), same (units // 1000)/1e6 score view and doc_id
+    tie-break. Query batch generated from BM25_FREETEXT_QUERIES."""
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in BM25_FREETEXT_QUERIES
+        for t in terms
+    )
+    return f"""
+        WITH q AS (
+            SELECT CAST(query_id AS BIGINT) AS query_id, term
+            FROM (VALUES {values}) v(query_id, term)
+        ),
+        toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       t -> t != '') AS tk
+            FROM documents
+        ),
+        post AS (
+            SELECT term, doc_id, dl, count(*) AS tf FROM (
+                SELECT doc_id, len(tk) AS dl, unnest(tk) AS term
+                FROM toks
+            ) GROUP BY term, doc_id, dl
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, sum(len(tk)) AS sum_dl FROM toks
+        ),
+        dfreq AS (
+            SELECT term, count(*) AS dfr FROM post
+            WHERE term IN (SELECT term FROM q) GROUP BY term
+        ),
+        part AS (
+            SELECT q.query_id, p.doc_id, p.dl,
+                   CAST(floor(
+                     ln(1.0 + (CAST(n_docs AS DOUBLE)
+                               - CAST(dfr AS DOUBLE) + 0.5)
+                          / (CAST(dfr AS DOUBLE) + 0.5))
+                     * (CAST(p.tf AS DOUBLE) * 2.2)
+                     / (CAST(p.tf AS DOUBLE) + 1.2 * (0.25
+                        + 0.75 * CAST(p.dl AS DOUBLE)
+                          / (CAST(sum_dl AS DOUBLE)
+                             / CAST(n_docs AS DOUBLE))))
+                     * 1000000000.0) AS BIGINT) AS pu
+            FROM post p
+            JOIN q ON p.term = q.term
+            JOIN dfreq ON dfreq.term = p.term
+            CROSS JOIN stats
+        ),
+        grouped AS (
+            SELECT query_id, doc_id, max(dl) AS dl,
+                   CAST(sum(pu) AS BIGINT) AS units
+            FROM part GROUP BY query_id, doc_id
+        )
+        SELECT query_id, doc_id, dl, score, rank FROM (
+            SELECT query_id, doc_id, dl,
+                   (units // 1000) / 1000000.0 AS score,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY (units // 1000) / 1000000.0 DESC,
+                                doc_id ASC
+                   ) AS rank
+            FROM grouped
+        ) WHERE rank <= {BM25_FREETEXT_K}
+    """
+
 
 ORACLES = {
     "source_lorenz": """
@@ -538,6 +635,7 @@ ORACLES = {
                      / CAST(n AS DOUBLE) * 1000000) / 1000000.0 AS intercept
         FROM sums
     """,
+    "bm25_freetext": _bm25_freetext_oracle(),
     # Mirrors operators/text.py:bm25_search exactly: same tokenization,
     # same RSJ idf, same fixed term-order summation, same 6-decimal
     # truncation before ranking. k1=1.2, b=0.75.

@@ -146,3 +146,58 @@ def test_sequence_packing_bin_invariants(spark, sf_dir):
             bins.add(r.bin_idx)
             cum += r.n_tokens
         assert bins == set(range(max(bins) + 1))  # dense, no gaps
+
+
+def test_bm25_freetext_ranks_and_batch_isolation(spark):
+    """Tiny corpus with known term distribution: the doc matching all
+    query terms outranks partial matches; each query in the batch is
+    ranked independently; rare terms outweigh common ones (idf)."""
+    from kafka_streams_dexcom_spark.operators.text import bm25_freetext
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana banana"),
+            (3, "apple apple apple"),
+            (4, "durian durian durian"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(0, "banana"), (0, "cherry"), (1, "durian")],
+        "query_id long, term string",
+    )
+    got = bm25_freetext(docs, q, k=10).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    # q0: doc 1 has banana+cherry (cherry is rare -> high idf), must win
+    q0 = sorted(by_q[0], key=lambda r: r.rank)
+    assert [r.doc_id for r in q0] == [1, 2]
+    assert q0[0].score > q0[1].score
+    # doc 3/4 match nothing for q0 -> absent
+    assert {r.doc_id for r in by_q[0]} == {1, 2}
+    # q1: only doc 4 matches
+    assert [r.doc_id for r in by_q[1]] == [4]
+    # ranks are 1-based contiguous per query
+    assert [r.rank for r in q0] == [1, 2]
+
+
+def test_inverted_index_postings(spark):
+    """Postings carry exact tf and denormalized dl."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        build_inverted_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b")], "doc_id long, text string"
+    )
+    post = {
+        (r.term, r.doc_id): (r.tf, r.dl)
+        for r in build_inverted_index(docs).collect()
+    }
+    assert post == {
+        ("a", 1): (2, 3),
+        ("b", 1): (1, 3),
+        ("b", 2): (1, 1),
+    }
