@@ -31,6 +31,12 @@ from kafka_streams_dexcom_spark.operators.dedup import (
 LSH_BITS = 4
 MP_TABLES = 3
 MP_BITS = 6
+# Probe radius 2 (home bucket + all 1-bit and 2-bit flips = 22 probes per
+# table): measured recall@10 on the sf0.01 sweep 0.96 vs 0.46 at radius 1,
+# at indistinguishable wall-clock — probes are broadcast rows, so widening
+# the probe set costs almost nothing next to adding tables (memory) or
+# rehashing the corpus. See BASELINE.md ANN recall matrix.
+MP_RADIUS = 2
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
 
 
@@ -156,22 +162,42 @@ def table_planes(
     return [lsh_planes(bits, dim, seed=11 + 13 * t) for t in range(tables)]
 
 
+def probe_flips(bits: int, radius: int) -> list[int]:
+    """XOR masks for every bucket within Hamming distance ``radius`` of
+    the home bucket (mask 0). radius=1 -> bits+1 probes; radius=2 adds
+    the C(bits,2) two-bit flips — the knob that trades probe count for
+    recall without adding tables (memory)."""
+    flips = [0]
+    if radius >= 1:
+        flips += [1 << j for j in range(bits)]
+    if radius >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(bits)
+            for j in range(i + 1, bits)
+        ]
+    return flips
+
+
 def multiprobe_lsh_topk(
     emb: DataFrame,
     query_ids,
     k: int = 10,
     tables: int = MP_TABLES,
     bits: int = MP_BITS,
+    radius: int = MP_RADIUS,
 ) -> DataFrame:
     """Multi-table, multi-probe sign-LSH ANN — the scale configuration of
     ``lsh_topk`` (which is the single-table teaching baseline).
 
     - L independent tables: a true neighbor is missed only if it hashes
       away from the query in EVERY table (miss rate ε^L, not ε).
-    - Multi-probe: each query also probes every bucket at Hamming
-      distance 1 from its own (bits+1 probes per table), recovering
-      neighbors that flipped one low-margin sign bit — the standard way
-      to hold recall while keeping tables (memory) low.
+    - Multi-probe: each query also probes every bucket within Hamming
+      distance ``radius`` of its own (radius 2 -> 1 + bits + C(bits,2)
+      probes per table), recovering neighbors that flipped low-margin
+      sign bits — the standard way to hold recall while keeping tables
+      (memory) low; probe rows are broadcast, so the radius is nearly
+      free compared to adding tables.
 
     Scale shape: candidates are exploded to one row per (vector, table)
     — linear in L, no pairwise blowup; the probe set (|Q|·L·(bits+1)
@@ -198,7 +224,7 @@ def multiprobe_lsh_topk(
         "vec_id", "cvec", "cnorm",
         F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
     )
-    flips = [0] + [1 << j for j in range(bits)]
+    flips = probe_flips(bits, radius)
     probe_structs = ", ".join(
         f"struct({t} AS tbl, (__b{t} ^ {f}) AS bucket)"
         for t in range(tables)

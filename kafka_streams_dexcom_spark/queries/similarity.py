@@ -117,11 +117,14 @@ def _lsh_oracle() -> str:
 
 
 def _multiprobe_oracle(
-    tables: int = sim.MP_TABLES, bits: int = sim.MP_BITS
+    tables: int = sim.MP_TABLES,
+    bits: int = sim.MP_BITS,
+    radius: int = sim.MP_RADIUS,
 ) -> str:
     """DuckDB replay of multiprobe_lsh_topk: same inline plane literals,
-    tables via unnest cross join, 1-bit-flip probes via a flips list
-    (flip 0 = the home bucket), max() to dedup multi-table matches."""
+    tables via unnest cross join, Hamming<=radius probes via the same
+    probe_flips mask list (flip 0 = the home bucket), max() to dedup
+    multi-table matches."""
     planes_by_table = sim.table_planes(tables, bits)
     bucket_cols = []
     for t, planes in enumerate(planes_by_table):
@@ -137,7 +140,11 @@ def _multiprobe_oracle(
         + " END"
     )
     tbls = "[" + ", ".join(str(t) for t in range(tables)) + "]"
-    flips = "[" + ", ".join(str(f) for f in [0] + [1 << j for j in range(bits)]) + "]"
+    flips = (
+        "["
+        + ", ".join(str(f) for f in sim.probe_flips(bits, radius))
+        + "]"
+    )
     return f"""
         WITH {_BASE_CTES},
         nb AS (SELECT *, {", ".join(bucket_cols)} FROM n),
