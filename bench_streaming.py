@@ -1,0 +1,210 @@
+#!/usr/bin/env python
+"""Micro-batch throughput bench for the reference's streaming topologies
+(P3 filter, P4 fan-out, P5 KTable-lookup join) under Structured
+Streaming. Input: the events table at $SPARK_GRAFT_SF_DIR rendered into
+the reference's egv stream shapes, delivered as NUM_CHUNKS parquet files
+with maxFilesPerTrigger=1 (one micro-batch per file). Outputs are
+counted per batch (not collected) so the measurement is the engine's
+transform throughput, not driver serialization.
+
+Prints ONE JSON line:
+{"metric": "streaming_rows_per_sec", "topologies": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_streams_dexcom_spark.queries.core import ranges_df  # noqa: E402
+from kafka_streams_dexcom_spark.session import get_spark  # noqa: E402
+from kafka_streams_dexcom_spark.sources.files import load_table  # noqa: E402
+from kafka_streams_dexcom_spark.streaming import jobs  # noqa: E402
+from kafka_streams_dexcom_spark.streaming.sinks import fan_out  # noqa: E402
+
+NUM_CHUNKS = 10
+
+
+def _write_chunks(df: DataFrame, path: str, chunks: int) -> int:
+    """Materialize df as `chunks` files (one micro-batch each)."""
+    n = df.count()
+    (
+        df.withColumn(
+            "__chunk", (F.monotonically_increasing_id() % chunks)
+        )
+        .repartition(chunks, "__chunk")
+        .drop("__chunk")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return n
+
+
+def _run_counted(
+    spark: SparkSession,
+    in_dir: str,
+    schema,
+    transform,
+    ckpt: str,
+) -> int:
+    """Stream in_dir through transform, counting output rows per batch."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    out_rows = [0]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out_rows[0] += batch_df.count()
+
+    q = (
+        transform(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_rows[0]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(
+        app_name="bench_streaming", master=f"local[{cpus}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    e = load_table(spark, sf_dir, "events")
+    work = tempfile.mkdtemp(prefix="bench_streaming_")
+    results: dict[str, float] = {}
+    try:
+        # P3/P4 shape: (key, raw JSON value) — the egv topic wire format
+        json_in = f"{work}/json_in"
+        n_json = _write_chunks(
+            e.select(
+                F.col("user_id").cast("string").alias("key"),
+                # reference egvs are integral mg/dL values; the JSON
+                # filter casts with ANSI semantics, so render ints
+                F.to_json(
+                    F.struct(F.col("value").cast("int").alias("value"))
+                ).alias("value"),
+            ),
+            json_in,
+            NUM_CHUNKS,
+        )
+        json_schema = "key string, value string"
+        schema = spark.read.parquet(json_in).schema
+        assert [f.name for f in schema.fields] == ["key", "value"], (
+            json_schema
+        )
+
+        # P3: raw-JSON filter >= 200
+        t0 = time.time()
+        _run_counted(
+            spark,
+            json_in,
+            schema,
+            jobs.filter_high_topology,
+            f"{work}/ckpt_p3",
+        )
+        results["p3_filter"] = round(n_json / (time.time() - t0), 1)
+
+        # P4: one pass, two sinks (integer-values + are-values-in-range)
+        branches = jobs.categorize_simple_branches(None)
+        counts = {name: 0 for name in branches}
+
+        def make_writer(name: str):
+            def w(df: DataFrame, batch_id: int) -> None:
+                counts[name] += df.count()
+
+            return w
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(json_in)
+        )
+        t0 = time.time()
+        q = (
+            fan_out(
+                stream,
+                branches,
+                {name: make_writer(name) for name in branches},
+                f"{work}/ckpt_p4",
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results["p4_fanout"] = round(n_json / (time.time() - t0), 1)
+
+        # P5 shape: typed egvs with ISO systemTime for the KTable join
+        typed_in = f"{work}/typed_in"
+        n_typed = _write_chunks(
+            e.select(
+                F.col("user_id").cast("string").alias("key"),
+                F.date_format(
+                    "ts", "yyyy-MM-dd'T'HH:mm:ss"
+                ).alias("systemTime"),
+                F.col("value").cast("int").alias("value"),
+            ),
+            typed_in,
+            NUM_CHUNKS,
+        )
+        typed_schema = spark.read.parquet(typed_in).schema
+        run_batch = jobs.ktable_lookup_topology(
+            spark, lambda: ranges_df(spark)
+        )
+        out_rows = [0]
+
+        def p5_sink(batch_df: DataFrame, batch_id: int) -> None:
+            out_rows[0] += run_batch(batch_df, batch_id).count()
+
+        stream = (
+            spark.readStream.schema(typed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(typed_in)
+        )
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(p5_sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt_p5")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results["p5_ktable_join"] = round(
+            n_typed / (time.time() - t0), 1
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    print(
+        json.dumps(
+            {
+                "metric": "streaming_rows_per_sec",
+                "unit": "rows/s",
+                "chunks": NUM_CHUNKS,
+                "input_rows": n_json,
+                "topologies": results,
+                "sf": sf_dir,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
