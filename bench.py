@@ -55,10 +55,14 @@ HEADLINE = [
     "sim_search_multiprobe",     # multi-table multi-probe ANN
     "sim_search_pq",             # product-quantization ADC search
     "bm25_search",               # scan-side tf + broadcast stats retrieval
+    "bm25_freetext",             # inverted-index batch retrieval
     "zipf_slope",                # token shuffle + decimal-exact regression
     "sequence_packing",          # per-language cumsum packing window
     "pagerank_centrality",       # fixed-point iterative rank (3 rounds)
     "triangle_count",            # ordered-edge triangle enumeration
+    "sole_late_suppliers",       # Q21 semi+anti on one fact (checkpoint reuse)
+    "big_orders",                # Q18 aggregate-then-join-back
+    "late_order_priorities",     # Q4 correlated-EXISTS semi probe
     "funnel_steps",              # co-partitioned sequential funnel
     "retention_cohorts",         # weekly cohort triangle
     "tfidf_top_terms",           # single-token-shuffle tf-idf top-k

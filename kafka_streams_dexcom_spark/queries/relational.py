@@ -616,6 +616,240 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LATE_DAYS = 365
+LATE_YEAR_START, LATE_YEAR_END = "1997-01-01", "1998-01-01"
+
+
+def q_late_order_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS): orders placed in 1997 with at
+    least one lineitem shipped more than LATE_DAYS after the order date,
+    counted per order priority.
+
+    Scale: the EXISTS decorrelates to a LEFT SEMI join on l_orderkey
+    with the date comparison as a residual predicate — the probe side
+    reads two lineitem columns, the date filter pushes into the orders
+    scan, and the semi join short-circuits per key. No aggregation on
+    the fact side at all."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    in_year = o.filter(
+        (F.col("o_orderdate")
+         >= F.lit(LATE_YEAR_START).cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit(LATE_YEAR_END).cast("timestamp_ntz"))
+    )
+    return (
+        in_year.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (EXISTS + NOT EXISTS on the same fact): for
+    finished orders, count per nation the late lineitems whose supplier
+    was the ONLY late supplier on a multi-supplier order — the
+    who-is-actually-holding-up-fulfilment query, and the hardest TPC-H
+    join topology (semi and anti probes against two aliases of the same
+    100 TB fact).
+
+    Scale: the derived (orderkey, suppkey, late) projection is consumed
+    from THREE plan branches (base + both probes), so it is materialized
+    once with localCheckpoint — without the cut, Catalyst re-derives the
+    lineitem->orders join per branch (verified in the physical plan; the
+    same multi-branch hygiene as the graph operators). The projection is
+    3 narrow columns, a tiny fraction of the fact table. Probes then
+    join co-partitioned on l_orderkey; supplier/nation dims broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    fin = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    lo = (
+        l.join(fin, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate")
+                + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+            ).alias("late"),
+        )
+        .localCheckpoint()
+    )
+    base = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    others = lo.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    )
+    late_others = lo.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o3_orderkey"),
+        F.col("l_suppkey").alias("o3_suppkey"),
+    )
+    waiting = (
+        base.join(
+            others,
+            (F.col("l_orderkey") == F.col("o2_orderkey"))
+            & (F.col("l_suppkey") != F.col("o2_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l_orderkey") == F.col("o3_orderkey"))
+            & (F.col("l_suppkey") != F.col("o3_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+VALUE_SHARE_MULT = 1.5  # parts above 1.5x the mean part revenue
+
+
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (HAVING against a global scalar subquery): parts
+    whose revenue exceeds VALUE_SHARE_MULT times the mean part revenue
+    (mean-relative, so the predicate is scale-invariant — a fixed share
+    threshold empties out as the part count grows).
+
+    Scale: the scalar total is a second aggregation over the same
+    partial-combined per-part aggregate (never a second fact scan),
+    broadcast as one row; the HAVING filter is then a narrow map over
+    the per-part rows. Revenue sums are exact DECIMAL so the threshold
+    comparison is bit-identical cross-engine; the double division
+    happens only at the comparison/projection edge."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(3,2)")
+                - F.col("l_discount").cast("decimal(3,2)")
+            )
+        ).cast("decimal(38,4)")
+    )
+    per_part = l.groupBy("l_partkey").agg(rev.alias("part_rev"))
+    total = per_part.agg(
+        F.sum("part_rev").cast("decimal(38,4)").alias("total_rev"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        per_part.join(F.broadcast(total), how="cross")
+        .filter(
+            F.col("part_rev").cast("double")
+            > F.col("total_rev").cast("double")
+            / F.col("n_parts").cast("double")
+            * F.lit(VALUE_SHARE_MULT)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("part_rev").cast("double"), 2).alias("revenue"),
+            trunc6(
+                F.col("part_rev").cast("double")
+                / F.col("total_rev").cast("double")
+            ).alias("rev_share"),
+        )
+    )
+
+
+BIG_ORDER_QTY = 300
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (aggregate-then-join-back): orders whose total
+    quantity exceeds BIG_ORDER_QTY, with customer and order detail.
+
+    Scale: the HAVING aggregate runs first with map-side partial
+    combine, shrinking the 100 TB fact to the handful of qualifying
+    orderkeys; the joins back to orders and customer then probe with
+    that small set (AQE converts them to broadcasts at runtime). Never
+    join first and aggregate later."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    qty = (
+        l.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(
+                "sum_qty"
+            )
+        )
+        .filter(F.col("sum_qty") > BIG_ORDER_QTY)
+    )
+    return (
+        qty.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "o_orderkey",
+            "c_name",
+            "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("total_price"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+DORMANT_SINCE = "1999-01-01"
+
+
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar-subquery threshold + anti join):
+    customers with above-average positive balance and NO order since
+    DORMANT_SINCE — the lapsed-high-value segment, rolled up per market
+    segment.
+
+    Scale: the average is computed from an exact DECIMAL sum (a double
+    avg would be partition-order dependent and could flip boundary
+    rows), broadcast as one row; the anti probe reads two orders
+    columns with the date filter pushed into the scan."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_pos = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("avg_bal")
+    )
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit(DORMANT_SINCE).cast("timestamp_ntz")
+    )
+    return (
+        c.join(F.broadcast(avg_pos), how="cross")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast(
+                    "double"
+                ),
+                2,
+            ).alias("total_bal"),
+        )
+    )
+
+
 QUERIES = {
     "promo_revenue": q_promo_revenue,
     "special_revenue": q_special_revenue,
@@ -636,6 +870,11 @@ QUERIES = {
     "moving_avg": q_moving_avg,
     "sales_rollup": q_sales_rollup,
     "set_ops": q_set_ops,
+    "late_order_priorities": q_late_order_priorities,
+    "sole_late_suppliers": q_sole_late_suppliers,
+    "part_value_share": q_part_value_share,
+    "big_orders": q_big_orders,
+    "dormant_rich_customers": q_dormant_rich_customers,
 }
 
 ORACLES = {
@@ -879,5 +1118,104 @@ ORACLES = {
         SELECT user_id FROM events WHERE event_type = 'click'
         EXCEPT
         SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    "late_order_priorities": f"""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{LATE_YEAR_START}'
+          AND o.o_orderdate < TIMESTAMP '{LATE_YEAR_END}'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                    + INTERVAL {LATE_DAYS} DAY
+          )
+        GROUP BY o_orderpriority
+    """,
+    "sole_late_suppliers": f"""
+        WITH lo AS (
+            SELECT l_orderkey, l_suppkey,
+                   l_shipdate > o_orderdate
+                       + INTERVAL {LATE_DAYS} DAY AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F'
+        ),
+        waiting AS (
+            SELECT b.l_orderkey, b.l_suppkey
+            FROM lo b
+            WHERE b.late
+              AND EXISTS (
+                  SELECT 1 FROM lo o2
+                  WHERE o2.l_orderkey = b.l_orderkey
+                    AND o2.l_suppkey != b.l_suppkey
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM lo o3
+                  WHERE o3.l_orderkey = b.l_orderkey
+                    AND o3.l_suppkey != b.l_suppkey
+                    AND o3.late
+              )
+        )
+        SELECT n_name, count(*) AS numwait
+        FROM waiting
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    "part_value_share": f"""
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(3,2))
+                          - CAST(l_discount AS DECIMAL(3,2)))
+                       AS DECIMAL(38,4))) AS part_rev
+            FROM lineitem GROUP BY l_partkey
+        ),
+        total AS (
+            SELECT CAST(sum(part_rev) AS DECIMAL(38,4)) AS total_rev,
+                   count(*) AS n_parts
+            FROM per_part
+        )
+        SELECT l_partkey,
+               round(CAST(part_rev AS DOUBLE), 2) AS revenue,
+               floor(CAST(part_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
+                     * 1000000) / 1000000.0 AS rev_share
+        FROM per_part CROSS JOIN total
+        WHERE CAST(part_rev AS DOUBLE)
+              > CAST(total_rev AS DOUBLE) / CAST(n_parts AS DOUBLE)
+                * {VALUE_SHARE_MULT}
+    """,
+    "big_orders": f"""
+        WITH qty AS (
+            SELECT l_orderkey,
+                   sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > {BIG_ORDER_QTY}
+        )
+        SELECT o_orderkey, c_name, o_orderdate,
+               round(o_totalprice, 2) AS total_price,
+               CAST(sum_qty AS DOUBLE) AS sum_qty
+        FROM qty
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "dormant_rich_customers": f"""
+        WITH avg_pos AS (
+            SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_bal
+            FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                     AS DOUBLE), 2) AS total_bal
+        FROM customer CROSS JOIN avg_pos
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '{DORMANT_SINCE}'
+          )
+        GROUP BY c_mktsegment
     """,
 }
