@@ -118,6 +118,65 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted survivor selection: per near-dup cluster keep
+    the HIGHEST-QUALITY document (composite quality score, tie-break min
+    doc_id) instead of the min-id — what a curation pipeline actually
+    wants (the min-id policy can keep the worst copy). Composes the
+    ngram near-dup graph -> exact connected components -> quality score
+    -> argmax-per-cluster.
+
+    Scale: the argmax is a hash aggregate over (score, -doc_id) structs
+    — map-side combinable, never a window sort over the corpus; cluster
+    membership joins on doc_id, both sides hash-partitioned."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+    from kafka_streams_dexcom_spark.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    member = (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "cluster"
+            ),
+        )
+    )
+    q = quality_score(d).select("doc_id", "quality_score")
+    scored = member.join(q, "doc_id")
+    best = scored.groupBy("cluster").agg(
+        F.max(
+            F.struct(
+                F.col("quality_score").alias("qs"),
+                (-F.col("doc_id")).alias("neg_id"),
+            )
+        ).alias("b")
+    )
+    win = best.select(
+        "cluster",
+        (-F.col("b.neg_id")).cast("bigint").alias("kept_doc"),
+    )
+    return (
+        scored.join(win, "cluster")
+        .select(
+            "doc_id",
+            "cluster",
+            "kept_doc",
+            "quality_score",
+            (F.col("doc_id") == F.col("kept_doc")).cast("int").alias(
+                "is_kept"
+            ),
+        )
+    )
+
+
 def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination screen: treat source=src0 as the eval set
     and every other source as training data; report each eval doc's most
@@ -846,6 +905,40 @@ def _cc_oracle() -> str:
     """
 
 
+def _best_survivors_oracle() -> str:
+    """Recursive-CTE exact CC + the shared quality-score fragment
+    (queries/text.py:quality_score_sql), argmax per cluster via
+    row_number — mirrors q_dedup_best_survivors."""
+    from kafka_streams_dexcom_spark.queries.text import quality_score_sql
+
+    return f"""
+        WITH comp AS ({_cc_oracle()}),
+        q AS ({quality_score_sql()}),
+        member AS (
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        ),
+        scored AS (
+            SELECT m.doc_id, m.cluster, q.quality_score
+            FROM member m JOIN q ON m.doc_id = q.doc_id
+        ),
+        best AS (
+            SELECT cluster, doc_id AS kept_doc FROM (
+                SELECT cluster, doc_id,
+                       row_number() OVER (
+                           PARTITION BY cluster
+                           ORDER BY quality_score DESC, doc_id ASC
+                       ) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT s.doc_id, s.cluster, b.kept_doc, s.quality_score,
+               CAST(CASE WHEN s.doc_id = b.kept_doc THEN 1 ELSE 0 END
+                    AS INTEGER) AS is_kept
+        FROM scored s JOIN best b ON s.cluster = b.cluster
+    """
+
+
 def _survivors_oracle() -> str:
     return f"""
         WITH comp AS ({_cc_oracle()})
@@ -901,6 +994,7 @@ def _contamination_oracle() -> str:
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_survivors": q_dedup_survivors,
+    "dedup_best_survivors": q_dedup_best_survivors,
     "contamination_check": q_contamination_check,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
@@ -942,6 +1036,7 @@ ORACLES = {
         GROUP BY 1
     """,
     "dedup_survivors": _survivors_oracle(),
+    "dedup_best_survivors": _best_survivors_oracle(),
     "contamination_check": _contamination_oracle(),
     "dedup_minhash_lsh": _minhash_oracle(),
     "dedup_simhash": _simhash_oracle(),

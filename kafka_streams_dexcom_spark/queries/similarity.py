@@ -680,6 +680,118 @@ def _ivfpq_oracle(
     return "WITH " + ",\n".join(ctes) + _ADC_RANKED_SELECT
 
 
+MATRYOSHKA_DIMS = (64, 32, 16, 8)
+
+
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation evaluation: recall@10 of brute-force search
+    over the FIRST d dimensions of each embedding, per truncation width,
+    against full-width ground truth — the measurement that decides how
+    hard MRL-style embeddings can be truncated (for cheaper ANN and
+    shorter PQ codes) before retrieval quality collapses. The 64-dim row
+    is the sanity anchor (recall 1.0 by construction).
+
+    Scale: one broadcast-query brute-force pass per width over the same
+    corpus scan shape as sim_search_bruteforce; at production scale the
+    widths run on a sample, exactly like ann_recall_matrix."""
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings")
+    truth = sim.brute_force_topk(e, QUERY_IDS, TOP_K).select(
+        "query_id", "vec_id"
+    )
+    ann = None
+    for d in MATRYOSHKA_DIMS:
+        te = e.withColumn("embedding", F.slice("embedding", 1, d))
+        part = sim.brute_force_topk(te, QUERY_IDS, TOP_K).select(
+            F.lit(d).cast("int").alias("dim"),
+            "query_id",
+            F.col("vec_id").alias("m_vec_id"),
+        )
+        ann = part if ann is None else ann.unionByName(part)
+    dims = spark.createDataFrame(
+        [(d,) for d in MATRYOSHKA_DIMS], "dim int"
+    )
+    gt = truth.crossJoin(F.broadcast(dims))
+    denom = float(len(QUERY_IDS) * TOP_K)
+    return (
+        gt.join(
+            ann,
+            (gt.dim == ann.dim)
+            & (gt.query_id == ann.query_id)
+            & (gt.vec_id == ann.m_vec_id),
+            "left",
+        )
+        .groupBy(gt.dim.alias("dim"))
+        .agg((F.count("m_vec_id") / F.lit(denom)).alias("recall_at_10"))
+    )
+
+
+def _brute_trunc_cte(dim: int, prefix: str) -> str:
+    """Brute-force top-k CTE chain over embeddings truncated to the
+    first ``dim`` components — same fold/norm discipline as _BASE_CTES,
+    namespaced by ``prefix`` so several widths coexist in one query."""
+    return f"""
+        {prefix}v AS (
+            SELECT vec_id,
+                   list_transform(embedding[1:{dim}],
+                       x -> CAST(x AS DOUBLE)) AS vec
+            FROM embeddings
+        ),
+        {prefix}n AS (
+            SELECT * FROM (
+                SELECT vec_id, vec,
+                       sqrt({_DOT.format(a='vec', b='vec')}) AS norm
+                FROM {prefix}v
+            ) WHERE norm > 0
+        ),
+        {prefix}q AS (
+            SELECT vec_id AS query_id, vec AS qvec, norm AS qnorm
+            FROM {prefix}n WHERE vec_id IN {QUERY_IDS}
+        ),
+        {prefix}r AS (
+            SELECT query_id, vec_id FROM (
+                SELECT q.query_id, n.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY {_DOT.format(a='q.qvec', b='n.vec')}
+                                    / (q.qnorm * n.norm) DESC,
+                                    n.vec_id ASC
+                       ) AS rnk
+                FROM {prefix}q q JOIN {prefix}n n
+                  ON n.vec_id != q.query_id
+            ) WHERE rnk <= {TOP_K}
+        )"""
+
+
+def _matryoshka_oracle() -> str:
+    denom = float(len(QUERY_IDS) * TOP_K)
+    ctes = ",".join(
+        _brute_trunc_cte(d, f"d{d}_") for d in MATRYOSHKA_DIMS
+    )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({d} AS INTEGER) AS dim, query_id, vec_id"
+        f" FROM d{d}_r"
+        for d in MATRYOSHKA_DIMS
+    )
+    dims_list = "[" + ", ".join(str(d) for d in MATRYOSHKA_DIMS) + "]"
+    return f"""
+        WITH {ctes},
+        ann AS ({union}),
+        gt AS (
+            SELECT CAST(m.dim AS INTEGER) AS dim, b.query_id, b.vec_id
+            FROM d64_r b CROSS JOIN (
+                SELECT unnest({dims_list}) AS dim
+            ) m
+        )
+        SELECT gt.dim, count(a.vec_id) / {denom} AS recall_at_10
+        FROM gt LEFT JOIN ann a
+          ON gt.dim = a.dim AND gt.query_id = a.query_id
+             AND gt.vec_id = a.vec_id
+        GROUP BY gt.dim
+    """
+
+
 QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "sim_search_pq": q_sim_search_pq,
@@ -691,6 +803,7 @@ QUERIES = {
     "sim_search_ivf": q_sim_search_ivf,
     "sim_search_recall": q_sim_search_recall,
     "ann_recall_matrix": q_ann_recall_matrix,
+    "matryoshka_recall": q_matryoshka_recall,
 }
 
 ORACLES = {
@@ -704,4 +817,5 @@ ORACLES = {
     "sim_search_ivf": _ivf_oracle(),
     "sim_search_recall": _recall_oracle(),
     "ann_recall_matrix": _recall_matrix_oracle(),
+    "matryoshka_recall": _matryoshka_oracle(),
 }

@@ -404,6 +404,35 @@ def _markers_values() -> str:
 
 _STOPS = ", ".join(f"'{t}'" for t in tx.LANG_MARKERS["en"])
 
+
+def quality_score_sql() -> str:
+    """(doc_id, quality_score) oracle fragment mirroring
+    operators/text.py:quality_score — shared by the quality_deciles
+    oracle here and the dedup best-survivor oracle in queries/dedup.py
+    so both engines replay the identical composite-score arithmetic."""
+    return f"""
+        SELECT doc_id,
+               floor((0.3 * least(CAST(len(string_split_regex(text,
+                         '\\s+')) AS DOUBLE) / 100.0, 1.0)
+                     + 0.3 * (CAST(len(list_distinct(
+                           string_split_regex(text, '\\s+'))) AS DOUBLE)
+                         / CAST(len(string_split_regex(text, '\\s+'))
+                         AS DOUBLE))
+                     + 0.2 * (CAST(len(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> x IN ({_STOPS}))) AS DOUBLE)
+                         / CAST(len(string_split_regex(text, '\\s+'))
+                         AS DOUBLE))
+                     + 0.2 * (CAST(len(list_filter(
+                           string_split_regex(text, '\\s+'),
+                           x -> regexp_full_match(x, '[A-Za-z]+')))
+                         AS DOUBLE)
+                         / CAST(len(string_split_regex(text, '\\s+'))
+                         AS DOUBLE))) * 1000000) / 1000000.0
+                   AS quality_score
+        FROM documents
+    """
+
 QUERIES = {
     "zipf_slope": q_zipf_slope,
     "sequence_packing": q_sequence_packing,
