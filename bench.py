@@ -56,6 +56,8 @@ HEADLINE = [
     "sim_search_pq",             # product-quantization ADC search
     "bm25_search",               # scan-side tf + broadcast stats retrieval
     "bm25_freetext",             # inverted-index batch retrieval
+    "doc_perplexity",            # bigram-LM cross-entropy filter signal
+    "dedup_best_survivors",      # CC + quality argmax survivor election
     "zipf_slope",                # token shuffle + decimal-exact regression
     "sequence_packing",          # per-language cumsum packing window
     "pagerank_centrality",       # fixed-point iterative rank (3 rounds)

@@ -151,7 +151,7 @@ def pagerank(
         "n_nodes",
         F.expr(f"{PR_UNIT} div n_nodes").alias("pr"),
     )
-    for _ in range(rounds):
+    for rnd in range(rounds):
         contrib = pr.select(
             F.col("node").alias("src"), F.expr("pr div deg").alias("c")
         )
@@ -186,8 +186,9 @@ def pagerank(
         pr = updated.select("node", "deg", "n_nodes", "pr")
         # fixed-point ranks are integers: exact equality is meaningful.
         # If a round changed nothing, every later round is a no-op —
-        # stop early (the check scans the materialized checkpoint only).
-        if (
+        # stop early (the check scans the materialized checkpoint only;
+        # skipped on the final round where the loop ends regardless).
+        if rnd < rounds - 1 and (
             updated.where(F.col("pr") != F.col("prev_pr"))
             .limit(1)
             .count()

@@ -240,6 +240,67 @@ def bigram_lm(
     )
 
 
+def doc_cross_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document cross-entropy under the corpus's OWN bigram LM —
+    the KenLM-style fluency signal LLM pipelines use to filter
+    boilerplate and noise (a doc whose bigrams are corpus-typical
+    scores low; templated or garbled text scores high).
+
+    Shape: one token-scale shuffle builds the (doc_id, w1, w2) bigram
+    stream, materialized ONCE (localCheckpoint) because both the LM
+    aggregation and the scoring join consume it; the LM is
+    vocabulary²-observed-sized, joined back on (w1, w2) — co-partitioned
+    with the count shuffle. Every doc bigram exists in the LM by
+    construction (same corpus), so no smoothing term is needed.
+
+    Determinism: per-bigram -ln p(w2|w1) is fixed-pointed to 1e-9 units
+    (p is a ratio of exact integers, so the double and its log are
+    bit-identical cross-engine); the per-doc sum is an integer sum —
+    partition-order independent and exactly replayable in SQL."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    bigrams = F.expr(
+        f"transform(sequence(1, size({toks_expr}) - 1), "
+        f"i -> struct(element_at({toks_expr}, i) AS w1, "
+        f"element_at({toks_expr}, i + 1) AS w2))"
+    )
+    pairs = (
+        fan_out_small(df)
+        .filter(F.expr(f"size({toks_expr}) >= 2"))
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select(
+            "doc_id",
+            F.col("bg.w1").alias("w1"),
+            F.col("bg.w2").alias("w2"),
+        )
+        .localCheckpoint()
+    )
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_bigram")
+    )
+    lm = counts.withColumn(
+        "n_w1", F.sum("n_bigram").over(Window.partitionBy("w1"))
+    )
+    p = F.col("n_bigram").cast("double") / F.col("n_w1").cast("double")
+    unit = F.floor((-F.log(p)) * F.lit(1.0e9))
+    scored = pairs.join(lm, ["w1", "w2"]).select(
+        "doc_id", unit.alias("unit")
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("unit").alias("units"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr("units div n_bigrams div 1000") / F.lit(1.0e6)
+            ).alias("cross_entropy"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame, text_col: str = "text", k: int = 8, window: int = 16
 ) -> DataFrame:

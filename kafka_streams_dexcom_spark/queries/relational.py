@@ -850,6 +850,36 @@ def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation (functions/skew.py:salted_agg):
+    per-user event count + exact value sum, with the hot key spread over
+    16 salt reducers in phase 1 and a 16-row-per-key phase 2 — the
+    explicit fix for skewed aggregations AQE can't split. The oracle is
+    the PLAIN one-phase SQL: passing proves the salted decomposition is
+    semantics-preserving (count/sum are algebraic; the DECIMAL sum keeps
+    the two-phase reassociation exact)."""
+    from kafka_streams_dexcom_spark.functions.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        e.select("user_id", "value"),
+        ["user_id"],
+        {
+            "n_events": (F.count(F.lit(1)), F.sum("n_events")),
+            "sum_dec": (
+                F.sum(F.col("value").cast("decimal(18,2)")),
+                F.sum("sum_dec"),
+            ),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round(F.col("sum_dec").cast("double"), 2).alias("sum_value"),
+    )
+
+
 QUERIES = {
     "promo_revenue": q_promo_revenue,
     "special_revenue": q_special_revenue,
@@ -875,6 +905,7 @@ QUERIES = {
     "part_value_share": q_part_value_share,
     "big_orders": q_big_orders,
     "dormant_rich_customers": q_dormant_rich_customers,
+    "salted_user_stats": q_salted_user_stats,
 }
 
 ORACLES = {
@@ -1217,5 +1248,14 @@ ORACLES = {
                 AND o_orderdate >= TIMESTAMP '{DORMANT_SINCE}'
           )
         GROUP BY c_mktsegment
+    """,
+    # plain one-phase SQL: equality proves the salted two-phase
+    # decomposition in the Spark query is semantics-preserving
+    "salted_user_stats": """
+        SELECT user_id, count(*) AS n_events,
+               round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE),
+                     2) AS sum_value
+        FROM events
+        GROUP BY user_id
     """,
 }

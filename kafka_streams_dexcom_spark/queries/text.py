@@ -52,6 +52,14 @@ def q_bm25_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus bigram LM — the
+    fluency/typicality filter signal (see
+    operators/text.py:doc_cross_entropy for the fixed-point
+    determinism discipline)."""
+    return tx.doc_cross_entropy(load_table(spark, sf_dir, "documents"))
+
+
 def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law corpus diagnostic: least-squares ln(freq)~ln(rank) fit
     over the top-1000 vocabulary terms (see operators/text.py:zipf_slope
@@ -438,6 +446,7 @@ QUERIES = {
     "sequence_packing": q_sequence_packing,
     "bm25_search": q_bm25_search,
     "bm25_freetext": q_bm25_freetext,
+    "doc_perplexity": q_doc_perplexity,
     "tfidf_top_terms": q_tfidf_top_terms,
     "bigram_lm": q_bigram_lm,
     "doc_chunks": q_doc_chunks,
@@ -663,6 +672,47 @@ ORACLES = {
                          * 1000000) / 1000000.0) * CAST(sx AS DOUBLE))
                      / CAST(n AS DOUBLE) * 1000000) / 1000000.0 AS intercept
         FROM sums
+    """,
+    "doc_perplexity": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       x -> x != '') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(w1 := toks[i],
+                                        w2 := toks[i + 1]))) AS s
+            FROM t WHERE len(toks) >= 2
+        ),
+        p AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+        c AS (
+            SELECT w1, w2, count(*) AS n_bigram FROM p GROUP BY w1, w2
+        ),
+        lm AS (
+            SELECT w1, w2, n_bigram,
+                   CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT)
+                       AS n_w1
+            FROM c
+        ),
+        u AS (
+            SELECT p.doc_id,
+                   CAST(floor(-ln(CAST(n_bigram AS DOUBLE)
+                                  / CAST(n_w1 AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS unit
+            FROM p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+        ),
+        g AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(unit) AS BIGINT) AS units
+            FROM u GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               ((units // n_bigrams) // 1000) / 1000000.0
+                   AS cross_entropy
+        FROM g
     """,
     "bm25_freetext": _bm25_freetext_oracle(),
     # Mirrors operators/text.py:bm25_search exactly: same tokenization,

@@ -201,3 +201,26 @@ def test_inverted_index_postings(spark):
         ("b", 1): (1, 3),
         ("b", 2): (1, 1),
     }
+
+
+def test_doc_cross_entropy_known_corpus(spark):
+    """Two-doc corpus with hand-computable bigram LM: doc 1 = 'a b a b'
+    (bigrams ab, ba, ab), doc 2 = 'a c' (bigram ac).
+    LM: c(a,b)=2, c(a,c)=1 -> n_a=3; c(b,a)=1 -> n_b=1.
+    doc1: -ln(2/3) -ln(1) -ln(2/3); doc2: -ln(1/3)."""
+    import math
+
+    from kafka_streams_dexcom_spark.operators.text import doc_cross_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r for r in doc_cross_entropy(docs).collect()}
+    assert got[1].n_bigrams == 3 and got[2].n_bigrams == 1
+    u = lambda p: math.floor(-math.log(p) * 1e9)  # noqa: E731
+    exp1 = ((u(2 / 3) + u(1.0) + u(2 / 3)) // 3) // 1000 / 1e6
+    exp2 = (u(1 / 3) // 1) // 1000 / 1e6
+    assert got[1].cross_entropy == exp1
+    assert got[2].cross_entropy == exp2
+    # corpus-typical text scores lower than the rare continuation
+    assert got[1].cross_entropy < got[2].cross_entropy
