@@ -34,12 +34,36 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample(media, every_n=2, use_real_codecs=False)
 
 
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identical media dedup: group payloads by md5 content hash
+    (per media type), keep the min doc_id — the first pass of any media
+    corpus pipeline (identical files recrawled under different URLs).
+    Scale: the shuffle moves 16-byte hashes + tiny aggregates, never the
+    payload bytes; the hash itself is scan-side."""
+    media = mm.attach_payload(load_table(spark, sf_dir, "documents"))
+    return (
+        media.select(
+            "doc_id",
+            "media_type",
+            F.md5("payload").alias("content_hash"),
+            F.col("meta.byte_len").alias("byte_len"),
+        )
+        .groupBy("content_hash", "media_type")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("byte_len").cast("bigint").alias("total_bytes"),
+        )
+    )
+
+
 _MEDIA_TYPE = "['image', 'audio', 'video'][(doc_id % 3) + 1]"
 
 QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_dedup": q_multimodal_dedup,
 }
 
 ORACLES = {
@@ -79,5 +103,15 @@ ORACLES = {
             FROM frames
         )
         WHERE frame_idx % 2 = 0
+    """,
+    "multimodal_dedup": f"""
+        SELECT md5(text) AS content_hash,
+               {_MEDIA_TYPE} AS media_type,
+               min(doc_id) AS keeper,
+               count(*) AS n_copies,
+               CAST(sum(octet_length(text::BLOB)) AS BIGINT)
+                   AS total_bytes
+        FROM documents
+        GROUP BY content_hash, media_type
     """,
 }

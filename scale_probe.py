@@ -41,6 +41,13 @@ PROBE_QUERIES = [
     "sequence_packing",
     "corpus_rollup",
     "lang_confusion",
+    # round-3 additions, all linear-profile under self-union
+    "bm25_freetext",
+    "doc_perplexity",
+    "late_order_priorities",
+    "big_orders",
+    "part_value_share",
+    "salted_user_stats",
 ]
 TABLES = [
     "region", "nation", "customer", "supplier", "part",

@@ -144,3 +144,44 @@ def test_multiprobe_candidates_never_shuffle_for_join(spark, sf_dir):
     plan = explain_str(q_sim_search_multiprobe(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_bm25_freetext_query_side_is_broadcast(spark, sf_dir):
+    """The index scan is the only wide work: every query-side join
+    (terms, query table, dfreq, stats) must broadcast — a SortMergeJoin
+    on the postings would shuffle the corpus-scale index per query
+    batch. No cartesian product anywhere."""
+    from kafka_streams_dexcom_spark.queries.text import q_bm25_freetext
+
+    plan = explain_str(q_bm25_freetext(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # joins against postings: all broadcast
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_salted_agg_is_two_phase(spark, sf_dir):
+    """Phase 1 groups on (key, salt), phase 2 on key — the plan must
+    show both aggregation levels plus their exchanges (that's the whole
+    point: the hot key's rows spread over n_salts reducers)."""
+    from kafka_streams_dexcom_spark.queries.relational import (
+        q_salted_user_stats,
+    )
+
+    plan = explain_str(q_salted_user_stats(spark, sf_dir))
+    assert "__salt" in plan, plan
+    # 2 logical aggregations x (partial + final) = 4 HashAggregate nodes
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_late_order_priorities_semi_join_prunes_probe(spark, sf_dir):
+    """The EXISTS probe must read only the two lineitem columns it
+    needs (orderkey + shipdate) — the 100 TB scan contract."""
+    from kafka_streams_dexcom_spark.queries.relational import (
+        q_late_order_priorities,
+    )
+
+    plan = explain_str(q_late_order_priorities(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "l_orderkey" in plan and "l_shipdate" in plan
+    # none of the wide lineitem money columns should be scanned
+    assert "l_extendedprice" not in plan, plan
