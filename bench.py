@@ -65,6 +65,14 @@ HEADLINE = [
     "sole_late_suppliers",       # Q21 semi+anti on one fact (checkpoint reuse)
     "big_orders",                # Q18 aggregate-then-join-back
     "late_order_priorities",     # Q4 correlated-EXISTS semi probe
+    "nation_trade_flows",        # Q7 fact-fact shuffle join + dim lineages
+    "market_share",              # Q8 one-pass conditional share-of-total
+    "product_type_profit",       # Q9 broadcast-dim cost rollup
+    "delay_buckets",             # Q12 CASE-bucketed fact join counts
+    "customer_order_distribution",  # Q13 left-outer double aggregation
+    "supplier_part_counts",      # Q16 anti-join + two-level distinct
+    "top_supplier_revenue",      # Q15 agg + join to own scalar max
+    "dominant_suppliers",        # Q20 nested-aggregate threshold semi
     "funnel_steps",              # co-partitioned sequential funnel
     "retention_cohorts",         # weekly cohort triangle
     "tfidf_top_terms",           # single-token-shuffle tf-idf top-k

@@ -16,6 +16,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kafka_streams_dexcom_spark.queries import (
         core,
         dedup,
+        joinshapes,
         multimodal,
         relational,
         similarity,
@@ -24,7 +25,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (core, relational, temporal, dedup, similarity, text, multimodal):
+    for mod in (core, relational, joinshapes, temporal, dedup, similarity, text, multimodal):
         out.update(mod.QUERIES)
     return out
 
@@ -33,6 +34,7 @@ def all_oracles() -> dict[str, str]:
     from kafka_streams_dexcom_spark.queries import (
         core,
         dedup,
+        joinshapes,
         multimodal,
         relational,
         similarity,
@@ -41,6 +43,6 @@ def all_oracles() -> dict[str, str]:
     )
 
     out: dict[str, str] = {}
-    for mod in (core, relational, temporal, dedup, similarity, text, multimodal):
+    for mod in (core, relational, joinshapes, temporal, dedup, similarity, text, multimodal):
         out.update(mod.ORACLES)
     return out
