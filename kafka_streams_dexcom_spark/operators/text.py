@@ -246,50 +246,49 @@ def doc_cross_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     boilerplate and noise (a doc whose bigrams are corpus-typical
     scores low; templated or garbled text scores high).
 
-    Shape: one token-scale shuffle builds the (doc_id, w1, w2) bigram
-    stream, materialized ONCE (localCheckpoint) because both the LM
-    aggregation and the scoring join consume it; the LM is
-    vocabulary²-observed-sized, joined back on (w1, w2) — co-partitioned
-    with the count shuffle. Every doc bigram exists in the LM by
-    construction (same corpus), so no smoothing term is needed.
+    Shape (round-3 rework): the exploded bigram stream is reduced ONCE
+    to per-(doc, bigram) occurrence counts (map-side combine on the only
+    token-scale shuffle), then hash-repartitioned by w1 — a partitioning
+    that satisfies BOTH the (w1, w2) and the (w1) window distributions
+    (subset rule), so the global bigram count and the w1 continuation
+    total are sort-only window passes with NO further exchange, no
+    vocabulary join, and no materialized token-scale intermediate. The
+    earlier checkpoint+join shape paid a token-scale write plus a
+    token-scale join shuffle for the same numbers. Every doc bigram
+    exists in the LM by construction (same corpus), so no smoothing term
+    is needed.
 
     Determinism: per-bigram -ln p(w2|w1) is fixed-pointed to 1e-9 units
     (p is a ratio of exact integers, so the double and its log are
-    bit-identical cross-engine); the per-doc sum is an integer sum —
-    partition-order independent and exactly replayable in SQL."""
+    bit-identical cross-engine); the per-doc sum weights each distinct
+    bigram's unit by its integer occurrence count — partition-order
+    independent and exactly replayable in SQL."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     bigrams = F.expr(
         f"transform(sequence(1, size({toks_expr}) - 1), "
         f"i -> struct(element_at({toks_expr}, i) AS w1, "
         f"element_at({toks_expr}, i + 1) AS w2))"
     )
-    pairs = (
+    doc_counts = (
         fan_out_small(df)
         .filter(F.expr(f"size({toks_expr}) >= 2"))
         .select("doc_id", F.explode(bigrams).alias("bg"))
-        .select(
-            "doc_id",
-            F.col("bg.w1").alias("w1"),
-            F.col("bg.w2").alias("w2"),
-        )
-        .localCheckpoint()
+        .groupBy("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartition("w1")
     )
-    counts = pairs.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("n_bigram")
-    )
-    lm = counts.withColumn(
-        "n_w1", F.sum("n_bigram").over(Window.partitionBy("w1"))
-    )
-    p = F.col("n_bigram").cast("double") / F.col("n_w1").cast("double")
+    n_bigram = F.sum("cnt").over(Window.partitionBy("w1", "w2"))
+    n_w1 = F.sum("cnt").over(Window.partitionBy("w1"))
+    p = n_bigram.cast("double") / n_w1.cast("double")
     unit = F.floor((-F.log(p)) * F.lit(1.0e9))
-    scored = pairs.join(lm, ["w1", "w2"]).select(
-        "doc_id", unit.alias("unit")
+    scored = doc_counts.select(
+        "doc_id", "cnt", (unit * F.col("cnt")).alias("units")
     )
     return (
         scored.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("unit").alias("units"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum("units").alias("units"),
         )
         .select(
             "doc_id",
