@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_simhash_pairs",       # simhash + 15-bit-band join
     "dedup_ngram_jaccard",       # inverted-index set-similarity join
     "dedup_embedding",           # blocked cosine pairs
+    "er_fuzzy_customers",        # pigeonhole-blocked levenshtein linkage
+    "dup_span_fraction",         # exact duplicated k-gram exposure
     "dedup_embedding_ivf",       # trained-IVF-cell blocked pairs
     "sim_search_bruteforce",     # broadcast cross-join top-k
     "sim_search_lsh",            # bucketed ANN

@@ -677,3 +677,112 @@ def embedding_cosine_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select(f"{id_col}_a", f"{id_col}_b", "cos_sim")
     )
+
+
+def fuzzy_blocked_pairs(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    id_col: str,
+    text_col: str,
+    max_dist: int = 1,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Blocked edit-distance record linkage (entity resolution): pairs
+    of records in the same block whose ``text_col`` values are within
+    ``max_dist`` Levenshtein edits.
+
+    The classic ER decomposition: a cheap blocking key (here caller-
+    chosen, e.g. region + name length; at 100 TB a phonetic key or
+    q-gram LSH) bounds the candidate set, then the O(len²) edit-distance
+    verify runs only within blocks — never all-pairs. Reuses
+    pairs_within_buckets, so candidate generation is one shuffle with
+    the same ``max_bucket`` hot-block guard as the LSH pipelines
+    (audit skipped blocks with dropped_buckets).
+
+    Levenshtein is evaluated JVM-side (codegen, no UDF); emitting the
+    distance lets downstream cluster/merge steps weight edges."""
+    pairs = pairs_within_buckets(
+        df,
+        block_cols,
+        F.struct(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
+        max_bucket=max_bucket,
+    )
+    dist = F.levenshtein(F.col("pair_a.t"), F.col("pair_b.t"))
+    return (
+        pairs.withColumn("dist", dist)
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.col("pair_a.id").alias(f"{id_col}_a"),
+            F.col("pair_b.id").alias(f"{id_col}_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )
+
+
+def fuzzy_pigeonhole_pairs(
+    df: DataFrame,
+    block_cols: Sequence[str],
+    id_col: str,
+    text_col: str,
+    max_bucket: int | None = LSH_MAX_BUCKET,
+) -> DataFrame:
+    """Pigeonhole-blocked edit-distance linkage for distance <= 1 at
+    equal length (the caller's ``block_cols`` must include a length
+    key, which reduces levenshtein<=1 to <=1 substitution): two
+    equal-length strings differing in at most one position agree on ALL
+    even positions or ALL odd positions, so blocking on the two
+    position-parity masks is LOSSLESS — and mask values are near-unique,
+    so candidate pairs collapse from O(block²) to near-linear. This is
+    the standard q-sample/pigeonhole trade the naive (block-only)
+    fuzzy_blocked_pairs cannot make: on 15k templated names it cuts
+    4.5M candidate pairs to a few thousand.
+
+    Shape: explode 2 mask rows per record (scan-side char transforms in
+    codegen), within-bucket pair generation (one shuffle, hot-bucket
+    capped), distinct on the id pair (a pair agreeing on both masks
+    appears twice), then the levenshtein verify."""
+    masks = []
+    for parity in (0, 1):
+        masks.append(
+            F.expr(
+                f"array_join(filter(transform(split({text_col}, ''), "
+                f"(c, i) -> IF(i % 2 = {parity}, c, NULL)), "
+                "c -> c IS NOT NULL), '')"
+            ).alias(f"m{parity}")
+        )
+    seg = df.select(
+        F.col(id_col), F.col(text_col), *[F.col(c) for c in block_cols], *masks
+    ).select(
+        id_col,
+        text_col,
+        *block_cols,
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("seg"), F.col("m0").alias("mask")),
+                F.struct(F.lit(1).alias("seg"), F.col("m1").alias("mask")),
+            )
+        ).alias("s"),
+    )
+    pairs = pairs_within_buckets(
+        seg.select(
+            id_col,
+            text_col,
+            *block_cols,
+            F.col("s.seg").alias("seg"),
+            F.col("s.mask").alias("mask"),
+        ),
+        [*block_cols, "seg", "mask"],
+        F.struct(F.col(id_col).alias("id"), F.col(text_col).alias("t")),
+        max_bucket=max_bucket,
+    ).select(
+        F.col("pair_a.id").alias(f"{id_col}_a"),
+        F.col("pair_b.id").alias(f"{id_col}_b"),
+        F.col("pair_a.t").alias("t_a"),
+        F.col("pair_b.t").alias("t_b"),
+    ).distinct()
+    dist = F.levenshtein(F.col("t_a"), F.col("t_b"))
+    return (
+        pairs.withColumn("dist", dist)
+        .filter(F.col("dist") <= 1)
+        .select(f"{id_col}_a", f"{id_col}_b", F.col("dist").cast("int").alias("dist"))
+    )

@@ -868,3 +868,59 @@ def zipf_slope(
         slope.alias("zipf_slope"),
         trunc6((sy_d - slope * sx_d) / n_d).alias("intercept"),
     )
+
+
+def dup_span_fraction(
+    df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Exact duplicated-span exposure (the deduplicate-training-data
+    signal): per document, the fraction of its token k-grams that occur
+    in at least one OTHER document — the exact-substring counterpart of
+    the probabilistic winnowing fingerprints (any shared span of >= k
+    tokens contributes; a doc with a high fraction is mostly boilerplate
+    that exact-substring dedup would cut).
+
+    Shape mirrors doc_cross_entropy: one token-scale shuffle reduces the
+    exploded k-gram stream to per-(doc, gram) occurrence counts
+    (map-side combine), then a repartition on the gram key makes the
+    document-frequency computation a sort-only window pass — no
+    vocabulary join, no materialized token-scale intermediate. The
+    doc-frequency of a gram is the window COUNT of per-doc rows.
+
+    Determinism: counts are exact integers; the fraction is truncated to
+    6 decimals on both engines."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    grams = F.expr(
+        f"transform(sequence(1, size({toks_expr}) - {k - 1}), "
+        f"i -> array_join(slice({toks_expr}, i, {k}), ' '))"
+    )
+    occ = (
+        fan_out_small(df)
+        .filter(F.expr(f"size({toks_expr}) >= {k}"))
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .repartition("gram")
+    )
+    ndocs = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    scored = occ.select(
+        "doc_id",
+        "cnt",
+        F.when(ndocs >= 2, F.col("cnt")).otherwise(F.lit(0)).alias("dup"),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_grams"),
+            F.sum("dup").alias("dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "dup_grams",
+            trunc6(
+                F.col("dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_fraction"),
+        )
+    )

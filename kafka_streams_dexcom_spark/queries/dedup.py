@@ -991,6 +991,32 @@ def _contamination_oracle() -> str:
     """
 
 
+def q_er_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance entity resolution (operators/dedup.py:
+    fuzzy_blocked_pairs): customer-name pairs within (nation, name
+    length) blocks at Levenshtein distance <= 1 — the record-linkage
+    primitive (same-entity candidates across dirty registries).
+    Position-parity pigeonhole blocking (operators/dedup.py:
+    fuzzy_pigeonhole_pairs) keeps candidates near-linear; the
+    levenshtein verify runs JVM-side in codegen. Oracle is the
+    exhaustive within-block self-join, proving the pigeonhole
+    candidate generator lossless."""
+    c = load_table(spark, sf_dir, "customer")
+    return dd.fuzzy_pigeonhole_pairs(
+        c.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.length("c_name").alias("name_len"),
+        ),
+        ["c_nationkey", "name_len"],
+        id_col="c_custkey",
+        text_col="c_name",
+        max_bucket=None,
+    )
+
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_survivors": q_dedup_survivors,
@@ -1009,9 +1035,20 @@ QUERIES = {
     "dedup_embedding_ivf": q_dedup_embedding_ivf,
     "source_minhash_jaccard": q_source_minhash_jaccard,
     "dedup_rate_by_source": q_dedup_rate_by_source,
+    "er_fuzzy_customers": q_er_fuzzy_customers,
 }
 
 ORACLES = {
+    "er_fuzzy_customers": """
+        SELECT c1.c_custkey AS c_custkey_a, c2.c_custkey AS c_custkey_b,
+               CAST(levenshtein(c1.c_name, c2.c_name) AS INTEGER) AS dist
+        FROM customer c1
+        JOIN customer c2
+          ON c1.c_nationkey = c2.c_nationkey
+         AND length(c1.c_name) = length(c2.c_name)
+         AND c1.c_custkey < c2.c_custkey
+        WHERE levenshtein(c1.c_name, c2.c_name) <= 1
+    """,
     "dedup_rate_by_source": f"""
         WITH h AS (
             SELECT doc_id, source,

@@ -441,6 +441,19 @@ def quality_score_sql() -> str:
         FROM documents
     """
 
+DUP_SPAN_K = 8
+
+
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span exposure per document (operators/text.py:
+    dup_span_fraction): fraction of each doc's token 8-grams occurring
+    in >= 2 documents — the exact-substring dedup signal."""
+    return tx.dup_span_fraction(
+        load_table(spark, sf_dir, "documents"), k=DUP_SPAN_K
+    )
+
+
+
 QUERIES = {
     "zipf_slope": q_zipf_slope,
     "sequence_packing": q_sequence_packing,
@@ -467,6 +480,7 @@ QUERIES = {
     "doc_fingerprint": q_doc_fingerprint,
     "training_mix": q_training_mix,
     "text_normalize": q_text_normalize,
+    "dup_span_fraction": q_dup_span_fraction,
 }
 
 def _bm25_freetext_oracle() -> str:
@@ -540,6 +554,36 @@ def _bm25_freetext_oracle() -> str:
 
 
 ORACLES = {
+    "dup_span_fraction": """
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               t -> t <> '') AS ts
+            FROM documents
+        ),
+        grams AS (
+            SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS gram
+            FROM toks, UNNEST(range(1, len(ts) - 6)) AS u(i)
+            WHERE len(ts) >= 8
+        ),
+        occ AS (
+            SELECT doc_id, gram, count(*) AS cnt
+            FROM grams GROUP BY 1, 2
+        ),
+        nd AS (
+            SELECT gram, count(*) AS ndocs FROM occ GROUP BY 1
+        )
+        SELECT o.doc_id,
+               CAST(sum(o.cnt) AS BIGINT) AS n_grams,
+               CAST(coalesce(sum(o.cnt) FILTER (WHERE nd.ndocs >= 2), 0)
+                   AS BIGINT) AS dup_grams,
+               floor(CAST(coalesce(sum(o.cnt) FILTER (WHERE nd.ndocs >= 2),
+                                   0) AS DOUBLE)
+                     / CAST(sum(o.cnt) AS DOUBLE) * 1000000) / 1000000.0
+                   AS dup_fraction
+        FROM occ o JOIN nd USING (gram)
+        GROUP BY o.doc_id
+    """,
     "source_lorenz": """
         WITH ps AS (
             SELECT source,
