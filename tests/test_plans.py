@@ -185,3 +185,86 @@ def test_late_order_priorities_semi_join_prunes_probe(spark, sf_dir):
     assert "l_orderkey" in plan and "l_shipdate" in plan
     # none of the wide lineitem money columns should be scanned
     assert "l_extendedprice" not in plan, plan
+
+
+def _n_exchanges(plan: str) -> int:
+    """Formatted explain lists each node twice (tree + detail); count
+    detail headers only."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+
+
+def test_doc_perplexity_has_no_join(spark, sf_dir):
+    """Round-3 rework contract: the bigram LM attaches via windows over
+    a single w1 repartition — any Join node means the token-scale
+    vocabulary join crept back in."""
+    from kafka_streams_dexcom_spark.queries.text import q_doc_perplexity
+
+    plan = explain_str(q_doc_perplexity(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Window") >= 1, plan
+    # exactly 4 exchanges: fan-out, (doc,bigram) agg, w1 repartition,
+    # final doc agg; anything more is a regression
+    assert _n_exchanges(plan) <= 4, plan
+
+
+def test_dup_span_fraction_has_no_join(spark, sf_dir):
+    from kafka_streams_dexcom_spark.queries.text import q_dup_span_fraction
+
+    plan = explain_str(q_dup_span_fraction(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert _n_exchanges(plan) <= 4, plan
+
+
+def test_nation_trade_flows_single_fact_shuffle(spark, sf_dir):
+    """Q7 shape: the only non-broadcast join is lineitem⋈orders; all
+    dimension lineages must broadcast."""
+    from kafka_streams_dexcom_spark.queries.joinshapes import (
+        q_nation_trade_flows,
+    )
+
+    plan = explain_str(q_nation_trade_flows(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "PushedFilters" in plan, plan
+
+
+def test_supplier_part_counts_anti_broadcast(spark, sf_dir):
+    """Q16 shape: the at-risk exclusion must be a broadcast anti join,
+    and the (part,supp) distinct must partial-aggregate map-side."""
+    from kafka_streams_dexcom_spark.queries.joinshapes import (
+        q_supplier_part_counts,
+    )
+
+    plan = explain_str(q_supplier_part_counts(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_er_fuzzy_customers_no_self_join(spark, sf_dir):
+    """Pair generation is the within-bucket combination explode — a
+    SortMergeJoin/CartesianProduct would mean an all-pairs self-join."""
+    from kafka_streams_dexcom_spark.queries.dedup import (
+        q_er_fuzzy_customers,
+    )
+
+    plan = explain_str(q_er_fuzzy_customers(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "levenshtein" in plan, plan
+
+
+def test_customer_order_distribution_single_probe_exchange(spark, sf_dir):
+    """Q13 shape: the left join and the per-customer groupBy share the
+    custkey partitioning — counting exchanges guards the reuse."""
+    from kafka_streams_dexcom_spark.queries.joinshapes import (
+        q_customer_order_distribution,
+    )
+
+    plan = explain_str(q_customer_order_distribution(spark, sf_dir))
+    # exchanges: probe-side hash (or a broadcast at tiny SF) + custkey
+    # agg + final distribution agg; more means the shared partitioning
+    # between the join and the groupBy broke
+    assert _n_exchanges(plan) <= 4, plan
