@@ -48,6 +48,18 @@ PROBE_QUERIES = [
     "big_orders",
     "part_value_share",
     "salted_user_stats",
+    # round-3 join shapes + span/LM reworks (er_fuzzy_customers excluded:
+    # a self-union puts 10 copies of every name in each pigeonhole bucket,
+    # quadratically inflating dist-0 pairs — same exclusion as dedup_*)
+    "nation_trade_flows",
+    "market_share",
+    "product_type_profit",
+    "delay_buckets",
+    "customer_order_distribution",
+    "supplier_part_counts",
+    "top_supplier_revenue",
+    "dominant_suppliers",
+    "dup_span_fraction",
 ]
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
