@@ -61,6 +61,7 @@ HEADLINE = [
     "doc_perplexity",            # bigram-LM cross-entropy filter signal
     "dedup_best_survivors",      # CC + quality argmax survivor election
     "zipf_slope",                # token shuffle + decimal-exact regression
+    "bpe_pair_stats",            # vocab-reduced BPE merge-pair counts
     "sequence_packing",          # per-language cumsum packing window
     "pagerank_centrality",       # fixed-point iterative rank (3 rounds)
     "triangle_count",            # ordered-edge triangle enumeration

@@ -924,3 +924,38 @@ def dup_span_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def bpe_pair_stats(
+    df: DataFrame, text_col: str = "text", top_k: int = 50
+) -> DataFrame:
+    """First BPE merge iteration over the corpus: the ``top_k`` most
+    frequent ADJACENT character pairs, weighted by word frequency — the
+    statistic a byte-pair-encoding tokenizer trainer computes to pick
+    each merge (run iteratively with the merged symbol re-injected; one
+    iteration is the per-round primitive and exercises the full shape).
+
+    Scale: the token explode reduces to the distinct-word vocabulary
+    with map-side combine (the ONLY token-scale shuffle); char pairs
+    are generated scan-side over the vocabulary (corpus-independent
+    size), and the weighted pair aggregate is alphabet²-bounded.
+    Ranking is (count desc, pair asc) — a total order, so top-k is
+    deterministic and compiles to TakeOrderedAndProject."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    words = (
+        fan_out_small(df)
+        .select(F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    pair_expr = F.expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+    )
+    return (
+        words.select(F.explode(pair_expr).alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(top_k)
+    )

@@ -454,6 +454,19 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+BPE_TOP_K = 50
+
+
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration (operators/text.py:bpe_pair_stats):
+    top-50 word-frequency-weighted adjacent char pairs — the tokenizer-
+    training per-round primitive."""
+    return tx.bpe_pair_stats(
+        load_table(spark, sf_dir, "documents"), top_k=BPE_TOP_K
+    )
+
+
+
 QUERIES = {
     "zipf_slope": q_zipf_slope,
     "sequence_packing": q_sequence_packing,
@@ -481,6 +494,7 @@ QUERIES = {
     "training_mix": q_training_mix,
     "text_normalize": q_text_normalize,
     "dup_span_fraction": q_dup_span_fraction,
+    "bpe_pair_stats": q_bpe_pair_stats,
 }
 
 def _bm25_freetext_oracle() -> str:
@@ -554,6 +568,24 @@ def _bm25_freetext_oracle() -> str:
 
 
 ORACLES = {
+    "bpe_pair_stats": """
+        WITH words AS (
+            SELECT t AS w, count(*) AS wc
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS u(t)
+            GROUP BY t
+        ),
+        prs AS (
+            SELECT w[i:i+1] AS pair, wc
+            FROM words, UNNEST(range(1, length(w))) AS r(i)
+            WHERE length(w) >= 2
+        )
+        SELECT pair, CAST(sum(wc) AS BIGINT) AS n_occurrences
+        FROM prs GROUP BY pair
+        ORDER BY n_occurrences DESC, pair ASC
+        LIMIT 50
+    """,
     "dup_span_fraction": """
         WITH toks AS (
             SELECT doc_id,

@@ -48,18 +48,19 @@ PROBE_QUERIES = [
     "big_orders",
     "part_value_share",
     "salted_user_stats",
-    # round-3 join shapes + span/LM reworks (er_fuzzy_customers excluded:
-    # a self-union puts 10 copies of every name in each pigeonhole bucket,
-    # quadratically inflating dist-0 pairs — same exclusion as dedup_*)
-    "nation_trade_flows",
-    "market_share",
+    # round-3 additions with a valid self-union profile. Excluded for the
+    # same reason as dedup_*: er_fuzzy_customers (10 copies of every name
+    # per pigeonhole bucket → quadratic dist-0 pairs) and every query that
+    # JOINS two facts on a shared key (nation_trade_flows, market_share,
+    # delay_buckets, customer_order_distribution) — a self-union gives 10
+    # copies of each key on BOTH sides, so the join output grows 100×,
+    # which real 10× data (10× distinct keys) does not do.
     "product_type_profit",
-    "delay_buckets",
-    "customer_order_distribution",
     "supplier_part_counts",
     "top_supplier_revenue",
     "dominant_suppliers",
     "dup_span_fraction",
+    "bpe_pair_stats",
 ]
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
