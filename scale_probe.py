@@ -62,19 +62,23 @@ PROBE_QUERIES = [
     "dup_span_fraction",
     "bpe_pair_stats",
 ]
-TABLES = [
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-]
+# Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
+# grow the fact volume, not the part catalog — and a ×10'd dim puts 10
+# copies of every join key in the broadcast side, multiplying join
+# output 10× per dim lineage (measured: product_type_profit went ×166
+# under a ×10 part+supplier dim — pure self-union artifact).
+FACTS = ["orders", "lineitem", "events", "documents", "embeddings"]
+DIMS = ["region", "nation", "customer", "supplier", "part"]
 
 
 def build_x10(spark, out_dir: str) -> None:
-    for t in TABLES:
+    for t in FACTS + DIMS:
         dst = f"{out_dir}/{t}.parquet"
         if os.path.exists(dst):
             continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
-        u = functools.reduce(lambda a, b: a.union(b), [df] * 10)
+        copies = 10 if t in FACTS else 1
+        u = functools.reduce(lambda a, b: a.union(b), [df] * copies)
         u.write.mode("overwrite").parquet(dst)
 
 
