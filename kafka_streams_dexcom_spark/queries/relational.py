@@ -49,8 +49,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_base_price"),
-            F.round(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             trunc6(F.avg("l_quantity")).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
@@ -348,7 +348,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("c_custkey") == F.col("o_custkey"))
         .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(revenue_exact.cast("double"), 2).alias("revenue"))
+        .agg(F.round(revenue_exact, 2).cast("double").alias("revenue"))
         .select(
             "o_orderkey",
             # o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the
@@ -389,7 +389,7 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(ep * disc).cast("double"), 2).alias("revenue"))
+        .agg(F.round(F.sum(ep * disc), 2).cast("double").alias("revenue"))
     )
 
 
@@ -532,7 +532,7 @@ def q_special_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.join(F.broadcast(pf), F.col("l_partkey") == F.col("p_partkey"))
         .filter(branch)
         .agg(
-            F.round(F.sum(ep * disc).cast("double"), 2).alias("revenue"),
+            F.round(F.sum(ep * disc), 2).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
@@ -559,15 +559,22 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit(lo).cast("timestamp"))
         & (F.col("l_shipdate") < F.lit(hi).cast("timestamp"))
     )
-    promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev)).cast("double")
-    total_rev = F.sum(rev).cast("double")
+    zero_dec = F.lit(0).cast("decimal(38,4)")
+    promo_dec = F.coalesce(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)), zero_dec
+    )
+    total_dec = F.sum(rev)
     return (
         month.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(F.coalesce(promo_rev, F.lit(0.0)), 2).alias("promo_rev"),
-            F.round(total_rev, 2).alias("total_rev"),
+            # round the DECIMAL, then cast: double-side rounding diverges
+            # between engines on exact half-cent ties
+            F.round(promo_dec, 2).cast("double").alias("promo_rev"),
+            F.round(total_dec, 2).cast("double").alias("total_rev"),
             trunc6(
-                F.lit(100.0) * F.coalesce(promo_rev, F.lit(0.0)) / total_rev
+                F.lit(100.0)
+                * promo_dec.cast("double")
+                / total_dec.cast("double")
             ).alias("promo_pct"),
         )
     )
@@ -761,7 +768,9 @@ def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_partkey",
-            F.round(F.col("part_rev").cast("double"), 2).alias("revenue"),
+            # round the DECIMAL, then cast: a double-side round diverges
+            # between engines on exact half-cent ties (hit at sf0.1)
+            F.round(F.col("part_rev"), 2).cast("double").alias("revenue"),
             trunc6(
                 F.col("part_rev").cast("double")
                 / F.col("total_rev").cast("double")
@@ -947,9 +956,9 @@ ORACLES = {
         GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
     """,
     "special_revenue": """
-        SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-                   AS DOUBLE), 2) AS revenue,
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))),
+                   2) AS DOUBLE) AS revenue,
                count(*) AS n_lineitems
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
@@ -969,9 +978,9 @@ ORACLES = {
             WHERE l.l_shipdate >= TIMESTAMP '{PROMO_MONTH[0]}'
               AND l.l_shipdate <  TIMESTAMP '{PROMO_MONTH[1]}'
         )
-        SELECT round(COALESCE(CAST(sum(rev) FILTER (WHERE p_type = 'PROMO')
-                   AS DOUBLE), 0.0), 2) AS promo_rev,
-               round(CAST(sum(rev) AS DOUBLE), 2) AS total_rev,
+        SELECT CAST(round(COALESCE(sum(rev) FILTER (WHERE p_type = 'PROMO'),
+                   CAST(0 AS DECIMAL(38,4))), 2) AS DOUBLE) AS promo_rev,
+               CAST(round(sum(rev), 2) AS DOUBLE) AS total_rev,
                floor(100.0 * COALESCE(CAST(sum(rev)
                          FILTER (WHERE p_type = 'PROMO') AS DOUBLE), 0.0)
                      / CAST(sum(rev) AS DOUBLE) * 1000000) / 1000000.0
@@ -1038,9 +1047,9 @@ ORACLES = {
         SELECT o_orderkey,
                epoch_us(o_orderdate) AS o_orderdate_us,
                o_orderpriority,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                    * (CAST(1 AS DECIMAL(3,2))
-                      - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+                      - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE)
                    AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -1052,9 +1061,9 @@ ORACLES = {
     """,
     "regional_revenue": """
         SELECT n_name,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                    * (CAST(1 AS DECIMAL(3,2))
-                      - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE), 2)
+                      - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE)
                    AS revenue
         FROM region
         JOIN nation ON n_regionkey = r_regionkey
@@ -1072,13 +1081,13 @@ ORACLES = {
                    AS sum_qty,
                round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                    AS sum_base_price,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2))))
-                   AS DOUBLE), 2) AS sum_disc_price,
-               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))),
+                   2) AS DOUBLE) AS sum_disc_price,
+               CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))
-                   * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2))))
-                   AS DOUBLE), 2) AS sum_charge,
+                   * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))),
+                   2) AS DOUBLE) AS sum_charge,
                floor(avg(l_quantity) * 1000000) / 1000000.0 AS avg_qty,
                round(avg(l_extendedprice), 6) AS avg_price,
                round(avg(l_discount), 6) AS avg_disc,
@@ -1208,7 +1217,7 @@ ORACLES = {
             FROM per_part
         )
         SELECT l_partkey,
-               round(CAST(part_rev AS DOUBLE), 2) AS revenue,
+               CAST(round(part_rev, 2) AS DOUBLE) AS revenue,
                floor(CAST(part_rev AS DOUBLE) / CAST(total_rev AS DOUBLE)
                      * 1000000) / 1000000.0 AS rev_share
         FROM per_part CROSS JOIN total

@@ -113,3 +113,38 @@ def test_pigeonhole_matches_naive(spark):
     assert pigeon == naive
     assert (1, 2, 1) in pigeon and (1, 4, 0) in pigeon and (2, 3, 1) in pigeon
     assert not any(a == 5 or b == 5 for a, b, _ in pigeon)
+
+
+def test_pigeonhole_lossless_random_batch(spark):
+    """Randomized (seeded) equivalence: on 300 short strings over a tiny
+    alphabet — dense in edit space, so dist-0/1/2 pairs all occur —
+    the pigeonhole candidate set must reproduce the naive within-block
+    pairs exactly."""
+    import random
+
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        fuzzy_pigeonhole_pairs,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (i, "".join(rng.choice("abc") for _ in range(rng.choice([4, 5]))), 1)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "rid int, name string, blk int").select(
+        "rid", "name", "blk", F.length("name").alias("nlen")
+    )
+    naive = {
+        (r.rid_a, r.rid_b, r.dist)
+        for r in fuzzy_blocked_pairs(
+            df, ["blk", "nlen"], "rid", "name", max_dist=1
+        ).collect()
+    }
+    pigeon = {
+        (r.rid_a, r.rid_b, r.dist)
+        for r in fuzzy_pigeonhole_pairs(
+            df, ["blk", "nlen"], "rid", "name"
+        ).collect()
+    }
+    assert pigeon == naive
+    assert len(naive) > 100  # the fixture actually exercises matches
