@@ -62,6 +62,7 @@ HEADLINE = [
     "dedup_best_survivors",      # CC + quality argmax survivor election
     "zipf_slope",                # token shuffle + decimal-exact regression
     "bpe_pair_stats",            # vocab-reduced BPE merge-pair counts
+    "bpe_train",                 # 5 unrolled BPE merge rounds over the vocab
     "sequence_packing",          # per-language cumsum packing window
     "pagerank_centrality",       # fixed-point iterative rank (3 rounds)
     "triangle_count",            # ordered-edge triangle enumeration

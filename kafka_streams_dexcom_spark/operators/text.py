@@ -959,3 +959,80 @@ def bpe_pair_stats(
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(top_k)
     )
+
+
+def bpe_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 5
+) -> DataFrame:
+    """Iterated BPE tokenizer training: run ``n_merges`` merge rounds —
+    each round counts word-frequency-weighted adjacent symbol pairs,
+    picks the argmax pair (count desc, symbols asc — a total order),
+    and rewrites the vocabulary with the merged symbol (greedy
+    left-to-right, the standard BPE merge semantics) — and return the
+    merge table (round, pair, weighted count): the actual artifact a
+    tokenizer trainer produces.
+
+    Scale: ONE token-scale shuffle total (the initial word count); every
+    round then operates on the DISTINCT-WORD vocabulary — corpus-size-
+    independent. The per-round argmax is a 1-row broadcast joined into
+    a scan-side fold (`aggregate`) that rewrites symbol arrays in
+    codegen; localCheckpoint per round is the same iterative-lineage
+    hygiene as kmeans/pagerank. Driver never sees data — the loop is a
+    fixed unroll, not convergence-dependent.
+
+    Determinism: counts are exact integers; (n desc, s1 asc, s2 asc)
+    totally orders candidate pairs, so every round's merge is exactly
+    replayable — the oracle unrolls the same rounds in SQL."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    vocab = (
+        fan_out_small(df)
+        .select(F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select(
+            "wc",
+            F.expr("split(w, '')").alias("syms"),
+        )
+        .localCheckpoint()
+    )
+    merges = None
+    for rnd in range(1, n_merges + 1):
+        pair_expr = F.expr(
+            "transform(sequence(1, size(syms) - 1), "
+            "i -> struct(element_at(syms, i) AS s1, "
+            "element_at(syms, i + 1) AS s2))"
+        )
+        best = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("wc", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.s1").alias("bp1"), F.col("p.s2").alias("bp2"))
+            .agg(F.sum("wc").alias("n_occurrences"))
+            .orderBy(
+                F.col("n_occurrences").desc(),
+                F.col("bp1").asc(),
+                F.col("bp2").asc(),
+            )
+            .limit(1)
+            .localCheckpoint()
+        )
+        row = best.select(
+            F.lit(rnd).alias("round"),
+            F.concat(F.col("bp1"), F.lit("+"), F.col("bp2")).alias("pair"),
+            "n_occurrences",
+        )
+        merges = row if merges is None else merges.union(row)
+        if rnd == n_merges:
+            break
+        merge_fold = F.expr(
+            "CASE WHEN size(syms) <= 1 THEN syms ELSE "
+            "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
+            "IF(size(acc) > 0 AND element_at(acc, -1) = bp1 AND s = bp2, "
+            "concat(slice(acc, 1, size(acc) - 1), array(concat(bp1, bp2))), "
+            "concat(acc, array(s)))) END"
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("bp1", "bp2")))
+            .select("wc", merge_fold.alias("syms"))
+            .localCheckpoint()
+        )
+    return merges

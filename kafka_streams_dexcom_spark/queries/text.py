@@ -467,6 +467,71 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+BPE_MERGES = 5
+
+
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE training (operators/text.py:bpe_train): 5 merge
+    rounds over the corpus vocabulary; returns the merge table — the
+    tokenizer-trainer loop as a deterministic unrolled pipeline."""
+    return tx.bpe_train(
+        load_table(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+    )
+
+
+def _bpe_train_oracle(n_merges: int = 5) -> str:
+    """Unrolled replay of bpe_train: per round, the argmax pair CTE and
+    the greedy left-to-right merge fold (list_reduce over singleton
+    lists — the same fold shape as Spark's aggregate)."""
+    parts = ["""
+        v0 AS (
+            SELECT wc,
+                   list_transform(range(1, length(w) + 1),
+                                  i -> w[i:i]) AS syms
+            FROM (
+                SELECT t AS w, count(*) AS wc
+                FROM documents,
+                     UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS u(t)
+                GROUP BY t
+            )
+        )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+        p{r} AS (
+            SELECT syms[i] AS s1, syms[i + 1] AS s2,
+                   CAST(sum(wc) AS BIGINT) AS n
+            FROM v{r - 1}, UNNEST(range(1, len(syms))) AS rr(i)
+            WHERE len(syms) >= 2
+            GROUP BY 1, 2
+        ),
+        b{r} AS (
+            SELECT s1 AS bp1, s2 AS bp2, n
+            FROM p{r} ORDER BY n DESC, s1 ASC, s2 ASC LIMIT 1
+        )""")
+        if r < n_merges:
+            parts.append(f"""
+        v{r} AS (
+            SELECT wc,
+                   CASE WHEN len(syms) <= 1 THEN syms ELSE
+                     list_reduce(list_transform(syms, x -> [x]),
+                       (acc, el) ->
+                         CASE WHEN acc[-1] = bp1 AND el[1] = bp2
+                              THEN list_concat(acc[1:len(acc) - 1],
+                                               [bp1 || bp2])
+                              ELSE list_concat(acc, el) END)
+                   END AS syms
+            FROM v{r - 1} CROSS JOIN b{r}
+        )""")
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS round, bp1 || '+' || bp2 AS pair,"
+        f" n AS n_occurrences FROM b{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+
 QUERIES = {
     "zipf_slope": q_zipf_slope,
     "sequence_packing": q_sequence_packing,
@@ -495,6 +560,7 @@ QUERIES = {
     "text_normalize": q_text_normalize,
     "dup_span_fraction": q_dup_span_fraction,
     "bpe_pair_stats": q_bpe_pair_stats,
+    "bpe_train": q_bpe_train,
 }
 
 def _bm25_freetext_oracle() -> str:
@@ -568,6 +634,7 @@ def _bm25_freetext_oracle() -> str:
 
 
 ORACLES = {
+    "bpe_train": _bpe_train_oracle(BPE_MERGES),
     "bpe_pair_stats": """
         WITH words AS (
             SELECT t AS w, count(*) AS wc
