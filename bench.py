@@ -25,6 +25,7 @@ from kafka_streams_dexcom_spark.session import get_spark  # noqa: E402
 # toward the shuffly/joiny ones that dominate at 100 TB.
 HEADLINE = [
     "interval_join_categorize",  # broadcast NLJ + window + CASE
+    "interval_join_bucketized",  # equi-join scale path of the flagship
     "filter_high",               # pushdown filter scan
     "latest_per_key",            # shuffle + window dedup
     "pricing_summary",           # scan-heavy groupBy (TPC-H Q1 shape)

@@ -231,3 +231,63 @@ def envelope_explode(env_df: DataFrame, egvs_col: str = "egvs") -> DataFrame:
     return env_df.select(*other, F.explode(F.col(egvs_col)).alias("egv")).select(
         *other, "egv.*"
     )
+
+
+def _tod_seconds(c: Column) -> Column:
+    """Seconds-of-day of a fixed-width 'HH:mm:ss' string."""
+    p = F.split(c, ":")
+    return (
+        p.getItem(0).cast("int") * 3600
+        + p.getItem(1).cast("int") * 60
+        + p.getItem(2).cast("int")
+    )
+
+
+def interval_join_bucketized(
+    events: DataFrame,
+    ranges: DataFrame,
+    tod_col: Column,
+    bucket_seconds: int = 3600,
+    how: str = "left",
+) -> DataFrame:
+    """Equi-join scale path for :func:`interval_join` — the knob SCALE.md
+    names for a ranges dimension too large to broadcast: each range
+    explodes into every time bucket it overlaps (dimension-side blowup
+    only: #ranges × covered buckets), each event maps to ONE bucket, and
+    the join becomes a plain equi-join on the bucket key with the
+    interval containment as a residual predicate — shuffle-partitionable
+    on both sides, no BroadcastNestedLoopJoin, no per-record dimension
+    scan. Same first-match/left-join semantics as interval_join
+    (reference: EgvTransformer.java:38-84).
+
+    ``bucket_seconds`` trades dimension replication (ranges spanning
+    many buckets) against per-bucket range fan-in; at 100 TB pick it
+    near the median range width so each probe meets O(1) candidates."""
+    if "__event_pk" not in events.columns:
+        raise ValueError("events must carry an __event_pk column")
+    e = events.withColumn("__tod", tod_col).withColumn(
+        "__bkt", F.floor(_tod_seconds(F.col("__tod")) / bucket_seconds)
+    )
+    r = ranges.withColumn(
+        "__rbkt",
+        F.explode(
+            F.sequence(
+                F.floor(_tod_seconds(F.col("start_time")) / bucket_seconds),
+                F.floor(_tod_seconds(F.col("end_time")) / bucket_seconds),
+            )
+        ),
+    )
+    cond = (
+        (F.col("__bkt") == F.col("__rbkt"))
+        & (F.col("__tod") >= F.col("start_time"))
+        & (F.col("__tod") <= F.col("end_time"))
+    )
+    joined = e.join(r, cond, how)
+    w = Window.partitionBy("__event_pk").orderBy(
+        F.col("range_id").asc_nulls_last()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__tod", "__bkt", "__rbkt")
+    )

@@ -96,6 +96,40 @@ def q_interval_join_categorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_interval_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path variant of the flagship: the interval lookup as a
+    bucketized EQUI-join (ops.interval_join_bucketized) — the plan shape
+    for a ranges dimension too large to inline or broadcast. Identical
+    semantics and oracle as interval_join_categorize; the plan audit
+    asserts no BroadcastNestedLoopJoin survives."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "__event_pk", F.col("event_id")
+    )
+    joined = ops.interval_join_bucketized(
+        e, ranges_df(spark), time_of_day(F.col("ts")), bucket_seconds=900
+    )
+    out = joined.withColumn(
+        "in_range",
+        F.when(
+            F.col("lower_bound").isNull(), F.lit(None).cast("string")
+        ).otherwise(
+            ops.categorize_from_bounds(
+                F.col("value"), F.col("lower_bound"), F.col("upper_bound")
+            )
+        ),
+    )
+    return out.select(
+        "event_id",
+        "value",
+        time_of_day(F.col("ts")).alias("tod"),
+        F.col("range_id").cast("bigint").alias("range_id"),
+        F.col("lower_bound").cast("bigint").alias("lower_bound"),
+        F.col("upper_bound").cast("bigint").alias("upper_bound"),
+        "in_range",
+    )
+
+
 def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KTable upsert view: latest event per user (SURVEY.md §2.1 table
     source). One shuffle on the key; ties broken by event_id desc."""
@@ -149,6 +183,7 @@ QUERIES = {
     "project_extract": q_project_extract,
     "categorize_simple": q_categorize_simple,
     "interval_join_categorize": q_interval_join_categorize,
+    "interval_join_bucketized": q_interval_join_bucketized,
     "latest_per_key": q_latest_per_key,
     "dedup_by_id": q_dedup_by_id,
     "envelope_explode": q_envelope_explode,
@@ -222,3 +257,5 @@ ORACLES = {
         FROM events
     """,
 }
+
+ORACLES["interval_join_bucketized"] = ORACLES["interval_join_categorize"]

@@ -268,3 +268,16 @@ def test_customer_order_distribution_single_probe_exchange(spark, sf_dir):
     # agg + final distribution agg; more means the shared partitioning
     # between the join and the groupBy broke
     assert _n_exchanges(plan) <= 4, plan
+
+
+def test_interval_join_bucketized_is_equi_join(spark, sf_dir):
+    """The scale-path variant must plan as a hash equi-join on the
+    bucket key — a BroadcastNestedLoopJoin means the bucketization
+    failed and every probe scans the whole dimension again."""
+    from kafka_streams_dexcom_spark.queries.core import (
+        q_interval_join_bucketized,
+    )
+
+    plan = explain_str(q_interval_join_bucketized(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
