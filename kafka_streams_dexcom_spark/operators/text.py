@@ -1036,3 +1036,54 @@ def bpe_train(
             .localCheckpoint()
         )
     return merges
+
+
+def doc_chunks_udtf(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Python UDTF twin of :func:`doc_chunks` — completes the UDF
+    surface matrix (SURVEY.md §2.7: pandas_udf / applyInPandas /
+    applyInPandasWithState / transformWithState / UDTF). Identical
+    output and oracle as the scan-side doc_chunks; a lateral join over
+    a table-function that yields one row per 64-token window at stride
+    48.
+
+    This is the SLOW path by design (row-at-a-time Python generator) —
+    the point is the API surface and the exact-equivalence test against
+    the codegen pipeline, not throughput. Use doc_chunks in production;
+    reach for a UDTF only when per-row fan-out logic genuinely cannot
+    be expressed as Catalyst array expressions."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_idx bigint, start_tok bigint, "
+            "n_chunk_tokens bigint, chunk_text string"
+        )
+    )
+    class _ChunkDocs:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            toks = [t for t in _re.split(r"\s+", text or "") if t]
+            if not toks:
+                return
+            window, stride = 64, 48
+            idx = 0
+            for start in range(0, len(toks), stride):
+                chunk = toks[start : start + window]
+                yield (
+                    doc_id,
+                    idx,
+                    start + 1,
+                    len(chunk),
+                    " ".join(chunk),
+                )
+                idx += 1
+
+    spark.udtf.register("__chunk_docs_udtf", _ChunkDocs)
+    df.select("doc_id", "text").createOrReplaceTempView(
+        "__doc_chunks_udtf_in"
+    )
+    return spark.sql(
+        "SELECT c.* FROM __doc_chunks_udtf_in, "
+        "LATERAL __chunk_docs_udtf(doc_id, text) c"
+    )

@@ -302,6 +302,14 @@ def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.doc_chunks(load_table(spark, sf_dir, "documents"))
 
 
+
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF twin of doc_chunks (operators/text.py:doc_chunks_udtf) —
+    same output, same oracle; exists to keep the full UDF surface
+    exercised end-to-end."""
+    return tx.doc_chunks_udtf(load_table(spark, sf_dir, "documents"), spark)
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
@@ -561,6 +569,7 @@ QUERIES = {
     "dup_span_fraction": q_dup_span_fraction,
     "bpe_pair_stats": q_bpe_pair_stats,
     "bpe_train": q_bpe_train,
+    "doc_chunks_udtf": q_doc_chunks_udtf,
 }
 
 def _bm25_freetext_oracle() -> str:
@@ -1310,3 +1319,5 @@ ORACLES = {
           AND t.n_bpe_tokens BETWEEN 20 AND 10000
     """,
 }
+
+ORACLES["doc_chunks_udtf"] = ORACLES["doc_chunks"]

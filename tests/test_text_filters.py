@@ -224,3 +224,19 @@ def test_doc_cross_entropy_known_corpus(spark):
     assert got[2].cross_entropy == exp2
     # corpus-typical text scores lower than the rare continuation
     assert got[1].cross_entropy < got[2].cross_entropy
+
+
+def test_doc_chunks_udtf_matches_codegen(spark, sf_dir):
+    """The Python UDTF must reproduce the Catalyst array pipeline
+    row-for-row — the slow path is only acceptable because it is
+    provably identical."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        doc_chunks,
+        doc_chunks_udtf,
+    )
+    from kafka_streams_dexcom_spark.sources.files import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    a = {tuple(r) for r in doc_chunks(d).collect()}
+    b = {tuple(r) for r in doc_chunks_udtf(d, spark).collect()}
+    assert a == b and len(a) > 0
