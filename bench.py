@@ -54,6 +54,7 @@ HEADLINE = [
     "dup_span_fraction",         # exact duplicated k-gram exposure
     "dedup_embedding_ivf",       # trained-IVF-cell blocked pairs
     "sim_search_bruteforce",     # broadcast cross-join top-k
+    "sim_search_matmul",         # Arrow-batched int64-GEMM brute force
     "sim_search_lsh",            # bucketed ANN
     "sim_search_multiprobe",     # multi-table multi-probe ANN
     "sim_search_pq",             # product-quantization ADC search

@@ -336,3 +336,91 @@ def ivf_topk(
         F.round("cos_sim_raw", 6).alias("cos_sim"),
         "rank",
     )
+
+
+FP_SCALE = 1 << 20  # fixed-point unit: floor(x * 2^20)
+
+
+def matmul_topk(emb: DataFrame, query_ids, k: int = 10) -> DataFrame:
+    """Arrow-batched matrix-multiply brute force — the SCALE.md knob for
+    "more queries → matrix-multiply via Pandas UDF batches": instead of
+    one Catalyst fold per (query, candidate) pair, each Arrow batch of
+    candidates is scored against ALL queries with a single int64 GEMM.
+
+    Exactness discipline: embeddings are fixed-pointed to 2^20 units
+    (floor of the double value — bit-identical on both engines), so the
+    dot products are EXACT int64 arithmetic (64 dims × 2^21 × 2^21 <
+    2^48 — no overflow, no float summation order), and the cosine is a
+    fixed-order double expression over exact integers. Rankings are
+    therefore deterministic and the DuckDB oracle replays them exactly —
+    the usual objection to numpy-side scoring (pairwise float sums) is
+    engineered away.
+
+    The query matrix is a bounded driver-side constant (|query_ids| × 64
+    int64s — same footprint class as the inlined LSH hyperplanes), NOT a
+    corpus collect; candidates stream through mapInPandas and only
+    per-batch top-k rows (k per query per batch) leave Python."""
+    iv_expr = (
+        "transform(embedding, "
+        "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))"
+    )
+    nsq_expr = "aggregate(transform(ivec, x -> x * x), 0L, (a, b) -> a + b)"
+    base = (
+        emb.select("vec_id", F.expr(iv_expr).alias("ivec"))
+        .withColumn("nsq", F.expr(nsq_expr))
+        .filter(F.col("nsq") > 0)
+    )
+    qrows = (
+        base.filter(F.col("vec_id").isin(list(query_ids)))
+        .select("vec_id", "ivec")
+        .collect()
+    )
+    q_ids = [int(r["vec_id"]) for r in qrows]
+    q_mat = [list(r["ivec"]) for r in qrows]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(q_mat, dtype=np.int64)
+        qid = np.asarray(q_ids, dtype=np.int64)
+        qn = np.sqrt((Q * Q).sum(axis=1).astype(np.float64))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(list(pdf["ivec"]), dtype=np.int64)
+            cid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            dots = C @ Q.T  # exact int64 GEMM
+            cn = np.sqrt((C * C).sum(axis=1).astype(np.float64))
+            cos = dots.astype(np.float64) / (cn[:, None] * qn[None, :])
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(qid)):
+                mask = cid != qid[j]
+                cand_ids, cand_cos = cid[mask], cos[mask, j]
+                # per-batch top-k with the GLOBAL tie-break (cos desc,
+                # vec_id asc) so the batch head provably contains the
+                # global head
+                order = np.lexsort((cand_ids, -cand_cos))[:k]
+                out_q.extend([qid[j]] * len(order))
+                out_c.extend(cand_ids[order])
+                out_s.extend(cand_cos[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_c, "cos": out_s}
+            )
+
+    scored = base.mapInPandas(
+        score, schema="query_id long, vec_id long, cos double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "vec_id",
+            (F.floor(F.col("cos") * 1e6) / 1e6).alias("cos_sim"),
+            "rank",
+        )
+    )

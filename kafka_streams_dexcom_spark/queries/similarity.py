@@ -44,6 +44,16 @@ def q_sim_search_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", out["rank"].cast("bigint")).drop("rank")
 
 
+
+def q_sim_search_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched int64-GEMM brute force (operators/similarity.py:
+    matmul_topk) — exact fixed-point scoring, so the exhaustive oracle
+    replays the ranking bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = sim.matmul_topk(e, QUERY_IDS, TOP_K)
+    return out.withColumn("rnk", out["rank"].cast("bigint")).drop("rank")
+
+
 def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     out = sim.lsh_topk(e, QUERY_IDS, TOP_K)
@@ -793,6 +803,7 @@ def _matryoshka_oracle() -> str:
 
 
 QUERIES = {
+    "sim_search_matmul": q_sim_search_matmul,
     "embedding_quantize": q_embedding_quantize,
     "sim_search_pq": q_sim_search_pq,
     "sim_search_ivfpq": q_sim_search_ivfpq,
@@ -807,6 +818,43 @@ QUERIES = {
 }
 
 ORACLES = {
+    "sim_search_matmul": """
+        WITH iv AS (
+            SELECT vec_id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0)
+                                 AS BIGINT)) AS ivec
+            FROM embeddings
+        ),
+        n AS (
+            SELECT vec_id, ivec,
+                   list_reduce(list_transform(ivec, x -> x * x),
+                               (a, b) -> a + b) AS nsq
+            FROM iv
+        ),
+        nn AS (
+            SELECT vec_id, ivec,
+                   sqrt(CAST(nsq AS DOUBLE)) AS nrm
+            FROM n WHERE nsq > 0
+        ),
+        q AS (SELECT * FROM nn WHERE vec_id IN (0, 1, 2, 3, 4)),
+        s AS (
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   CAST(list_reduce(
+                       list_transform(range(1, len(q.ivec) + 1),
+                                      i -> q.ivec[i] * c.ivec[i]),
+                       (a, b) -> a + b) AS DOUBLE)
+                   / (q.nrm * c.nrm) AS cos
+            FROM q JOIN nn c ON c.vec_id <> q.vec_id
+        )
+        SELECT query_id, vec_id,
+               floor(cos * 1000000) / 1000000.0 AS cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
+        FROM s
+        QUALIFY rnk <= 10
+    """,
     "embedding_quantize": _quantize_oracle(),
     "sim_search_pq": _pq_oracle(),
     "sim_search_ivfpq": _ivfpq_oracle(),
