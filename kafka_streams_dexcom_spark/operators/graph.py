@@ -30,9 +30,13 @@ def connected_components(
     max_rounds: int = 50,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; exact
-    connected components — the propagation loop runs until no label
-    changes (or ``max_rounds``, a safety cap well above any plausible
-    near-dup graph diameter)."""
+    connected components. Each round combines min-neighbor HOOKING with
+    POINTER JUMPING (label ← label-of-label), so label distance to the
+    component minimum roughly halves per round — convergence in
+    O(log diameter) rounds instead of O(diameter), the difference
+    between 6 rounds and 10⁶ on a pathological chain at corpus scale.
+    Runs until a round changes nothing; raises if ``max_rounds`` is hit
+    without converging (a silent cap would return wrong labels)."""
     # cut the pair pipeline ONCE before mirroring (the union's two
     # branches would otherwise re-execute candidate generation twice
     # during the persist materialization below)
@@ -52,7 +56,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # qualified aliases: labels derives from edges, so every round is
         # a self-join by lineage — name-qualify to keep Catalyst unambiguous
         neighbor_min = (
@@ -61,7 +65,7 @@ def connected_components(
             .groupBy(F.col("e.u").alias("nm_node"))
             .agg(F.min(F.col("lx.label")).alias("nbr_label"))
         )
-        updated = (
+        hooked = (
             labels.alias("l")
             .join(
                 neighbor_min.alias("nm"),
@@ -76,8 +80,38 @@ def connected_components(
                     F.coalesce(F.col("nm.nbr_label"), F.col("l.label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
+        # pointer jump: label ← label(label). Every label value IS a
+        # node id (labels start as identity and only copy node ids), so
+        # the lookup always hits; labels are monotone non-increasing, so
+        # the jump only tightens. This is what turns O(diameter) rounds
+        # into O(log diameter). ADAPTIVE: the first two rounds are
+        # hook-only — shallow near-dup forests (diameter ≤ 2, the common
+        # case) converge before ever paying the extra join; deep graphs
+        # start halving their chains from round 3.
+        if rnd < 2:
+            updated = hooked.localCheckpoint()
+        else:
+            updated = (
+                hooked.alias("h")
+                .join(
+                    labels.select(
+                        F.col("node").alias("j_node"),
+                        F.col("label").alias("j_label"),
+                    ),
+                    F.col("h.label") == F.col("j_node"),
+                    "left",
+                )
+                .select(
+                    F.col("h.node").alias("node"),
+                    F.col("h.prev_label").alias("prev_label"),
+                    F.least(
+                        F.col("h.label"),
+                        F.coalesce(F.col("j_label"), F.col("h.label")),
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
         labels = updated.select("node", "label")
         # fixpoint test on the materialized checkpoint: once a round
         # changes nothing, every further round is an identical no-op
@@ -87,9 +121,12 @@ def connected_components(
             .count()
             == 0
         ):
-            break
+            edges.unpersist()
+            return labels.select("node", F.col("label").alias("component"))
     edges.unpersist()
-    return labels.select("node", F.col("label").alias("component"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_rounds} rounds"
+    )
 
 
 def cluster_representatives(components: DataFrame) -> DataFrame:

@@ -130,18 +130,31 @@ def test_connected_components_deep_chain_converges(spark):
     assert cc == {i: 0 for i in range(9)}
 
 
-def test_connected_components_round_cap_respected(spark):
-    """max_rounds is a hard cap: with max_rounds=2 the far end of the
-    chain must NOT yet carry label 0 (documents that the default is a
-    safety cap, not a semantic knob)."""
+def test_connected_components_round_cap_raises(spark):
+    """Hitting max_rounds without converging must RAISE — a silent cap
+    would return wrong labels. One round of hook+jump can't finish a
+    diameter-8 chain."""
+    import pytest as _pytest
+
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
     )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_rounds=1)
+
+
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer jumping: a 200-node path (diameter 199) must converge
+    well inside the default 50-round cap — pure min-propagation would
+    need 199 rounds. 12 rounds is a generous O(log n) budget."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "doc_a long, doc_b long"
+    )
     cc = {
         r.node: r.component
-        for r in connected_components(pairs, max_rounds=2).collect()
+        for r in connected_components(pairs, max_rounds=12).collect()
     }
-    assert cc[8] != 0  # under-converged by construction
+    assert cc == {i: 0 for i in range(200)}
 
 
 def test_pagerank_early_exit_identity(spark):
