@@ -60,6 +60,7 @@ HEADLINE = [
     "sim_search_pq",             # product-quantization ADC search
     "bm25_search",               # scan-side tf + broadcast stats retrieval
     "bm25_freetext",             # inverted-index batch retrieval
+    "bm25_rerank",               # candidate-bounded proximity re-rank
     "doc_perplexity",            # bigram-LM cross-entropy filter signal
     "dedup_best_survivors",      # CC + quality argmax survivor election
     "zipf_slope",                # token shuffle + decimal-exact regression

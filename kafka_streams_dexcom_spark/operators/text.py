@@ -1087,3 +1087,83 @@ def doc_chunks_udtf(df: DataFrame, spark: SparkSession) -> DataFrame:
         "SELECT c.* FROM __doc_chunks_udtf_in, "
         "LATERAL __chunk_docs_udtf(doc_id, text) c"
     )
+
+
+def bm25_rerank_proximity(
+    df: DataFrame,
+    query_df: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+    topn: int = 10,
+) -> DataFrame:
+    """Two-stage retrieval: BM25 candidate generation (bm25_freetext)
+    then a term-PROXIMITY re-rank — the classic cheap second-stage
+    signal (documents where two DIFFERENT query terms appear close
+    together beat bag-of-words ties). rerank_score = bm25 + 1/(1+minspan)
+    where minspan is the minimal token distance between adjacent
+    occurrences of two distinct query terms; docs matching <2 distinct
+    terms keep their BM25 score.
+
+    Scale: stage 2 touches ONLY candidate documents — the candidate id
+    set (≤ k·|queries| rows) broadcasts into a semi join against the
+    corpus scan, so position extraction is candidate-bounded, never
+    corpus-bounded. All arithmetic is exact integers (BM25 6-decimal
+    units recovered exactly + an integer bonus), so the re-ranking is
+    deterministic and the oracle replays it."""
+    cand = bm25_freetext(df, query_df, text_col, k=k).localCheckpoint()
+    cdocs = cand.select("query_id", "doc_id").distinct()
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    docs = fan_out_small(df).join(
+        F.broadcast(cand.select("doc_id").distinct()), "doc_id"
+    )
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(toks_expr)).alias("pos", "term"),
+    )
+    qmatch = pos.join(
+        F.broadcast(query_df.select("query_id", "term")), "term"
+    ).join(F.broadcast(cdocs), ["query_id", "doc_id"])
+    w = Window.partitionBy("query_id", "doc_id").orderBy(F.col("pos").asc())
+    gaps = (
+        qmatch.withColumn("prev_term", F.lag("term").over(w))
+        .withColumn("prev_pos", F.lag("pos").over(w))
+        .filter(
+            F.col("prev_term").isNotNull()
+            & (F.col("prev_term") != F.col("term"))
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            (F.col("pos") - F.col("prev_pos")).alias("gap"),
+        )
+    )
+    spans = gaps.groupBy("query_id", "doc_id").agg(
+        F.min("gap").cast("bigint").alias("min_span")
+    )
+    bm25_units = F.round(F.col("score") * 1e6).cast("bigint")
+    bonus = F.when(
+        F.col("min_span").isNotNull(),
+        F.floor(F.lit(1000000) / (F.lit(1) + F.col("min_span"))),
+    ).otherwise(F.lit(0)).cast("bigint")
+    total = (bm25_units + bonus).alias("total_units")
+    ranked = (
+        cand.join(spans, ["query_id", "doc_id"], "left")
+        .select("query_id", "doc_id", "score", "min_span", total)
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("total_units").desc(), F.col("doc_id").asc()
+    )
+    return (
+        ranked.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= topn)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("score").alias("bm25_score"),
+            "min_span",
+            (F.col("total_units").cast("double") / 1e6).alias(
+                "rerank_score"
+            ),
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )

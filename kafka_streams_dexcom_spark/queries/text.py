@@ -52,6 +52,97 @@ def q_bm25_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+RERANK_TOPN = 10
+
+
+def q_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: BM25 candidates re-ranked by distinct-term
+    proximity (operators/text.py:bm25_rerank_proximity). Stage 2 is
+    candidate-bounded — the id set broadcasts into the corpus scan."""
+    qrows = [
+        (qid, t) for qid, terms in BM25_FREETEXT_QUERIES for t in terms
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id long, term string")
+    return tx.bm25_rerank_proximity(
+        load_table(spark, sf_dir, "documents"),
+        qdf,
+        k=BM25_FREETEXT_K,
+        topn=RERANK_TOPN,
+    )
+
+
+def _bm25_rerank_oracle() -> str:
+    """Replays bm25_rerank_proximity: the bm25_freetext oracle as the
+    candidate subquery, 1-based positions (gaps are differences, so the
+    base offset cancels against Spark's 0-based posexplode), integer
+    bonus units."""
+    values = ", ".join(
+        f"({qid}, '{t}')"
+        for qid, terms in BM25_FREETEXT_QUERIES
+        for t in terms
+    )
+    return f"""
+        WITH cand AS (SELECT * FROM ({_bm25_freetext_oracle()}) c),
+        q2 AS (
+            SELECT CAST(query_id AS BIGINT) AS query_id, term
+            FROM (VALUES {values}) v(query_id, term)
+        ),
+        ctoks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       t -> t != '') AS tk
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM cand)
+        ),
+        posn AS (
+            SELECT doc_id, i AS pos, tk[i] AS term
+            FROM ctoks, UNNEST(range(1, len(tk) + 1)) r(i)
+        ),
+        qm AS (
+            SELECT q2.query_id, p.doc_id, p.pos, p.term
+            FROM posn p
+            JOIN q2 ON p.term = q2.term
+            JOIN (SELECT DISTINCT query_id, doc_id FROM cand) cd
+              ON cd.query_id = q2.query_id AND cd.doc_id = p.doc_id
+        ),
+        g AS (
+            SELECT query_id, doc_id,
+                   pos - lag(pos) OVER w AS gap,
+                   term, lag(term) OVER w AS pt
+            FROM qm
+            WINDOW w AS (PARTITION BY query_id, doc_id ORDER BY pos ASC)
+        ),
+        spans AS (
+            SELECT query_id, doc_id, CAST(min(gap) AS BIGINT) AS min_span
+            FROM g WHERE pt IS NOT NULL AND pt <> term
+            GROUP BY query_id, doc_id
+        ),
+        ranked AS (
+            SELECT c.query_id, c.doc_id, c.score, s.min_span,
+                   CAST(round(c.score * 1000000.0) AS BIGINT)
+                   + CASE WHEN s.min_span IS NOT NULL
+                          THEN CAST(floor(1000000.0 / (1 + s.min_span))
+                                    AS BIGINT)
+                          ELSE 0 END AS total_units
+            FROM cand c LEFT JOIN spans s
+              ON s.query_id = c.query_id AND s.doc_id = c.doc_id
+        )
+        SELECT query_id, doc_id, bm25_score, min_span, rerank_score, rnk
+        FROM (
+            SELECT query_id, doc_id, score AS bm25_score, min_span,
+                   CAST(total_units AS DOUBLE) / 1000000.0
+                       AS rerank_score,
+                   CAST(row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY total_units DESC, doc_id ASC
+                   ) AS BIGINT) AS rnk
+            FROM ranked
+        ) WHERE rnk <= {RERANK_TOPN}
+    """
+
+
+
 def q_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document cross-entropy under the corpus bigram LM — the
     fluency/typicality filter signal (see
@@ -570,6 +661,7 @@ QUERIES = {
     "bpe_pair_stats": q_bpe_pair_stats,
     "bpe_train": q_bpe_train,
     "doc_chunks_udtf": q_doc_chunks_udtf,
+    "bm25_rerank": q_bm25_rerank,
 }
 
 def _bm25_freetext_oracle() -> str:
@@ -1321,3 +1413,5 @@ ORACLES = {
 }
 
 ORACLES["doc_chunks_udtf"] = ORACLES["doc_chunks"]
+
+ORACLES["bm25_rerank"] = _bm25_rerank_oracle()
