@@ -39,6 +39,7 @@ HEADLINE = [
     "corpus_rollup",             # one-pass GROUPING SETS Expand
     "value_histogram",           # broadcast extent + narrow binning
     "numeric_corr",              # one-pass decimal moment aggregation
+    "dq_report",                 # one-pass constraint report + anti-join RI
     "source_overlap",            # per-term source pair combinations
     "events_hourly",             # time-bucket aggregation
     "sensor_gaps",               # per-user lag window gap detection

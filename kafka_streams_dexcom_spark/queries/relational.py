@@ -859,6 +859,40 @@ def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint report over lineitem (operators/dq.py):
+    row-local rules in one aggregate pass (null / range / set
+    membership), unique-key via one distinct aggregate, referential
+    integrity via a LEFT ANTI join against orders — the deequ-style
+    publish gate, as a bounded (rule, violations) table."""
+    from kafka_streams_dexcom_spark.operators import dq
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    rowlocal = dq.rowlocal_violations(
+        l,
+        {
+            "quantity_not_null": F.col("l_quantity").isNull(),
+            "quantity_positive": F.col("l_quantity") <= 0,
+            "discount_in_0_1": (F.col("l_discount") < 0)
+            | (F.col("l_discount") > 1),
+            "returnflag_in_set": ~F.col("l_returnflag").isin(
+                "A", "N", "R"
+            ),
+            "ship_after_1990": F.col("l_shipdate")
+            < F.lit("1990-01-01").cast("timestamp_ntz"),
+        },
+    )
+    unique = dq.duplicate_key_violations(
+        l, ["l_orderkey", "l_linenumber"], "orderkey_linenumber_unique"
+    )
+    ref = dq.orphan_violations(
+        l, "l_orderkey", o, "o_orderkey", "orderkey_in_orders"
+    )
+    return rowlocal.unionByName(unique).unionByName(ref)
+
+
 def q_salted_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase SALTED aggregation (functions/skew.py:salted_agg):
     per-user event count + exact value sum, with the hot key spread over
@@ -915,9 +949,45 @@ QUERIES = {
     "big_orders": q_big_orders,
     "dormant_rich_customers": q_dormant_rich_customers,
     "salted_user_stats": q_salted_user_stats,
+    "dq_report": q_dq_report,
 }
 
 ORACLES = {
+    "dq_report": """
+        SELECT 'quantity_not_null' AS rule,
+               CAST(count(*) FILTER (WHERE l_quantity IS NULL) AS BIGINT)
+                   AS violations FROM lineitem
+        UNION ALL
+        SELECT 'quantity_positive',
+               CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'discount_in_0_1',
+               CAST(count(*) FILTER (WHERE l_discount < 0
+                                        OR l_discount > 1) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'returnflag_in_set',
+               CAST(count(*) FILTER (
+                   WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'ship_after_1990',
+               CAST(count(*) FILTER (
+                   WHERE l_shipdate < TIMESTAMP '1990-01-01') AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'orderkey_linenumber_unique',
+               CAST(COALESCE(sum(n - 1) FILTER (WHERE n > 1), 0)
+                   AS BIGINT)
+        FROM (SELECT count(*) AS n FROM lineitem
+              GROUP BY l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'orderkey_in_orders',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem WHERE l_orderkey NOT IN
+            (SELECT o_orderkey FROM orders)
+    """,
     "numeric_corr": """
         WITH m AS (
             SELECT count(*) AS n, sum(CAST(l_quantity AS DECIMAL(18,2))) AS s_l_quantity, sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_l_quantity, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS s_l_extendedprice, sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_l_extendedprice, sum(CAST(l_discount AS DECIMAL(18,2))) AS s_l_discount, sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_l_discount, sum(CAST(l_tax AS DECIMAL(18,2))) AS s_l_tax, sum(CAST(CAST(l_tax AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS ss_l_tax, sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_quantity_l_extendedprice, sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_quantity_l_discount, sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_quantity_l_tax, sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_extendedprice_l_discount, sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_extendedprice_l_tax, sum(CAST(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS sp_l_discount_l_tax
