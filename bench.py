@@ -28,6 +28,8 @@ HEADLINE = [
     "interval_join_bucketized",  # equi-join scale path of the flagship
     "filter_high",               # pushdown filter scan
     "latest_per_key",            # shuffle + window dedup
+    "cdc_user_state",            # changelog -> snapshot w/ tombstones
+    "snapshot_diff",             # keyed full-outer snapshot audit
     "pricing_summary",           # scan-heavy groupBy (TPC-H Q1 shape)
     "shipping_priority",         # 3-way join + agg + top-k (Q3 shape)
     "regional_revenue",          # 6-table join network (Q5 shape)

@@ -129,3 +129,67 @@ def topk_per_group(
         df.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def cdc_apply(
+    log: DataFrame,
+    key_cols: list[str],
+    ord_col: Column,
+    tombstone: Column,
+) -> DataFrame:
+    """Changelog → snapshot materialization with delete semantics: the
+    latest record per key wins, and keys whose latest record is a
+    TOMBSTONE disappear — exactly a compacted Kafka topic / KTable with
+    null-value deletes (the reference's ranges KTable semantics,
+    CategorizeWithKTableLookup.java:60-62, extended with the tombstone
+    rule the DSL applies to null values), and the apply step of any
+    CDC ingest (upsert/delete log → table state).
+
+    One shuffle on the key; the tombstone filter runs AFTER the
+    latest-per-key election (a deleted-then-reinserted key correctly
+    survives)."""
+    w = Window.partitionBy(*key_cols).orderBy(ord_col.desc())
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .filter(~tombstone)
+        .drop("__rn")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Keyed diff of two table snapshots: (key, change) where change ∈
+    added | removed | changed — the audit primitive behind incremental
+    publishes and time-travel comparisons. One full-outer join on the
+    key (both sides hash-partitioned; unchanged keys drop out before
+    any further processing)."""
+    o = old.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"__old_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(c) for c in key_cols],
+        *[F.col(c).alias(f"__new_{c}") for c in compare_cols],
+        F.lit(True).alias("__in_new"),
+    )
+    joined = o.join(n, key_cols, "full_outer")
+    changed = None
+    for c in compare_cols:
+        neq = ~F.col(f"__old_{c}").eqNullSafe(F.col(f"__new_{c}"))
+        changed = neq if changed is None else (changed | neq)
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(changed, F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*key_cols, "change")
+    )

@@ -311,7 +311,59 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+CDC_CUTOFF = "1999-01-01"
+
+
+def q_cdc_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog materialization with tombstones (operators/temporal.py:
+    cdc_apply): the per-user event log compacts to latest state; users
+    whose LATEST event is an 'error' (the tombstone op — an account
+    purge in this fixture) disappear from the snapshot."""
+    e = load_table(spark, sf_dir, "events")
+    out = tp.cdc_apply(
+        e,
+        ["user_id"],
+        F.struct(F.col("ts"), F.col("event_id")),
+        F.col("event_type") == "error",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed snapshot diff (operators/temporal.py:snapshot_diff): the
+    per-user latest-state table as of CDC_CUTOFF vs the full-range
+    state — (user_id, added|removed|changed), the incremental-publish
+    audit. 'removed' is impossible in an append-only log and its
+    absence is part of the oracle-checked contract."""
+    e = load_table(spark, sf_dir, "events")
+
+    def state(df):
+        return tp.cdc_apply(
+            df,
+            ["user_id"],
+            F.struct(F.col("ts"), F.col("event_id")),
+            F.lit(False),
+        ).select("user_id", "event_id", "value")
+
+    old = state(
+        e.filter(F.col("ts") < F.lit(CDC_CUTOFF).cast("timestamp_ntz"))
+    )
+    new = state(e)
+    return tp.snapshot_diff(
+        old, new, ["user_id"], ["event_id", "value"]
+    )
+
+
 QUERIES = {
+    "cdc_user_state": q_cdc_user_state,
+    "snapshot_diff": q_snapshot_diff,
     "value_anomalies": q_value_anomalies,
     "funnel_steps": q_funnel_steps,
     "retention_cohorts": q_retention_cohorts,
@@ -326,6 +378,42 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cdc_user_state": """
+        SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+               value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) = 1
+        AND event_type <> 'error'
+    """,
+    "snapshot_diff": """
+        WITH old AS (
+            SELECT user_id, event_id, value FROM events
+            WHERE ts < TIMESTAMP '1999-01-01'
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) = 1
+        ),
+        new AS (
+            SELECT user_id, event_id, value FROM events
+            QUALIFY row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+            ) = 1
+        )
+        SELECT COALESCE(o.user_id, n.user_id) AS user_id,
+               CASE WHEN o.user_id IS NULL THEN 'added'
+                    WHEN n.user_id IS NULL THEN 'removed'
+                    WHEN o.event_id IS DISTINCT FROM n.event_id
+                         OR o.value IS DISTINCT FROM n.value
+                         THEN 'changed' END AS change
+        FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+        WHERE CASE WHEN o.user_id IS NULL THEN 'added'
+                   WHEN n.user_id IS NULL THEN 'removed'
+                   WHEN o.event_id IS DISTINCT FROM n.event_id
+                        OR o.value IS DISTINCT FROM n.value
+                        THEN 'changed' END IS NOT NULL
+    """,
     "value_anomalies": """
         WITH m AS (
             SELECT user_id, count(*) AS n,
