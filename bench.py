@@ -83,6 +83,8 @@ HEADLINE = [
     "supplier_part_counts",      # Q16 anti-join + two-level distinct
     "top_supplier_revenue",      # Q15 agg + join to own scalar max
     "dominant_suppliers",        # Q20 nested-aggregate threshold semi
+    "forecast_revenue",          # Q6 pure pushdown scan aggregate
+    "returned_customer_revenue", # Q10 churn top-k (fact shuffle + dims)
     "funnel_steps",              # co-partitioned sequential funnel
     "retention_cohorts",         # weekly cohort triangle
     "tfidf_top_terms",           # single-token-shuffle tf-idf top-k

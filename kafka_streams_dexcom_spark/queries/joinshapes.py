@@ -394,6 +394,72 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FORECAST_YEAR = ("1997-01-01", "1998-01-01")
+FORECAST_DISC = (0.05, 0.07)
+FORECAST_QTY = 24
+RETURNED_TOP = 20
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (pure scan aggregation): the revenue increase if
+    discounts in FORECAST_DISC were eliminated on small-quantity 1997
+    lineitems — one filtered scan, one row out.
+
+    Scale: every predicate (date range, discount band, quantity cap)
+    pushes into the parquet scan; the aggregate is a single DECIMAL sum
+    with map-side combine. The simplest possible 100 TB query — its
+    entire cost is I/O."""
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(12,2)")
+        * F.col("l_discount").cast("decimal(3,2)")
+    ).cast("decimal(38,4)")
+    return (
+        l.filter(
+            (F.col("l_shipdate")
+             >= F.lit(FORECAST_YEAR[0]).cast("timestamp_ntz"))
+            & (F.col("l_shipdate")
+               < F.lit(FORECAST_YEAR[1]).cast("timestamp_ntz"))
+            & (F.col("l_discount") >= FORECAST_DISC[0])
+            & (F.col("l_discount") <= FORECAST_DISC[1])
+            & (F.col("l_quantity") < FORECAST_QTY)
+        )
+        .agg(
+            F.round(F.sum(rev), 2).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def q_returned_customer_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q10 shape (top-k customers by lost revenue): revenue of
+    RETURNED lineitems per customer, top RETURNED_TOP with nation —
+    the who-is-returning-the-most churn view.
+
+    Scale: the returnflag filter pushes into the fact scan; one
+    fact-fact shuffle (lineitem⋈orders on orderkey), customer/nation
+    broadcast, bounded top-k via TakeOrdered. Deterministic tie-break
+    on custkey."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    returned = l.filter(F.col("l_returnflag") == "R")
+    return (
+        returned.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(c), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_rev_dec()), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(RETURNED_TOP)
+    )
+
+
 QUERIES = {
     "nation_trade_flows": q_nation_trade_flows,
     "market_share": q_market_share,
@@ -403,9 +469,38 @@ QUERIES = {
     "supplier_part_counts": q_supplier_part_counts,
     "top_supplier_revenue": q_top_supplier_revenue,
     "dominant_suppliers": q_dominant_suppliers,
+    "forecast_revenue": q_forecast_revenue,
+    "returned_customer_revenue": q_returned_customer_revenue,
 }
 
 ORACLES = {
+    "forecast_revenue": """
+        SELECT CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(3,2)) AS DECIMAL(38,4))),
+                   2) AS DOUBLE) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "returned_customer_revenue": """
+        SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+               n.n_name AS n_name,
+               CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(3,2))
+                      - CAST(l_discount AS DECIMAL(3,2)))
+                   AS DECIMAL(38,4))), 2) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey ASC
+        LIMIT 20
+    """,
     "nation_trade_flows": f"""
         SELECT sn.n_name AS supp_nation,
                cn.n_name AS cust_nation,
