@@ -61,6 +61,11 @@ PROBE_QUERIES = [
     "dominant_suppliers",
     "dup_span_fraction",
     "bpe_pair_stats",
+    "bpe_train",
+    "forecast_revenue",
+    "bm25_rerank",
+    "dq_report",
+    "cdc_user_state",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10
