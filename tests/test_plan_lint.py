@@ -44,6 +44,8 @@ EAGER = {
     "contamination_check",
     "doc_perplexity",
     "dup_span_fraction",
+    "bpe_train",
+    "bm25_rerank",
 }
 
 
