@@ -46,6 +46,8 @@ HEADLINE = [
     "events_hourly",             # time-bucket aggregation
     "sensor_gaps",               # per-user lag window gap detection
     "value_anomalies",           # two-pass z-score screen
+    "robust_anomalies",          # median/MAD outlier screen
+    "group_sample_k",            # exact-k deterministic stratum sample
     "rolling_1h",                # event-time RANGE frame per user
     "dedup_exact",               # hash-groupBy dedup
     "dedup_minhash_lsh",         # minhash sigs + LSH band join + verify

@@ -361,7 +361,83 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+GROUP_SAMPLE_K = 20
+MAD_MULT = 5.0
+
+
+def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k uniform sample per group WITHOUT replacement: rank events
+    per event_type by an md5-derived key and keep the first
+    GROUP_SAMPLE_K — the deterministic per-stratum reservoir (every
+    group gets exactly k rows, unlike rate-based sampling whose group
+    sizes fluctuate). Narrow per-row hash + one per-group top-k window;
+    two-level pruning applies at scale. No RNG anywhere — the draw is
+    reproducible and exactly oracle-replayable."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    key = F.md5(F.concat_ws(":", F.lit("gsk"), F.col("event_id")))
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("__key").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("__key", key)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= GROUP_SAMPLE_K)
+        .select(
+            "event_type",
+            "event_id",
+            "user_id",
+            "value",
+            F.col("rnk").cast("bigint").alias("rnk"),
+        )
+    )
+
+
+def q_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-user outlier screen: median + MAD instead of mean +
+    stddev (value_anomalies), so a user's own outliers cannot mask
+    themselves by inflating the spread — the estimator breaks down at
+    50% contamination instead of 0%.
+
+    Shape: two exact per-user percentile aggregations (median, then the
+    median of absolute deviations — the second necessarily re-joins the
+    per-user median back to the rows: one key-partitioned shuffle each,
+    co-partitioned so the join is exchange-free after the first). Both
+    engines interpolate percentiles identically ((n-1)*q linear rule)
+    over exact doubles, so flags replay without rounding tricks."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    med = e.groupBy("user_id").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(med, "user_id").withColumn(
+        "absdev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr("percentile(absdev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(mad, "user_id")
+        .filter(
+            (F.col("mad") > 0)
+            & (F.col("absdev") > F.lit(MAD_MULT) * F.col("mad"))
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            trunc6(F.col("med")).alias("med"),
+            trunc6(F.col("absdev") / F.col("mad")).alias("mad_units"),
+        )
+    )
+
+
 QUERIES = {
+    "group_sample_k": q_group_sample_k,
+    "robust_anomalies": q_robust_anomalies,
     "cdc_user_state": q_cdc_user_state,
     "snapshot_diff": q_snapshot_diff,
     "value_anomalies": q_value_anomalies,
@@ -378,6 +454,38 @@ QUERIES = {
 }
 
 ORACLES = {
+    "group_sample_k": """
+        SELECT event_type, event_id, user_id, value, rnk FROM (
+            SELECT event_type, event_id, user_id, value,
+                   CAST(row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5('gsk:' || CAST(event_id AS VARCHAR))
+                                ASC, event_id ASC
+                   ) AS BIGINT) AS rnk
+            FROM events
+        ) WHERE rnk <= 20
+    """,
+    "robust_anomalies": """
+        WITH med AS (
+            SELECT user_id, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY user_id
+        ),
+        dev AS (
+            SELECT e.event_id, e.user_id, e.value, m.med,
+                   abs(e.value - m.med) AS absdev
+            FROM events e JOIN med m ON e.user_id = m.user_id
+        ),
+        mad AS (
+            SELECT user_id, quantile_cont(absdev, 0.5) AS mad
+            FROM dev GROUP BY user_id
+        )
+        SELECT d.event_id, d.user_id, d.value,
+               floor(d.med * 1000000) / 1000000.0 AS med,
+               floor(d.absdev / m.mad * 1000000) / 1000000.0
+                   AS mad_units
+        FROM dev d JOIN mad m ON d.user_id = m.user_id
+        WHERE m.mad > 0 AND d.absdev > 5.0 * m.mad
+    """,
     "cdc_user_state": """
         SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
                value
