@@ -103,6 +103,9 @@ HEADLINE = [
     "sessionize",                # lag+cumsum sessionization
     "training_mix",              # composed dedup x quality x tokens
     "stateful_debounce",         # applyInPandas per-key sequential state
+    "span_dedup_rewrite",        # exact duplicated-span removal rewrite
+    "heavy_hitters",             # bounded-candidate exact heavy hitters
+    "source_divergence",         # per-source KL drift vs corpus
 ]
 
 

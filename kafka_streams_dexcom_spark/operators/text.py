@@ -1167,3 +1167,194 @@ def bm25_rerank_proximity(
             F.col("rnk").cast("bigint").alias("rnk"),
         )
     )
+
+
+def span_dedup_rewrite(
+    df: DataFrame, text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Exact duplicated-span REMOVAL — the rewrite counterpart of
+    :func:`dup_span_fraction`. Every token k-gram that occurs in more
+    than one document is cut from every document EXCEPT the one with the
+    smallest doc_id (the canonical copy keeps its text, so no content is
+    lost from the corpus — the exact-substring-dedup policy for training
+    corpora, where repeated boilerplate spans cause memorization). A
+    token survives iff no duplicated k-gram of its own document covers
+    its position; the cleaned text preserves original token order.
+
+    Scale shape: grams are 60-bit hashes (never shuffled as strings);
+    one token-scale shuffle reduces occurrences to per-(doc, gram)
+    position lists, then a repartition on the gram key makes
+    doc-frequency + canonical-owner a sort-only window pass — the
+    dup_span_fraction plan plus one narrow join back to the token
+    arrays. Coverage expansion is scan-side (`exists` over the
+    per-doc sorted start list, bounded by document length). Rows whose
+    documents contain no duplicated span pass through the left join
+    untouched.
+    """
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    toks = fan_out_small(df).select(
+        "doc_id", F.expr(toks_expr).alias("tk")
+    )
+    gram_hash = HASH60_TPL.format(x=f"array_join(slice(tk, i, {k}), ' ')")
+    grams = (
+        toks.filter(F.expr(f"size(tk) >= {k}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {k - 1}), "
+                    f"i -> struct(i AS i, {gram_hash} AS gk))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gk").alias("gk"))
+    )
+    w = Window.partitionBy("gk")
+    occ = (
+        grams.groupBy("doc_id", "gk")
+        .agg(F.collect_list("i").alias("pos"))
+        .repartition("gk")
+        .select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(w).alias("nd"),
+            F.min("doc_id").over(w).alias("mind"),
+        )
+    )
+    starts = (
+        occ.filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("mind")))
+        .select("doc_id", F.explode("pos").alias("i"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("i")).alias("st"))
+    )
+    kept = F.expr(
+        "transform(filter(transform(tk, (t, j) -> "
+        "struct(t AS t, j + 1 AS p)), "
+        f"s -> NOT exists(st, x -> x <= s.p AND s.p <= x + {k - 1})), "
+        "s -> s.t)"
+    )
+    return (
+        toks.join(starts, "doc_id", "left")
+        .withColumn("st", F.coalesce("st", F.expr("array()")))
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            (F.size("tk") - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
+        )
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str = "text", m: int = 1024
+) -> DataFrame:
+    """Corpus heavy hitters with EXACT counts at bounded shuffle cost:
+    every term whose global occurrence count strictly exceeds N/m
+    (N = total tokens), found without shuffling the full term stream's
+    tail. Two passes: (1) candidate generation — each partition emits
+    only its local top-m terms by count (pigeonhole: a term with global
+    count > N/m has count > n_p/m in at least one partition, and within
+    that partition at most m-1 terms can tie-or-beat it, so it is in
+    that partition's top-m under ANY tie order → candidates are a
+    guaranteed superset, independent of partitioning); (2) an exact
+    recount of candidates only (broadcast semi join prunes the token
+    stream before the count shuffle). The output is therefore exact and
+    deterministic even though pass 1 is partition-dependent.
+
+    At 100 TB the term tail (trillions of singleton-ish terms) never
+    reaches a shuffle: pass 1 moves ≤ m rows per partition, pass 2
+    shuffles only candidate occurrences. The classic alternative — full
+    groupBy then HAVING — shuffles the entire vocabulary.
+    """
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    toks = fan_out_small(df).select(
+        F.explode(F.expr(toks_expr)).alias("term")
+    )
+
+    def _part_top(batches):  # one call per partition (Arrow batches)
+        import pandas as pd  # noqa: PLC0415
+
+        from collections import Counter  # noqa: PLC0415
+
+        c: Counter = Counter()
+        for pdf in batches:
+            c.update(pdf["term"])
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
+        yield pd.DataFrame({"term": [t for t, _ in top]})
+
+    cand = toks.mapInPandas(_part_top, "term string").distinct()
+    totals = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(F.broadcast(cand), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(totals))
+        .filter(F.col("n_occurrences") * m > F.col("n_total"))
+        .select(
+            "term",
+            "n_occurrences",
+            trunc6(
+                F.col("n_occurrences").cast("double")
+                / F.col("n_total").cast("double")
+            ).alias("share"),
+        )
+    )
+
+
+def source_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source KL divergence of the source's unigram distribution
+    from the whole-corpus distribution — the drift statistic a corpus
+    curation pipeline watches when mixing crawl snapshots (a source
+    whose token distribution diverges hard from the corpus is either a
+    different register or junk). KL(p_s || p) = Σ_t p_s(t)·ln(p_s(t)/p(t));
+    every term of a source has corpus support, so the sum is finite.
+
+    Determinism: each term's contribution is floored to integer
+    nano-units before the per-source sum, so the aggregate is
+    partition-order independent and the oracle replays it exactly.
+    Scale: ONE token-scale shuffle (groupBy source+term with map-side
+    combine); corpus term totals come from a window over the term key
+    (sort-only after a repartition), per-source totals and the corpus
+    grand total are tiny broadcast aggregates.
+    """
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    toks = fan_out_small(df).select(
+        "source", F.explode(F.expr(toks_expr)).alias("term")
+    )
+    cst = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("cst")
+    )
+    wt = Window.partitionBy("term")
+    with_ct = cst.repartition("term").withColumn(
+        "ct", F.sum("cst").over(wt)
+    )
+    ns = toks.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    units = F.floor(
+        (F.col("cst").cast("double") / F.col("ns").cast("double"))
+        * F.log(
+            (F.col("cst").cast("double") * F.col("n_total").cast("double"))
+            / (F.col("ns").cast("double") * F.col("ct").cast("double"))
+        )
+        * F.lit(1e9)
+    ).cast("bigint")
+    return (
+        with_ct.join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(n_total))
+        .select("source", "ns", units.alias("u"))
+        .groupBy("source")
+        .agg(
+            F.first("ns").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("u").alias("kl_units"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_terms",
+            "kl_units",
+            (F.col("kl_units").cast("double") / F.lit(1e9)).alias(
+                "kl_divergence"
+            ),
+        )
+    )

@@ -1415,3 +1415,207 @@ ORACLES = {
 ORACLES["doc_chunks_udtf"] = ORACLES["doc_chunks"]
 
 ORACLES["bm25_rerank"] = _bm25_rerank_oracle()
+
+
+SPAN_K = 8
+
+
+def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span REMOVAL (the rewrite counterpart of
+    dup_span_fraction): token 8-grams occurring in >1 document are cut
+    from every document except the smallest-doc_id canonical copy; the
+    cleaned text preserves token order. The exact-substring-dedup
+    rewrite step of a training-corpus pipeline. See
+    operators/text.py:span_dedup_rewrite for the plan shape."""
+    return tx.span_dedup_rewrite(
+        load_table(spark, sf_dir, "documents"), k=SPAN_K
+    )
+
+
+HH_M = 1024
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (terms with count > N/m) with EXACT counts
+    via bounded-candidate two-pass: per-partition top-m candidates
+    (pigeonhole superset guarantee) + exact recount of candidates only —
+    the term tail never reaches a shuffle. Output is exact and
+    partitioning-independent; the oracle is the plain exhaustive SQL.
+    See operators/text.py:heavy_hitters."""
+    return tx.heavy_hitters(
+        load_table(spark, sf_dir, "documents"), m=HH_M
+    )
+
+
+def q_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram-distribution KL divergence from the corpus
+    distribution — the drift statistic for corpus mixing QA. Fixed-point
+    nano-unit contributions make the per-source sum order-independent.
+    See operators/text.py:source_divergence."""
+    return tx.source_divergence(load_table(spark, sf_dir, "documents"))
+
+
+MIX_ALPHA_BUDGET = 100_000
+
+
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (alpha = 0.5): sampling weight
+    w_s = sqrt(n_s) / sum_t sqrt(n_t), the standard up-weighting of
+    small sources when composing a training mix, plus the integer doc
+    allocation at a fixed budget. All-integer after the sqrt: weights
+    are milli-unit sqrt values ratioed in 1e9 fixed point with integer
+    division, so both engines agree bit-for-bit (sqrt is IEEE
+    correctly-rounded; every subsequent op is integer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ns = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    u = ns.select(
+        "source",
+        "n_docs",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
+        .cast("bigint")
+        .alias("su"),
+    )
+    denom = u.agg(F.sum("su").alias("denom"))
+    wu = "((su * 1000000000L) div denom)"
+    return u.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        F.expr(wu).alias("weight_units"),
+        (F.expr(wu).cast("double") / F.lit(1e9)).alias("weight"),
+        F.expr(
+            f"{wu} * {MIX_ALPHA_BUDGET}L div 1000000000L"
+        ).alias("alloc_docs"),
+    )
+
+
+QUERIES.update(
+    {
+        "span_dedup_rewrite": q_span_dedup_rewrite,
+        "heavy_hitters": q_heavy_hitters,
+        "source_divergence": q_source_divergence,
+        "mix_temperature": q_mix_temperature,
+    }
+)
+
+_SPAN_GK = (
+    "CAST('0x' || substr(md5(array_to_string("
+    f"tk[i:i+{SPAN_K - 1}], ' ')), 1, 15) AS BIGINT)"
+)
+
+ORACLES["span_dedup_rewrite"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t != '') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i, {_SPAN_GK} AS gk
+        FROM toks, UNNEST(range(1, len(tk) - {SPAN_K - 2})) r(i)
+        WHERE len(tk) >= {SPAN_K}
+    ),
+    st AS (
+        SELECT gk, min(doc_id) AS mind, count(DISTINCT doc_id) AS nd
+        FROM g GROUP BY gk
+    ),
+    dst AS (
+        SELECT g.doc_id, g.i FROM g JOIN st USING (gk)
+        WHERE st.nd >= 2 AND g.doc_id <> st.mind
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, i + d AS p
+        FROM dst, UNNEST(range(0, {SPAN_K})) r(d)
+    ),
+    pos AS (
+        SELECT t.doc_id, CAST(j AS BIGINT) AS p, tk[j] AS tok
+        FROM toks t, UNNEST(range(1, len(tk) + 1)) r(j)
+    ),
+    kept AS (
+        SELECT pos.doc_id, pos.p, pos.tok
+        FROM pos LEFT JOIN cov
+          ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        WHERE cov.p IS NULL
+    ),
+    kc AS (
+        SELECT doc_id, count(*) AS cnt,
+               string_agg(tok, ' ' ORDER BY p) AS txt
+        FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(toks.tk) AS BIGINT) AS n_tokens,
+           CAST(len(toks.tk) - coalesce(kc.cnt, 0) AS BIGINT)
+               AS n_removed,
+           coalesce(kc.txt, '') AS clean_text
+    FROM toks LEFT JOIN kc USING (doc_id)
+"""
+
+ORACLES["heavy_hitters"] = f"""
+    WITH tok AS (
+        SELECT t AS term FROM documents,
+             UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t != '')) u(t)
+    ),
+    tot AS (SELECT count(*) AS n_total FROM tok),
+    c AS (SELECT term, count(*) AS n_occurrences FROM tok GROUP BY term)
+    SELECT term,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           floor(CAST(n_occurrences AS DOUBLE)
+                 / CAST(n_total AS DOUBLE) * 1000000) / 1000000.0
+               AS share
+    FROM c CROSS JOIN tot
+    WHERE n_occurrences * {HH_M} > n_total
+"""
+
+ORACLES["source_divergence"] = """
+    WITH tok AS (
+        SELECT source, t AS term FROM documents,
+             UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                t -> t != '')) u(t)
+    ),
+    cst AS (
+        SELECT source, term, count(*) AS cst FROM tok
+        GROUP BY source, term
+    ),
+    ct AS (
+        SELECT term, CAST(sum(cst) AS BIGINT) AS ct FROM cst
+        GROUP BY term
+    ),
+    ns AS (SELECT source, count(*) AS ns FROM tok GROUP BY source),
+    tot AS (SELECT count(*) AS n_total FROM tok),
+    u AS (
+        SELECT cst.source, ns.ns,
+               CAST(floor(
+                   (CAST(cst AS DOUBLE) / CAST(ns AS DOUBLE))
+                   * ln((CAST(cst AS DOUBLE) * CAST(n_total AS DOUBLE))
+                        / (CAST(ns AS DOUBLE) * CAST(ct AS DOUBLE)))
+                   * 1000000000) AS BIGINT) AS u
+        FROM cst JOIN ct USING (term) JOIN ns USING (source)
+        CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(ns AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_terms,
+           CAST(sum(u) AS BIGINT) AS kl_units,
+           CAST(sum(u) AS BIGINT) / 1000000000.0 AS kl_divergence
+    FROM u GROUP BY source, ns
+"""
+
+ORACLES["mix_temperature"] = f"""
+    WITH ns AS (
+        SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ),
+    u AS (
+        SELECT source, n_docs,
+               CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000)
+                   AS BIGINT) AS su
+        FROM ns
+    ),
+    d AS (SELECT CAST(sum(su) AS BIGINT) AS denom FROM u)
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((su * 1000000000) // denom AS BIGINT) AS weight_units,
+           ((su * 1000000000) // denom) / 1000000000.0 AS weight,
+           CAST((su * 1000000000) // denom * {MIX_ALPHA_BUDGET}
+                // 1000000000 AS BIGINT) AS alloc_docs
+    FROM u CROSS JOIN d
+"""

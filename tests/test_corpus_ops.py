@@ -1,0 +1,169 @@
+"""Unit tests for the round-3 corpus-curation additions: exact
+duplicated-span removal, bounded-candidate heavy hitters, source
+distribution divergence, and temperature-scaled mixing.
+
+The driver's documents table exercises these through the oracles;
+fixtures here pin the *semantics* on adversarial inputs (canonical-copy
+retention, candidate-superset invariance under repartitioning, zero
+divergence for identical distributions, weight arithmetic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators.text import (
+    heavy_hitters,
+    source_divergence,
+    span_dedup_rewrite,
+)
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+SPAN = "s1 s2 s3 s4 s5 s6 s7 s8"
+
+
+def test_span_dedup_canonical_keeps_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha {SPAN} beta"),          # canonical (min doc_id)
+            (2, f"gamma {SPAN} delta"),         # duplicate copy -> cut
+            (3, "all distinct tokens here ok"),  # untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = _rows(span_dedup_rewrite(df, k=8))
+    assert out[1]["n_removed"] == 0
+    assert out[1]["clean_text"] == f"alpha {SPAN} beta"
+    assert out[2]["n_removed"] == 8
+    assert out[2]["clean_text"] == "gamma delta"
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "all distinct tokens here ok"
+
+
+def test_span_dedup_overlapping_spans_union_coverage(spark):
+    # doc 2 shares a 9-token run with doc 1: two overlapping duplicated
+    # 8-grams whose coverage union is all 9 tokens.
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9"
+    df = spark.createDataFrame(
+        [(1, f"x {run}"), (2, f"{run} y")],
+        "doc_id long, text string",
+    )
+    out = _rows(span_dedup_rewrite(df, k=8))
+    assert out[1]["n_removed"] == 0
+    assert out[2]["clean_text"] == "y"
+    assert out[2]["n_removed"] == 9
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    # 40 'hot' + 12 'warm' + singles; N = 57. m=4 -> threshold N/4 =
+    # 14.25: only 'hot' qualifies even though 'warm' enters candidates.
+    text = " ".join(["hot"] * 40 + ["warm"] * 12 + ["u1", "u2", "u3", "u4", "u5"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    for parts in (1, 7):
+        out = {
+            r["term"]: r.asDict()
+            for r in heavy_hitters(df.repartition(parts), m=4).collect()
+        }
+        assert set(out) == {"hot"}
+        assert out["hot"]["n_occurrences"] == 40
+        assert abs(out["hot"]["share"] - 40 / 57) < 1e-6
+
+
+def test_heavy_hitters_matches_exhaustive_groupby(spark):
+    df = spark.createDataFrame(
+        [(i, f"t{i % 7} t{i % 3} filler{i}") for i in range(60)],
+        "doc_id long, text string",
+    ).repartition(5)
+    got = {
+        (r["term"], r["n_occurrences"])
+        for r in heavy_hitters(df, m=16).collect()
+    }
+    toks = df.select(
+        F.explode(F.split("text", r"\s+")).alias("term")
+    )
+    n = toks.count()
+    want = {
+        (r["term"], r["cnt"])
+        for r in toks.groupBy("term").agg(F.count("*").alias("cnt")).collect()
+        if r["cnt"] * 16 > n
+    }
+    assert got == want
+
+
+def test_source_divergence_zero_for_identical_distributions(spark):
+    # Both sources have the same unigram distribution -> per-source
+    # distribution equals the corpus distribution -> KL = 0 exactly
+    # (ln(1) = 0 before the floor).
+    df = spark.createDataFrame(
+        [
+            (1, "a a b", "s1"),
+            (2, "a a b", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r.asDict() for r in source_divergence(df).collect()}
+    assert out["s1"]["kl_units"] == 0
+    assert out["s2"]["kl_units"] == 0
+    assert out["s1"]["n_tokens"] == 3 and out["s1"]["n_terms"] == 2
+
+
+def test_source_divergence_skewed_source_positive(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a", "skew"),
+            (2, "a b c d", "flat"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r.asDict() for r in source_divergence(df).collect()}
+    # skew: p(a|skew)=1, p(a)=5/8 -> KL = ln(8/5) > 0
+    assert out["skew"]["kl_divergence"] > 0.4
+    # floor can push tiny contributions to -1 nano-units, never below
+    assert out["flat"]["kl_units"] >= -4
+
+
+def test_mix_temperature_weights(spark):
+    from kafka_streams_dexcom_spark.queries.text import q_mix_temperature
+
+    import math
+
+    df = spark.createDataFrame(
+        [(i, "t", "big" if i < 90 else "small") for i in range(100)],
+        "doc_id long, text string, source string",
+    )
+    df.createOrReplaceTempView("_mix_docs")
+    ns = {"big": 90, "small": 10}
+    su = {s: math.floor(math.sqrt(n) * 1000) for s, n in ns.items()}
+    denom = sum(su.values())
+    from kafka_streams_dexcom_spark.operators import text as tx  # noqa: F401
+
+    # replicate the query body against the in-memory frame
+    u = (
+        df.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "source",
+            "n_docs",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
+            .cast("bigint")
+            .alias("su"),
+        )
+    )
+    d = u.agg(F.sum("su").alias("denom"))
+    out = {
+        r["source"]: r.asDict()
+        for r in u.crossJoin(F.broadcast(d))
+        .select(
+            "source",
+            F.expr("(su * 1000000000L) div denom").alias("weight_units"),
+        )
+        .collect()
+    }
+    for s in ns:
+        assert out[s]["weight_units"] == su[s] * 10**9 // denom
+    total = sum(out[s]["weight_units"] for s in ns)
+    assert 10**9 - 2 <= total <= 10**9
