@@ -1088,3 +1088,73 @@ ORACLES = {
     "dedup_embedding_ivf": _embedding_ivf_oracle(),
     "source_minhash_jaccard": _source_minhash_oracle(),
 }
+
+
+TRAIN_PCT = 90
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: assign documents to train or eval
+    by hashing their NEAR-DUP CLUSTER id, not their doc id — so a
+    document and its near-duplicates always land on the same side and
+    eval can never contain a near-copy of a training document (the
+    standard contamination failure of naive per-doc splits). Composes
+    the ngram near-dup graph → exact connected components → md5 bucket
+    of the cluster label; singleton documents are their own cluster.
+
+    Scale: the split adds one narrow projection to the dedup-cluster
+    plan — the hash bucket is computed from the 8-byte cluster label,
+    and the assignment is deterministic (md5), so re-runs and backfills
+    place every document identically with no stored split table."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    comp = connected_components(pairs)
+    member = (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                "cluster"
+            ),
+        )
+    )
+    bucket = F.pmod(
+        F.expr(dd.HASH60_TPL.format(x="CAST(cluster AS STRING)")),
+        F.lit(100),
+    ).cast("bigint")
+    return member.select(
+        "doc_id",
+        "cluster",
+        bucket.alias("bucket"),
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
+QUERIES["leakage_safe_split"] = q_leakage_safe_split
+
+_SPLIT_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15) "
+    "AS BIGINT) % 100"
+)
+
+ORACLES["leakage_safe_split"] = f"""
+    WITH comp AS ({{cc}}),
+    member AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, cluster,
+           CAST({_SPLIT_BUCKET} AS BIGINT) AS bucket,
+           CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT}
+                THEN 'train' ELSE 'eval' END AS split
+    FROM member
+""".format(cc=_cc_oracle())

@@ -66,6 +66,12 @@ PROBE_QUERIES = [
     "bm25_rerank",
     "dq_report",
     "cdc_user_state",
+    # late-r3 corpus ops: token-linear plans (the self-union makes every
+    # doc a 10-way duplicate, which changes span_dedup_rewrite's OUTPUT
+    # but not its cost shape — gram rows grow 10×, never quadratically)
+    "span_dedup_rewrite",
+    "heavy_hitters",
+    "source_divergence",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10

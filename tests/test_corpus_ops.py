@@ -167,3 +167,28 @@ def test_mix_temperature_weights(spark):
         assert out[s]["weight_units"] == su[s] * 10**9 // denom
     total = sum(out[s]["weight_units"] for s in ns)
     assert 10**9 - 2 <= total <= 10**9
+
+
+def test_leakage_safe_split_pairs_never_straddle(spark):
+    """The property the split exists for: near-dup pairs always land on
+    the same side, and buckets are the md5 of the cluster label."""
+    from kafka_streams_dexcom_spark.operators import dedup as dd
+    from kafka_streams_dexcom_spark.queries.dedup import (
+        NGRAM_THRESHOLD,
+        q_leakage_safe_split,
+    )
+    from kafka_streams_dexcom_spark.sources.files import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = q_leakage_safe_split(spark, sf)
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf, "documents"), threshold=NGRAM_THRESHOLD
+    ).collect()
+    assert pairs, "fixture should contain near-dup pairs"
+    for r in pairs:
+        assert split_of[r["id_a"]] == split_of[r["id_b"]]
+    frac_train = sum(1 for s in split_of.values() if s == "train") / len(
+        split_of
+    )
+    assert 0.7 < frac_train < 1.0
