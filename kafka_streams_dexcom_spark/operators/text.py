@@ -1251,36 +1251,47 @@ def heavy_hitters(
     """Corpus heavy hitters with EXACT counts at bounded shuffle cost:
     every term whose global occurrence count strictly exceeds N/m
     (N = total tokens), found without shuffling the full term stream's
-    tail. Two passes: (1) candidate generation — each partition emits
-    only its local top-m terms by count (pigeonhole: a term with global
-    count > N/m has count > n_p/m in at least one partition, and within
-    that partition at most m-1 terms can tie-or-beat it, so it is in
-    that partition's top-m under ANY tie order → candidates are a
-    guaranteed superset, independent of partitioning); (2) an exact
-    recount of candidates only (broadcast semi join prunes the token
-    stream before the count shuffle). The output is therefore exact and
-    deterministic even though pass 1 is partition-dependent.
+    tail. Two passes: (1) candidate generation — each partition keeps a
+    Misra-Gries summary of capacity 2m (per Arrow batch: add the batch's
+    exact counts, then if the summary overflows subtract the (2m+1)-th
+    largest count from every entry and drop the non-positive ones — the
+    standard mergeable-summaries merge, total underestimation ≤
+    n_p/(2m+1)). A term with global count > N/m has count_p > n_p/m >
+    n_p/(2m+1) in at least one partition (pigeonhole), so it survives
+    that partition's summary with positive residual under ANY batch
+    order → candidates are a guaranteed superset, independent of
+    partitioning AND of batch boundaries; (2) an exact recount of
+    candidates only (broadcast semi join prunes the token stream before
+    the count shuffle). The output is therefore exact and deterministic
+    even though pass 1 is partition-dependent.
 
     At 100 TB the term tail (trillions of singleton-ish terms) never
-    reaches a shuffle: pass 1 moves ≤ m rows per partition, pass 2
-    shuffles only candidate occurrences. The classic alternative — full
-    groupBy then HAVING — shuffles the entire vocabulary.
+    reaches a shuffle and never accumulates in memory: pass-1 state is
+    ≤ 2m counters per partition (a plain Counter over the partition
+    would hold every distinct term — the actual OOM risk at corpus
+    scale), pass 1 moves ≤ 2m rows per partition, and pass 2 shuffles
+    only candidate occurrences. The classic alternative — full groupBy
+    then HAVING — shuffles the entire vocabulary.
     """
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     toks = fan_out_small(df).select(
         F.explode(F.expr(toks_expr)).alias("term")
     )
+    cap = 2 * m
 
     def _part_top(batches):  # one call per partition (Arrow batches)
         import pandas as pd  # noqa: PLC0415
 
-        from collections import Counter  # noqa: PLC0415
-
-        c: Counter = Counter()
+        summary: dict[str, int] = {}
         for pdf in batches:
-            c.update(pdf["term"])
-        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:m]
-        yield pd.DataFrame({"term": [t for t, _ in top]})
+            for t, c in pdf["term"].value_counts().items():
+                summary[t] = summary.get(t, 0) + int(c)
+            if len(summary) > cap:
+                kth = sorted(summary.values(), reverse=True)[cap]
+                summary = {
+                    t: c - kth for t, c in summary.items() if c > kth
+                }
+        yield pd.DataFrame({"term": sorted(summary)})
 
     cand = toks.mapInPandas(_part_top, "term string").distinct()
     totals = toks.agg(F.count(F.lit(1)).alias("n_total"))

@@ -192,3 +192,23 @@ def test_leakage_safe_split_pairs_never_straddle(spark):
         split_of
     )
     assert 0.7 < frac_train < 1.0
+
+
+def test_heavy_hitters_mg_overflow_path_stays_exact(spark):
+    """Force the Misra-Gries decrement path (distinct terms >> capacity
+    2m in every partition): the summary stays bounded, yet the true
+    heavy hitter still survives and the recount returns its exact
+    count."""
+    rows = [
+        (i, " ".join([f"u{i}_{j}" for j in range(20)] + ["hh"] * 5))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(4)
+    out = {
+        r["term"]: r["n_occurrences"]
+        for r in heavy_hitters(df, m=8).collect()
+    }
+    # N = 500*25 = 12500; threshold N/8 = 1562.5; only 'hh' (2500)
+    assert out == {"hh": 2500}
