@@ -1338,3 +1338,65 @@ ORACLES = {
         GROUP BY user_id
     """,
 }
+
+
+UNPIVOT_METRICS = (
+    ("l_quantity", "q"),
+    ("l_extendedprice", "ep"),
+    ("l_discount", "d"),
+    ("l_tax", "t"),
+)
+
+
+def q_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long melt + per-metric profile: the four lineitem measure
+    columns unpivoted into (metric, val) rows, then count/min/max/sum
+    per metric — the one-pass column-profiling shape (the inverse of
+    event_type_pivot, completing the pivot/unpivot API pair).
+
+    Scale: unpivot is a narrow Expand (4 rows out per row in, no
+    shuffle); the profile is a 4-group hash aggregate with map-side
+    partials, so the shuffle moves ~4 rows per task regardless of fact
+    volume. Determinism: values are ≤2-decimal inputs cast to DECIMAL
+    *before* any arithmetic, so sums are exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select(
+        *[
+            F.col(c).cast("decimal(15,2)").alias(c)
+            for c, _ in UNPIVOT_METRICS
+        ]
+    )
+    long = wide.unpivot(
+        [], [c for c, _ in UNPIVOT_METRICS], "metric", "val"
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("val").cast("double").alias("min_val"),
+        F.max("val").cast("double").alias("max_val"),
+        F.sum("val").cast("double").alias("sum_val"),
+    )
+
+
+QUERIES["metrics_unpivot"] = q_metrics_unpivot
+
+ORACLES["metrics_unpivot"] = """
+    WITH base AS (
+        SELECT CAST(l_quantity AS DECIMAL(15,2)) AS q,
+               CAST(l_extendedprice AS DECIMAL(15,2)) AS ep,
+               CAST(l_discount AS DECIMAL(15,2)) AS d,
+               CAST(l_tax AS DECIMAL(15,2)) AS t
+        FROM lineitem
+    ),
+    long AS (
+                  SELECT 'l_quantity' AS metric, q AS val FROM base
+        UNION ALL SELECT 'l_extendedprice', ep FROM base
+        UNION ALL SELECT 'l_discount', d FROM base
+        UNION ALL SELECT 'l_tax', t FROM base
+    )
+    SELECT metric,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(val) AS DOUBLE) AS min_val,
+           CAST(max(val) AS DOUBLE) AS max_val,
+           CAST(sum(val) AS DOUBLE) AS sum_val
+    FROM long GROUP BY metric
+"""
