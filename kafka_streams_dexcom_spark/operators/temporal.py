@@ -193,3 +193,67 @@ def snapshot_diff(
         .filter(F.col("change").isNotNull())
         .select(*key_cols, "change")
     )
+
+
+def gap_fill(
+    events: DataFrame,
+    slots: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series resample + forward fill: for every (key, slot)
+    row in ``slots``, carry forward the last observed ``value_col`` at
+    or before the slot timestamp — the gap-filling step that turns an
+    irregular sensor stream into a regular grid (the reference's EGV
+    stream is exactly such a feed; this is the batch twin of a
+    stream-side latest-value state store).
+
+    Shape: union(events, slots) → ONE window pass per key ordered by
+    (ts, is_slot, value) — the same union+window trick as asof_join
+    (operators/temporal.py:16), so no per-slot range join and no
+    events×slots blowup; cost is one hash shuffle of events+slots on
+    the key. The trailing ``value`` sort key makes duplicate-(key, ts)
+    events resolve identically on both engines. Output per slot:
+    filled value (null if nothing precedes it), the source event's
+    timestamp, and integer staleness minutes (exact µs arithmetic).
+    """
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("k_ts"),
+        F.lit(0).alias("k_tag"),
+        F.col(value_col).alias("v"),
+        F.lit(None).cast("timestamp").alias("slot_ts"),
+    )
+    sl = slots.select(
+        F.col(key_col).alias("k"),
+        F.col("slot_ts").alias("k_ts"),
+        F.lit(1).alias("k_tag"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("slot_ts"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("k_ts", "k_tag", "v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = (
+        ev.unionByName(sl)
+        .withColumn("fv", F.last("v", ignorenulls=True).over(w))
+        .withColumn(
+            "last_ts",
+            F.max(
+                F.when(F.col("v").isNotNull(), F.col("k_ts"))
+            ).over(w),
+        )
+        .filter(F.col("slot_ts").isNotNull())
+    )
+    return filled.select(
+        F.col("k").alias(key_col),
+        "slot_ts",
+        F.col("fv").alias("value"),
+        "last_ts",
+        F.expr(
+            "(unix_micros(slot_ts) - unix_micros(last_ts)) div 60000000"
+        ).alias("staleness_min"),
+    )

@@ -734,3 +734,70 @@ ORACLES = {
         GROUP BY user_id
     """,
 }
+
+
+GAPFILL_START = "2024-01-15 00:00:00"
+GAPFILL_END = "2024-01-15 23:00:00"
+GAPFILL_LOOKBACK = "2024-01-14 00:00:00"
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + forward fill: one analysis day on an
+    hourly grid, every user × slot row carrying the last observed
+    sensor value at or before the slot (24 h lookback) plus integer
+    staleness minutes — the gap-filling step that feeds downstream
+    models a dense series from the irregular EGV-style stream. The
+    lookback filter lands on the parquet scan; the 24-row hour grid is
+    broadcast against the user dimension; the fill itself is ONE
+    union+window pass per user (operators/temporal.py:gap_fill)."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(
+        (F.col("ts") >= F.lit(GAPFILL_LOOKBACK).cast("timestamp"))
+        & (F.col("ts") <= F.lit(GAPFILL_END).cast("timestamp"))
+    ).select("user_id", "ts", "value")
+    users = e.select("user_id").distinct()
+    hours = spark.sql(
+        f"SELECT explode(sequence(timestamp'{GAPFILL_START}', "
+        f"timestamp'{GAPFILL_END}', interval 1 hour)) AS slot_ts"
+    )
+    slots = users.crossJoin(F.broadcast(hours))
+    return tp.gap_fill(ev, slots)
+
+
+QUERIES["gap_fill"] = q_gap_fill
+
+ORACLES["gap_fill"] = f"""
+    WITH hours AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '{GAPFILL_START}',
+            TIMESTAMP '{GAPFILL_END}',
+            INTERVAL 1 HOUR)) AS slot_ts
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    ev AS (
+        SELECT user_id, ts, value FROM events
+        WHERE ts >= TIMESTAMP '{GAPFILL_LOOKBACK}'
+          AND ts <= TIMESTAMP '{GAPFILL_END}'
+    ),
+    allr AS (
+        SELECT user_id AS k, ts AS k_ts, 0 AS k_tag, value AS v,
+               CAST(NULL AS TIMESTAMP) AS slot_ts
+        FROM ev
+        UNION ALL
+        SELECT u.user_id, h.slot_ts, 1, CAST(NULL AS DOUBLE), h.slot_ts
+        FROM users u CROSS JOIN hours h
+    ),
+    f AS (
+        SELECT k, slot_ts,
+               last_value(v IGNORE NULLS) OVER w AS fv,
+               max(CASE WHEN v IS NOT NULL THEN k_ts END) OVER w
+                   AS last_ts
+        FROM allr
+        WINDOW w AS (PARTITION BY k ORDER BY k_ts, k_tag, v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT k AS user_id, slot_ts, fv AS value, last_ts,
+           (epoch_us(slot_ts) - epoch_us(last_ts)) // 60000000
+               AS staleness_min
+    FROM f WHERE slot_ts IS NOT NULL
+"""

@@ -212,3 +212,35 @@ def test_heavy_hitters_mg_overflow_path_stays_exact(spark):
     }
     # N = 500*25 = 12500; threshold N/8 = 1562.5; only 'hh' (2500)
     assert out == {"hh": 2500}
+
+
+def test_gap_fill_forward_carries_and_staleness(spark):
+    from kafka_streams_dexcom_spark.operators.temporal import gap_fill
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-15 00:30:00", 10.0),
+            (1, "2024-01-15 02:15:00", 20.0),
+            (2, "2024-01-15 03:00:00", 7.0),  # exactly on a slot
+        ],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    slots = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-01-15 00:00:00', "
+        "timestamp'2024-01-15 04:00:00', interval 1 hour)) AS slot_ts"
+    ).crossJoin(
+        spark.createDataFrame([(1,), (2,)], "user_id long")
+    )
+    out = {
+        (r["user_id"], str(r["slot_ts"])): r.asDict()
+        for r in gap_fill(ev, slots).collect()
+    }
+    assert out[(1, "2024-01-15 00:00:00")]["value"] is None
+    assert out[(1, "2024-01-15 01:00:00")]["value"] == 10.0
+    assert out[(1, "2024-01-15 01:00:00")]["staleness_min"] == 30
+    assert out[(1, "2024-01-15 03:00:00")]["value"] == 20.0
+    assert out[(1, "2024-01-15 03:00:00")]["staleness_min"] == 45
+    # an event exactly on the slot timestamp is included (<= semantics)
+    assert out[(2, "2024-01-15 03:00:00")]["value"] == 7.0
+    assert out[(2, "2024-01-15 03:00:00")]["staleness_min"] == 0
+    assert out[(2, "2024-01-15 02:00:00")]["value"] is None
