@@ -106,6 +106,10 @@ HEADLINE = [
     "span_dedup_rewrite",        # exact duplicated-span removal rewrite
     "heavy_hitters",             # bounded-candidate exact heavy hitters
     "source_divergence",         # per-source KL drift vs corpus
+    "gap_fill",                  # hourly-grid resample + forward fill
+    "gap_fill_linear",           # two-sided linear-interp resample
+    "token_budget_pack",         # two-level quality-ranked budget cut
+    "metrics_unpivot",           # narrow Expand melt + 4-group profile
 ]
 
 

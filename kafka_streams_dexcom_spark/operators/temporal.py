@@ -257,3 +257,90 @@ def gap_fill(
             "(unix_micros(slot_ts) - unix_micros(last_ts)) div 60000000"
         ).alias("staleness_min"),
     )
+
+
+def gap_fill_linear(
+    events: DataFrame,
+    slots: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear-interpolation gap fill: like :func:`gap_fill` but each
+    slot blends the nearest observation on each side,
+    ``prev + (next - prev) · (slot - prev_ts)/(next_ts - prev_ts)``,
+    falling back to forward fill (only prev exists), backward fill
+    (only next), or null (neither) — the resampling mode model-feature
+    pipelines usually want over a slowly-moving sensor signal.
+
+    Same single union per key as gap_fill, with TWO window passes over
+    the one sort order (a preceding frame for prev, a following frame
+    for next) — still no per-slot range join. An observation exactly on
+    the slot timestamp sorts before the slot row, so it lands on the
+    prev side and interpolation degenerates to the exact value (the
+    fraction's denominator is never 0 because next is strictly after
+    the slot). Both engines evaluate the identical IEEE expression on
+    identical inputs; the result is truncated to 6 decimals.
+    """
+    ev = events.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("k_ts"),
+        F.lit(0).alias("k_tag"),
+        F.col(value_col).alias("v"),
+        F.lit(None).cast("timestamp").alias("slot_ts"),
+    )
+    sl = slots.select(
+        F.col(key_col).alias("k"),
+        F.col("slot_ts").alias("k_ts"),
+        F.lit(1).alias("k_tag"),
+        F.lit(None).cast("double").alias("v"),
+        F.col("slot_ts"),
+    )
+    order = [F.col("k_ts"), F.col("k_tag"), F.col("v")]
+    wp = (
+        Window.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("k")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ev_ts = F.when(F.col("v").isNotNull(), F.col("k_ts"))
+    f = (
+        ev.unionByName(sl)
+        .withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("pt", F.max(ev_ts).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nt", F.min(ev_ts).over(wn))
+        .filter(F.col("slot_ts").isNotNull())
+    )
+    frac = (
+        F.unix_micros(F.col("slot_ts")) - F.unix_micros(F.col("pt"))
+    ).cast("double") / (
+        F.unix_micros(F.col("nt")) - F.unix_micros(F.col("pt"))
+    ).cast(
+        "double"
+    )
+    both = F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    exact = F.col("pt") == F.col("slot_ts")
+    value = (
+        F.when(both & exact, F.col("pv"))
+        .when(both, F.col("pv") + (F.col("nv") - F.col("pv")) * frac)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    mode = (
+        F.when(both & exact, F.lit("exact"))
+        .when(both, F.lit("interp"))
+        .when(F.col("pv").isNotNull(), F.lit("ffill"))
+        .when(F.col("nv").isNotNull(), F.lit("bfill"))
+        .otherwise(F.lit("empty"))
+    )
+    return f.select(
+        F.col("k").alias(key_col),
+        "slot_ts",
+        (F.floor(value * 1000000) / 1000000.0).alias("value"),
+        mode.alias("fill_mode"),
+    )

@@ -801,3 +801,81 @@ ORACLES["gap_fill"] = f"""
                AS staleness_min
     FROM f WHERE slot_ts IS NOT NULL
 """
+
+
+def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resample on the same hourly analysis grid
+    as gap_fill: each slot blends the nearest observation on each side
+    (forward/backward fill at the edges) — the dense-feature resampling
+    mode. Same single union+window-pass-per-user plan; see
+    operators/temporal.py:gap_fill_linear."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.filter(
+        (F.col("ts") >= F.lit(GAPFILL_LOOKBACK).cast("timestamp"))
+        & (F.col("ts") <= F.lit(GAPFILL_END).cast("timestamp"))
+    ).select("user_id", "ts", "value")
+    users = e.select("user_id").distinct()
+    hours = spark.sql(
+        f"SELECT explode(sequence(timestamp'{GAPFILL_START}', "
+        f"timestamp'{GAPFILL_END}', interval 1 hour)) AS slot_ts"
+    )
+    slots = users.crossJoin(F.broadcast(hours))
+    return tp.gap_fill_linear(ev, slots)
+
+
+QUERIES["gap_fill_linear"] = q_gap_fill_linear
+
+ORACLES["gap_fill_linear"] = f"""
+    WITH hours AS (
+        SELECT unnest(generate_series(
+            TIMESTAMP '{GAPFILL_START}',
+            TIMESTAMP '{GAPFILL_END}',
+            INTERVAL 1 HOUR)) AS slot_ts
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    ev AS (
+        SELECT user_id, ts, value FROM events
+        WHERE ts >= TIMESTAMP '{GAPFILL_LOOKBACK}'
+          AND ts <= TIMESTAMP '{GAPFILL_END}'
+    ),
+    allr AS (
+        SELECT user_id AS k, ts AS k_ts, 0 AS k_tag, value AS v,
+               CAST(NULL AS TIMESTAMP) AS slot_ts
+        FROM ev
+        UNION ALL
+        SELECT u.user_id, h.slot_ts, 1, CAST(NULL AS DOUBLE), h.slot_ts
+        FROM users u CROSS JOIN hours h
+    ),
+    f AS (
+        SELECT k, slot_ts,
+               last_value(v IGNORE NULLS) OVER wp AS pv,
+               max(CASE WHEN v IS NOT NULL THEN k_ts END) OVER wp AS pt,
+               first_value(v IGNORE NULLS) OVER wn AS nv,
+               min(CASE WHEN v IS NOT NULL THEN k_ts END) OVER wn AS nt
+        FROM allr
+        WINDOW wp AS (PARTITION BY k ORDER BY k_ts, k_tag, v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY k ORDER BY k_ts, k_tag, v
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT k AS user_id, slot_ts,
+           floor(CASE
+               WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    AND pt = slot_ts THEN pv
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                    pv + (nv - pv)
+                    * (CAST(epoch_us(slot_ts) - epoch_us(pt) AS DOUBLE)
+                       / CAST(epoch_us(nt) - epoch_us(pt) AS DOUBLE))
+               WHEN pv IS NOT NULL THEN pv
+               ELSE nv
+           END * 1000000) / 1000000.0 AS value,
+           CASE
+               WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    AND pt = slot_ts THEN 'exact'
+               WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+               WHEN pv IS NOT NULL THEN 'ffill'
+               WHEN nv IS NOT NULL THEN 'bfill'
+               ELSE 'empty'
+           END AS fill_mode
+    FROM f WHERE slot_ts IS NOT NULL
+"""

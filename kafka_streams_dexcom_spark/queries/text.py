@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators import text as tx
@@ -1619,3 +1619,100 @@ ORACLES["mix_temperature"] = f"""
                 // 1000000000 AS BIGINT) AS alloc_docs
     FROM u CROSS JOIN d
 """
+
+
+PACK_BUDGET = 1_500
+
+
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget selection: walk the corpus in
+    (quality desc, doc_id) order and keep documents while the running
+    token total stays within the budget — "train on the best N tokens",
+    the final cut a curation pipeline makes after scoring.
+
+    Scale shape: NO global sort. Quality is bucketed into ≤1001 integer
+    bins; a bin-level token histogram (tiny, single-partition window)
+    yields each bin's tokens-before-it offset, broadcast back; the
+    per-document running total is then offset + an intra-bin cumsum
+    (window partitioned BY BIN — parallel across bins, local sort
+    within). The oracle replays the naive single-window global cumsum,
+    proving the two-level decomposition exact. Quality units are
+    integers (round of the 6-decimal score), so ordering and sums are
+    engine-portable."""
+    d = load_table(spark, sf_dir, "documents")
+    toks_expr = "size(filter(split(text, '\\\\s+'), t -> t != ''))"
+    ntok = d.select(
+        "doc_id", F.expr(toks_expr).cast("bigint").alias("n_tokens")
+    )
+    qu = tx.quality_score(d).select(
+        "doc_id",
+        F.round(F.col("quality_score") * 1000000)
+        .cast("bigint")
+        .alias("quality_units"),
+    )
+    base = qu.join(ntok, "doc_id").withColumn(
+        "bin", F.expr("quality_units div 1000")
+    )
+    wb = (
+        Window.orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bins = (
+        base.groupBy("bin")
+        .agg(F.sum("n_tokens").alias("btok"))
+        .select(
+            "bin",
+            F.coalesce(F.sum("btok").over(wb), F.lit(0)).alias("higher"),
+        )
+    )
+    wd = (
+        Window.partitionBy("bin")
+        .orderBy(F.col("quality_units").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(F.broadcast(bins), "bin")
+        .withColumn(
+            "cum_tokens", F.col("higher") + F.sum("n_tokens").over(wd)
+        )
+        .select(
+            "doc_id",
+            "quality_units",
+            "n_tokens",
+            "cum_tokens",
+            F.when(F.col("cum_tokens") <= PACK_BUDGET, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_kept"),
+        )
+    )
+
+
+QUERIES["token_budget_pack"] = q_token_budget_pack
+
+ORACLES["token_budget_pack"] = f"""
+    WITH q AS ({{qsql}}),
+    toks AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                        t -> t != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    base AS (
+        SELECT q.doc_id,
+               CAST(round(q.quality_score * 1000000) AS BIGINT)
+                   AS quality_units,
+               toks.n_tokens
+        FROM q JOIN toks ON q.doc_id = toks.doc_id
+    )
+    SELECT doc_id, quality_units, n_tokens,
+           CAST(sum(n_tokens) OVER (
+               ORDER BY quality_units DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_tokens,
+           CAST(CASE WHEN sum(n_tokens) OVER (
+               ORDER BY quality_units DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) <= {PACK_BUDGET} THEN 1 ELSE 0 END AS INTEGER) AS is_kept
+    FROM base
+""".format(qsql=quality_score_sql())

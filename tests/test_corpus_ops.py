@@ -244,3 +244,64 @@ def test_gap_fill_forward_carries_and_staleness(spark):
     assert out[(2, "2024-01-15 03:00:00")]["value"] == 7.0
     assert out[(2, "2024-01-15 03:00:00")]["staleness_min"] == 0
     assert out[(2, "2024-01-15 02:00:00")]["value"] is None
+
+
+def test_gap_fill_linear_interpolation_math(spark):
+    from kafka_streams_dexcom_spark.operators.temporal import (
+        gap_fill_linear,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-15 00:30:00", 10.0),
+            (1, "2024-01-15 02:15:00", 20.0),
+            (2, "2024-01-15 03:00:00", 7.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    slots = spark.sql(
+        "SELECT explode(sequence(timestamp'2024-01-15 00:00:00', "
+        "timestamp'2024-01-15 04:00:00', interval 1 hour)) AS slot_ts"
+    ).crossJoin(spark.createDataFrame([(1,), (2,)], "user_id long"))
+    out = {
+        (r["user_id"], str(r["slot_ts"])): r.asDict()
+        for r in gap_fill_linear(ev, slots).collect()
+    }
+    # before the first event: backward fill
+    assert out[(1, "2024-01-15 00:00:00")]["fill_mode"] == "bfill"
+    assert out[(1, "2024-01-15 00:00:00")]["value"] == 10.0
+    # between events: 10 + 10 * (30/105), truncated to 6 decimals
+    r = out[(1, "2024-01-15 01:00:00")]
+    assert r["fill_mode"] == "interp"
+    assert abs(r["value"] - (10 + 10 * 30 / 105)) < 2e-6
+    # after the last event: forward fill
+    assert out[(1, "2024-01-15 04:00:00")]["fill_mode"] == "ffill"
+    assert out[(1, "2024-01-15 04:00:00")]["value"] == 20.0
+    # event exactly on the slot, with a neighbor on each side: exact
+    assert out[(2, "2024-01-15 03:00:00")]["fill_mode"] in (
+        "exact",
+        "ffill",  # no later event for user 2 -> pv-only branch
+    )
+    assert out[(2, "2024-01-15 03:00:00")]["value"] == 7.0
+
+
+def test_token_budget_pack_matches_global_cumsum(spark):
+    """The two-level (bin offset + intra-bin window) running total must
+    equal the naive single-window global cumsum it decomposes."""
+    from pyspark.sql import Window as W
+
+    from kafka_streams_dexcom_spark.queries.text import (
+        q_token_budget_pack,
+    )
+
+    out = q_token_budget_pack(spark, "/root/testdata/sf0.001")
+    wg = W.orderBy(
+        F.col("quality_units").desc(), F.col("doc_id").asc()
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    check = out.withColumn("naive", F.sum("n_tokens").over(wg)).filter(
+        F.col("naive") != F.col("cum_tokens")
+    )
+    assert check.count() == 0
+    kept = out.filter("is_kept = 1")
+    assert 0 < kept.count() < out.count()
+    assert kept.agg(F.max("cum_tokens")).first()[0] <= 1500
