@@ -72,6 +72,10 @@ PROBE_QUERIES = [
     "span_dedup_rewrite",
     "heavy_hitters",
     "source_divergence",
+    "gap_fill",
+    "gap_fill_linear",
+    "token_budget_pack",
+    "metrics_unpivot",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10
