@@ -8,7 +8,7 @@ marker-dictionary aggregation, and the dictionary itself is broadcast.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
@@ -92,11 +92,18 @@ def language_id(df: DataFrame, spark: SparkSession, text_col: str = "text") -> D
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    df: DataFrame,
+    text_col: str = "text",
+    extra_cols: tuple[Column, ...] = (),
+) -> DataFrame:
     """Deterministic composite quality score in [0,1]:
     0.3·len_score + 0.3·lexical_diversity + 0.2·stopword_ratio +
     0.2·alpha_ratio — the standard cheap pre-filter shape for LLM
-    training corpora (length, diversity, naturalness, cleanliness)."""
+    training corpora (length, diversity, naturalness, cleanliness).
+    ``extra_cols`` are appended to the output projection so callers can
+    carry sibling scan-side expressions (e.g. a token count) through
+    the SAME pass instead of re-scanning and re-joining on doc_id."""
     df = fan_out_small(df)
     toks = F.split(F.col(text_col), r"\s+")
     n_tokens = F.size(toks).cast("double")
@@ -123,6 +130,7 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         trunc6(n_stop / n_tokens).alias("stopword_ratio"),
         trunc6(n_alpha / n_tokens).alias("alpha_ratio"),
         trunc6(score).alias("quality_score"),
+        *extra_cols,
     )
 
 
@@ -1185,11 +1193,15 @@ def span_dedup_rewrite(
     one token-scale shuffle reduces occurrences to per-(doc, gram)
     position lists, then a repartition on the gram key makes
     doc-frequency + canonical-owner a sort-only window pass — the
-    dup_span_fraction plan plus one narrow join back to the token
-    arrays. Coverage expansion is scan-side (`exists` over the
-    per-doc sorted start list, bounded by document length). Rows whose
-    documents contain no duplicated span pass through the left join
-    untouched.
+    dup_span_fraction plan. Coverage and the rebuild are ROW-based:
+    duplicated starts expand to (doc, position) rows (≤ k per start), a
+    LEFT ANTI join removes them from the position-exploded token
+    stream, and the survivors re-assemble per doc — worst-case linear
+    in tokens even for a fully-duplicated 100k-token document (a
+    scan-side `exists` over the per-doc start list would be
+    O(tokens × starts) per row exactly on the heavy-duplication inputs
+    this operator exists for). Rows whose documents contain no
+    duplicated span pass through the final left join untouched.
     """
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     toks = fan_out_small(df).select(
@@ -1221,26 +1233,38 @@ def span_dedup_rewrite(
             F.min("doc_id").over(w).alias("mind"),
         )
     )
-    starts = (
+    cov = (
         occ.filter((F.col("nd") >= 2) & (F.col("doc_id") != F.col("mind")))
         .select("doc_id", F.explode("pos").alias("i"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("i")).alias("st"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {k - 1})")).alias("p"),
+        )
+        .distinct()
     )
-    kept = F.expr(
-        "transform(filter(transform(tk, (t, j) -> "
-        "struct(t AS t, j + 1 AS p)), "
-        f"s -> NOT exists(st, x -> x <= s.p AND s.p <= x + {k - 1})), "
-        "s -> s.t)"
+    pos = toks.select(
+        "doc_id", F.posexplode("tk").alias("j", "tok")
+    ).select("doc_id", (F.col("j") + 1).alias("p"), "tok")
+    rebuilt = (
+        pos.join(cov, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(p, tok))), s -> s.tok), ' ')"
+            ).alias("txt"),
+        )
     )
     return (
-        toks.join(starts, "doc_id", "left")
-        .withColumn("st", F.coalesce("st", F.expr("array()")))
+        toks.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             F.size("tk").cast("bigint").alias("n_tokens"),
-            (F.size("tk") - F.size(kept)).cast("bigint").alias("n_removed"),
-            F.array_join(kept, " ").alias("clean_text"),
+            (F.size("tk") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("txt", F.lit("")).alias("clean_text"),
         )
     )
 
@@ -1251,27 +1275,35 @@ def heavy_hitters(
     """Corpus heavy hitters with EXACT counts at bounded shuffle cost:
     every term whose global occurrence count strictly exceeds N/m
     (N = total tokens), found without shuffling the full term stream's
-    tail. Two passes: (1) candidate generation — each partition keeps a
-    Misra-Gries summary of capacity 2m (per Arrow batch: add the batch's
-    exact counts, then if the summary overflows subtract the (2m+1)-th
-    largest count from every entry and drop the non-positive ones — the
-    standard mergeable-summaries merge, total underestimation ≤
-    n_p/(2m+1)). A term with global count > N/m has count_p > n_p/m >
-    n_p/(2m+1) in at least one partition (pigeonhole), so it survives
-    that partition's summary with positive residual under ANY batch
-    order → candidates are a guaranteed superset, independent of
-    partitioning AND of batch boundaries; (2) an exact recount of
-    candidates only (broadcast semi join prunes the token stream before
-    the count shuffle). The output is therefore exact and deterministic
-    even though pass 1 is partition-dependent.
+    tail. Two passes over the corpus: (1) candidate generation — each
+    partition keeps a Misra-Gries summary of capacity 2m (per Arrow
+    batch: add the batch's exact counts; on overflow subtract the
+    (2m+1)-th largest count from every entry and drop the non-positive
+    ones — total underestimation ≤ n_p/(2m+1)) and emits its ≤2m
+    (term, residual) rows plus one sentinel row carrying the partition's
+    exact token count. The per-partition summaries are then MERGED the
+    mergeable-summaries way (Agarwal et al.): sum residuals per term
+    (a tiny shuffle of ≤2m rows per partition, never the corpus) and
+    keep the global top-2m by (residual desc, term) — a term with true
+    count > N/m retains merged residual > N/(2m+1) after the additive
+    per-partition error, and at most 2m terms can tie-or-beat that, so
+    the top-2m is a guaranteed superset under ANY partitioning and
+    batch order, and the broadcast side is ≤2m terms — GLOBALLY bounded,
+    not per-partition. (2) an exact recount of candidates only
+    (broadcast semi join prunes the token stream before the count
+    shuffle). The output is therefore exact and deterministic even
+    though pass 1 is partition-dependent.
 
     At 100 TB the term tail (trillions of singleton-ish terms) never
-    reaches a shuffle and never accumulates in memory: pass-1 state is
+    reaches a shuffle and never accumulates anywhere: pass-1 state is
     ≤ 2m counters per partition (a plain Counter over the partition
     would hold every distinct term — the actual OOM risk at corpus
-    scale), pass 1 moves ≤ 2m rows per partition, and pass 2 shuffles
-    only candidate occurrences. The classic alternative — full groupBy
-    then HAVING — shuffles the entire vocabulary.
+    scale), the merge moves ≤ 2m rows per partition, the candidate
+    broadcast is ≤ 2m terms total, and pass 2 shuffles only candidate
+    occurrences. N comes from the pass-1 sentinel rows, so the corpus
+    is tokenized exactly twice (candidates + recount). The classic
+    alternative — full groupBy then HAVING — shuffles the entire
+    vocabulary.
     """
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     toks = fan_out_small(df).select(
@@ -1283,7 +1315,9 @@ def heavy_hitters(
         import pandas as pd  # noqa: PLC0415
 
         summary: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
+            n_part += len(pdf)
             for t, c in pdf["term"].value_counts().items():
                 summary[t] = summary.get(t, 0) + int(c)
             if len(summary) > cap:
@@ -1291,10 +1325,29 @@ def heavy_hitters(
                 summary = {
                     t: c - kth for t, c in summary.items() if c > kth
                 }
-        yield pd.DataFrame({"term": sorted(summary)})
+        # sentinel: "" is never a token (empty strings are filtered out
+        # upstream); carries this partition's exact token count so N
+        # needs no third corpus pass
+        summary[""] = n_part
+        yield pd.DataFrame(
+            {"term": sorted(summary), "cnt": [summary[t] for t in sorted(summary)]}
+        )
 
-    cand = toks.mapInPandas(_part_top, "term string").distinct()
-    totals = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    merged = (
+        toks.mapInPandas(_part_top, "term string, cnt long")
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    totals = (
+        merged.filter(F.col("term") == "")
+        .select(F.col("c").alias("n_total"))
+    )
+    cand = (
+        merged.filter(F.col("term") != "")
+        .orderBy(F.col("c").desc(), F.col("term").asc())
+        .limit(cap)
+        .select("term")
+    )
     return (
         toks.join(F.broadcast(cand), "term")
         .groupBy("term")

@@ -92,29 +92,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 EVAL_SOURCE = "src0"
 
 
-def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup pipeline's final materialization: every document mapped
-    to its cluster canonical (min doc_id of its near-dup component; its
-    own id if it has no near-dup), plus the keep/drop decision. This is
-    the row a 100 TB dedup job actually writes back out."""
+def _cluster_members(d: DataFrame, out_col: str = "cluster") -> DataFrame:
+    """Shared near-dup cluster membership: ngram near-dup graph → exact
+    connected components → (doc_id, <out_col>), singleton documents
+    labeled with their own id. The single source of truth for every
+    query whose policy hangs off cluster identity (survivor election,
+    quality argmax, leakage-safe splitting) — the membership rule can
+    only change in one place."""
     from kafka_streams_dexcom_spark.operators.graph import (
         connected_components,
     )
 
-    d = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     comp = connected_components(pairs)
-    canonical = F.coalesce(F.col("component"), F.col("doc_id"))
     return (
         d.select("doc_id")
         .join(comp, d.doc_id == comp.node, "left")
         .select(
             "doc_id",
-            canonical.alias("canonical_id"),
-            (canonical == F.col("doc_id")).cast("int").alias("is_survivor"),
+            F.coalesce(F.col("component"), F.col("doc_id")).alias(out_col),
         )
+    )
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final materialization: every document mapped
+    to its cluster canonical (min doc_id of its near-dup component; its
+    own id if it has no near-dup), plus the keep/drop decision. This is
+    the row a 100 TB dedup job actually writes back out."""
+    d = load_table(spark, sf_dir, "documents")
+    return _cluster_members(d, out_col="canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("canonical_id") == F.col("doc_id"))
+        .cast("int")
+        .alias("is_survivor"),
     )
 
 
@@ -129,26 +143,10 @@ def q_dedup_best_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the argmax is a hash aggregate over (score, -doc_id) structs
     — map-side combinable, never a window sort over the corpus; cluster
     membership joins on doc_id, both sides hash-partitioned."""
-    from kafka_streams_dexcom_spark.operators.graph import (
-        connected_components,
-    )
     from kafka_streams_dexcom_spark.operators.text import quality_score
 
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
-    comp = connected_components(pairs)
-    member = (
-        d.select("doc_id")
-        .join(comp, d.doc_id == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias(
-                "cluster"
-            ),
-        )
-    )
+    member = _cluster_members(d)
     q = quality_score(d).select("doc_id", "quality_score")
     scored = member.join(q, "doc_id")
     best = scored.groupBy("cluster").agg(
@@ -1106,25 +1104,8 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan — the hash bucket is computed from the 8-byte cluster label,
     and the assignment is deterministic (md5), so re-runs and backfills
     place every document identically with no stored split table."""
-    from kafka_streams_dexcom_spark.operators.graph import (
-        connected_components,
-    )
-
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
-    )
-    comp = connected_components(pairs)
-    member = (
-        d.select("doc_id")
-        .join(comp, d.doc_id == comp.node, "left")
-        .select(
-            "doc_id",
-            F.coalesce(F.col("component"), F.col("doc_id")).alias(
-                "cluster"
-            ),
-        )
-    )
+    member = _cluster_members(d)
     bucket = F.pmod(
         F.expr(dd.HASH60_TPL.format(x="CAST(cluster AS STRING)")),
         F.lit(100),
@@ -1142,8 +1123,7 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["leakage_safe_split"] = q_leakage_safe_split
 
 _SPLIT_BUCKET = (
-    "CAST('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 15) "
-    "AS BIGINT) % 100"
+    DUCK_HASH60.format(x="CAST(cluster AS VARCHAR)") + " % 100"
 )
 
 ORACLES["leakage_safe_split"] = f"""

@@ -1341,10 +1341,10 @@ ORACLES = {
 
 
 UNPIVOT_METRICS = (
-    ("l_quantity", "q"),
-    ("l_extendedprice", "ep"),
-    ("l_discount", "d"),
-    ("l_tax", "t"),
+    "l_quantity",
+    "l_extendedprice",
+    "l_discount",
+    "l_tax",
 )
 
 
@@ -1363,12 +1363,10 @@ def q_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = li.select(
         *[
             F.col(c).cast("decimal(15,2)").alias(c)
-            for c, _ in UNPIVOT_METRICS
+            for c in UNPIVOT_METRICS
         ]
     )
-    long = wide.unpivot(
-        [], [c for c, _ in UNPIVOT_METRICS], "metric", "val"
-    )
+    long = wide.unpivot([], list(UNPIVOT_METRICS), "metric", "val")
     return long.groupBy("metric").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("val").cast("double").alias("min_val"),

@@ -1497,9 +1497,8 @@ QUERIES.update(
     }
 )
 
-_SPAN_GK = (
-    "CAST('0x' || substr(md5(array_to_string("
-    f"tk[i:i+{SPAN_K - 1}], ' ')), 1, 15) AS BIGINT)"
+_SPAN_GK = DUCK_HASH60.format(
+    x=f"array_to_string(tk[i:i+{SPAN_K - 1}], ' ')"
 )
 
 ORACLES["span_dedup_rewrite"] = f"""
@@ -1641,17 +1640,17 @@ def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable."""
     d = load_table(spark, sf_dir, "documents")
     toks_expr = "size(filter(split(text, '\\\\s+'), t -> t != ''))"
-    ntok = d.select(
-        "doc_id", F.expr(toks_expr).cast("bigint").alias("n_tokens")
-    )
-    qu = tx.quality_score(d).select(
-        "doc_id",
-        F.round(F.col("quality_score") * 1000000)
-        .cast("bigint")
-        .alias("quality_units"),
-    )
-    base = qu.join(ntok, "doc_id").withColumn(
-        "bin", F.expr("quality_units div 1000")
+    ntok = F.expr(toks_expr).cast("bigint").alias("n_tokens")
+    base = (
+        tx.quality_score(d, extra_cols=(ntok,))
+        .select(
+            "doc_id",
+            F.round(F.col("quality_score") * 1000000)
+            .cast("bigint")
+            .alias("quality_units"),
+            "n_tokens",
+        )
+        .withColumn("bin", F.expr("quality_units div 1000"))
     )
     wb = (
         Window.orderBy(F.col("bin").desc())

@@ -127,46 +127,38 @@ def test_source_divergence_skewed_source_positive(spark):
 
 
 def test_mix_temperature_weights(spark):
-    from kafka_streams_dexcom_spark.queries.text import q_mix_temperature
-
+    """Exercise the actual query end-to-end on driver testdata and
+    check its arithmetic against an independent Python replay."""
     import math
 
-    df = spark.createDataFrame(
-        [(i, "t", "big" if i < 90 else "small") for i in range(100)],
-        "doc_id long, text string, source string",
-    )
-    df.createOrReplaceTempView("_mix_docs")
-    ns = {"big": 90, "small": 10}
-    su = {s: math.floor(math.sqrt(n) * 1000) for s, n in ns.items()}
-    denom = sum(su.values())
-    from kafka_streams_dexcom_spark.operators import text as tx  # noqa: F401
+    import duckdb
 
-    # replicate the query body against the in-memory frame
-    u = (
-        df.groupBy("source")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(
-            "source",
-            "n_docs",
-            F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000)
-            .cast("bigint")
-            .alias("su"),
-        )
+    from kafka_streams_dexcom_spark.queries.text import (
+        MIX_ALPHA_BUDGET,
+        q_mix_temperature,
     )
-    d = u.agg(F.sum("su").alias("denom"))
+
+    sf = "/root/testdata/sf0.001"
     out = {
         r["source"]: r.asDict()
-        for r in u.crossJoin(F.broadcast(d))
-        .select(
-            "source",
-            F.expr("(su * 1000000000L) div denom").alias("weight_units"),
-        )
-        .collect()
+        for r in q_mix_temperature(spark, sf).collect()
     }
-    for s in ns:
-        assert out[s]["weight_units"] == su[s] * 10**9 // denom
-    total = sum(out[s]["weight_units"] for s in ns)
-    assert 10**9 - 2 <= total <= 10**9
+    ns = dict(
+        duckdb.sql(
+            f"SELECT source, count(*) FROM '{sf}/documents.parquet' "
+            "GROUP BY source"
+        ).fetchall()
+    )
+    su = {s: math.floor(math.sqrt(n) * 1000) for s, n in ns.items()}
+    denom = sum(su.values())
+    assert set(out) == set(ns)
+    for s, n in ns.items():
+        wu = su[s] * 10**9 // denom
+        assert out[s]["n_docs"] == n
+        assert out[s]["weight_units"] == wu
+        assert out[s]["alloc_docs"] == wu * MIX_ALPHA_BUDGET // 10**9
+    total = sum(r["weight_units"] for r in out.values())
+    assert 10**9 - len(ns) < total <= 10**9
 
 
 def test_leakage_safe_split_pairs_never_straddle(spark):
