@@ -59,7 +59,7 @@ def categorize_simple(
 
 
 def latest_per_key(
-    df: DataFrame, key_cols: Sequence[str], order_col: str
+    df: DataFrame, key_cols: Sequence[str], order_col: str | Column
 ) -> DataFrame:
     """KTable upsert view: latest record per key
     (reference: CategorizeWithKTableLookup.java:60-62, Materialized store).
@@ -67,8 +67,12 @@ def latest_per_key(
     One shuffle on the key; ties broken by ``order_col`` descending. On a
     changelog source, ``order_col`` is the Kafka offset — strictly
     monotonic per partition, so the result is the true upsert state.
+    ``order_col`` may be a column name or an arbitrary Column expression
+    (e.g. a composite (ts, seq) struct) — this is the single upsert
+    election; variants like CDC tombstones compose on top of it.
     """
-    w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+    order = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*key_cols).orderBy(order.desc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -164,18 +164,21 @@ def table_planes(
 
 def probe_flips(bits: int, radius: int) -> list[int]:
     """XOR masks for every bucket within Hamming distance ``radius`` of
-    the home bucket (mask 0). radius=1 -> bits+1 probes; radius=2 adds
-    the C(bits,2) two-bit flips — the knob that trades probe count for
-    recall without adding tables (memory)."""
-    flips = [0]
-    if radius >= 1:
-        flips += [1 << j for j in range(bits)]
-    if radius >= 2:
-        flips += [
-            (1 << i) | (1 << j)
-            for i in range(bits)
-            for j in range(i + 1, bits)
-        ]
+    the home bucket (mask 0): sum of C(bits, r) masks for r = 0..radius
+    — the knob that trades probe count for recall without adding tables
+    (memory). Generic in the radius (no silent cap): radius=1 gives
+    bits+1 probes, radius=2 adds the C(bits,2) two-bit flips, etc."""
+    from itertools import combinations  # noqa: PLC0415
+
+    if radius < 0:
+        raise ValueError(f"radius must be >= 0, got {radius}")
+    flips = []
+    for r in range(min(radius, bits) + 1):
+        for idxs in combinations(range(bits), r):
+            mask = 0
+            for j in idxs:
+                mask |= 1 << j
+            flips.append(mask)
     return flips
 
 
@@ -200,8 +203,9 @@ def multiprobe_lsh_topk(
       free compared to adding tables.
 
     Scale shape: candidates are exploded to one row per (vector, table)
-    — linear in L, no pairwise blowup; the probe set (|Q|·L·(bits+1)
-    rows) is broadcast, so the candidate side never shuffles for the
+    — linear in L, no pairwise blowup; the probe set (|Q|·L·Σ C(bits,r)
+    rows, r ≤ radius — 22/table at bits=6, radius=2)
+    is broadcast, so the candidate side never shuffles for the
     join; the dedup groupBy shuffles only matched candidates. Bucket
     signatures are computed once per vector in a projection BELOW the
     generator, so the 18 fold dot-products are not re-evaluated per
@@ -377,6 +381,12 @@ def matmul_topk(emb: DataFrame, query_ids, k: int = 10) -> DataFrame:
     )
     q_ids = [int(r["vec_id"]) for r in qrows]
     q_mat = [list(r["ivec"]) for r in qrows]
+    if not q_mat:
+        # no resolvable queries (empty id list / all zero-norm): an
+        # empty result, matching brute_force_topk — not an executor
+        # crash on a 1-D numpy array inside the GEMM
+        schema = "query_id long, vec_id long, cos_sim double, rank long"
+        return emb.sparkSession.createDataFrame([], schema)
 
     def score(batches):
         import numpy as np

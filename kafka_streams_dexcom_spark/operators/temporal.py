@@ -147,14 +147,11 @@ def cdc_apply(
 
     One shuffle on the key; the tombstone filter runs AFTER the
     latest-per-key election (a deleted-then-reinserted key correctly
-    survives)."""
-    w = Window.partitionBy(*key_cols).orderBy(ord_col.desc())
-    return (
-        log.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .filter(~tombstone)
-        .drop("__rn")
-    )
+    survives). The election itself IS core.latest_per_key — one upsert
+    rule in the codebase, with the delete semantics composed on top."""
+    from kafka_streams_dexcom_spark.operators.core import latest_per_key
+
+    return latest_per_key(log, key_cols, ord_col).filter(~tombstone)
 
 
 def snapshot_diff(

@@ -744,11 +744,18 @@ def bm25_freetext(
     exactly replayable by the DuckDB oracle. Same RSJ idf / k1 / b as
     bm25_search; ties break on doc_id."""
     post = build_inverted_index(df, text_col).localCheckpoint()
-    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    stats = fan_out_small(df).select(
-        F.expr(f"size({toks})").cast("bigint").alias("dl")
-    ).agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    # Corpus stats WITHOUT a second tokenization scan: per-doc lengths
+    # are already denormalized into the postings (doc-scale distinct),
+    # empty docs contribute dl=0 to the sum anyway, and n_docs is a
+    # column-free row count of the documents table.
+    sum_dl = (
+        post.select("doc_id", "dl")
+        .distinct()
+        .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+    )
+    stats = (
+        df.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(sum_dl))
     )
     qt = query_df.select("query_id", "term")
     terms = qt.select("term").distinct()

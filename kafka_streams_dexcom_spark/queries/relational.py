@@ -985,8 +985,8 @@ ORACLES = {
         UNION ALL
         SELECT 'orderkey_in_orders',
                CAST(count(*) AS BIGINT)
-        FROM lineitem WHERE l_orderkey NOT IN
-            (SELECT o_orderkey FROM orders)
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
     """,
     "numeric_corr": """
         WITH m AS (

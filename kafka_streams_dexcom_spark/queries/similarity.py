@@ -818,7 +818,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "sim_search_matmul": """
+    "sim_search_matmul": f"""
         WITH iv AS (
             SELECT vec_id,
                    list_transform(embedding,
@@ -837,7 +837,7 @@ ORACLES = {
                    sqrt(CAST(nsq AS DOUBLE)) AS nrm
             FROM n WHERE nsq > 0
         ),
-        q AS (SELECT * FROM nn WHERE vec_id IN (0, 1, 2, 3, 4)),
+        q AS (SELECT * FROM nn WHERE vec_id IN {QUERY_IDS}),
         s AS (
             SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                    CAST(list_reduce(

@@ -374,24 +374,19 @@ def q_group_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes fluctuate). Narrow per-row hash + one per-group top-k window;
     two-level pruning applies at scale. No RNG anywhere — the draw is
     reproducible and exactly oracle-replayable."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     key = F.md5(F.concat_ws(":", F.lit("gsk"), F.col("event_id")))
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("__key").asc(), F.col("event_id").asc()
-    )
-    return (
-        e.withColumn("__key", key)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= GROUP_SAMPLE_K)
-        .select(
-            "event_type",
-            "event_id",
-            "user_id",
-            "value",
-            F.col("rnk").cast("bigint").alias("rnk"),
-        )
+    return tp.topk_per_group(
+        e.withColumn("__key", key),
+        ["event_type"],
+        [F.col("__key").asc(), F.col("event_id").asc()],
+        GROUP_SAMPLE_K,
+    ).select(
+        "event_type",
+        "event_id",
+        "user_id",
+        "value",
+        F.col("rnk").cast("bigint").alias("rnk"),
     )
 
 

@@ -57,14 +57,19 @@ def ktable_lookup_topology(
 
     def run_batch(batch_df: DataFrame, batch_id: int) -> DataFrame:
         ranges = ranges_loader()
+        # Per-RECORD pk: the reference emits one output per input record
+        # (EgvTransformer.java:51), so the first-match window must never
+        # collapse distinct records. systemTime is NOT unique (second
+        # resolution collides across users at bench volume); a synthetic
+        # id preserves every record.
         egvs = batch_df.withColumn(
-            "__event_pk", F.col("systemTime")
+            "__event_pk", F.monotonically_increasing_id()
         )
         return ops.interval_join_categorize(
             egvs,
             ranges,
             time_of_day_from_iso_string("systemTime"),
             "value",
-        )
+        ).drop("__event_pk")  # internal, and id values are run-dependent
 
     return run_batch
