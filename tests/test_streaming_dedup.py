@@ -83,3 +83,52 @@ def test_dedup_state_expires_after_watermark(spark):
         num_chunks=4,
     )
     assert sorted(r.event_id for r in out) == [7, 7, 8, 9]
+
+
+def test_dedup_identical_under_rocksdb_state_store(spark):
+    """Same topology, RocksDB state backend: at 100 TB/day the dedup
+    state outgrows executor heap, and RocksDB is the provider that
+    spills it to local disk with incremental checkpointing — the
+    production configuration. The provider must be a pure swap: output
+    identical to the default HDFS-backed store. providerClass is a
+    runtime SQL conf, so it applies per started query."""
+    rows = [
+        ("2024-01-01 00:01:00", 1, 10.0),
+        ("2024-01-01 00:02:00", 2, 20.0),
+        ("2024-01-01 00:03:00", 1, 10.0),
+        ("2024-01-01 00:04:00", 3, 30.0),
+        ("2024-01-01 00:05:30", 2, 20.0),
+    ]
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            schema = _write_batch(spark, rows, f"{d}/in")
+            stream = spark.readStream.schema(schema).parquet(f"{d}/in")
+            deduped = stream.withWatermark(
+                "ts", "10 minutes"
+            ).dropDuplicatesWithinWatermark(["event_id"])
+            q = (
+                deduped.writeStream.outputMode("append")
+                .format("memory")
+                .queryName("dedup_rocks")
+                .option("checkpointLocation", f"{d}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    got = sorted(
+        (r.event_id, r.ts.minute)
+        for r in spark.sql("SELECT * FROM dedup_rocks").collect()
+    )
+    assert got == [(1, 1), (2, 2), (3, 4)]
