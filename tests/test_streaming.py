@@ -134,3 +134,42 @@ def test_es_bulk_file_sink_writes_bulk_ndjson(spark):
                 lines.extend(l for l in fh.read().splitlines() if l)
         assert len(lines) == 4  # 2 records × (action + doc)
         assert any('"_id": "egvs_0_1"' in l or '"_id":"egvs_0_1"' in l for l in lines)
+
+
+def test_observe_metrics_per_batch(spark):
+    """One-pass pipeline monitoring via Dataset.observe: per-micro-batch
+    aggregates (row count, out-of-range count) surface in the query
+    progress WITHOUT a second pass or a separate metrics job — the
+    streaming ops dashboard feed (the reference logs every record
+    instead; observe is the scale-safe equivalent)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(i, float(i * 10)) for i in range(20)],
+            "id long, value double",
+        ).write.mode("overwrite").parquet(f"{d}/in")
+        s = spark.readStream.schema("id long, value double").parquet(
+            f"{d}/in"
+        )
+        obs = s.observe(
+            "egv_metrics",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("value") >= 100).cast("long")).alias("n_high"),
+        )
+        q = (
+            obs.writeStream.format("noop")
+            .option("checkpointLocation", f"{d}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        metrics = [
+            p["observedMetrics"]["egv_metrics"]
+            for p in q.recentProgress
+            if "egv_metrics" in (p.get("observedMetrics") or {})
+        ]
+    assert sum(m["n_rows"] for m in metrics) == 20
+    assert sum(m["n_high"] for m in metrics) == 10
