@@ -123,7 +123,7 @@ def main() -> None:
         results["p3_filter"] = round(n_json / (time.time() - t0), 1)
 
         # P4: one pass, two sinks (integer-values + are-values-in-range)
-        branches = jobs.categorize_simple_branches(None)
+        branches = jobs.categorize_simple_branches()
         counts = {name: 0 for name in branches}
 
         def make_writer(name: str):
@@ -166,7 +166,7 @@ def main() -> None:
         )
         typed_schema = spark.read.parquet(typed_in).schema
         run_batch = jobs.ktable_lookup_topology(
-            spark, lambda: ranges_df(spark)
+            lambda: ranges_df(spark)
         )
         out_rows = [0]
 

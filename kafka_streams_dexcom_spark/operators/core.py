@@ -8,10 +8,14 @@ under batch and Structured Streaming here).
 Scale notes (100 TB):
 - filter/project/categorize are narrow (no shuffle); the predicates are
   Catalyst expressions so they push into the parquet/Kafka scan.
-- the interval join broadcasts the (tiny) ranges dimension — a
-  BroadcastNestedLoopJoin, which is exactly the reference's per-record
-  state-store scan (EgvTransformer.java:51-81) but vectorized and with no
-  shuffle of the 100 TB fact side.
+- the interval JOIN variants broadcast the (tiny) ranges dimension — a
+  BroadcastNestedLoopJoin, the vectorized analog of the reference's
+  per-record state-store scan (EgvTransformer.java:51-81). The join
+  itself moves no fact rows, but the first-match election afterwards IS
+  one hash shuffle + sort of the joined stream on __event_pk (the
+  row_number window) — at 100 TB prefer interval_lookup_categorize_scan,
+  the genuinely zero-shuffle path (ranges inlined, first match picked
+  scan-side), whenever the dimension is driver-known.
 - latest_per_key / dedup shuffle once on the key — unavoidable (it is the
   groupBy key) — and AQE handles skew. For repeated use, bucket the table
   by the key to amortize the shuffle across queries.
@@ -148,12 +152,8 @@ def interval_join_categorize(
     joined = interval_join(events, ranges, tod_col, how="left")
     return joined.withColumn(
         "in_range",
-        F.when(
-            F.col("lower_bound").isNull(), F.lit(None).cast("string")
-        ).otherwise(
-            categorize_from_bounds(
-                F.col(value_col), F.col("lower_bound"), F.col("upper_bound")
-            )
+        in_range_or_null(
+            F.col(value_col), F.col("lower_bound"), F.col("upper_bound")
         ),
     )
 
@@ -204,14 +204,10 @@ def interval_lookup_categorize_scan(
         .withColumn("upper_bound", first.getField("upper_bound"))
         .withColumn(
             "in_range",
-            F.when(
-                F.col("lower_bound").isNull(), F.lit(None).cast("string")
-            ).otherwise(
-                categorize_from_bounds(
-                    F.col(value_col),
-                    F.col("lower_bound"),
-                    F.col("upper_bound"),
-                )
+            in_range_or_null(
+                F.col(value_col),
+                F.col("lower_bound"),
+                F.col("upper_bound"),
             ),
         )
         .drop("__tod", "__ranges")
@@ -225,6 +221,19 @@ def categorize_from_bounds(
     return F.when((value >= lower) & (value <= upper), F.lit("true")).otherwise(
         F.lit("false")
     )
+
+
+def in_range_or_null(
+    value: Column, lower: Column, upper: Column
+) -> Column:
+    """The matched/unmatched categorization policy (§2.6 #4) in ONE
+    place: null bounds (no matching range) → null in_range; otherwise
+    the inclusive-bounds "true"/"false" string. Every interval-lookup
+    variant (join, scan, bucketized) uses this, so the no-match
+    semantics cannot silently diverge between them."""
+    return F.when(
+        lower.isNull(), F.lit(None).cast("string")
+    ).otherwise(categorize_from_bounds(value, lower, upper))
 
 
 def envelope_explode(env_df: DataFrame, egvs_col: str = "egvs") -> DataFrame:

@@ -111,12 +111,8 @@ def q_interval_join_bucketized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = joined.withColumn(
         "in_range",
-        F.when(
-            F.col("lower_bound").isNull(), F.lit(None).cast("string")
-        ).otherwise(
-            ops.categorize_from_bounds(
-                F.col("value"), F.col("lower_bound"), F.col("upper_bound")
-            )
+        ops.in_range_or_null(
+            F.col("value"), F.col("lower_bound"), F.col("upper_bound")
         ),
     )
     return out.select(

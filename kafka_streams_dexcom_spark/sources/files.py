@@ -9,6 +9,7 @@ plans.assert_pushed_filters).
 from __future__ import annotations
 
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -82,7 +83,16 @@ def fan_out_small(df: DataFrame, min_partitions: int | None = None) -> DataFrame
         for p in files:
             if not p.startswith("file:"):
                 return df  # remote store: can't cheaply verify smallness
-            total += os.path.getsize(p[len("file:"):])
+            # inputFiles() returns percent-encoded URIs; a file can also
+            # vanish between planning and this stat (compaction). Either
+            # way the heuristic must degrade to "don't repartition",
+            # never crash the query build.
+            try:
+                total += os.path.getsize(
+                    urllib.parse.unquote(p[len("file:"):])
+                )
+            except OSError:
+                return df
         if total > _FAN_OUT_MAX_BYTES:
             return df
     return df.repartition(target)

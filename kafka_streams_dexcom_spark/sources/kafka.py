@@ -34,6 +34,25 @@ REFERENCE_PRODUCER_OPTIONS = {
 }
 
 
+def _project_records(
+    df: DataFrame, value_schema: T.StructType | None
+) -> DataFrame:
+    """Shared wire-format projection for both the streaming and the
+    batch reader — ONE place for the key/value casts and the optional
+    from_json parse, so the two paths cannot drift."""
+    df = df.select(
+        F.col("key").cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("kafka_ts"),
+    )
+    if value_schema is not None:
+        df = df.withColumn("parsed", F.from_json("value", value_schema))
+    return df
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap: str,
@@ -42,24 +61,14 @@ def kafka_stream(
     value_schema: T.StructType | None = None,
 ) -> DataFrame:
     """KStream equivalent: streaming DataFrame of (key, value[, parsed])."""
-    df = (
+    raw = (
         spark.readStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
         .option("startingOffsets", starting_offsets)
         .load()
-        .select(
-            F.col("key").cast("string").alias("key"),
-            F.col("value").cast("string").alias("value"),
-            "topic",
-            "partition",
-            "offset",
-            F.col("timestamp").alias("kafka_ts"),
-        )
     )
-    if value_schema is not None:
-        df = df.withColumn("parsed", F.from_json("value", value_schema))
-    return df
+    return _project_records(raw, value_schema)
 
 
 def kafka_batch(
@@ -69,25 +78,15 @@ def kafka_batch(
     value_schema: T.StructType | None = None,
 ) -> DataFrame:
     """Bounded read of a topic (batch replay of a stream)."""
-    df = (
+    raw = (
         spark.read.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap)
         .option("subscribe", topic)
         .option("startingOffsets", "earliest")
         .option("endingOffsets", "latest")
         .load()
-        .select(
-            F.col("key").cast("string").alias("key"),
-            F.col("value").cast("string").alias("value"),
-            "topic",
-            "partition",
-            "offset",
-            F.col("timestamp").alias("kafka_ts"),
-        )
     )
-    if value_schema is not None:
-        df = df.withColumn("parsed", F.from_json("value", value_schema))
-    return df
+    return _project_records(raw, value_schema)
 
 
 def kafka_table(

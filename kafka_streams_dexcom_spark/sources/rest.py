@@ -113,7 +113,10 @@ def fetch_windows(
                 payload = http_get_json(
                     url, {"authorization": f"Bearer {access_token}"}
                 )
-                for egv in payload.get("egvs", []):
+                # `or []`: an explicit {"egvs": null} empty window must
+                # behave like an absent key (envelope_to_df's explode
+                # drops null arrays the same way)
+                for egv in payload.get("egvs") or []:
                     rows.append(
                         {
                             "unit": payload.get("unit"),

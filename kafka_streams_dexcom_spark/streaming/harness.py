@@ -21,15 +21,19 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, Row, SparkSession
 
 
-def run_stream(
+def _run_chunked(
     spark: SparkSession,
     input_df: DataFrame,
-    transform: Callable[[DataFrame], DataFrame],
-    num_chunks: int = 3,
+    num_chunks: int,
+    build_query: Callable,
+    prefix: str,
 ) -> list[Row]:
-    """Run ``transform`` over ``input_df`` delivered as ``num_chunks``
-    micro-batches; returns all output rows across batches."""
-    workdir = tempfile.mkdtemp(prefix="stream_harness_")
+    """Shared scaffold for both harness flavors: write the input as
+    ``num_chunks`` one-file micro-batches, build the streaming query via
+    ``build_query(stream, sink, ckpt)``, run to completion, return the
+    rows the sink collected. ONE copy of the chunk-write + stream-build
+    + run loop, so fixes to it reach both entry points."""
+    workdir = tempfile.mkdtemp(prefix=prefix)
     in_dir = f"{workdir}/in"
     rows = input_df.collect()
     schema = input_df.schema
@@ -44,21 +48,37 @@ def run_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(in_dir)
     )
-    out = transform(stream)
     collected: list[Row] = []
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        collected.extend(batch_df.collect())
-
-    q = (
-        out.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", f"{workdir}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
+    q = build_query(stream, collected, f"{workdir}/ckpt")
     q.awaitTermination()
     return collected
+
+
+def run_stream(
+    spark: SparkSession,
+    input_df: DataFrame,
+    transform: Callable[[DataFrame], DataFrame],
+    num_chunks: int = 3,
+) -> list[Row]:
+    """Run ``transform`` over ``input_df`` delivered as ``num_chunks``
+    micro-batches; returns all output rows across batches."""
+
+    def build(stream, collected, ckpt):
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            collected.extend(batch_df.collect())
+
+        return (
+            transform(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return _run_chunked(
+        spark, input_df, num_chunks, build, "stream_harness_"
+    )
 
 
 def run_stream_foreach_batch(
@@ -71,35 +91,22 @@ def run_stream_foreach_batch(
     foreachBatch — required for transforms that use batch-only operators
     (non-time windows like the interval join's first-match row_number) and
     for per-batch dimension refresh (the P5 KTable-snapshot pattern)."""
-    workdir = tempfile.mkdtemp(prefix="stream_harness_fb_")
-    in_dir = f"{workdir}/in"
-    rows = input_df.collect()
-    schema = input_df.schema
-    chunk = max(1, (len(rows) + num_chunks - 1) // num_chunks)
-    for i in range(0, len(rows), chunk):
-        spark.createDataFrame(rows[i : i + chunk], schema).coalesce(
-            1
-        ).write.mode("append").parquet(in_dir)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
+    def build(stream, collected, ckpt):
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            collected.extend(batch_transform(batch_df, batch_id).collect())
+
+        return (
+            stream.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    return _run_chunked(
+        spark, input_df, num_chunks, build, "stream_harness_fb_"
     )
-    collected: list[Row] = []
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        collected.extend(batch_transform(batch_df, batch_id).collect())
-
-    q = (
-        stream.writeStream.foreachBatch(sink)
-        .outputMode("append")
-        .option("checkpointLocation", f"{workdir}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return collected
 
 
 def assert_batch_stream_equivalent(

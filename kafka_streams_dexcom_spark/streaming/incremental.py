@@ -10,6 +10,14 @@ Only *algebraic* aggregates merge correctly (count, sum, min, max —
 anything where combine(partial_a, partial_b) exists). avg is carried as
 (sum, count).
 
+Replay safety: foreachBatch is at-least-once — after a crash between
+the view publish and the streaming checkpoint commit, Spark REPLAYS the
+last micro-batch. The view therefore records the last applied batch_id
+and skips any batch it has already merged; without that, a replayed
+batch double-counts every key it touched (exactly-once = at-least-once
+delivery + idempotent apply, the same recipe as the ES sink's
+deterministic doc ids).
+
 Scale: the merge join is keyed on the group key; the stored table is
 partition-pruned if partitioned by a stable key prefix. For very large
 views, swap the rewrite for a MERGE INTO on a table format (Delta/
@@ -51,29 +59,55 @@ def recover_directory(live: str) -> None:
 
 
 class IncrementalCounts:
-    """Maintains (key → n_events, sum_value) across micro-batches."""
+    """Maintains (key → n_events, sum_value) across micro-batches,
+    idempotently under micro-batch replay."""
 
     def __init__(self, spark: SparkSession, path: str, key_col: str) -> None:
         self.spark = spark
         self.path = path
         self.key_col = key_col
 
+    def _batch_id_path(self) -> str:
+        return os.path.join(self.path, "_last_batch_id")
+
+    def last_applied_batch_id(self) -> int:
+        try:
+            with open(self._batch_id_path()) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
     def read(self) -> DataFrame:
         recover_directory(self.path)
         if not os.path.exists(self.path):
-            return self.spark.createDataFrame(
-                [], f"{self.key_col} long, n_events long, sum_value double"
-            )
+            return None
         return self.spark.read.parquet(self.path)
 
+    def read_or_empty(self, like: DataFrame) -> DataFrame:
+        """The stored view, or an empty frame whose key column takes its
+        TYPE from ``like`` (hardcoding e.g. long breaks the first merge
+        for a string-keyed view under ANSI casting)."""
+        current = self.read()
+        if current is not None:
+            return current
+        key_type = dict(like.dtypes)[self.key_col]
+        return self.spark.createDataFrame(
+            [],
+            f"{self.key_col} {key_type}, n_events long, sum_value double",
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= self.last_applied_batch_id():
+            # at-least-once replay of an already-published batch: the
+            # merge is NOT idempotent (it adds partials), so skip.
+            return
         partial = batch_df.groupBy(self.key_col).agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("double")
             .alias("sum_value"),
         )
-        current = self.read()
+        current = self.read_or_empty(batch_df)
         merged = (
             current.alias("c")
             .join(partial.alias("p"), self.key_col, "full_outer")
@@ -91,9 +125,14 @@ class IncrementalCounts:
         )
         # stage then swap-by-rename (parquet has no MERGE; a table format
         # would make this a transactional MERGE INTO). The live view is
-        # never deleted-then-rewritten, so a crash cannot lose it.
+        # never deleted-then-rewritten, so a crash cannot lose it. The
+        # batch-id marker is written INTO the staging dir before the
+        # swap, so view content and applied-batch marker publish
+        # atomically together.
         tmp = self.path + ".staging"
         merged.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_last_batch_id"), "w") as f:
+            f.write(str(batch_id))
         swap_directory(tmp, self.path)
 
 

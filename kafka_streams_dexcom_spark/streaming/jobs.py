@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.functions.timeofday import (
@@ -24,9 +24,9 @@ def filter_high_topology(stream: DataFrame) -> DataFrame:
     return ops.filter_at_least_json(stream, "value", "$.value", 200)
 
 
-def categorize_simple_branches(
-    stream: DataFrame,
-) -> dict[str, Callable[[DataFrame], DataFrame]]:
+def categorize_simple_branches() -> (
+    dict[str, Callable[[DataFrame], DataFrame]]
+):
     """P4 (CategorizeWithSimpleRule.java:58-69): one source, two outputs —
     the extracted int stream (`integer-values` topic) and the categorized
     stream (`are-values-in-range` topic)."""
@@ -45,7 +45,6 @@ def categorize_simple_branches(
 
 
 def ktable_lookup_topology(
-    spark: SparkSession,
     ranges_loader: Callable[[], DataFrame],
 ) -> Callable[[DataFrame, int], DataFrame]:
     """P5 (CategorizeWithKTableLookup.java:47-79): per micro-batch, reload

@@ -33,6 +33,7 @@ def debounced_alerts(
     events: DataFrame,
     threshold: float = 200.0,
     debounce_s: int = 600,
+    state_ttl_s: int | None = None,
 ) -> DataFrame:
     """Streaming: at most one alert per user per debounce window.
 
@@ -40,6 +41,16 @@ def debounced_alerts(
     The per-user `last_alert_us` lives in the engine state store and is
     restored on recovery — the analog of the reference's
     Materialized.as("rangesStore") + changelog restore.
+
+    ``state_ttl_s``: expire a user's idle state after this much
+    processing time (expired ≡ last=None, which re-allows an alert —
+    the decision the debounce rule itself would make that long after
+    the last alert, so any TTL ≥ debounce_s is semantics-preserving).
+    A long-running production stream should SET this (≈2× the debounce
+    window): without it the store grows one entry per user EVER seen.
+    None (default) keeps NoTimeout — finite replays (availableNow
+    backfills, tests) don't hold the query open waiting for
+    processing-time timeouts to fire.
     """
     debounce_us = debounce_s * 1_000_000
     # below-threshold rows never change state nor emit — filter them
@@ -51,6 +62,10 @@ def debounced_alerts(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state_ttl_s is not None and state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame([], columns=["user_id", "ts_us", "value"])
+            return
         last = state.get[0] if state.exists else None
         out: list[tuple[int, int, float]] = []
         for pdf in pdfs:
@@ -65,6 +80,8 @@ def debounced_alerts(
                     out.append((key[0], int(ts_us), float(value)))
                     last = int(ts_us)
         state.update((last,))
+        if state_ttl_s is not None:
+            state.setTimeoutDuration(state_ttl_s * 1000)
         yield pd.DataFrame(out, columns=["user_id", "ts_us", "value"])
 
     return events.groupBy("user_id").applyInPandasWithState(
@@ -72,7 +89,9 @@ def debounced_alerts(
         ALERT_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_s is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -107,12 +126,29 @@ class DebounceProcessor(StatefulProcessor):
     advance over the single untyped state tuple of the older operator.
     """
 
-    def __init__(self, threshold: float, debounce_s: int):
+    def __init__(
+        self,
+        threshold: float,
+        debounce_s: int,
+        state_ttl_s: int | None = None,
+    ):
         self._threshold = threshold
         self._debounce_us = debounce_s * 1_000_000
+        self._state_ttl_s = state_ttl_s
 
     def init(self, handle) -> None:  # StatefulProcessorHandle
-        self._last = handle.getValueState("last_alert", STATE_SCHEMA)
+        # Optional TTL (production knob, see debounced_alerts): expired
+        # ≡ last=None, so any TTL ≥ the debounce window is
+        # semantics-preserving while the store stays bounded by ACTIVE
+        # users, not users-ever-seen. Requires timeMode=ProcessingTime.
+        if self._state_ttl_s is not None:
+            self._last = handle.getValueState(
+                "last_alert",
+                STATE_SCHEMA,
+                ttlDurationMs=self._state_ttl_s * 1000,
+            )
+        else:
+            self._last = handle.getValueState("last_alert", STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timer_values):
         got = self._last.get()
@@ -147,14 +183,19 @@ def debounced_alerts_tws(
     events: DataFrame,
     threshold: float = 200.0,
     debounce_s: int = 600,
+    state_ttl_s: int | None = None,
 ) -> DataFrame:
     """Same debounce semantics as :func:`debounced_alerts`, on the
     transformWithStateInPandas API (batch≡stream equivalence and
-    cross-micro-batch state asserted in tests/test_stateful.py)."""
+    cross-micro-batch state asserted in tests/test_stateful.py).
+    ``state_ttl_s`` as in debounced_alerts — the TTL needs a clock, so
+    setting it switches timeMode to ProcessingTime."""
     events = events.filter(events.value >= threshold)
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=DebounceProcessor(threshold, debounce_s),
+        statefulProcessor=DebounceProcessor(
+            threshold, debounce_s, state_ttl_s
+        ),
         outputStructType=ALERT_SCHEMA,
         outputMode="append",
-        timeMode="None",
+        timeMode="ProcessingTime" if state_ttl_s is not None else "None",
     )

@@ -116,3 +116,42 @@ def test_swap_directory_and_crash_recovery(tmp_path):
     os.rename(live, live + ".old")
     recover_directory(live)
     assert os.listdir(live) == ["v2"]
+
+
+def test_incremental_replay_is_idempotent(spark):
+    """foreachBatch is at-least-once: a crash between view publish and
+    checkpoint commit replays the last micro-batch. The view records the
+    applied batch_id and must skip the replay, or every key in that
+    batch double-counts."""
+    with tempfile.TemporaryDirectory() as d:
+        view = IncrementalCounts(spark, f"{d}/view", "user_id")
+        b1 = spark.createDataFrame(
+            [(1, 10.0), (2, 5.0)], "user_id long, value double"
+        )
+        view(b1, 0)
+        view(b1, 0)  # replayed batch: must be a no-op
+        b2 = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+        view(b2, 1)
+        view(b2, 1)  # and again for a later batch
+        got = {
+            r.user_id: (r.n_events, r.sum_value)
+            for r in view.read().collect()
+        }
+        assert got == {1: (2, 11.0), 2: (1, 5.0)}
+
+
+def test_incremental_string_keyed_view(spark):
+    """The empty bootstrap frame derives the key TYPE from the batch —
+    a string-keyed view must not be forced through a long-typed merge."""
+    with tempfile.TemporaryDirectory() as d:
+        view = IncrementalCounts(spark, f"{d}/view", "status")
+        b = spark.createDataFrame(
+            [("ok", 1.0), ("ok", 2.0), ("err", 5.0)],
+            "status string, value double",
+        )
+        view(b, 0)
+        got = {
+            r.status: (r.n_events, r.sum_value)
+            for r in view.read().collect()
+        }
+        assert got == {"ok": (2, 3.0), "err": (1, 5.0)}

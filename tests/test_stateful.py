@@ -172,3 +172,46 @@ def test_debounce_on_rocksdb_state_store(spark):
             spark.conf.set(key, saved)
         else:
             spark.conf.unset(key)
+
+
+def test_debounce_with_state_ttl_same_alerts(spark):
+    """Enabling the production state-TTL knob (ProcessingTimeTimeout)
+    must not change which alerts are emitted — expired state is
+    equivalent to last=None, and these alerts all precede any expiry.
+    Uses a continuous trigger with a manual stop: with processing-time
+    timeouts the engine schedules batches to fire timers, so
+    availableNow (which waits for quiescence) is the wrong trigger for
+    a TTL'd query — that interaction is exactly why the TTL defaults to
+    off for finite replays."""
+    import time
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(ROWS, SCHEMA).coalesce(1).write.parquet(
+            f"{d}/in"
+        )
+        stream = spark.readStream.schema(SCHEMA).parquet(f"{d}/in")
+        collected = []
+        q = (
+            debounced_alerts(
+                stream, threshold=200.0, debounce_s=600, state_ttl_s=1
+            )
+            .writeStream.foreachBatch(
+                lambda df, bid: collected.extend(df.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .start()
+        )
+        deadline = time.time() + 60
+        expected = sorted(debounced_alerts_batch_reference(ROWS))
+        while time.time() < deadline:
+            if len(collected) >= len(expected):
+                break
+            time.sleep(1)
+        try:
+            q.stop()
+            q.awaitTermination()
+        except Exception:
+            pass  # stopping a timer-busy query can raise engine-side
+    got = sorted((r.user_id, r.ts_us, r.value) for r in collected)
+    assert got == expected

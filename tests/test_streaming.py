@@ -48,7 +48,7 @@ def test_filter_topology_batch_stream_equivalent(spark):
 
 
 def test_categorize_topology_batch_stream_equivalent(spark):
-    branches = jobs.categorize_simple_branches(None)
+    branches = jobs.categorize_simple_branches()
     assert_batch_stream_equivalent(
         spark, _egv_json_stream_df(spark), branches["are-values-in-range"]
     )
@@ -63,7 +63,7 @@ def test_interval_join_batch_stream_equivalent(spark):
         ],
         "key string, systemTime string, value int",
     )
-    run_batch = jobs.ktable_lookup_topology(spark, lambda: ranges_df(spark))
+    run_batch = jobs.ktable_lookup_topology(lambda: ranges_df(spark))
     batch_rows = run_batch(egvs, 0).collect()
     stream_rows = run_stream_foreach_batch(spark, egvs, run_batch)
     key = lambda r: tuple(str(v) for v in r)  # noqa: E731
@@ -73,7 +73,7 @@ def test_interval_join_batch_stream_equivalent(spark):
 def test_fan_out_single_pass_two_sinks(spark):
     """P4: one source batch feeds both output 'topics'."""
     outs: dict[str, list] = {"integer-values": [], "are-values-in-range": []}
-    branches = jobs.categorize_simple_branches(None)
+    branches = jobs.categorize_simple_branches()
     writers = {
         name: (lambda n: lambda df, bid: outs[n].extend(df.collect()))(name)
         for name in branches
