@@ -37,7 +37,10 @@ def kmeans_assign(
     base = with_embedding_norm(emb.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vid"), "vec"
     )
-    cents = base.filter(F.col("vid") < k).select(
+    # init = the k LOWEST ids (orderBy+limit), not filter(vid < k):
+    # the filter silently yields fewer/zero centroids when ids are not
+    # dense 0-based (1-based, offset, or hashed id spaces)
+    cents = base.orderBy("vid").limit(k).select(
         F.col("vid").alias("cid"), F.col("vec").alias("cvec")
     )
 

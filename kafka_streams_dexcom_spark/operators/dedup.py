@@ -70,8 +70,15 @@ def _shingle_expr(tok_col: str, n: int = 3) -> str:
 
 
 def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Whitespace tokenization as an array column (narrow, codegen)."""
-    return df.withColumn("tokens", F.split(F.col(text_col), r"\s+"))
+    """Whitespace tokenization as an array column (narrow, codegen).
+    Empty tokens are filtered: a LEADING whitespace otherwise yields a
+    phantom '' first token that shifts every shingle and simhash vote
+    (' a b c' vs 'a b c' would miss as near-dups) — and every DuckDB
+    oracle already tokenizes with the same non-empty filter."""
+    return df.withColumn(
+        "tokens",
+        F.expr(f"filter(split({text_col}, '\\\\s+'), t -> t != '')"),
+    )
 
 
 def shingle_sets(
@@ -395,12 +402,16 @@ def simhash_pairs(
     max_bucket: int | None = SIMHASH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup candidates: docs agreeing on any of the 4 15-bit bands of
-    the 60-bit fingerprint (pigeonhole: a hamming<=max_hamming pair has
-    some band with <=2 differing bits, and near-dups usually share one
-    exactly), then exact popcount filter. Join key is (band_idx,
-    band_val) — 32768 buckets per band, and ``max_bucket`` drops the
-    degenerate hot buckets (e.g. the all-zero band of trivially-short
-    docs) that would otherwise emit O(m²) pairs at 100 TB."""
+    the 60-bit fingerprint, then exact popcount filter. RECALL CONTRACT:
+    band-blocking is only guaranteed complete for hamming <= 3
+    (pigeonhole over 4 bands: <=3 differing bits leave some band
+    identical); pairs with hamming 4..max_hamming are found exactly when
+    they happen to share a band (near-dup bit flips cluster, so most
+    do) — the standard LSH recall/cost trade, NOT an exhaustive
+    <=max_hamming pair set. Join key is (band_idx, band_val) — 32768
+    buckets per band, and ``max_bucket`` drops the degenerate hot
+    buckets (e.g. the all-zero band of trivially-short docs) that would
+    otherwise emit O(m²) pairs at 100 TB."""
     band_mask = (1 << SIMHASH_BAND_BITS) - 1
     bands_df = fp.select(
         id_col,
@@ -611,8 +622,13 @@ def contamination_report(
             F.col("m.c").alias("containment"),
         )
     )
+    # anchor on eval_docs, NOT the shingle corpus: an eval doc with
+    # fewer than n tokens has no shingles (hashed_shingle_corpus drops
+    # it) but must still appear with containment 0.0 — the function's
+    # contract; silently omitting it breaks "every eval doc screened"
+    # downstream gates
     return (
-        ec.select(F.col(id_col).alias("e_id"))
+        eval_docs.select(F.col(id_col).alias("e_id"))
         .join(top, "e_id", "left")
         .select(
             F.col("e_id").alias("eval_doc"),
@@ -635,7 +651,13 @@ def with_embedding_norm(
     """Cast float vector to double (exact) and attach its L2 norm.
 
     The dot product is a *sequential left fold* so the floating-point
-    result is bit-identical to the oracle's list_reduce fold."""
+    result is bit-identical to the oracle's list_reduce fold.
+
+    ALL-ZERO vectors are dropped (norm > 0): cosine is undefined for
+    them, and every consumer — cosine pairs, IVF/PQ training and
+    search — inherits this filter, so a zero vector (padding row,
+    failed encoder output) never appears in results. Deliberate:
+    surface such rows with a dq_report rule, don't rank them."""
     d = fan_out_small(df).withColumn(
         "vec", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
     )

@@ -23,12 +23,25 @@ def rowlocal_violations(
 ) -> DataFrame:
     """(rule, violations) for predicate rules, ONE pass: each rule is a
     condition that is true when the row VIOLATES it."""
+    if not rules:  # stack(0) is invalid SQL — empty report instead
+        return df.sparkSession.createDataFrame(
+            [], "rule string, violations bigint"
+        )
+    # rule names are arbitrary display strings: backtick-quote the
+    # column reference and escape quotes in the literal, so names like
+    # "quantity > 0" or "shipper's id set" are valid
     aggs = [
         F.count(F.when(cond, 1)).cast("bigint").alias(name)
         for name, cond in rules.items()
     ]
     wide = df.agg(*aggs)
-    stacked = ", ".join(f"'{n}', {n}" for n in rules)
+    stacked = ", ".join(
+        "'{lit}', `{ident}`".format(
+            lit=n.replace("\\", "\\\\").replace("'", "\\'"),
+            ident=n.replace("`", "``"),
+        )
+        for n in rules
+    )
     return wide.select(
         F.expr(
             f"stack({len(rules)}, {stacked}) AS (rule, violations)"

@@ -168,10 +168,19 @@ def pagerank(
     """
     # cut the pair pipeline ONCE before mirroring: the union references
     # it from two branches, which would execute candidate generation
-    # twice during the persist materialization
-    p0 = pairs.select(
-        F.col(a_col).alias("u"), F.col(b_col).alias("v")
-    ).localCheckpoint()
+    # twice during the persist materialization. Normalize + distinct
+    # first: the documented semantics are an undirected SIMPLE graph —
+    # duplicate or reversed input pairs must not inflate degrees or
+    # double-count contributions.
+    p0 = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("u"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = p0.union(
         p0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
@@ -276,9 +285,19 @@ def triangle_counts(
     standard corpus diagnostic (near-dup blob density) loses nothing —
     a celebrity node's neighborhood is better inspected directly than
     triangle-counted."""
-    e = pairs.select(
-        F.col(a_col).alias("a"), F.col(b_col).alias("b")
-    ).localCheckpoint()
+    # normalize to ordered distinct edges: the enumeration assumes a<b
+    # and no duplicates — both orientations of the same pair (or dup
+    # candidate rows) would count each triangle up to 6x and double
+    # every degree
+    e = (
+        pairs.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
     if max_degree is not None:
         deg0 = (
             e.select(F.col("a").alias("node"))

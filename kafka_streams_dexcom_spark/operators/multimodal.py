@@ -116,8 +116,12 @@ def decode_features(
         import pandas as pd
 
         for pdf in batches:
+            # a NULL payload (missing media) yields null features, not a
+            # len(None) TypeError that kills the stage on one bad row
             feats = [
-                decode(p, mt)
+                (None, None, None, None)
+                if p is None
+                else decode(p, mt)
                 for p, mt in zip(pdf["payload"], pdf["media_type"])
             ]
             yield pd.DataFrame(

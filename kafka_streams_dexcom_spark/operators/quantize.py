@@ -141,8 +141,16 @@ def pq_train_encode(
     # action in the plan-construction path
     dsub = dim // m
     sv = _subvectors(base, m, dsub)
-    cents = sv.filter(F.col("vid") < ksub).select(
-        "s", F.col("vid").alias("cid"), F.col("sv").alias("cvec")
+    # init = the ksub LOWEST ids per subspace (window top-k), not
+    # filter(vid < ksub): the filter silently yields fewer/zero
+    # codewords when ids are not dense 0-based
+    w_init = Window.partitionBy("s").orderBy(F.col("vid").asc())
+    cents = (
+        sv.withColumn("__rn", F.row_number().over(w_init))
+        .filter(F.col("__rn") <= ksub)
+        .select(
+            "s", F.col("vid").alias("cid"), F.col("sv").alias("cvec")
+        )
     )
 
     def assign(c: DataFrame) -> DataFrame:
@@ -300,11 +308,15 @@ def ivfpq_topk(
     queries = base.filter(F.col("vid").isin(list(query_ids))).select(
         F.col("vid").alias("query_id"), F.col("vec").alias("qvec")
     )
+    # probe by MIN L2 distance to the centroid — the same metric the
+    # ADC ranking uses. A max-dot probe diverges on unnormalized
+    # embeddings (||q-c||² = ||q||² - 2q·c + ||c||², so centroid norms
+    # shift the argmax) and can skip the true nearest cell entirely.
     qc = queries.crossJoin(F.broadcast(ivf_cents)).withColumn(
-        "cdot", F.expr(DOT_EXPR_TPL.format(a="qvec", b="centroid"))
+        "cd2", F.expr(DIST2_TPL.format(a="qvec", b="centroid"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cdot").desc(), F.col(cell_col).asc()
+        F.col("cd2").asc(), F.col(cell_col).asc()
     )
     probe = (
         qc.withColumn("__rn", F.row_number().over(w))

@@ -291,7 +291,10 @@ def ivf_topk(
     nprobe: int = 1,
 ) -> DataFrame:
     """IVF search: assign each query to its ``nprobe`` nearest centroids
-    (dot-product ranking over ~#cells rows — broadcast), then brute-force
+    (dot-product ranking over ~#cells rows — broadcast; NOTE this is the
+    cosine-family probe and assumes roughly equi-norm centroids — the
+    L2-ranked sibling ivfpq_topk probes by min L2 for exactly this
+    reason), then brute-force
     only within the probed cells. Cells partition the corpus, so a
     candidate is scored at most once per query even with nprobe > 1;
     scanned fraction grows linearly with nprobe while recall climbs

@@ -980,11 +980,10 @@ def _contamination_oracle() -> str:
             FROM shared
         ),
         top AS (SELECT e_id, t_id, cont FROM ranked WHERE rk = 1)
-        SELECT s.doc_id AS eval_doc, t.t_id AS train_doc,
+        SELECT d.doc_id AS eval_doc, t.t_id AS train_doc,
                coalesce(t.cont, 0.0) AS containment
-        FROM sh s
-        JOIN documents d ON d.doc_id = s.doc_id
-        LEFT JOIN top t ON t.e_id = s.doc_id
+        FROM documents d
+        LEFT JOIN top t ON t.e_id = d.doc_id
         WHERE d.source = '{EVAL_SOURCE}'
     """
 

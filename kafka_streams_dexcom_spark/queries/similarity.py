@@ -661,14 +661,19 @@ def _ivfpq_oracle(
             GROUP BY label
         )"""
     )
-    qdot = _DOT.format(a="q.vec", b="c.centroid")
+    # min-L2 probe, mirroring the operator (same metric as the ADC rank)
+    qd2 = (
+        "list_reduce(list_transform(range(1, len(q.vec) + 1), "
+        "i -> (q.vec[i] - c.centroid[i]) * (q.vec[i] - c.centroid[i])), "
+        "(x, y) -> x + y)"
+    )
     ctes.append(
         f"""probe AS (
             SELECT query_id, cell FROM (
                 SELECT q.vid AS query_id, c.label AS cell,
                        row_number() OVER (
                            PARTITION BY q.vid
-                           ORDER BY {qdot} DESC, c.label ASC
+                           ORDER BY {qd2} ASC, c.label ASC
                        ) AS rn
                 FROM n q CROSS JOIN cent c
                 WHERE q.vid IN {QUERY_IDS}

@@ -297,3 +297,106 @@ def test_token_budget_pack_matches_global_cumsum(spark):
     kept = out.filter("is_kept = 1")
     assert 0 < kept.count() < out.count()
     assert kept.agg(F.max("cum_tokens")).first()[0] <= 1500
+
+
+def test_tokenize_ignores_leading_whitespace(spark):
+    """' a b c' and 'a b c' must produce identical shingle sets — a
+    phantom empty first token would shift every shingle and miss the
+    near-dup (and diverge from the oracles' non-empty tokenization)."""
+    from kafka_streams_dexcom_spark.operators.dedup import shingle_sets
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "  a b c d")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: set(r["shingles"]) for r in shingle_sets(df).collect()}
+    assert out[1] == out[2] == {"a b c", "b c d"}
+
+
+def test_dq_rule_names_with_special_characters(spark):
+    from pyspark.sql import functions as F2
+
+    from kafka_streams_dexcom_spark.operators.dq import rowlocal_violations
+
+    df = spark.createDataFrame([(1, 5.0), (2, -1.0)], "id long, v double")
+    out = {
+        r["rule"]: r["violations"]
+        for r in rowlocal_violations(
+            df,
+            {
+                "v > 0": F2.col("v") <= 0,
+                "shipper's id set": F2.col("id").isNull(),
+            },
+        ).collect()
+    }
+    assert out == {"v > 0": 1, "shipper's id set": 0}
+    from kafka_streams_dexcom_spark.operators.dq import rowlocal_violations as rv
+    assert rv(df, {}).count() == 0
+
+
+def test_graph_ops_normalize_duplicate_and_reversed_edges(spark):
+    """Duplicate rows and reversed orientations of the same pair must
+    not inflate degrees, ranks, or triangle counts — the operators
+    document an undirected simple graph."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        pagerank,
+        triangle_counts,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "doc_a long, doc_b long"
+    )
+    dirty = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3), (3, 2), (1, 3), (3, 3)],
+        "doc_a long, doc_b long",
+    )
+    t_clean = sorted(
+        (r["node"], r["triangles"], r["degree"]) for r in triangle_counts(clean).collect()
+    )
+    t_dirty = sorted(
+        (r["node"], r["triangles"], r["degree"]) for r in triangle_counts(dirty).collect()
+    )
+    assert t_clean == t_dirty
+    pr_clean = sorted(
+        (r["node"], r["pr_units"]) for r in pagerank(clean).collect()
+    )
+    pr_dirty = sorted(
+        (r["node"], r["pr_units"]) for r in pagerank(dirty).collect()
+    )
+    assert pr_clean == pr_dirty
+
+
+def test_contamination_keeps_sub_n_token_eval_docs(spark):
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        contamination_report,
+    )
+
+    ev = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "shared shingle text here okay")],
+        "doc_id long, text string",
+    )
+    tr = spark.createDataFrame(
+        [(100, "shared shingle text here definitely")],
+        "doc_id long, text string",
+    )
+    out = {r["eval_doc"]: r.asDict() for r in contamination_report(ev, tr).collect()}
+    # the 2-token doc has no 3-gram shingles but MUST still be reported
+    assert set(out) == {1, 2}
+    assert out[1]["containment"] == 0.0 and out[1]["train_doc"] is None
+    assert out[2]["containment"] > 0.0 and out[2]["train_doc"] == 100
+
+
+def test_kmeans_init_handles_offset_ids(spark):
+    """Centroid init must be the k lowest ids, not filter(id < k) —
+    offset id spaces otherwise silently yield zero centroids and empty
+    results."""
+    from kafka_streams_dexcom_spark.operators.clustering import (
+        kmeans_assign,
+    )
+
+    rows = [
+        (1000 + i, [float(i % 4) + 1.0, float((i * 7) % 5)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_assign(df, k=4, iterations=2)
+    assert out.count() == 40
+    assert out.select("cell").distinct().count() >= 2
