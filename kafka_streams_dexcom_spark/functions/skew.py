@@ -19,11 +19,16 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
-    """Deterministic salt in [0, n_salts): cheap, reproducible (derived
-    from a stable hash of the whole row via monotonically increasing id
-    would NOT be reproducible — use xxhash64 over all columns)."""
+    """Salt in [0, n_salts) from the row's position, NOT a row-content
+    hash: a hot key's worst case is millions of byte-IDENTICAL rows
+    (bot replays, log duplication), and a content hash gives them all
+    the SAME salt — the straggler survives unspread. Position-derived
+    salts split them evenly. The final salted_agg result is
+    salt-independent (phase 2 re-merges), so reproducibility of the
+    salt itself is not a correctness requirement."""
     return df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*df.columns), F.lit(n_salts))
+        "__salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
     )
 
 

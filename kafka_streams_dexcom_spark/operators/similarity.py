@@ -37,7 +37,11 @@ MP_BITS = 6
 # the probe set costs almost nothing next to adding tables (memory) or
 # rehashing the corpus. See BASELINE.md ANN recall matrix.
 MP_RADIUS = 2
-_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2**31
+from kafka_streams_dexcom_spark.functions.hashing import (  # noqa: E402
+    _LCG_A,
+    _LCG_C,
+    _LCG_M,
+)
 
 
 def lsh_planes(bits: int = LSH_BITS, dim: int = 64, seed: int = 7):
@@ -372,8 +376,13 @@ def matmul_topk(emb: DataFrame, query_ids, k: int = 10) -> DataFrame:
         "x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))"
     )
     nsq_expr = "aggregate(transform(ivec, x -> x * x), 0L, (a, b) -> a + b)"
+    from kafka_streams_dexcom_spark.sources.files import fan_out_small
+
+    # fan out a small single-partition input like every sibling (via
+    # with_embedding_norm elsewhere): the Arrow GEMM stage is CPU-bound
+    # and would otherwise run serially on one core
     base = (
-        emb.select("vec_id", F.expr(iv_expr).alias("ivec"))
+        fan_out_small(emb).select("vec_id", F.expr(iv_expr).alias("ivec"))
         .withColumn("nsq", F.expr(nsq_expr))
         .filter(F.col("nsq") > 0)
     )

@@ -148,10 +148,15 @@ def cdc_apply(
     One shuffle on the key; the tombstone filter runs AFTER the
     latest-per-key election (a deleted-then-reinserted key correctly
     survives). The election itself IS core.latest_per_key — one upsert
-    rule in the codebase, with the delete semantics composed on top."""
+    rule in the codebase, with the delete semantics composed on top.
+    A record on which the tombstone predicate is NULL (malformed op
+    column) is NOT a delete: only an explicit true tombstone removes
+    the key — ~NULL would silently drop it."""
     from kafka_streams_dexcom_spark.operators.core import latest_per_key
 
-    return latest_per_key(log, key_cols, ord_col).filter(~tombstone)
+    return latest_per_key(log, key_cols, ord_col).filter(
+        ~F.coalesce(tombstone, F.lit(False))
+    )
 
 
 def snapshot_diff(

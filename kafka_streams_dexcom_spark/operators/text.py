@@ -34,12 +34,16 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Per-document surface statistics."""
+    """Per-document surface statistics. Tokens are the NON-EMPTY
+    whitespace splits (a trailing newline must not add a phantom ''
+    token to the counts); a token-free document gets avg_token_len 0.0
+    instead of a 0/0 NaN."""
     df = fan_out_small(df)
-    toks = F.split(F.col(text_col), r"\s+")
+    toks_sql = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    toks = F.expr(toks_sql)
     n_tokens = F.size(toks)
     tok_len_sum = F.expr(
-        f"aggregate(transform(split({text_col}, '\\\\s+'), t -> length(t)), "
+        f"aggregate(transform({toks_sql}, t -> length(t)), "
         "0L, (acc, v) -> acc + v)"
     )
     return df.select(
@@ -47,9 +51,11 @@ def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(text_col).cast("bigint").alias("n_chars_calc"),
         n_tokens.cast("bigint").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
-        trunc6(tok_len_sum.cast("double") / n_tokens.cast("double")).alias(
-            "avg_token_len"
-        ),
+        F.when(n_tokens == 0, F.lit(0.0))
+        .otherwise(
+            trunc6(tok_len_sum.cast("double") / n_tokens.cast("double"))
+        )
+        .alias("avg_token_len"),
     )
 
 
@@ -105,15 +111,15 @@ def quality_score(
     carry sibling scan-side expressions (e.g. a token count) through
     the SAME pass instead of re-scanning and re-joining on doc_id."""
     df = fan_out_small(df)
-    toks = F.split(F.col(text_col), r"\s+")
+    toks_sql = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    toks = F.expr(toks_sql)
     n_tokens = F.size(toks).cast("double")
     stop_list = ", ".join(f"'{t}'" for t in LANG_MARKERS["en"])
     n_stop = F.expr(
-        f"size(filter(split({text_col}, '\\\\s+'), t -> t IN ({stop_list})))"
+        f"size(filter({toks_sql}, t -> t IN ({stop_list})))"
     ).cast("double")
     n_alpha = F.expr(
-        f"size(filter(split({text_col}, '\\\\s+'), "
-        "t -> t RLIKE '^[A-Za-z]+$'))"
+        f"size(filter({toks_sql}, t -> t RLIKE '^[A-Za-z]+$'))"
     ).cast("double")
     diversity = F.size(F.array_distinct(toks)).cast("double") / n_tokens
     len_score = F.least(n_tokens / F.lit(100.0), F.lit(1.0))
@@ -123,13 +129,20 @@ def quality_score(
         + 0.2 * (n_stop / n_tokens)
         + 0.2 * (n_alpha / n_tokens)
     )
+    # token-free doc (empty/whitespace-only text): every ratio is 0/0 —
+    # score 0.0 by definition, not NaN
+    zero = n_tokens == 0
     return df.select(
         "doc_id",
         trunc6(len_score).alias("len_score"),
-        trunc6(diversity).alias("diversity"),
-        trunc6(n_stop / n_tokens).alias("stopword_ratio"),
-        trunc6(n_alpha / n_tokens).alias("alpha_ratio"),
-        trunc6(score).alias("quality_score"),
+        F.when(zero, 0.0).otherwise(trunc6(diversity)).alias("diversity"),
+        F.when(zero, 0.0)
+        .otherwise(trunc6(n_stop / n_tokens))
+        .alias("stopword_ratio"),
+        F.when(zero, 0.0)
+        .otherwise(trunc6(n_alpha / n_tokens))
+        .alias("alpha_ratio"),
+        F.when(zero, 0.0).otherwise(trunc6(score)).alias("quality_score"),
         *extra_cols,
     )
 
@@ -138,7 +151,9 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace and BPE-ish token counts + chars/token — the unit
     economics column set for token-budget planning."""
     df = fan_out_small(df)
-    n_ws = F.size(F.split(F.col(text_col), r"\s+")).cast("bigint")
+    n_ws = F.expr(
+        f"size(filter(split({text_col}, '\\\\s+'), t -> t != ''))"
+    ).cast("bigint")
     n_bpe = F.size(
         F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
     ).cast("bigint")
@@ -146,9 +161,12 @@ def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_ws.alias("n_ws_tokens"),
         n_bpe.alias("n_bpe_tokens"),
-        trunc6(
-            F.length(text_col).cast("double") / n_bpe.cast("double")
-        ).alias("chars_per_token"),
+        # BPE-token-free doc: 0.0, not an ANSI divide-by-zero error
+        F.when(n_bpe == 0, F.lit(0.0))
+        .otherwise(
+            trunc6(F.length(text_col).cast("double") / n_bpe.cast("double"))
+        )
+        .alias("chars_per_token"),
     )
 
 
@@ -315,7 +333,9 @@ def winnow_fingerprints(
     keep the minimum of each sliding window of ``window`` gram hashes —
     the distinct minima are the document's fingerprint set. Guarantees a
     shared fingerprint for any match of length >= k + window - 1, unlike
-    the single-MinHash `doc_fingerprint`.
+    the single-MinHash `doc_fingerprint`. Documents shorter than
+    k + window - 1 (but >= k) emit the min of their single partial
+    window, so short near-identical docs remain detectable.
 
     The gram-hash array goes through `materialize` before the window
     pass: the window transform references the array once per window, so
@@ -329,12 +349,14 @@ def winnow_fingerprints(
     h_expr = f"transform({grams}, g -> {HASH60_TPL.format(x='g')})"
     d = materialize(
         fan_out_small(df)
-        # below this length sequence(1, size - w + 1) would run backwards
-        .filter(F.length(text_col) >= k + window - 1)
+        # any doc with at least ONE k-gram fingerprints: a doc shorter
+        # than k+window-1 chars emits the min of its single partial
+        # window instead of silently vanishing from dup detection
+        .filter(F.length(text_col) >= k)
         .select("doc_id", F.expr(h_expr).alias("gh"))
     )
     mins = (
-        f"transform(sequence(1, size(gh) - {window - 1}), "
+        f"transform(sequence(1, greatest(1, size(gh) - {window - 1})), "
         f"j -> array_min(slice(gh, j, {window})))"
     )
     return d.select(
@@ -366,11 +388,17 @@ def stratified_sample(df: DataFrame, spark: SparkSession) -> DataFrame:
     bucket = F.expr(
         f"pmod({HASH60_TPL.format(x='CAST(doc_id AS STRING)')}, 10000)"
     )
+    # LEFT join + keep-all default: a language with no configured rate
+    # is exactly the unconfigured tail the policy says to keep whole —
+    # an inner join would silently DROP the lowest-resource strata
     return (
         fan_out_small(df)
         .withColumn("sample_bucket", bucket)
-        .join(F.broadcast(rates), "lang")
-        .filter(F.col("sample_bucket") < F.col("rate_bp"))
+        .join(F.broadcast(rates), "lang", "left")
+        .filter(
+            F.col("sample_bucket")
+            < F.coalesce(F.col("rate_bp"), F.lit(10000))
+        )
         .select("doc_id", "lang", "source", "sample_bucket")
     )
 
@@ -451,20 +479,22 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     compliance pass every training corpus runs before release.
 
     Entirely scan-side regexp expressions (codegen, no shuffle at any
-    scale). Redaction order is fixed (email → phone → ipv4) so engines
-    agree when patterns could overlap."""
+    scale). Redaction order is fixed (email → phone → ipv4), and each
+    category is COUNTED on the text as redacted by the previous
+    categories — so n_* always reconciles with the redaction tokens in
+    the output (a phone number inside an email address is redacted as
+    part of the <EMAIL> token, and is not double-counted as a phone)."""
     df = fan_out_small(df)
     out_cols = [F.col("doc_id")]
-    for name, (pat, _) in PII_PATTERNS.items():
+    cur = F.col(text_col)
+    for name, (pat, token) in PII_PATTERNS.items():
         out_cols.append(
-            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+            F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
             .cast("bigint")
             .alias(f"n_{name}")
         )
-    redacted = F.col(text_col)
-    for name, (pat, token) in PII_PATTERNS.items():
-        redacted = F.regexp_replace(redacted, pat, token)
-    out_cols.append(redacted.alias("redacted"))
+        cur = F.regexp_replace(cur, pat, token)
+    out_cols.append(cur.alias("redacted"))
     return df.select(*out_cols)
 
 
@@ -635,6 +665,10 @@ def bm25_search(
     decimals before ranking so ordering replays identically in the DuckDB
     oracle; ties break on doc_id.
     """
+    if not query_terms:  # degenerate query: empty result, not a crash
+        return df.sparkSession.createDataFrame(
+            [], "doc_id long, dl bigint, score double, rank long"
+        )
     toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     safe = [t.replace("'", "''") for t in query_terms]
     base = fan_out_small(df).select(
@@ -1399,8 +1433,12 @@ def source_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
     with_ct = cst.repartition("term").withColumn(
         "ct", F.sum("cst").over(wt)
     )
-    ns = toks.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
-    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    # ns and the grand total derive from the already-aggregated cst
+    # table (vocabulary-scale input) — the token stream is scanned and
+    # exploded exactly ONCE; re-aggregating toks here would pay two more
+    # full corpus tokenization passes for identical numbers
+    ns = cst.groupBy("source").agg(F.sum("cst").alias("ns"))
+    n_total = cst.agg(F.sum("cst").alias("n_total"))
     units = F.floor(
         (F.col("cst").cast("double") / F.col("ns").cast("double"))
         * F.log(

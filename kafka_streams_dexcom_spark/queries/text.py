@@ -514,31 +514,40 @@ _STOPS = ", ".join(f"'{t}'" for t in tx.LANG_MARKERS["en"])
 
 def quality_score_sql() -> str:
     """(doc_id, quality_score) oracle fragment mirroring
-    operators/text.py:quality_score — shared by the quality_deciles
-    oracle here and the dedup best-survivor oracle in queries/dedup.py
-    so both engines replay the identical composite-score arithmetic."""
+    operators/text.py:quality_score — shared by the quality_deciles,
+    training_mix, and token_budget_pack oracles here and the dedup
+    best-survivor oracle in queries/dedup.py, so every consumer replays
+    the identical composite-score arithmetic. Tokens are the non-empty
+    whitespace splits (matching the operator); a token-free document
+    scores 0.0 instead of dividing by zero."""
     return f"""
         SELECT doc_id,
-               floor((0.3 * least(CAST(len(string_split_regex(text,
-                         '\\s+')) AS DOUBLE) / 100.0, 1.0)
-                     + 0.3 * (CAST(len(list_distinct(
-                           string_split_regex(text, '\\s+'))) AS DOUBLE)
-                         / CAST(len(string_split_regex(text, '\\s+'))
-                         AS DOUBLE))
-                     + 0.2 * (CAST(len(list_filter(
-                           string_split_regex(text, '\\s+'),
-                           x -> x IN ({_STOPS}))) AS DOUBLE)
-                         / CAST(len(string_split_regex(text, '\\s+'))
-                         AS DOUBLE))
-                     + 0.2 * (CAST(len(list_filter(
-                           string_split_regex(text, '\\s+'),
-                           x -> regexp_full_match(x, '[A-Za-z]+')))
-                         AS DOUBLE)
-                         / CAST(len(string_split_regex(text, '\\s+'))
-                         AS DOUBLE))) * 1000000) / 1000000.0
-                   AS quality_score
-        FROM documents
+               CASE WHEN n = 0 THEN 0.0 ELSE
+                   floor((0.3 * least(n / 100.0, 1.0)
+                         + 0.3 * (nd / n)
+                         + 0.2 * (ns / n)
+                         + 0.2 * (na / n)) * 1000000) / 1000000.0
+               END AS quality_score
+        FROM (
+            SELECT doc_id,
+                   CAST(len(tk) AS DOUBLE) AS n,
+                   CAST(len(list_distinct(tk)) AS DOUBLE) AS nd,
+                   CAST(len(list_filter(tk, x -> x IN ({_STOPS})))
+                       AS DOUBLE) AS ns,
+                   CAST(len(list_filter(tk,
+                       x -> regexp_full_match(x, '[A-Za-z]+')))
+                       AS DOUBLE) AS na
+            FROM (
+                SELECT doc_id,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   t -> t != '') AS tk
+                FROM documents
+            )
+        )
     """
+
+# evaluated once for the f-string oracles below
+qsql = quality_score_sql()
 
 DUP_SPAN_K = 8
 
@@ -869,8 +878,10 @@ ORACLES = {
     # DECIMAL (exact), one double division at the end.
     "zipf_slope": """
         WITH toks AS (
-            SELECT unnest(string_split_regex(text, '\\s+')) AS term
-            FROM documents
+            SELECT term FROM (
+                SELECT unnest(string_split_regex(text, '\\s+')) AS term
+                FROM documents
+            ) WHERE term != ''
         ),
         counts AS (
             SELECT term, count(*) AS cnt
@@ -1016,8 +1027,11 @@ ORACLES = {
     """,
     "tfidf_top_terms": """
         WITH toks AS (
-            SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
-            FROM documents
+            SELECT doc_id, term FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS term
+                FROM documents
+            ) WHERE term != ''
         ),
         tf AS (
             SELECT doc_id, term, count(*) AS tf
@@ -1074,10 +1088,11 @@ ORACLES = {
                    list_transform(range(1, length(text) - 6),
                        i -> {DUCK_HASH60.format(x='substring(text, i, 8)')})
                        AS gh
-            FROM documents WHERE length(text) >= 23
+            FROM documents WHERE length(text) >= 8
         )
         SELECT doc_id,
-               unnest(list_distinct(list_transform(range(1, len(gh) - 14),
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(1, len(gh) - 15) + 1),
                    j -> list_min(gh[j:j+15])))) AS fingerprint
         FROM h
     """,
@@ -1089,9 +1104,9 @@ ORACLES = {
         SELECT d.doc_id, d.lang, d.source,
                {DUCK_HASH60.format(x='CAST(doc_id AS VARCHAR)')} % 10000
                    AS sample_bucket
-        FROM documents d JOIN rates r ON d.lang = r.lang
+        FROM documents d LEFT JOIN rates r ON d.lang = r.lang
         WHERE {DUCK_HASH60.format(x='CAST(doc_id AS VARCHAR)')} % 10000
-              < r.rate_bp
+              < coalesce(r.rate_bp, 10000)
     """,
     "pmi_pairs": """
         WITH t AS (
@@ -1131,28 +1146,7 @@ ORACLES = {
         LIMIT 30
     """,
     "quality_deciles": f"""
-        WITH q AS (
-            SELECT doc_id,
-                   floor((0.3 * least(CAST(len(string_split_regex(text,
-                             '\\s+')) AS DOUBLE) / 100.0, 1.0)
-                         + 0.3 * (CAST(len(list_distinct(
-                               string_split_regex(text, '\\s+'))) AS DOUBLE)
-                             / CAST(len(string_split_regex(text, '\\s+'))
-                             AS DOUBLE))
-                         + 0.2 * (CAST(len(list_filter(
-                               string_split_regex(text, '\\s+'),
-                               x -> x IN ({_STOPS}))) AS DOUBLE)
-                             / CAST(len(string_split_regex(text, '\\s+'))
-                             AS DOUBLE))
-                         + 0.2 * (CAST(len(list_filter(
-                               string_split_regex(text, '\\s+'),
-                               x -> regexp_full_match(x, '[A-Za-z]+')))
-                             AS DOUBLE)
-                             / CAST(len(string_split_regex(text, '\\s+'))
-                             AS DOUBLE))) * 1000000) / 1000000.0
-                       AS quality_score
-            FROM documents
-        ),
+        WITH q AS ({qsql}),
         s AS (
             SELECT d.lang, q.doc_id, q.quality_score,
                    ntile(10) OVER (
@@ -1210,18 +1204,29 @@ ORACLES = {
         FROM s GROUP BY doc_id
     """,
     "pii_scan": f"""
+        WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),
+        s1 AS (
+            SELECT doc_id, t0,
+                   regexp_replace(t0, '{tx.PII_PATTERNS["email"][0]}',
+                       '<EMAIL>', 'g') AS t1
+            FROM s0
+        ),
+        s2 AS (
+            SELECT doc_id, t0, t1,
+                   regexp_replace(t1, '{tx.PII_PATTERNS["phone"][0]}',
+                       '<PHONE>', 'g') AS t2
+            FROM s1
+        )
         SELECT doc_id,
-               CAST(len(regexp_extract_all(text,
+               CAST(len(regexp_extract_all(t0,
                    '{tx.PII_PATTERNS["email"][0]}')) AS BIGINT) AS n_email,
-               CAST(len(regexp_extract_all(text,
+               CAST(len(regexp_extract_all(t1,
                    '{tx.PII_PATTERNS["phone"][0]}')) AS BIGINT) AS n_phone,
-               CAST(len(regexp_extract_all(text,
+               CAST(len(regexp_extract_all(t2,
                    '{tx.PII_PATTERNS["ipv4"][0]}')) AS BIGINT) AS n_ipv4,
-               regexp_replace(regexp_replace(regexp_replace(text,
-                   '{tx.PII_PATTERNS["email"][0]}', '<EMAIL>', 'g'),
-                   '{tx.PII_PATTERNS["phone"][0]}', '<PHONE>', 'g'),
-                   '{tx.PII_PATTERNS["ipv4"][0]}', '<IP>', 'g') AS redacted
-        FROM documents
+               regexp_replace(t2, '{tx.PII_PATTERNS["ipv4"][0]}',
+                   '<IP>', 'g') AS redacted
+        FROM s2
     """,
     "doc_chunks": """
         WITH t AS (
@@ -1245,19 +1250,24 @@ ORACLES = {
         FROM ch
     """,
     "text_stats": """
-        SELECT doc_id,
-               length(text) AS n_chars_calc,
-               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
-                   AS n_tokens,
-               CAST(len(list_distinct(string_split_regex(text, '\\s+')))
-                   AS BIGINT) AS n_distinct_tokens,
-               floor(CAST(list_reduce(list_transform(
-                         string_split_regex(text, '\\s+'),
-                         t -> CAST(length(t) AS BIGINT)), (a, b) -> a + b)
-                     AS DOUBLE)
-                     / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE)
-                     * 1000000) / 1000000.0 AS avg_token_len
-        FROM documents
+        WITH t AS (
+            SELECT doc_id, length(text) AS n_chars_calc,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS tk
+            FROM documents
+        )
+        SELECT doc_id, n_chars_calc,
+               CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(tk)) AS BIGINT)
+                   AS n_distinct_tokens,
+               CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+                   floor(CAST(list_reduce(list_transform(tk,
+                             t -> CAST(length(t) AS BIGINT)),
+                             (a, b) -> a + b) AS DOUBLE)
+                         / CAST(len(tk) AS DOUBLE)
+                         * 1000000) / 1000000.0
+               END AS avg_token_len
+        FROM t
     """,
     "lang_confusion": f"""
         WITH {_markers_values()},
@@ -1306,7 +1316,8 @@ ORACLES = {
     "quality_score": f"""
         WITH t AS (
             SELECT doc_id,
-                   string_split_regex(text, '\\s+') AS toks
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS toks
             FROM documents
         ),
         c AS (
@@ -1323,30 +1334,35 @@ ORACLES = {
         SELECT doc_id,
                floor(least(n_tokens / 100.0, 1.0) * 1000000) / 1000000.0
                    AS len_score,
-               floor(n_distinct / n_tokens * 1000000) / 1000000.0
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE floor(n_distinct / n_tokens * 1000000) / 1000000.0 END
                    AS diversity,
-               floor(n_stop / n_tokens * 1000000) / 1000000.0
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE floor(n_stop / n_tokens * 1000000) / 1000000.0 END
                    AS stopword_ratio,
-               floor(n_alpha / n_tokens * 1000000) / 1000000.0
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE floor(n_alpha / n_tokens * 1000000) / 1000000.0 END
                    AS alpha_ratio,
-               floor((0.3 * least(n_tokens / 100.0, 1.0)
-                     + 0.3 * (n_distinct / n_tokens)
-                     + 0.2 * (n_stop / n_tokens)
-                     + 0.2 * (n_alpha / n_tokens)) * 1000000) / 1000000.0
-                   AS quality_score
+               CASE WHEN n_tokens = 0 THEN 0.0 ELSE
+                   floor((0.3 * least(n_tokens / 100.0, 1.0)
+                         + 0.3 * (n_distinct / n_tokens)
+                         + 0.2 * (n_stop / n_tokens)
+                         + 0.2 * (n_alpha / n_tokens)) * 1000000)
+                   / 1000000.0
+               END AS quality_score
         FROM c
     """,
     "token_count": f"""
         SELECT doc_id,
-               CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                   t -> t != '')) AS BIGINT)
                    AS n_ws_tokens,
                CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))
                    AS BIGINT) AS n_bpe_tokens,
-               floor(CAST(length(text) AS DOUBLE)
-                     / CAST(len(regexp_extract_all(text,
-                           '{tx.BPE_ISH_PATTERN}')) AS DOUBLE)
-                     * 1000000) / 1000000.0
-                   AS chars_per_token
+               CASE WHEN len(regexp_extract_all(text,
+                         '{tx.BPE_ISH_PATTERN}')) = 0 THEN 0.0 ELSE
+                   floor(CAST(length(text) AS DOUBLE)
+                         / CAST(len(regexp_extract_all(text,
+                               '{tx.BPE_ISH_PATTERN}')) AS DOUBLE)
+                         * 1000000) / 1000000.0
+               END AS chars_per_token
         FROM documents
     """,
     "doc_fingerprint": f"""
@@ -1374,28 +1390,7 @@ ORACLES = {
             FROM documents
             GROUP BY {DUCK_HASH60.format(x='text')}
         ),
-        q AS (
-            SELECT doc_id,
-                   floor((0.3 * least(CAST(len(string_split_regex(text, '\\s+'))
-                             AS DOUBLE) / 100.0, 1.0)
-                         + 0.3 * (CAST(len(list_distinct(
-                               string_split_regex(text, '\\s+'))) AS DOUBLE)
-                             / CAST(len(string_split_regex(text, '\\s+'))
-                             AS DOUBLE))
-                         + 0.2 * (CAST(len(list_filter(
-                               string_split_regex(text, '\\s+'),
-                               x -> x IN ({_STOPS}))) AS DOUBLE)
-                             / CAST(len(string_split_regex(text, '\\s+'))
-                             AS DOUBLE))
-                         + 0.2 * (CAST(len(list_filter(
-                               string_split_regex(text, '\\s+'),
-                               x -> regexp_full_match(x, '[A-Za-z]+')))
-                             AS DOUBLE)
-                             / CAST(len(string_split_regex(text, '\\s+'))
-                             AS DOUBLE))) * 1000000) / 1000000.0
-                       AS quality_score
-            FROM documents
-        ),
+        q AS ({qsql}),
         t AS (
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text, '{tx.BPE_ISH_PATTERN}'))

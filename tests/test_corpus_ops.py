@@ -400,3 +400,96 @@ def test_kmeans_init_handles_offset_ids(spark):
     out = kmeans_assign(df, k=4, iterations=2)
     assert out.count() == 40
     assert out.select("cell").distinct().count() >= 2
+
+
+def test_text_metrics_ignore_phantom_empty_tokens(spark):
+    """Whitespace padding must not add a '' token to any count, and a
+    token-free document scores 0.0 instead of NaN."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        quality_score,
+        text_stats,
+        token_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat "), (2, "the cat sat"), (3, "   "), (4, "")],
+        "doc_id long, text string",
+    )
+    ts = _rows(text_stats(df))
+    assert ts[1]["n_tokens"] == ts[2]["n_tokens"] == 3
+    assert ts[1]["avg_token_len"] == ts[2]["avg_token_len"]
+    assert ts[3]["n_tokens"] == 0 and ts[3]["avg_token_len"] == 0.0
+    qs = _rows(quality_score(df))
+    assert qs[1]["alpha_ratio"] == 1.0
+    assert qs[1]["quality_score"] == qs[2]["quality_score"]
+    assert qs[3]["quality_score"] == 0.0 and qs[4]["quality_score"] == 0.0
+    tc = _rows(token_counts(df))
+    assert tc[1]["n_ws_tokens"] == 3 and tc[3]["n_ws_tokens"] == 0
+
+
+def test_pii_counts_reconcile_with_redaction(spark):
+    """A phone number embedded in an email local part is redacted as
+    part of <EMAIL> — it must not also be counted as a phone."""
+    from kafka_streams_dexcom_spark.operators.text import pii_scan
+
+    df = spark.createDataFrame(
+        [(1, "contact 555-123-4567@corp.com now"),
+         (2, "call 555-123-4567 or 10.0.0.1")],
+        "doc_id long, text string",
+    )
+    out = _rows(pii_scan(df))
+    assert out[1]["n_email"] == 1 and out[1]["n_phone"] == 0
+    assert "<EMAIL>" in out[1]["redacted"]
+    assert "<PHONE>" not in out[1]["redacted"]
+    assert out[2]["n_phone"] == 1 and out[2]["n_ipv4"] == 1
+    assert "<PHONE>" in out[2]["redacted"] and "<IP>" in out[2]["redacted"]
+
+
+def test_winnow_fingerprints_short_docs_not_invisible(spark):
+    from kafka_streams_dexcom_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    # 20 chars < k+window-1 = 23: one partial window, identical docs
+    # share the fingerprint
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnopqrst"), (2, "abcdefghijklmnopqrst")],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: r["fingerprint"]
+        for r in winnow_fingerprints(df).collect()
+    }
+    assert set(fps) == {1, 2} and fps[1] == fps[2]
+
+
+def test_stratified_sample_keeps_unconfigured_language(spark):
+    from kafka_streams_dexcom_spark.operators.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "t", "ja", "s") for i in range(50)],
+        "doc_id long, text string, lang string, source string",
+    )
+    # 'ja' has no configured rate: keep-all, not silently dropped
+    assert stratified_sample(df, spark).count() == 50
+
+
+def test_cdc_null_op_is_not_a_tombstone(spark):
+    from kafka_streams_dexcom_spark.operators.temporal import cdc_apply
+
+    log = spark.createDataFrame(
+        [(1, 1, "upsert"), (1, 2, None), (2, 1, "delete")],
+        "k long, seq long, op string",
+    )
+    out = cdc_apply(
+        log, ["k"], F.col("seq"), F.col("op") == "delete"
+    )
+    keys = {r["k"] for r in out.collect()}
+    assert keys == {1}  # null-op key survives; deleted key gone
+
+
+def test_bm25_empty_query_terms(spark):
+    from kafka_streams_dexcom_spark.operators.text import bm25_search
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    assert bm25_search(df, ()).count() == 0
