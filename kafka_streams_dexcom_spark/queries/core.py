@@ -11,10 +11,10 @@ cast to BIGINT on both sides so schema comparison is stable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_streams_dexcom_spark.functions.json import json_int, json_int_or_zero
+from kafka_streams_dexcom_spark.functions.json import json_int
 from kafka_streams_dexcom_spark.functions.timeofday import time_of_day
 from kafka_streams_dexcom_spark.operators import core as ops
 from kafka_streams_dexcom_spark.schemas import GOLDEN_RANGES, RANGE_SCHEMA

@@ -370,7 +370,9 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "supp_qty"
             )
         )
-        .localCheckpoint()
+        # eager=False: the cut materializes on first ACTION, so plan
+        # construction (dump_plans, lint, bench build) stays free
+        .localCheckpoint(eager=False)
     )
     totals = ps.groupBy("l_partkey").agg(
         F.sum("supp_qty").cast("decimal(38,4)").alias("part_qty")

@@ -2,7 +2,10 @@
 the payload bytes unread) and the Arrow-batched decode stub. The decode
 features are deterministic functions of the payload bytes, so the oracle
 can replay them in SQL even though Spark runs them through mapInPandas —
-this checks the full binary-column plumbing end-to-end."""
+this checks the full binary-column plumbing end-to-end. Oracle string
+ops are BYTE-exact (encode(text) + hex slicing), matching Spark's
+byte-based payload arithmetic even on multi-byte/non-ASCII text —
+char-based ascii()/substring() would diverge on e.g. 'Ärzte…'."""
 
 from __future__ import annotations
 
@@ -70,28 +73,28 @@ ORACLES = {
     "multimodal_meta": f"""
         SELECT doc_id,
                {_MEDIA_TYPE} AS media_type,
-               CAST(octet_length(text::BLOB) AS BIGINT) AS byte_len,
+               CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
                source,
-               upper(hex(substring(text, 1, 4)::BLOB)) AS header_hex
+               upper(substr(hex(encode(text)), 1, 8)) AS header_hex
         FROM documents
     """,
     "multimodal_decode": f"""
         SELECT doc_id,
                {_MEDIA_TYPE} AS media_type,
-               CAST(64 + octet_length(text::BLOB) % 256 AS BIGINT) AS width,
-               CAST(64 + (octet_length(text::BLOB) * 7) % 256 AS BIGINT)
+               CAST(64 + octet_length(encode(text)) % 256 AS BIGINT) AS width,
+               CAST(64 + (octet_length(encode(text)) * 7) % 256 AS BIGINT)
                    AS height,
-               CAST(1 + octet_length(text::BLOB) % 7 AS BIGINT) AS n_frames,
-               round(((ascii(text) + octet_length(text::BLOB)) % 1000)
+               CAST(1 + octet_length(encode(text)) % 7 AS BIGINT) AS n_frames,
+               round(((CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) END + octet_length(encode(text))) % 1000)
                      / 1000.0, 6) AS feature_mean
         FROM documents
     """,
     "multimodal_frame_sample": f"""
         WITH frames AS (
             SELECT doc_id,
-                   CAST(1 + octet_length(text::BLOB) % 7 AS BIGINT)
+                   CAST(1 + octet_length(encode(text)) % 7 AS BIGINT)
                        AS n_frames,
-                   round(((ascii(text) + octet_length(text::BLOB)) % 1000)
+                   round(((CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) END + octet_length(encode(text))) % 1000)
                          / 1000.0, 6) AS feature_mean
             FROM documents
             WHERE {_MEDIA_TYPE} = 'video'
@@ -109,7 +112,7 @@ ORACLES = {
                {_MEDIA_TYPE} AS media_type,
                min(doc_id) AS keeper,
                count(*) AS n_copies,
-               CAST(sum(octet_length(text::BLOB)) AS BIGINT)
+               CAST(sum(octet_length(encode(text))) AS BIGINT)
                    AS total_bytes
         FROM documents
         GROUP BY content_hash, media_type

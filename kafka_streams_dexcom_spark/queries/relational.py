@@ -13,7 +13,7 @@ partitions run-to-run).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.functions.rounding import trunc6
@@ -33,6 +33,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal-first arithmetic: inputs have ≤2 decimal digits, so casting
     # them (not the computed doubles) to DECIMAL is exact, and the products/
     # sums are then exact in both engines — no rounding-mode divergence.
+    # NOTE: joinshapes._rev_dec / REV_DEC_SQL is the canonical shared
+    # form of this expression — use it for NEW queries; the inline
+    # copies below predate it and are frozen with their oracles (their
+    # intermediate decimal precisions differ slightly, all value-exact).
     ep = F.col("l_extendedprice").cast("decimal(12,2)")
     disc_price = ep * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
     charge = disc_price * (F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast("decimal(3,2)"))
@@ -158,8 +162,6 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline: the frame sum runs on DECIMAL (exact regardless of
     the engine's frame-evaluation strategy — DuckDB uses segment trees,
     Spark a running frame), divided as double and truncated."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -693,7 +695,9 @@ def q_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
             ).alias("late"),
         )
-        .localCheckpoint()
+        # eager=False: the cut materializes on first ACTION, so plan
+        # construction (dump_plans, lint, bench build) stays free
+        .localCheckpoint(eager=False)
     )
     base = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey")
     others = lo.select(

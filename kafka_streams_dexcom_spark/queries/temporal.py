@@ -3,7 +3,7 @@ as-of join, sessionization, top-k per group, quantiles, pivot."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.functions.rounding import trunc6
@@ -93,8 +93,6 @@ def q_sensor_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (missed Dexcom readings). lag over (user, ts) is a single shuffle on
     user_id; ties at equal ts order by event_id so the gap chain is
     deterministic cross-engine."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
     )
@@ -124,8 +122,6 @@ def q_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     order key); ties at equal ts are frame *peers* in both engines, so
     no tiebreak column is needed. Float discipline: frame sum on
     DECIMAL, divide as double, truncate (see moving_avg)."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
@@ -176,8 +172,6 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     and re-shuffles each slice, which is exactly what cannot happen when
     the log is the 100 TB side. The per-user rollup after the windows
     reuses the same partitioning (no further exchange)."""
-    from pyspark.sql import Window
-
     types = ("view", "click", "purchase")
     e = (
         load_table(spark, sf_dir, "events")
@@ -276,8 +270,6 @@ def q_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick as funnel_steps). Sums are decimal-exact (order-independent);
     variance = (Σx² − (Σx)²/n)/n in fixed-order double math, so the σ
     cut is bit-identical cross-engine; users with σ = 0 never flag."""
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.unix_micros("ts").alias("ts_us"), "value"
     )
@@ -736,15 +728,10 @@ GAPFILL_END = "2024-01-15 23:00:00"
 GAPFILL_LOOKBACK = "2024-01-14 00:00:00"
 
 
-def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regular-grid resample + forward fill: one analysis day on an
-    hourly grid, every user × slot row carrying the last observed
-    sensor value at or before the slot (24 h lookback) plus integer
-    staleness minutes — the gap-filling step that feeds downstream
-    models a dense series from the irregular EGV-style stream. The
-    lookback filter lands on the parquet scan; the 24-row hour grid is
-    broadcast against the user dimension; the fill itself is ONE
-    union+window pass per user (operators/temporal.py:gap_fill)."""
+def _gapfill_inputs(spark: SparkSession, sf_dir: str):
+    """Shared input construction for both gap-fill flavors: lookback-
+    filtered events (the predicate reaches the parquet scan), the full
+    user dimension, and the broadcast hourly grid."""
     e = load_table(spark, sf_dir, "events")
     ev = e.filter(
         (F.col("ts") >= F.lit(GAPFILL_LOOKBACK).cast("timestamp"))
@@ -755,7 +742,19 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"SELECT explode(sequence(timestamp'{GAPFILL_START}', "
         f"timestamp'{GAPFILL_END}', interval 1 hour)) AS slot_ts"
     )
-    slots = users.crossJoin(F.broadcast(hours))
+    return ev, users.crossJoin(F.broadcast(hours))
+
+
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid resample + forward fill: one analysis day on an
+    hourly grid, every user × slot row carrying the last observed
+    sensor value at or before the slot (24 h lookback) plus integer
+    staleness minutes — the gap-filling step that feeds downstream
+    models a dense series from the irregular EGV-style stream. The
+    lookback filter lands on the parquet scan; the 24-row hour grid is
+    broadcast against the user dimension; the fill itself is ONE
+    union+window pass per user (operators/temporal.py:gap_fill)."""
+    ev, slots = _gapfill_inputs(spark, sf_dir)
     return tp.gap_fill(ev, slots)
 
 
@@ -804,17 +803,7 @@ def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     (forward/backward fill at the edges) — the dense-feature resampling
     mode. Same single union+window-pass-per-user plan; see
     operators/temporal.py:gap_fill_linear."""
-    e = load_table(spark, sf_dir, "events")
-    ev = e.filter(
-        (F.col("ts") >= F.lit(GAPFILL_LOOKBACK).cast("timestamp"))
-        & (F.col("ts") <= F.lit(GAPFILL_END).cast("timestamp"))
-    ).select("user_id", "ts", "value")
-    users = e.select("user_id").distinct()
-    hours = spark.sql(
-        f"SELECT explode(sequence(timestamp'{GAPFILL_START}', "
-        f"timestamp'{GAPFILL_END}', interval 1 hour)) AS slot_ts"
-    )
-    slots = users.crossJoin(F.broadcast(hours))
+    ev, slots = _gapfill_inputs(spark, sf_dir)
     return tp.gap_fill_linear(ev, slots)
 
 

@@ -61,6 +61,14 @@ def fan_out(
     micro-batch is persisted once, every branch transform+writer runs
     against it, so the source is scanned once per batch regardless of
     branch count."""
+    if set(branches) != set(writers):
+        raise ValueError(
+            "fan_out branches/writers key mismatch: "
+            f"branches={sorted(branches)} writers={sorted(writers)} — "
+            "a missing writer would otherwise KeyError mid-batch AFTER "
+            "earlier branches' side effects ran (and the replayed batch "
+            "would duplicate them)"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.persist()
@@ -133,8 +141,12 @@ def es_bulk_lines(
             ).alias("index")
         )
     )
+    # the reference indexes only the record VALUE (ElasticSearchConsumer
+    # .java:42-53); Kafka transport columns exist solely to derive the
+    # doc id and must not leak into the indexed document
+    transport = {"doc_id", "topic", "partition", "offset", "kafka_ts"}
     doc = F.to_json(
-        F.struct(*[c for c in df.columns if c != "doc_id"])
+        F.struct(*[c for c in df.columns if c not in transport])
     )
     return df.select(
         F.concat_ws("\n", action, doc).alias("bulk_lines")
@@ -159,5 +171,9 @@ class EsBulkFileSink:
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch_id")
+            # one bulk request per output file: cap records per file at
+            # batch_size so each file is a valid <=batch_size-record
+            # bulk POST (the reference's max.poll.records pacing)
+            .option("maxRecordsPerFile", self.batch_size)
             .text(self.path)
         )

@@ -493,3 +493,32 @@ def test_bm25_empty_query_terms(spark):
 
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     assert bm25_search(df, ()).count() == 0
+
+
+def test_multimodal_oracle_byte_exact_on_non_ascii(spark, tmp_path):
+    """The decode/meta oracles must operate on BYTES, not characters:
+    a multi-byte first char ('Ä' = 0xC3 0x84) gives first byte 195 and
+    a header covering 4 bytes, where char-based ascii()/substring()
+    would yield 196 and >4 bytes."""
+    import duckdb
+
+    from kafka_streams_dexcom_spark.queries.multimodal import (
+        ORACLES,
+        q_multimodal_decode,
+        q_multimodal_meta,
+    )
+    from tests.compare import compare
+
+    p = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(
+        [(1, "Ärzte über alles", "de", "src0", 16),
+         (2, "plain ascii text", "en", "src1", 16)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(p)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    sf_dir = str(tmp_path)  # queries load {sf_dir}/documents.parquet
+    r1 = compare(q_multimodal_meta(spark, sf_dir), con, ORACLES["multimodal_meta"])
+    assert r1["values_match"], r1
+    r2 = compare(q_multimodal_decode(spark, sf_dir), con, ORACLES["multimodal_decode"])
+    assert r2["values_match"], r2

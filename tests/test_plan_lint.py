@@ -37,8 +37,6 @@ EAGER = {
     "ann_recall_matrix",
     "matryoshka_recall",
     "source_minhash_jaccard",
-    "sole_late_suppliers",
-    "dominant_suppliers",
     "source_overlap",
     "embedding_quantize",
     "contamination_check",

@@ -173,3 +173,42 @@ def test_observe_metrics_per_batch(spark):
         ]
     assert sum(m["n_rows"] for m in metrics) == 20
     assert sum(m["n_high"] for m in metrics) == 10
+
+
+def test_fan_out_rejects_mismatched_writer_keys(spark):
+    import pytest
+
+    from kafka_streams_dexcom_spark.streaming.sinks import fan_out
+
+    with pytest.raises(ValueError, match="key mismatch"):
+        fan_out(
+            None,
+            {"hot": lambda d: d, "cold": lambda d: d},
+            {"hot": lambda d, b: None},
+            "/tmp/unused_ckpt",
+        )
+
+
+def test_es_bulk_document_excludes_kafka_transport_columns(spark):
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.streaming.sinks import (
+        es_bulk_lines,
+        with_stable_id,
+    )
+
+    df = spark.createDataFrame(
+        [("k1", '{"value": 212}', "egvs", 0, 42, "2024-01-01 00:00:00")],
+        "key string, value string, topic string, partition int, "
+        "offset long, kafka_ts string",
+    ).withColumn("kafka_ts", F.col("kafka_ts").cast("timestamp"))
+    lines = es_bulk_lines(with_stable_id(df)).collect()[0]["bulk_lines"]
+    action, doc = lines.split("\n")
+    assert json.loads(action)["index"]["_id"] == "egvs_0_42"
+    body = json.loads(doc)
+    # the reference indexes only the record value (+ key); transport
+    # coordinates must not leak into the document
+    assert set(body) <= {"key", "value"}
+    assert body["value"] == '{"value": 212}'
