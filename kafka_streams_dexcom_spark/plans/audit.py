@@ -30,12 +30,36 @@ def plan_has(df: DataFrame, *needles: str, mode: str = "formatted") -> bool:
 
 def scan_read_schema(df: DataFrame) -> list[str]:
     """Column names read by parquet scans (ReadSchema entries) — the
-    column-pruning audit: a 2-column projection must not read 6 columns."""
+    column-pruning audit: a 2-column projection must not read 6 columns.
+
+    Parses the struct body with bracket counting, NOT a [^>]* regex: a
+    nested type like array<float> contains both '>' and ','; the naive
+    regex stops at the inner '>' and silently drops every column after
+    the nested one, letting pruning regressions pass the audit."""
     plan = explain_str(df, "formatted")
     cols: list[str] = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        for field in m.group(1).split(","):
-            name = field.split(":")[0].strip()
-            if name:
-                cols.append(name)
+    for m in re.finditer(r"ReadSchema: struct<(.*)", plan):
+        body, depth = "", 1
+        for ch in m.group(1):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+                if depth == 0:
+                    break
+            body += ch
+        depth = 0
+        field = ""
+        for ch in body + ",":
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                name = field.split(":")[0].strip()
+                if name:
+                    cols.append(name)
+                field = ""
+            else:
+                field += ch
     return cols

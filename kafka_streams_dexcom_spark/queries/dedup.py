@@ -18,7 +18,11 @@ NGRAM_THRESHOLD = 0.3
 COSINE_THRESHOLD = 0.3
 MAX_HAMMING = 8
 
-DUCK_HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+from kafka_streams_dexcom_spark.functions.hashing import hash60_sql
+
+# the canonical portable-hash template (single definition in
+# functions/hashing.py, Spark twin HASH60_TPL in operators/dedup.py)
+DUCK_HASH60 = hash60_sql("{x}")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,7 +433,11 @@ def _duck_shingles_cte() -> str:
     h = DUCK_HASH60.format(x="x")
     return f"""
         toks AS (
-            SELECT doc_id, string_split_regex(text, '\\s+') AS t
+            -- non-empty tokens, matching operators/dedup.py:tokenize
+            -- (leading whitespace must not shift shingles/votes)
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS t
             FROM documents
         ),
         sh AS (
@@ -446,7 +454,10 @@ def _duck_shingles_cte() -> str:
     """
 
 
-def _minhash_oracle() -> str:
+def _sig_band_elems() -> tuple[str, str]:
+    """Shared minhash signature + band-hash SQL fragments (one copy for
+    both the symmetric and the incremental oracle — a banding change
+    must reach both or the two silently diverge)."""
     sig_elems = ", ".join(
         f"list_min(list_transform(h, v -> (v * {a} + {b}) % {MERSENNE_P}))"
         for a, b in PERM_COEFFS[: dd.NUM_PERM]
@@ -458,7 +469,11 @@ def _minhash_oracle() -> str:
             for r in range(dd.ROWS_PER_BAND)
         )
         band_elems.append(DUCK_HASH60.format(x=f"({parts})"))
-    bands_list = ", ".join(band_elems)
+    return sig_elems, ", ".join(band_elems)
+
+
+def _minhash_oracle() -> str:
+    sig_elems, bands_list = _sig_band_elems()
     return f"""
         WITH {_duck_shingles_cte()},
         sig AS (
@@ -501,18 +516,7 @@ def _incremental_oracle() -> str:
     """Two-sided replay of _minhash_oracle: new batch (doc_id % 10 = 0)
     banded against the corpus, corpus-side bucket cap, exact-Jaccard
     verify."""
-    sig_elems = ", ".join(
-        f"list_min(list_transform(h, v -> (v * {a} + {b}) % {MERSENNE_P}))"
-        for a, b in PERM_COEFFS[: dd.NUM_PERM]
-    )
-    band_elems = []
-    for bidx in range(dd.NUM_BANDS):
-        parts = " || ',' || ".join(
-            f"CAST(sig[{bidx * dd.ROWS_PER_BAND + r + 1}] AS VARCHAR)"
-            for r in range(dd.ROWS_PER_BAND)
-        )
-        band_elems.append(DUCK_HASH60.format(x=f"({parts})"))
-    bands_list = ", ".join(band_elems)
+    sig_elems, bands_list = _sig_band_elems()
     jac = (
         "floor(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)"
         " / CAST(len(x.s) + len(y.s)"
@@ -560,7 +564,11 @@ def _simhash_expr_duck() -> str:
     )
     return f"""
         toks AS (
-            SELECT doc_id, string_split_regex(text, '\\s+') AS t
+            -- non-empty tokens, matching operators/dedup.py:tokenize
+            -- (leading whitespace must not shift shingles/votes)
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x != '') AS t
             FROM documents
         ),
         th_cte AS (
@@ -728,7 +736,7 @@ def _pagerank_oracle() -> str:
     unit, dn, dd_ = 1_000_000_000_000, 85, 100
     base = f"(({unit} * {dd_ - dn}) // {dd_}) // n_nodes"
     rounds_sql = []
-    for k in range(1, 4):
+    for k in range(1, PR_ROUNDS + 1):
         rounds_sql.append(f"""
         s{k} AS (
             SELECT e.v AS node, sum(p.pr // p.deg) AS s
@@ -773,7 +781,7 @@ def _pagerank_oracle() -> str:
         ),{",".join(rounds_sql)}
         SELECT node, CAST(pr AS BIGINT) AS pr_units,
                (pr // 1000) / 1000000000.0 AS pagerank
-        FROM p3
+        FROM p{PR_ROUNDS}
     """
 
 

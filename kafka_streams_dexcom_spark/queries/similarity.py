@@ -400,8 +400,11 @@ def kmeans_oracle_ctes(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> lis
         f"""n AS (
             SELECT vid, vec FROM v WHERE sqrt({norm2}) > 0
         )""",
+        # init = the k LOWEST surviving ids, mirroring the operator's
+        # orderBy+limit (filter vid<k breaks on non-dense id spaces)
         f"""c0 AS (
-            SELECT vid AS cid, vec AS cvec FROM n WHERE vid < {k}
+            SELECT vid AS cid, vec AS cvec FROM n
+            ORDER BY vid LIMIT {k}
         )""",
         assign_cte("a1", "c0"),
     ]
@@ -557,8 +560,16 @@ def _pq_ctes(
                 SELECT unnest(range(0, {m})) AS s
             ) subs
         )""",
+        # init = the ksub LOWEST ids per subspace, mirroring the
+        # operator's per-subspace window top-ksub
         f"""c0 AS (
-            SELECT s, vid AS cid, sv AS cvec FROM sv WHERE vid < {ksub}
+            SELECT s, cid, cvec FROM (
+                SELECT s, vid AS cid, sv AS cvec,
+                       row_number() OVER (
+                           PARTITION BY s ORDER BY vid ASC
+                       ) AS rn
+                FROM sv
+            ) WHERE rn <= {ksub}
         )""",
         assign_cte("a1", "c0"),
     ]
@@ -858,7 +869,7 @@ ORACLES = {
                    PARTITION BY query_id
                    ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rnk
         FROM s
-        QUALIFY rnk <= 10
+        QUALIFY rnk <= {TOP_K}
     """,
     "embedding_quantize": _quantize_oracle(),
     "sim_search_pq": _pq_oracle(),

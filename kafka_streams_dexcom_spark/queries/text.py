@@ -8,7 +8,11 @@ from pyspark.sql import functions as F
 from kafka_streams_dexcom_spark.operators import text as tx
 from kafka_streams_dexcom_spark.sources.files import load_table
 
-DUCK_HASH60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+from kafka_streams_dexcom_spark.functions.hashing import hash60_sql
+
+# the canonical portable-hash template (single definition in
+# functions/hashing.py, Spark twin HASH60_TPL in operators/dedup.py)
+DUCK_HASH60 = hash60_sql("{x}")
 
 
 BM25_QUERY_TERMS = ("join", "hash", "vector")

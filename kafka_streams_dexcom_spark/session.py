@@ -7,7 +7,8 @@ Defaults chosen for the 100 TB target:
   in columnar batches instead of pickled rows.
 - UTC session timezone — parquet timestamps are naive; pinning UTC makes
   Spark agree with the DuckDB oracle byte-for-byte.
-- shuffle.partitions defaults to the local core count; on a real cluster AQE
+- shuffle.partitions defaults to $SPARK_GRAFT_CPUS when set, else a fixed
+  32 (the bench/driver configuration); on a real cluster AQE
   coalesces from a deliberately high initial number, so set
   `spark.sql.adaptive.coalescePartitions.initialPartitionNum` instead of
   hand-tuning this per job.
