@@ -115,7 +115,12 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    try:
+        sf = float(
+            os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0
+        )
+    except ValueError:  # non-sf<NUM> dirs (e.g. the x10 probe copy)
+        sf = None
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -128,7 +133,7 @@ def main() -> None:
     # min of N reps: first runs pay one-time janino-codegen compilation and
     # Python-worker startup, which amortize to zero at scale; min-of-reps
     # measures the steady-state plan cost the 100 TB design cares about.
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")

@@ -41,13 +41,26 @@ def _write_chunks(df: DataFrame, path: str, chunks: int) -> int:
     hash-partitioning `chunks` distinct key values collides (murmur3 on
     0..9 mod 10 hits only ~7 partitions — measured), which would write
     fewer, skewed files and distort the per-micro-batch throughput."""
-    n = df.count()
     (
         df.repartition(chunks)
         .write.mode("overwrite")
         .parquet(path)
     )
+    # count AFTER the write, from parquet footer metadata — a pre-write
+    # df.count() would evaluate the whole transform twice
+    n = df.sparkSession.read.parquet(path).count()
     return n
+
+
+def _stream(spark: SparkSession, in_dir: str, schema):
+    """One definition of the micro-batch source (schema +
+    maxFilesPerTrigger=1 + parquet) shared by all three topologies —
+    an option change must not skew the P3/P4/P5 comparison."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
 
 
 def _run_counted(
@@ -58,11 +71,7 @@ def _run_counted(
     ckpt: str,
 ) -> int:
     """Stream in_dir through transform, counting output rows per batch."""
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(in_dir)
-    )
+    stream = _stream(spark, in_dir, schema)
     out_rows = [0]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -132,11 +141,7 @@ def main() -> None:
 
             return w
 
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(json_in)
-        )
+        stream = _stream(spark, json_in, schema)
         t0 = time.time()
         q = (
             fan_out(
@@ -173,11 +178,7 @@ def main() -> None:
         def p5_sink(batch_df: DataFrame, batch_id: int) -> None:
             out_rows[0] += run_batch(batch_df, batch_id).count()
 
-        stream = (
-            spark.readStream.schema(typed_schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(typed_in)
-        )
+        stream = _stream(spark, typed_in, typed_schema)
         t0 = time.time()
         q = (
             stream.writeStream.foreachBatch(p5_sink)

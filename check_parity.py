@@ -11,7 +11,9 @@ from __future__ import annotations
 import sys
 import time
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
@@ -37,13 +39,20 @@ def vanilla_spark() -> SparkSession:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    qs_all = queries()
+    unknown = only - set(qs_all)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     spark = vanilla_spark()
     con = duckdb_con(sf_dir)
     qs, oracles = queries(), oracle_sql()
     failed = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             if name in oracles:
@@ -58,14 +67,15 @@ def main() -> int:
                     detail["examples"] = res["first_mismatches"]  # type: ignore[index]
             else:
                 n = fn(spark, sf_dir).count()
-                ok, detail = n >= 0, f"rows-only n={n}"
+                # the external driver flags 0-row results; match it
+                ok, detail = n > 0, f"rows-only n={n}"
         except Exception as exc:  # noqa: BLE001
             ok, detail = False, f"EXC {type(exc).__name__}: {exc}"
         dt = time.time() - t0
         print(f"{'PASS' if ok else 'FAIL'} {name:32s} {dt:6.2f}s  {detail}")
         if not ok:
             failed.append(name)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    print(f"\n{ran - len(failed)}/{ran} pass")
     return 1 if failed else 0
 
 

@@ -12,7 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _modules():
     from kafka_streams_dexcom_spark.queries import (
         core,
         dedup,
@@ -24,25 +24,29 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         text,
     )
 
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for mod in (core, relational, joinshapes, temporal, dedup, similarity, text, multimodal):
-        out.update(mod.QUERIES)
+    # ONE module list for queries and oracles — two copies would let
+    # them drift (a query registered without its oracle or vice versa)
+    return (core, relational, joinshapes, temporal, dedup, similarity,
+            text, multimodal)
+
+
+def _merged(attr: str) -> dict:
+    out: dict = {}
+    for mod in _modules():
+        d = getattr(mod, attr)
+        clash = set(out) & set(d)
+        if clash:
+            raise ValueError(
+                f"duplicate {attr} names across query modules: "
+                f"{sorted(clash)} (latest would silently shadow)"
+            )
+        out.update(d)
     return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _merged("QUERIES")
 
 
 def all_oracles() -> dict[str, str]:
-    from kafka_streams_dexcom_spark.queries import (
-        core,
-        dedup,
-        joinshapes,
-        multimodal,
-        relational,
-        similarity,
-        temporal,
-        text,
-    )
-
-    out: dict[str, str] = {}
-    for mod in (core, relational, joinshapes, temporal, dedup, similarity, text, multimodal):
-        out.update(mod.ORACLES)
-    return out
+    return _merged("ORACLES")

@@ -89,7 +89,10 @@ DIMS = ["region", "nation", "customer", "supplier", "part"]
 def build_x10(spark, out_dir: str) -> None:
     for t in FACTS + DIMS:
         dst = f"{out_dir}/{t}.parquet"
-        if os.path.exists(dst):
+        # require the _SUCCESS marker, not bare dir existence: a
+        # partial copy from an interrupted run would otherwise be
+        # silently benchmarked forever
+        if os.path.exists(f"{dst}/_SUCCESS"):
             continue
         df = spark.read.parquet(f"{SRC}/{t}.parquet")
         copies = 10 if t in FACTS else 1
