@@ -19,16 +19,27 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
-    """Salt in [0, n_salts) from the row's position, NOT a row-content
-    hash: a hot key's worst case is millions of byte-IDENTICAL rows
-    (bot replays, log duplication), and a content hash gives them all
-    the SAME salt — the straggler survives unspread. Position-derived
-    salts split them evenly. The final salted_agg result is
-    salt-independent (phase 2 re-merges), so reproducibility of the
-    salt itself is not a correctness requirement."""
+    """Salt in [0, n_salts) from a DETERMINISTIC hash of (partition id,
+    row content) — not monotonically_increasing_id(): a stateful /
+    nondeterministic expression feeding a shuffle key means a
+    shuffle-fetch failure forces a full rerun of the indeterminate map
+    stage, and mixed-attempt fetches (the SPARK-23207 class) can
+    double-count or drop rows; it is also rejected on streaming frames.
+    Hashing partition id + content re-derives the SAME salt on task
+    retry (a re-scanned input partition yields the same rows and the
+    same partition id), so the stage stays deterministic over
+    deterministic sources, and works on streaming DataFrames.
+
+    Spreading: byte-identical hot rows in DIFFERENT partitions get
+    different salts (partition id is mixed in); identical rows WITHIN
+    one partition share a salt, which is harmless for salted_agg —
+    phase 1 has map-side partial aggregation, so each input partition
+    contributes at most one partial row per (key, salt) group
+    regardless of how many raw rows collapse into it. The final
+    salted_agg result is salt-independent (phase 2 re-merges)."""
     return df.withColumn(
         "__salt",
-        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
+        F.pmod(F.xxhash64(F.spark_partition_id(), *df.columns), F.lit(n_salts)),
     )
 
 

@@ -35,7 +35,10 @@ def scan_read_schema(df: DataFrame) -> list[str]:
     Parses the struct body with bracket counting, NOT a [^>]* regex: a
     nested type like array<float> contains both '>' and ','; the naive
     regex stops at the inner '>' and silently drops every column after
-    the nested one, letting pruning regressions pass the audit."""
+    the nested one, letting pruning regressions pass the audit. The
+    field split tracks '(' / ')' depth as well as '<' / '>': parametric
+    types like decimal(12,2) carry a comma inside parens, and an
+    angle-only split would emit a bogus '2)' column."""
     plan = explain_str(df, "formatted")
     cols: list[str] = []
     for m in re.finditer(r"ReadSchema: struct<(.*)", plan):
@@ -51,9 +54,9 @@ def scan_read_schema(df: DataFrame) -> list[str]:
         depth = 0
         field = ""
         for ch in body + ",":
-            if ch == "<":
+            if ch in "<(":
                 depth += 1
-            elif ch == ">":
+            elif ch in ">)":
                 depth -= 1
             if ch == "," and depth == 0:
                 name = field.split(":")[0].strip()

@@ -60,34 +60,74 @@ def recover_directory(live: str) -> None:
 
 class IncrementalCounts:
     """Maintains (key → n_events, sum_value) across micro-batches,
-    idempotently under micro-batch replay."""
+    idempotently under micro-batch replay.
 
-    def __init__(self, spark: SparkSession, path: str, key_col: str) -> None:
+    ``lineage_id`` binds the view directory to ONE streaming-query
+    lineage (pass the checkpoint location, or the query id). The replay
+    guard skips batch_id <= the stored marker; without a lineage check,
+    pointing a NEW query (fresh checkpoint, batch ids restarting at 0)
+    at an EXISTING view directory would silently drop every early batch
+    and leave the view stale. With a lineage_id, that misuse fails
+    loudly instead. If omitted, the directory-is-bound-to-one-lineage
+    contract is the caller's responsibility (documented legacy mode)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        lineage_id: str | None = None,
+    ) -> None:
         self.spark = spark
         self.path = path
         self.key_col = key_col
+        self.lineage_id = lineage_id
 
     def _batch_id_path(self) -> str:
         return os.path.join(self.path, "_last_batch_id")
 
-    def last_applied_batch_id(self) -> int:
+    def _read_marker(self) -> tuple[int, str | None]:
+        """(last applied batch id, lineage id that applied it)."""
         try:
             with open(self._batch_id_path()) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
+                lines = f.read().splitlines()
+            return int(lines[0].strip()), (
+                lines[1].strip() if len(lines) > 1 and lines[1].strip() else None
+            )
+        except (OSError, ValueError, IndexError):
+            return -1, None
 
-    def read(self) -> DataFrame:
+    def last_applied_batch_id(self) -> int:
+        return self._read_marker()[0]
+
+    def _read_raw(self) -> DataFrame | None:
+        """The stored view, or None if the directory doesn't exist yet
+        (the Optional-signalling internal; public read() never returns
+        None)."""
         recover_directory(self.path)
         if not os.path.exists(self.path):
             return None
         return self.spark.read.parquet(self.path)
 
+    def read(self) -> DataFrame:
+        """The stored view as a DataFrame — ALWAYS a DataFrame, so
+        ``view.read().collect()`` on a fresh view yields an empty
+        result, never an AttributeError. A fresh view has no stored
+        schema to recover the key type from, so the empty frame
+        defaults the key to string; callers that merge against typed
+        batch data use read_or_empty(like) for an exact key type."""
+        current = self._read_raw()
+        if current is not None:
+            return current
+        return self.spark.createDataFrame(
+            [], f"{self.key_col} string, n_events long, sum_value double"
+        )
+
     def read_or_empty(self, like: DataFrame) -> DataFrame:
         """The stored view, or an empty frame whose key column takes its
         TYPE from ``like`` (hardcoding e.g. long breaks the first merge
         for a string-keyed view under ANSI casting)."""
-        current = self.read()
+        current = self._read_raw()
         if current is not None:
             return current
         key_type = dict(like.dtypes)[self.key_col]
@@ -97,7 +137,20 @@ class IncrementalCounts:
         )
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        if batch_id <= self.last_applied_batch_id():
+        last_id, last_lineage = self._read_marker()
+        if (
+            self.lineage_id is not None
+            and last_lineage is not None
+            and last_lineage != self.lineage_id
+        ):
+            raise ValueError(
+                f"view at {self.path!r} was built by streaming lineage "
+                f"{last_lineage!r}, but this query is {self.lineage_id!r}: "
+                "a new query's batch ids restart at 0, so the replay guard "
+                "would silently drop its early batches. Point the new query "
+                "at a fresh view directory (or resume the old checkpoint)."
+            )
+        if batch_id <= last_id:
             # at-least-once replay of an already-published batch: the
             # merge is NOT idempotent (it adds partials), so skip.
             return
@@ -133,6 +186,8 @@ class IncrementalCounts:
         merged.write.mode("overwrite").parquet(tmp)
         with open(os.path.join(tmp, "_last_batch_id"), "w") as f:
             f.write(str(batch_id))
+            if self.lineage_id is not None:
+                f.write("\n" + self.lineage_id)
         swap_directory(tmp, self.path)
 
 

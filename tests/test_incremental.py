@@ -155,3 +155,35 @@ def test_incremental_string_keyed_view(spark):
             for r in view.read().collect()
         }
         assert got == {"ok": (2, 3.0), "err": (1, 5.0)}
+
+
+def test_fresh_view_read_returns_empty_dataframe(spark, tmp_path):
+    """read() always returns a DataFrame: collect() on a fresh view is an
+    empty result, never an AttributeError (r3 ADVICE contract fix)."""
+    view = IncrementalCounts(spark, f"{tmp_path}/view", "user_id")
+    assert view.read().collect() == []
+
+
+def test_lineage_mismatch_fails_loudly(spark, tmp_path):
+    """A NEW streaming query (fresh checkpoint, batch ids restarting at 0)
+    pointed at an EXISTING view directory must error, not silently drop
+    its early batches through the replay guard (r3 ADVICE item)."""
+    import pytest
+
+    path = f"{tmp_path}/view"
+    b = spark.createDataFrame([(1, 10.0)], "user_id long, value double")
+    view_a = IncrementalCounts(spark, path, "user_id", lineage_id="ckpt-a")
+    view_a(b, 0)
+    view_a(b, 1)
+
+    # same lineage resumes fine (replay of batch 1 skipped, batch 2 applied)
+    view_a2 = IncrementalCounts(spark, path, "user_id", lineage_id="ckpt-a")
+    view_a2(b, 1)
+    view_a2(b, 2)
+    got = {r.user_id: r.n_events for r in view_a2.read().collect()}
+    assert got == {1: 3}
+
+    # a different lineage restarting at batch 0 is rejected
+    view_b = IncrementalCounts(spark, path, "user_id", lineage_id="ckpt-b")
+    with pytest.raises(ValueError, match="lineage"):
+        view_b(b, 0)

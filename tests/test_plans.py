@@ -281,3 +281,19 @@ def test_interval_join_bucketized_is_equi_join(spark, sf_dir):
     plan = explain_str(q_interval_join_bucketized(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_scan_read_schema_handles_parametric_types(spark, tmp_path):
+    """decimal(12,2) carries a comma inside parens; the field split must
+    track paren depth or it emits a bogus '2)' column (r3 ADVICE item)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "dec")
+    spark.range(10).select(
+        F.col("id"),
+        (F.col("id") * 1.5).cast("decimal(12,2)").alias("amount"),
+        F.array(F.lit(1.0), F.lit(2.0)).cast("array<float>").alias("vec"),
+        F.lit("x").alias("tag"),
+    ).write.parquet(path)
+    df = spark.read.parquet(path).select("amount", "vec", "tag")
+    assert set(scan_read_schema(df)) == {"amount", "vec", "tag"}

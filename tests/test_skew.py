@@ -53,3 +53,30 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         for r in big.join(small, ["user_id", "__salt"]).collect()
     )
     assert plain == salted
+
+
+def test_salt_is_deterministic_on_recompute(spark, sf_dir):
+    """The salt feeds a shuffle key, so it must re-derive identically on
+    task retry (SPARK-23207 class: an indeterminate map stage under
+    shuffle-fetch failure can double-count or drop rows). Hash of
+    (partition id, content) recomputes stably over a deterministic scan."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    a = {r["event_id"]: r["__salt"] for r in with_salt(e).collect()}
+    b = {r["event_id"]: r["__salt"] for r in with_salt(e).collect()}
+    assert a == b
+    assert set(a.values()) > {0}  # actually spreads across salts
+
+
+def test_salt_works_on_streaming_frames(spark, tmp_path):
+    """monotonically_increasing_id() is rejected on streaming DataFrames;
+    the deterministic salt must not be."""
+    from pyspark.sql.types import StructField, StructType, LongType
+
+    schema = StructType([StructField("user_id", LongType())])
+    src = str(tmp_path / "in")
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    stream = spark.readStream.schema(schema).parquet(src)
+    salted = with_salt(stream)  # must not raise at analysis time
+    assert salted.isStreaming
