@@ -129,6 +129,100 @@ def connected_components(
     )
 
 
+def cc_incremental(
+    new_edges: DataFrame,
+    old_labels: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Incremental connected components for the daily-ingest path: given
+    the EXISTING corpus labeling ``old_labels`` (node, component — the
+    published cluster_map artifact) and ``new_edges`` (every near-dup
+    pair that touches the new batch: new–new and new–corpus), return the
+    exact labeling of the union graph — WITHOUT re-running CC over the
+    corpus.
+
+    Why it's exact: an existing component can be CONTRACTED to its label
+    (the min id of its members, by construction of min-label CC). New
+    edges are the only way components merge, so mapping each edge
+    endpoint to its old component label (or itself for a new node) and
+    running CC on that contracted graph yields, per contracted node, the
+    min id over every member of every merged component — exactly the
+    label full CC would assign. Old components untouched by any new edge
+    keep their labels verbatim.
+
+    Cost ∝ batch, not corpus: the contracted CC runs over ≤ |new_edges|
+    edges; the only corpus-scale operation is ONE scan of the label
+    table joined (broadcast — the delta is batch-bounded) against the
+    relabel map. No corpus text is re-shingled, no corpus edges are
+    revisited."""
+    e = new_edges.select(
+        F.col(a_col).alias("u"), F.col(b_col).alias("v")
+    ).localCheckpoint()
+    lab = old_labels.select("node", "component")
+    # contract endpoints: corpus node → its old component label;
+    # new node → itself
+    mapped = (
+        e.join(
+            lab.select(
+                F.col("node").alias("u"), F.col("component").alias("cu")
+            ),
+            "u",
+            "left",
+        )
+        .join(
+            lab.select(
+                F.col("node").alias("v"), F.col("component").alias("cv")
+            ),
+            "v",
+            "left",
+        )
+        .localCheckpoint()  # two corpus joins run once, not per CC round
+    )
+    contracted = mapped.select(
+        F.coalesce(F.col("cu"), F.col("u")).alias("doc_a"),
+        F.coalesce(F.col("cv"), F.col("v")).alias("doc_b"),
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    # the old component ids touched by this batch — batch-bounded, so
+    # the new-node test below never joins against the corpus label table
+    involved_old = (
+        mapped.select(F.col("cu").alias("cid"))
+        .union(mapped.select(F.col("cv").alias("cid")))
+        .where(F.col("cid").isNotNull())
+        .distinct()
+    )
+    merged = connected_components(contracted)  # batch-sized graph
+    # corpus nodes: component label changed iff their old component id
+    # appears in the batch-bounded relabel map — ONE broadcast hash join
+    # over the label table, never a corpus shuffle
+    updated_old = lab.join(
+        F.broadcast(
+            merged.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("new_component"),
+            )
+        ),
+        "component",
+        "left",
+    ).select(
+        "node",
+        F.coalesce(F.col("new_component"), F.col("component")).alias(
+            "component"
+        ),
+    )
+    # new nodes (absent from old_labels): their contracted id is their
+    # own node id. A contracted id is an old-component label iff it came
+    # from a cu/cv hit, so the batch-bounded involved_old set separates
+    # them — no corpus-sized anti-join. (New doc ids can't collide with
+    # old labels: labels are old node ids and doc ids are unique.)
+    new_nodes = merged.join(
+        F.broadcast(involved_old.select(F.col("cid").alias("node"))),
+        "node",
+        "left_anti",
+    ).select("node", "component")
+    return updated_old.unionByName(new_nodes)
+
+
 def cluster_representatives(components: DataFrame) -> DataFrame:
     """One surviving representative per cluster (the min id — consistent
     with the exact-dedup keep-min policy) plus the cluster size."""

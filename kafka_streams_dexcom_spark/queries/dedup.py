@@ -1178,6 +1178,37 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["leakage_safe_split"] = q_leakage_safe_split
 
+
+def q_cc_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replayed two-batch ingest for incremental clustering: documents
+    with doc_id % 10 == 0 play the NEW daily batch (same split as
+    dedup_incremental), the rest the existing corpus. Old labels come
+    from CC over corpus-only near-dup edges; cc_incremental then folds
+    the batch's edges (new–new and new–corpus) in by contracting old
+    components to their labels and running CC over the batch-sized
+    contracted graph only. The oracle is full CC over the WHOLE graph:
+    the incremental path must be bit-indistinguishable from a global
+    recompute."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        cc_incremental,
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .localCheckpoint()  # consumed by both splits below
+    )
+    new_a = F.col("doc_a") % 10 == 0
+    new_b = F.col("doc_b") % 10 == 0
+    old_labels = connected_components(pairs.where(~new_a & ~new_b))
+    return cc_incremental(pairs.where(new_a | new_b), old_labels)
+
+
+QUERIES["cc_incremental_replay"] = q_cc_incremental_replay
+ORACLES["cc_incremental_replay"] = _cc_oracle()
+
 _SPLIT_BUCKET = (
     DUCK_HASH60.format(x="CAST(cluster AS VARCHAR)") + " % 100"
 )

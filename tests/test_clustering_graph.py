@@ -221,3 +221,68 @@ def test_value_histogram_degenerate_extent(spark, tmp_path):
     )
     o = con.execute(all_oracles()["value_histogram"]).fetchall()
     assert [(r[0], r[1], r[2]) for r in o] == [(0, 42.0, 7)]
+
+
+def test_cc_incremental_matches_full_recompute(spark):
+    """Two-batch replay: CC(old edges) + cc_incremental(new edges) must be
+    bit-identical to CC(all edges) — including batches that MERGE two old
+    components through a new node, extend one, and form brand-new
+    clusters, across several random graphs."""
+    import random
+
+    from kafka_streams_dexcom_spark.operators.graph import (
+        cc_incremental,
+        connected_components,
+    )
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        new_nodes = set(range(n - 15, n))  # last 15 ids are the batch
+        edges = set()
+        while len(edges) < 80:
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        old = [e for e in edges if e[0] not in new_nodes and e[1] not in new_nodes]
+        new = [e for e in edges if e[0] in new_nodes or e[1] in new_nodes]
+        to_df = lambda es: spark.createDataFrame(es, "doc_a long, doc_b long")
+        full = {
+            (r.node, r.component)
+            for r in connected_components(to_df(sorted(edges))).collect()
+        }
+        old_labels = connected_components(to_df(sorted(old)))
+        inc = {
+            (r.node, r.component)
+            for r in cc_incremental(to_df(sorted(new)), old_labels).collect()
+        }
+        assert inc == full, f"seed={seed}"
+
+
+def test_cc_incremental_merges_two_old_components(spark):
+    """The hard case spelled out: clusters {1,2} and {5,6} exist; a new
+    node 100 bridges them. Every member of both must relabel to 1."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        cc_incremental,
+        connected_components,
+    )
+
+    old_labels = connected_components(
+        spark.createDataFrame(
+            [(1, 2), (5, 6), (8, 9)], "doc_a long, doc_b long"
+        )
+    )
+    out = {
+        (r.node, r.component)
+        for r in cc_incremental(
+            spark.createDataFrame(
+                [(100, 2), (100, 5), (200, 201)], "doc_a long, doc_b long"
+            ),
+            old_labels,
+        ).collect()
+    }
+    assert out == {
+        (1, 1), (2, 1), (5, 1), (6, 1), (100, 1),
+        (8, 8), (9, 8),           # untouched component keeps its label
+        (200, 200), (201, 200),   # brand-new cluster
+    }
