@@ -1,0 +1,264 @@
+"""Avro topic-boundary serde — the reference's own TODO
+(reference: src/main/java/com/github/robertzych/kafka/ProducerDexcom.java:42
+"TODO: use avro"), completing the dual-schema story of SURVEY §1.2.
+
+Dispatch: Spark's native ``from_avro``/``to_avro`` (the spark-avro
+package, JVM-side, codegen'd) are used whenever the datasource is loaded
+— that is always the right choice on a real cluster. When the package is
+NOT on the classpath (this sandbox, ad-hoc local runs), the serde falls
+back to a vendored pure-Python Avro **binary** codec running as
+Arrow-batched pandas UDFs. The fallback writes spec-compliant Avro
+binary (zigzag varint longs, length-prefixed utf8, little-endian IEEE
+floats, union index prefixes), so bytes produced here are readable by
+any Avro consumer given the writer schema — the wire format, not a
+lookalike.
+
+Scope of the vendored codec (the EGV-record shape): flat records whose
+fields are string / bytes / int / long / float / double / boolean or the
+nullable union ["null", <primitive>]. Anything else raises at
+schema-parse time.
+
+Confluent framing: Kafka Avro payloads usually carry the Schema-Registry
+wire header (magic 0x00 + 4-byte schema id) before the Avro body;
+``confluent_schema_id`` prepends/strips it.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_PRIMITIVES = {
+    "string",
+    "bytes",
+    "int",
+    "long",
+    "float",
+    "double",
+    "boolean",
+}
+
+_SPARK_TYPES = {
+    "string": T.StringType(),
+    "bytes": T.BinaryType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+}
+
+# The reference's EGV POJO as an Avro record (Egv.java:4-11); every field
+# nullable, the standard POJO-derived-schema convention.
+EGV_AVRO_SCHEMA = json.dumps(
+    {
+        "type": "record",
+        "name": "Egv",
+        "namespace": "com.github.robertzych.kafka",
+        "fields": [
+            {"name": "systemTime", "type": ["null", "string"]},
+            {"name": "displayTime", "type": ["null", "string"]},
+            {"name": "value", "type": ["null", "int"]},
+            {"name": "realtimeValue", "type": ["null", "int"]},
+            {"name": "smoothedValue", "type": ["null", "int"]},
+            {"name": "status", "type": ["null", "string"]},
+            {"name": "trend", "type": ["null", "string"]},
+            {"name": "trendRate", "type": ["null", "float"]},
+        ],
+    }
+)
+
+
+def parse_record_schema(schema_json: str) -> list[tuple[str, str, bool]]:
+    """[(field name, primitive type, nullable)] from an Avro record
+    schema; raises on anything outside the supported subset."""
+    schema = json.loads(schema_json)
+    if schema.get("type") != "record":
+        raise ValueError("vendored Avro codec supports record schemas only")
+    out: list[tuple[str, str, bool]] = []
+    for f in schema["fields"]:
+        name, typ = f["name"], f["type"]
+        if isinstance(typ, list):
+            if len(typ) != 2 or typ[0] != "null" or typ[1] not in _PRIMITIVES:
+                raise ValueError(
+                    f"field {name!r}: only [\"null\", <primitive>] unions "
+                    f"are supported, got {typ!r}"
+                )
+            out.append((name, typ[1], True))
+        elif typ in _PRIMITIVES:
+            out.append((name, typ, False))
+        else:
+            raise ValueError(f"field {name!r}: unsupported type {typ!r}")
+    return out
+
+
+def spark_struct_for(schema_json: str) -> T.StructType:
+    """The Spark StructType a decoded record lands in."""
+    return T.StructType(
+        [
+            T.StructField(name, _SPARK_TYPES[typ], nullable=True)
+            for name, typ, _ in parse_record_schema(schema_json)
+        ]
+    )
+
+
+def _zigzag_encode(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, pos: int) -> tuple[int, int]:
+    u, shift = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        u |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _encode_value(typ: str, v) -> bytes:
+    if typ in ("int", "long"):
+        return _zigzag_encode(int(v))
+    if typ == "float":
+        return struct.pack("<f", float(v))
+    if typ == "double":
+        return struct.pack("<d", float(v))
+    if typ == "boolean":
+        return b"\x01" if v else b"\x00"
+    if typ == "string":
+        raw = str(v).encode("utf-8")
+        return _zigzag_encode(len(raw)) + raw
+    if typ == "bytes":
+        raw = bytes(v)
+        return _zigzag_encode(len(raw)) + raw
+    raise ValueError(typ)
+
+
+def _decode_value(typ: str, buf: bytes, pos: int):
+    if typ in ("int", "long"):
+        return _zigzag_decode(buf, pos)
+    if typ == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if typ == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if typ == "boolean":
+        return buf[pos] != 0, pos + 1
+    if typ in ("string", "bytes"):
+        n, pos = _zigzag_decode(buf, pos)
+        raw = buf[pos : pos + n]
+        return (raw.decode("utf-8") if typ == "string" else bytes(raw)), pos + n
+    raise ValueError(typ)
+
+
+def avro_datasource_loaded(spark: SparkSession) -> bool:
+    """True when the spark-avro package is on the JVM classpath (native
+    from_avro/to_avro usable)."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.avro.CatalystDataToAvro"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def to_avro_column(
+    data: Column,
+    schema_json: str,
+    *,
+    spark: SparkSession | None = None,
+    confluent_schema_id: int | None = None,
+    force_fallback: bool = False,
+) -> Column:
+    """Struct column → Avro binary column. Native to_avro when the
+    spark-avro package is loaded, else the vendored pandas-UDF codec."""
+    header = (
+        b"" if confluent_schema_id is None
+        else b"\x00" + struct.pack(">I", confluent_schema_id)
+    )
+    if not force_fallback and spark is not None and avro_datasource_loaded(spark):
+        from pyspark.sql.avro.functions import to_avro
+
+        body = to_avro(data, schema_json)
+        return F.concat(F.lit(header), body) if header else body
+
+    fields = parse_record_schema(schema_json)
+
+    @F.pandas_udf("binary")
+    def enc(s):  # s: pd.DataFrame (struct columns)
+        import pandas as pd
+
+        out = []
+        for i in range(len(s)):
+            buf = bytearray(header)
+            for name, typ, nullable in fields:
+                v = s[name].iloc[i]
+                is_null = v is None or (
+                    not isinstance(v, (str, bytes)) and pd.isna(v)
+                )
+                if nullable:
+                    if is_null:
+                        buf += _zigzag_encode(0)
+                        continue
+                    buf += _zigzag_encode(1)
+                elif is_null:
+                    raise ValueError(f"null in non-nullable field {name!r}")
+                buf += _encode_value(typ, v)
+            out.append(bytes(buf))
+        return pd.Series(out)
+
+    return enc(data)
+
+
+def from_avro_column(
+    data: Column,
+    schema_json: str,
+    *,
+    spark: SparkSession | None = None,
+    confluent_schema_id: int | None = None,
+    force_fallback: bool = False,
+) -> Column:
+    """Avro binary column → struct column (inverse of to_avro_column)."""
+    skip = 0 if confluent_schema_id is None else 5
+    if not force_fallback and spark is not None and avro_datasource_loaded(spark):
+        from pyspark.sql.avro.functions import from_avro
+
+        body = F.substr(data, F.lit(skip + 1)) if skip else data
+        return from_avro(body, schema_json)
+
+    fields = parse_record_schema(schema_json)
+    out_type = spark_struct_for(schema_json)
+
+    @F.pandas_udf(returnType=out_type)
+    def dec(s):  # s: pd.Series of bytes -> pd.DataFrame
+        import pandas as pd
+
+        cols: dict[str, list] = {name: [] for name, _, _ in fields}
+        for payload in s:
+            pos = skip
+            for name, typ, nullable in fields:
+                if nullable:
+                    idx, pos = _zigzag_decode(payload, pos)
+                    if idx == 0:
+                        cols[name].append(None)
+                        continue
+                v, pos = _decode_value(typ, payload, pos)
+                cols[name].append(v)
+        return pd.DataFrame(cols)
+
+    return dec(data)

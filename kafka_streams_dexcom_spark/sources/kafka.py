@@ -89,6 +89,48 @@ def kafka_batch(
     return _project_records(raw, value_schema)
 
 
+def kafka_stream_avro(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    schema_json: str | None = None,
+    starting_offsets: str = "earliest",
+    confluent_schema_id: int | None = None,
+) -> DataFrame:
+    """KStream with Avro value serde — the reference's own TODO
+    (ProducerDexcom.java:42 "TODO: use avro"). The value stays BINARY
+    (no string cast) and decodes via functions.avro.from_avro_column:
+    native spark-avro when the package is loaded, the vendored
+    wire-compatible codec otherwise. ``confluent_schema_id`` strips the
+    Schema-Registry framing header. Defaults to the EGV record schema
+    (schemas.py twin)."""
+    from kafka_streams_dexcom_spark.functions.avro import (
+        EGV_AVRO_SCHEMA,
+        from_avro_column,
+    )
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("kafka_ts"),
+        from_avro_column(
+            F.col("value"),
+            schema_json or EGV_AVRO_SCHEMA,
+            spark=spark,
+            confluent_schema_id=confluent_schema_id,
+        ).alias("parsed"),
+    )
+
+
 def kafka_table(
     spark: SparkSession,
     bootstrap: str,
