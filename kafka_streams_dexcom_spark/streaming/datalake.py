@@ -43,6 +43,32 @@ def overwrite_partitions(
     )
 
 
+def filter_ts_range(
+    df: DataFrame,
+    lo: str,
+    hi: str,
+    ts_col: str = "ts",
+    dt_col: str = "dt",
+) -> DataFrame:
+    """Timestamp-range filter with the partition-pruning discipline: a
+    raw ts predicate CANNOT prune dt= directories (Spark doesn't infer
+    bounds on a derived partition column), so every temporal query over
+    a partitioned table must carry the implied dt bounds alongside the
+    ts range. dt = date_format(ts) is monotone in ts, so the extra
+    predicate is lossless — same rows, but the scan lists only the
+    covered directories (PartitionFilters) and pushes the ts residual
+    into the row groups it still opens (PushedFilters). ``hi`` is
+    exclusive, matching the usual [start, end) backfill window."""
+    lo_c = F.lit(lo).cast("timestamp")
+    hi_c = F.lit(hi).cast("timestamp")
+    return df.filter(
+        (F.col(ts_col) >= lo_c)
+        & (F.col(ts_col) < hi_c)
+        & (F.col(dt_col) >= F.date_format(lo_c, "yyyy-MM-dd"))
+        & (F.col(dt_col) <= F.date_format(hi_c, "yyyy-MM-dd"))
+    )
+
+
 def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     """Partition-pruning read: filters on dt/hour prune directories before
     any file is opened (verify via PartitionFilters in the scan plan)."""
