@@ -114,6 +114,11 @@ HEADLINE = [
 
 
 def main() -> None:
+    # --full: bench EVERY registered query (the 48 non-headline ones have
+    # parity evidence but would otherwise have no wall-time trend);
+    # headline stays the default so the driver's per-round number keeps
+    # its series comparable across rounds.
+    full = "--full" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(
@@ -134,8 +139,9 @@ def main() -> None:
     # Python-worker startup, which amortize to zero at scale; min-of-reps
     # measures the steady-state plan cost the 100 TB design cares about.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    names = list(qs) if full else HEADLINE
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
@@ -149,7 +155,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "all_queries_total" if full else "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,

@@ -191,6 +191,47 @@ def main() -> None:
         results["p5_ktable_join"] = round(
             n_typed / (time.time() - t0), 1
         )
+
+        # P5 stateful-dimension variant: same egv stream tagged into the
+        # changelog-union shape (golden ranges as the seq-0..2 changelog
+        # prefix), dimension maintained in engine state per bucket
+        from kafka_streams_dexcom_spark.schemas import GOLDEN_RANGES
+        from kafka_streams_dexcom_spark.streaming import dim_state
+
+        n_buckets = 8
+        dims = spark.createDataFrame(
+            [
+                (rid - 1, rid, dim_state.range_json(st, et, lo, hi))
+                for rid, st, et, lo, hi in GOLDEN_RANGES
+            ],
+            "seq long, range_id int, range_json string",
+        )
+        egvs = spark.read.parquet(typed_in).select(
+            (F.col("value").cast("long") + 100).alias("seq"),  # any order
+            "key",
+            F.col("systemTime").alias("system_time"),
+            F.col("value").cast("int").alias("value"),
+        )
+        tagged_in = f"{work}/tagged_in"
+        n_tagged = _write_chunks(
+            dim_state.tag_range_updates(dims, n_buckets).unionByName(
+                dim_state.tag_egvs(egvs, n_buckets)
+            ),
+            tagged_in,
+            NUM_CHUNKS,
+        )
+        tagged_schema = spark.read.parquet(tagged_in).schema
+        t0 = time.time()
+        _run_counted(
+            spark,
+            tagged_in,
+            tagged_schema,
+            dim_state.ktable_lookup_stateful,
+            f"{work}/ckpt_p5_stateful",
+        )
+        results["p5_stateful_dim"] = round(
+            n_tagged / (time.time() - t0), 1
+        )
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

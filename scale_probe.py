@@ -123,8 +123,61 @@ def main() -> None:
         ratio = round(x10 / base, 2) if base > 0 else None
         rows[name] = {"sf0.1_s": base, "x10_s": x10, "ratio": ratio}
         print(f"{name:28s} {base:6.2f}s -> {x10:6.2f}s  x{ratio}")
-    print(json.dumps({"probe": rows}))
+    special = {"cc_incremental": probe_cc_incremental(spark)}
+    print(json.dumps({"probe": rows, "special": special}))
     spark.stop()
+
+
+def probe_cc_incremental(spark) -> dict:
+    """Cost ∝ batch, measured: with the candidate pairs and the old
+    labeling pre-materialized (both are shared inputs, not the thing
+    under test), labeling the daily batch with cc_incremental must be
+    decisively cheaper than re-running connected components over the
+    whole graph — the CC under test runs on the CONTRACTED batch-sized
+    graph only."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.operators import dedup as dd
+    from kafka_streams_dexcom_spark.operators.graph import (
+        cc_incremental,
+        connected_components,
+    )
+    from kafka_streams_dexcom_spark.queries.dedup import NGRAM_THRESHOLD
+    from kafka_streams_dexcom_spark.sources.files import load_table
+
+    d = load_table(spark, SRC, "documents")
+    pairs = (
+        dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD)
+        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+        .localCheckpoint()
+    )
+    new_a, new_b = F.col("doc_a") % 10 == 0, F.col("doc_b") % 10 == 0
+    old_pairs = pairs.where(~new_a & ~new_b).localCheckpoint()
+    new_pairs = pairs.where(new_a | new_b).localCheckpoint()
+    old_labels = connected_components(old_pairs).localCheckpoint()
+
+    def run(fn):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    full_s = run(lambda: connected_components(pairs))
+    incr_s = run(lambda: cc_incremental(new_pairs, old_labels))
+    out = {
+        "full_cc_s": full_s,
+        "incremental_s": incr_s,
+        "ratio": round(incr_s / full_s, 2) if full_s else None,
+        "edges_total": pairs.count(),
+        "edges_batch": new_pairs.count(),
+    }
+    print(
+        f"cc_incremental: full CC {full_s}s vs incremental {incr_s}s "
+        f"(batch {out['edges_batch']}/{out['edges_total']} edges)"
+    )
+    return out
 
 
 if __name__ == "__main__":
