@@ -129,31 +129,45 @@ def main() -> None:
 
 
 def probe_cc_incremental(spark) -> dict:
-    """Cost ∝ batch, measured: with the candidate pairs and the old
-    labeling pre-materialized (both are shared inputs, not the thing
-    under test), labeling the daily batch with cc_incremental must be
-    decisively cheaper than re-running connected components over the
-    whole graph — the CC under test runs on the CONTRACTED batch-sized
-    graph only."""
+    """Cost ∝ batch, measured: with the old labeling pre-materialized (a
+    shared published artifact, not the thing under test), labeling a
+    daily batch with cc_incremental must be decisively cheaper than
+    re-running connected components over the whole graph — the CC under
+    test runs on the CONTRACTED batch-sized graph only, plus one
+    broadcast relabel join over the label table.
+
+    The sf0.1 document near-dup graph is only a few hundred edges (both
+    paths are fixed-overhead-bound there), so the probe uses a synthetic
+    corpus-scale graph: ~1.75M chain edges (chains of 8 → a few CC
+    rounds, like real near-dup blobs) plus a 20k-edge daily batch that
+    hooks new nodes onto random old ones — deterministic (Knuth-hash
+    targets), no data files needed."""
     from pyspark.sql import functions as F
 
-    from kafka_streams_dexcom_spark.operators import dedup as dd
     from kafka_streams_dexcom_spark.operators.graph import (
         cc_incremental,
         connected_components,
     )
-    from kafka_streams_dexcom_spark.queries.dedup import NGRAM_THRESHOLD
-    from kafka_streams_dexcom_spark.sources.files import load_table
 
-    d = load_table(spark, SRC, "documents")
-    pairs = (
-        dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    n_nodes, chain, n_batch = 2_000_000, 8, 20_000
+    old_pairs = (
+        spark.range(n_nodes - 1)
+        .where((F.col("id") % chain) != chain - 1)
+        .select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        .repartition(32)
         .localCheckpoint()
     )
-    new_a, new_b = F.col("doc_a") % 10 == 0, F.col("doc_b") % 10 == 0
-    old_pairs = pairs.where(~new_a & ~new_b).localCheckpoint()
-    new_pairs = pairs.where(new_a | new_b).localCheckpoint()
+    new_pairs = (
+        spark.range(n_batch)
+        .select(
+            (F.col("id") + n_nodes).alias("doc_a"),
+            ((F.col("id") * 2654435761) % n_nodes).alias("doc_b"),
+        )
+        .localCheckpoint()
+    )
+    pairs = old_pairs.union(new_pairs).localCheckpoint()
     old_labels = connected_components(old_pairs).localCheckpoint()
 
     def run(fn):
