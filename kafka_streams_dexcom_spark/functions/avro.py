@@ -165,16 +165,32 @@ def _decode_value(typ: str, buf: bytes, pos: int):
     raise ValueError(typ)
 
 
+_AVRO_PROBE_CACHE: dict[str, bool] = {}
+
+
 def avro_datasource_loaded(spark: SparkSession) -> bool:
-    """True when the spark-avro package is on the JVM classpath (native
-    from_avro/to_avro usable)."""
+    """True when the spark-avro package is usable (native from_avro/
+    to_avro). Probed by ANALYZING a tiny to_avro expression, not by
+    Class.forName from the py4j entry point — jars added at runtime
+    (addJar, --packages, cluster userClassPath) live in Spark's mutable
+    user classloader, which a bare system-classloader lookup misses and
+    would silently force the slow Python fallback. Cached per
+    application (analysis costs a few ms)."""
+    key = spark.sparkContext.applicationId
+    cached = _AVRO_PROBE_CACHE.get(key)
+    if cached is not None:
+        return cached
     try:
-        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
-            "org.apache.spark.sql.avro.CatalystDataToAvro"
-        )
-        return True
+        from pyspark.sql.avro.functions import to_avro
+
+        spark.range(1).select(
+            to_avro(F.struct(F.lit(1).alias("x")))
+        )  # analysis raises AVRO_NOT_LOADED when the package is absent
+        ok = True
     except Exception:
-        return False
+        ok = False
+    _AVRO_PROBE_CACHE[key] = ok
+    return ok
 
 
 def to_avro_column(
@@ -250,6 +266,14 @@ def from_avro_column(
 
         cols: dict[str, list] = {name: [] for name, _, _ in fields}
         for payload in s:
+            if payload is None:
+                # Kafka tombstone / absent value: placeholder row here,
+                # masked to a true NULL struct by the when() wrapper —
+                # matching native from_avro's null passthrough instead
+                # of killing the query on one record
+                for name, _, _ in fields:
+                    cols[name].append(None)
+                continue
             pos = skip
             for name, typ, nullable in fields:
                 if nullable:
@@ -261,4 +285,6 @@ def from_avro_column(
                 cols[name].append(v)
         return pd.DataFrame(cols)
 
-    return dec(data)
+    return F.when(data.isNull(), F.lit(None).cast(out_type)).otherwise(
+        dec(data)
+    )

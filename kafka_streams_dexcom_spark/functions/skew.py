@@ -18,7 +18,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
+def with_salt(
+    df: DataFrame, n_salts: int = 16, deterministic: bool = True
+) -> DataFrame:
     """Salt in [0, n_salts) from a DETERMINISTIC hash of (partition id,
     row content) — not monotonically_increasing_id(): a stateful /
     nondeterministic expression feeding a shuffle key means a
@@ -28,18 +30,34 @@ def with_salt(df: DataFrame, n_salts: int = 16) -> DataFrame:
     Hashing partition id + content re-derives the SAME salt on task
     retry (a re-scanned input partition yields the same rows and the
     same partition id), so the stage stays deterministic over
-    deterministic sources, and works on streaming DataFrames.
+    deterministic sources, and works on streaming DataFrames. Unhashable
+    column types (maps) are excluded from the hash input.
 
     Spreading: byte-identical hot rows in DIFFERENT partitions get
     different salts (partition id is mixed in); identical rows WITHIN
-    one partition share a salt, which is harmless for salted_agg —
+    one partition share a salt. That is harmless for salted_agg —
     phase 1 has map-side partial aggregation, so each input partition
-    contributes at most one partial row per (key, salt) group
-    regardless of how many raw rows collapse into it. The final
-    salted_agg result is salt-independent (phase 2 re-merges)."""
+    contributes at most one partial row per (key, salt) group — and for
+    the salted-JOIN path the residual concentration is bounded by ONE
+    input partition's rows (~a split, not the whole hot key). If a
+    batch-only pipeline really does funnel millions of byte-identical
+    rows into single input partitions, pass ``deterministic=False`` to
+    get position-derived salts, accepting the indeterminate-stage-retry
+    caveat above (never on streaming frames). The final salted_agg
+    result is salt-independent either way (phase 2 re-merges)."""
+    if not deterministic:
+        return df.withColumn(
+            "__salt",
+            F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)),
+        )
+    hashable = [
+        c for c, t in df.dtypes if not t.startswith("map<")
+    ] or []
     return df.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(F.spark_partition_id(), *df.columns), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(F.spark_partition_id(), *hashable), F.lit(n_salts)
+        ),
     )
 
 

@@ -156,9 +156,9 @@ def cc_incremental(
     table joined (broadcast — the delta is batch-bounded) against the
     relabel map. No corpus text is re-shingled, no corpus edges are
     revisited."""
-    e = new_edges.select(
-        F.col(a_col).alias("u"), F.col(b_col).alias("v")
-    ).localCheckpoint()
+    # no checkpoint here: `mapped` (this frame's only consumer) is
+    # checkpointed right below, so the batch edges materialize once
+    e = new_edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
     lab = old_labels.select("node", "component")
     # contract endpoints: corpus node → its old component label;
     # new node → itself

@@ -133,6 +133,7 @@ def _cluster_members(d: DataFrame, out_col: str = "cluster") -> DataFrame:
 
 
 _CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CLUSTER_TMP_ROOT: str | None = None
 
 
 def cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,23 +147,31 @@ def cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram-candidate + CC pipeline from raw text, ~4x the cost of
     building it once).
 
-    The artifact is a parquet directory under the system temp dir, keyed
-    by application id, so it dies with the session: a new session (or a
+    The artifact is a parquet directory under a per-process temp root,
+    keyed by application id, and the root is removed at interpreter
+    exit (atexit), so artifacts die with the process — nothing
+    accumulates across CI/bench sessions. A new session (or a
     regenerated corpus, which only ever happens across sessions here)
     recomputes. Reading it back also cuts the CC lineage, so consumers
     plan against a flat scan of (doc_id, cluster), not the iterative
     graph pipeline."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     cached = _CLUSTER_CACHE.get(key)
     if cached is not None:
         return cached
+    global _CLUSTER_TMP_ROOT
+    if _CLUSTER_TMP_ROOT is None:
+        _CLUSTER_TMP_ROOT = tempfile.mkdtemp(prefix="spark_graft_cluster_maps_")
+        atexit.register(shutil.rmtree, _CLUSTER_TMP_ROOT, True)
     d = load_table(spark, sf_dir, "documents")
     path = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_cluster_map_{key[0]}_{abs(hash(key[1]))}",
+        _CLUSTER_TMP_ROOT,
+        f"{key[0]}_{abs(hash(key[1]))}",
     )
     _cluster_members(d).write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)

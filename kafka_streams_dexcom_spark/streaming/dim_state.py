@@ -124,9 +124,10 @@ def _lookup(
     if best_id is None:
         return None, None, None, None
     lo, hi = best["lower_bound"], best["upper_bound"]
+    # matched range + null value → "false", replaying in_range_or_null
+    # exactly: its when() condition is null, so the otherwise-branch
+    # fires — only an UNMATCHED row yields a null in_range
     in_range = "true" if (value is not None and lo <= value <= hi) else "false"
-    if value is None:
-        in_range = None
     return best_id, lo, hi, in_range
 
 

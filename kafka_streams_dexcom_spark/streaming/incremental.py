@@ -100,6 +100,18 @@ class IncrementalCounts:
     def last_applied_batch_id(self) -> int:
         return self._read_marker()[0]
 
+    def adopt_legacy(self) -> None:
+        """Explicitly bind this view's legacy (pre-lineage) marker to
+        this query's lineage_id — the caller asserts the view WAS built
+        by the same logical query before the lineage upgrade."""
+        if self.lineage_id is None:
+            raise ValueError("adopt_legacy requires a lineage_id")
+        last_id, last_lineage = self._read_marker()
+        if last_id < 0 or last_lineage is not None:
+            return  # nothing legacy to adopt
+        with open(self._batch_id_path(), "w") as f:
+            f.write(f"{last_id}\n{self.lineage_id}")
+
     def _read_raw(self) -> DataFrame | None:
         """The stored view, or None if the directory doesn't exist yet
         (the Optional-signalling internal; public read() never returns
@@ -138,18 +150,29 @@ class IncrementalCounts:
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         last_id, last_lineage = self._read_marker()
-        if (
-            self.lineage_id is not None
-            and last_lineage is not None
-            and last_lineage != self.lineage_id
-        ):
-            raise ValueError(
-                f"view at {self.path!r} was built by streaming lineage "
-                f"{last_lineage!r}, but this query is {self.lineage_id!r}: "
-                "a new query's batch ids restart at 0, so the replay guard "
-                "would silently drop its early batches. Point the new query "
-                "at a fresh view directory (or resume the old checkpoint)."
-            )
+        if self.lineage_id is not None and last_id >= 0:
+            if last_lineage is None:
+                # a legacy (pre-lineage) marker is AMBIGUOUS: this could
+                # be the same logical query upgraded, or a stale view
+                # from a different one — and silently proceeding would
+                # both risk dropping batches 0..last_id AND stamp the
+                # new lineage onto the old view, hiding the corruption
+                # forever. Fail loudly; adoption must be explicit.
+                raise ValueError(
+                    f"view at {self.path!r} has a legacy marker with no "
+                    f"lineage (last batch {last_id}); refusing to bind "
+                    f"lineage {self.lineage_id!r} to it. If this IS the "
+                    "same logical query, adopt explicitly with "
+                    "adopt_legacy(); otherwise use a fresh directory."
+                )
+            if last_lineage != self.lineage_id:
+                raise ValueError(
+                    f"view at {self.path!r} was built by streaming lineage "
+                    f"{last_lineage!r}, but this query is {self.lineage_id!r}: "
+                    "a new query's batch ids restart at 0, so the replay guard "
+                    "would silently drop its early batches. Point the new query "
+                    "at a fresh view directory (or resume the old checkpoint)."
+                )
         if batch_id <= last_id:
             # at-least-once replay of an already-published batch: the
             # merge is NOT idempotent (it adds partials), so skip.

@@ -133,3 +133,26 @@ def test_stateful_dim_with_rocksdb_provider(spark):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_null_value_matches_batch_operator_policy(spark):
+    """Matched range + null value → \"false\", exactly what
+    in_range_or_null's otherwise-branch produces; only an UNMATCHED row
+    yields null in_range (review finding r4)."""
+    from kafka_streams_dexcom_spark.streaming.dim_state import _lookup
+
+    ranges = {"1": {"start_time": "00:00:00", "end_time": "23:59:59",
+                    "lower_bound": 80, "upper_bound": 150}}
+    rid, lo, hi, in_range = _lookup(ranges, "2021-01-01T10:00:00", None)
+    assert (rid, lo, hi, in_range) == (1, 80, 150, "false")
+    # cross-check against the real batch operator on the same inputs
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.operators.core import in_range_or_null
+
+    got = spark.range(1).select(
+        in_range_or_null(
+            F.lit(None).cast("int"), F.lit(80), F.lit(150)
+        ).alias("x")
+    ).collect()[0].x
+    assert got == in_range

@@ -187,3 +187,22 @@ def test_lineage_mismatch_fails_loudly(spark, tmp_path):
     view_b = IncrementalCounts(spark, path, "user_id", lineage_id="ckpt-b")
     with pytest.raises(ValueError, match="lineage"):
         view_b(b, 0)
+
+
+def test_legacy_marker_requires_explicit_adoption(spark, tmp_path):
+    """A pre-lineage marker is ambiguous: binding a lineage to it must
+    fail loudly, and adopt_legacy() is the explicit upgrade path
+    (review finding r4)."""
+    import pytest
+
+    path = f"{tmp_path}/view"
+    b = spark.createDataFrame([(1, 10.0)], "user_id long, value double")
+    legacy = IncrementalCounts(spark, path, "user_id")  # no lineage
+    legacy(b, 0)
+    upgraded = IncrementalCounts(spark, path, "user_id", lineage_id="ck-a")
+    with pytest.raises(ValueError, match="legacy"):
+        upgraded(b, 1)
+    upgraded.adopt_legacy()
+    upgraded(b, 1)  # now resumes cleanly
+    got = {r.user_id: r.n_events for r in upgraded.read().collect()}
+    assert got == {1: 2}

@@ -80,3 +80,13 @@ def test_salt_works_on_streaming_frames(spark, tmp_path):
     stream = spark.readStream.schema(schema).parquet(src)
     salted = with_salt(stream)  # must not raise at analysis time
     assert salted.isStreaming
+
+
+def test_salt_tolerates_map_columns(spark):
+    """Map-typed columns are unhashable for xxhash64; with_salt must
+    exclude them from the hash input instead of failing analysis."""
+    df = spark.createDataFrame(
+        [(1, {"a": 1})], "k long, m map<string,int>"
+    )
+    out = with_salt(df).collect()
+    assert 0 <= out[0]["__salt"] < 16

@@ -209,3 +209,22 @@ def test_avro_stream_source_shape(spark, tmp_path):
     )
     assert decoded.isStreaming
     assert decoded.schema["parsed"].dataType == EGV_SCHEMA
+
+
+def test_avro_null_value_decodes_to_null_struct(spark):
+    """Kafka tombstones (value=null) must decode to a NULL struct like
+    native from_avro, not kill the query (review finding r4)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.functions.avro import (
+        EGV_AVRO_SCHEMA,
+        from_avro_column,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None)], "id long, v binary"
+    )
+    out = df.select(
+        from_avro_column(F.col("v"), EGV_AVRO_SCHEMA, spark=spark).alias("r")
+    ).collect()
+    assert out[0].r is None

@@ -108,6 +108,10 @@ def test_decode_real_image_adapter_with_fake_pil(monkeypatch):
     monkeypatch.setitem(
         sys.modules, "PIL.Image", fake_image_mod
     )
+    # _decode_real prefers PIL only when the import probe saw it; the
+    # fake stands in for a present PIL (the vendored-PNG path has its
+    # own tests in test_png_codec.py)
+    monkeypatch.setattr(mm, "_HAVE_REAL_CODECS", True)
 
     w, h, nf, fm = mm._decode_real(b"\x89PNG...", "image")
     assert (w, h, nf) == (320, 240, 3)
@@ -126,5 +130,10 @@ def test_decode_features_real_requested_but_unavailable(spark):
         "doc_id long, media_type string, payload binary",
     )
     if not mm._HAVE_REAL_CODECS:
-        with _pytest.raises(RuntimeError, match="PIL"):
-            mm.decode_features(df, use_real_codecs=True)
+        # new contract (r4): real-codec mode without PIL is allowed —
+        # the vendored PNG codec serves PNG payloads, and a NON-PNG
+        # image payload fails per-payload at execution, never silently
+        # faking features
+        out = mm.decode_features(df, use_real_codecs=True)
+        with _pytest.raises(Exception, match="PNG"):
+            out.collect()
