@@ -1234,3 +1234,164 @@ ORACLES["leakage_safe_split"] = f"""
                 THEN 'train' ELSE 'eval' END AS split
     FROM member
 """.format(cc=_cc_oracle())
+
+
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-aware near-dup audit: near-duplicate pairs whose two
+    documents come from DIFFERENT sources, aggregated per source pair —
+    the report that tells a corpus curator which crawls/snapshots are
+    re-serving each other's content (high cross-source dup rate between
+    two sources usually means one mirrors the other and can be dropped
+    wholesale). Statistics are count/min/max — order-independent, so the
+    result is exact on any partitioning (an avg of doubles would not
+    be).
+
+    Scale: the bounded near-dup pair set joins doc→source twice on
+    doc_id (hash joins against the corpus), then aggregates to at most
+    |sources|² rows."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD)
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("source").alias("source_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("source").alias("source_b"),
+            ),
+            "id_b",
+        )
+        .where(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+QUERIES["dedup_cross_source"] = q_dedup_cross_source
+ORACLES["dedup_cross_source"] = f"""
+    WITH p AS ({_ngram_jaccard_oracle()})
+    SELECT da.source AS source_a, db.source AS source_b,
+           COUNT(*) AS n_pairs,
+           MIN(p.jaccard) AS min_jaccard,
+           MAX(p.jaccard) AS max_jaccard
+    FROM p
+    JOIN documents da ON p.doc_a = da.doc_id
+    JOIN documents db ON p.doc_b = db.doc_id
+    WHERE da.source <> db.source
+    GROUP BY source_a, source_b
+"""
+
+
+def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the dedup pipeline's health
+    metric (a fat tail of giant clusters means boilerplate/templates are
+    chaining unrelated docs together; all-singletons means the threshold
+    is too strict). Reads the shared materialized cluster map; two tiny
+    aggregations over (doc_id, cluster)."""
+    m = cluster_map(spark, sf_dir)
+    sizes = m.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+QUERIES["cluster_size_histogram"] = q_cluster_size_histogram
+ORACLES["cluster_size_histogram"] = f"""
+    WITH comp AS ({_cc_oracle()}),
+    member AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    sizes AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM member GROUP BY cluster
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY cluster_size
+"""
+
+
+def q_survivor_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI per source: whitespace-token volume before dedup, after
+    keeping only cluster survivors (min-id policy), and the drop ratio —
+    the number a 100 TB curation run reports to justify its compute
+    bill. Token sums are exact bigints (order-independent); the single
+    ratio division happens once per source row and is truncated to 6
+    decimals, so the result is deterministic on any partitioning."""
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+    from kafka_streams_dexcom_spark.operators.text import text_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    m = cluster_map(spark, sf_dir)
+    tok = text_stats(d).select("doc_id", "n_tokens")
+    rows = (
+        d.select("doc_id", "source")
+        .join(m, "doc_id")
+        .join(tok, "doc_id")
+    )
+    agg = rows.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(
+            F.when(F.col("cluster") == F.col("doc_id"), F.col("n_tokens"))
+            .otherwise(F.lit(0))
+        ).alias("kept_tokens"),
+    )
+    dropped = F.col("total_tokens") - F.col("kept_tokens")
+    return agg.select(
+        "source",
+        "total_tokens",
+        "kept_tokens",
+        dropped.alias("dropped_tokens"),
+        F.when(F.col("total_tokens") == 0, F.lit(0.0))
+        .otherwise(
+            trunc6(
+                dropped.cast("double") / F.col("total_tokens").cast("double")
+            )
+        )
+        .alias("drop_ratio"),
+    )
+
+
+QUERIES["survivor_token_savings"] = q_survivor_token_savings
+_STS_DROP = (
+    "CAST(total_tokens - kept_tokens AS DOUBLE)"
+    " / CAST(total_tokens AS DOUBLE)"
+)
+ORACLES["survivor_token_savings"] = f"""
+    WITH comp AS ({_cc_oracle()}),
+    member AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    tok AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    agg AS (
+        SELECT t.source,
+               CAST(SUM(t.n_tokens) AS BIGINT) AS total_tokens,
+               CAST(SUM(CASE WHEN m.cluster = t.doc_id
+                             THEN t.n_tokens ELSE 0 END) AS BIGINT)
+                   AS kept_tokens
+        FROM tok t JOIN member m ON t.doc_id = m.doc_id
+        GROUP BY t.source
+    )
+    SELECT source, total_tokens, kept_tokens,
+           CAST(total_tokens - kept_tokens AS BIGINT) AS dropped_tokens,
+           CASE WHEN total_tokens = 0 THEN 0.0
+                ELSE floor(({_STS_DROP}) * 1000000) / 1000000.0
+           END AS drop_ratio
+    FROM agg
+"""

@@ -136,10 +136,17 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
         F.percentile_approx("value", 0.5, 10_000).alias("ap50"),
         F.percentile_approx("value", 0.99, 10_000).alias("ap99"),
-        F.expr("percentile(value, 0.45D)").alias("p45"),
-        F.expr("percentile(value, 0.55D)").alias("p55"),
-        F.expr("percentile(value, 0.97D)").alias("p97"),
+        # ONE exact-percentile aggregate for all three ranks: each
+        # percentile() call buffers and sorts the group's values
+        # independently, so the array form is ~3x cheaper (measured)
+        F.expr("percentile(value, array(0.45D, 0.55D, 0.97D))").alias("px"),
         F.max("value").alias("vmax"),
+    )
+    agg = agg.select(
+        "*",
+        F.col("px").getItem(0).alias("p45"),
+        F.col("px").getItem(1).alias("p55"),
+        F.col("px").getItem(2).alias("p97"),
     )
     return agg.select(
         "event_type",
