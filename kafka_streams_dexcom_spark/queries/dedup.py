@@ -1395,3 +1395,77 @@ ORACLES["survivor_token_savings"] = f"""
            END AS drop_ratio
     FROM agg
 """
+
+
+def q_er_customer_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record election — the master-data-management step after
+    record linkage: fuzzy same-entity pairs (er_fuzzy_customers) →
+    exact connected components → every customer row mapped to its
+    entity's canonical key (min custkey), with the entity size and the
+    canonical flag. The row an MDM pipeline writes back as the
+    crosswalk table.
+
+    Scale: the pair graph is candidate-bounded (pigeonhole blocking);
+    CC iterates over pairs only; the final membership join and size
+    aggregation hash-partition on the customer key."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    pairs = q_er_fuzzy_customers(spark, sf_dir).select(
+        F.col("c_custkey_a").alias("doc_a"),
+        F.col("c_custkey_b").alias("doc_b"),
+    )
+    comp = connected_components(pairs)
+    member = (
+        c.select("c_custkey")
+        .join(comp, c.c_custkey == comp.node, "left")
+        .select(
+            "c_custkey",
+            F.coalesce(F.col("component"), F.col("c_custkey")).alias(
+                "entity_id"
+            ),
+        )
+    )
+    sizes = member.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_records")
+    )
+    return member.join(sizes, "entity_id").select(
+        "c_custkey",
+        "entity_id",
+        "n_records",
+        (F.col("c_custkey") == F.col("entity_id")).cast("int").alias(
+            "is_canonical"
+        ),
+    )
+
+
+QUERIES["er_customer_golden"] = q_er_customer_golden
+ORACLES["er_customer_golden"] = f"""
+    WITH RECURSIVE p AS ({ORACLES["er_fuzzy_customers"]}),
+    edges AS (
+        SELECT c_custkey_a AS u, c_custkey_b AS v FROM p
+        UNION
+        SELECT c_custkey_b AS u, c_custkey_a AS v FROM p
+    ),
+    reach AS (
+        SELECT DISTINCT u AS node, u AS label FROM edges
+        UNION
+        SELECT e.u AS node, r.label
+        FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    member AS (
+        SELECT c.c_custkey,
+               coalesce(comp.component, c.c_custkey) AS entity_id
+        FROM customer c LEFT JOIN comp ON c.c_custkey = comp.node
+    ),
+    sizes AS (
+        SELECT entity_id, CAST(COUNT(*) AS BIGINT) AS n_records
+        FROM member GROUP BY entity_id
+    )
+    SELECT m.c_custkey, m.entity_id, s.n_records,
+           CAST(m.c_custkey = m.entity_id AS INT) AS is_canonical
+    FROM member m JOIN sizes s USING (entity_id)
+"""

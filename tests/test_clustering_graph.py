@@ -286,3 +286,46 @@ def test_cc_incremental_merges_two_old_components(spark):
         (8, 8), (9, 8),           # untouched component keeps its label
         (200, 200), (201, 200),   # brand-new cluster
     }
+
+
+def test_cc_deep_graph_with_hard_cuts(spark):
+    """A 600-node path (75+ pointer-jump rounds' worth of diameter if
+    hook-only) must converge exactly, crossing several hard-cut
+    boundaries; labels all collapse to 0."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(599)], "doc_a long, doc_b long"
+    )
+    out = connected_components(edges, hard_cut_every=4)
+    rows = out.collect()
+    assert len(rows) == 600
+    assert {r.component for r in rows} == {0}
+
+
+def test_cc_hard_cut_uses_checkpoint_dir_when_set(spark, tmp_path):
+    """With a checkpoint dir configured (the cluster path), the hard cut
+    must go through df.checkpoint — files appear under the dir and the
+    result is still exact."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    ckpt = str(tmp_path / "ckpt")
+    sc.setCheckpointDir(ckpt)
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
+        )
+        out = connected_components(edges, hard_cut_every=2)
+        assert {r.component for r in out.collect()} == {0}
+        import glob
+
+        assert glob.glob(f"{ckpt}/**/rdd-*", recursive=True), (
+            "no reliable-checkpoint files written"
+        )
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)  # noqa: SLF001
