@@ -17,39 +17,47 @@ AQE-managed. No driver-side iteration state beyond the loop counter.
 
 from __future__ import annotations
 
+import shutil
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.functions.rounding import trunc6
 
 
-_HARD_CUT_ROOT: str | None = None
-
-
-def _hard_cut(df: DataFrame, rnd: int) -> DataFrame:
+def _hard_cut(df: DataFrame, rnd: int) -> tuple[DataFrame, str | None]:
     """Full re-materialization of an iteration frame — the reset that
     keeps deep iterative loops at flat per-round cost (see
     connected_components docstring for the measured degradation).
-    Reliable checkpoint when the session has a checkpoint dir (the
-    cluster path); otherwise a parquet round-trip through a per-process
-    temp root removed at exit (correct in local mode, where driver and
-    executors share a filesystem)."""
-    import atexit
+    Returns ``(materialized_frame, disk_path_or_None)``; the caller owns
+    deleting a path once a LATER cut supersedes it (every intermediate
+    localCheckpoint is eager, so after cut N's write finishes nothing
+    can recompute through cut N-1's files).
+
+    Three paths, in order: a reliable ``df.checkpoint`` when the session
+    has a checkpoint dir (the cluster configuration — note Spark only
+    deletes those files itself under
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true``); a
+    parquet round-trip through a per-process temp root in LOCAL mode
+    (driver and executors share a filesystem); and on a cluster with NO
+    checkpoint dir, a plain eager ``localCheckpoint`` — slower past ~16
+    rounds but correct, where the driver-local parquet path would
+    silently drop every partition written on other nodes."""
     import os
-    import shutil
-    import tempfile
     import uuid
 
     spark = df.sparkSession
-    if spark.sparkContext._jsc.sc().getCheckpointDir().isDefined():  # noqa: SLF001
-        return df.checkpoint(eager=True)
-    global _HARD_CUT_ROOT
-    if _HARD_CUT_ROOT is None:
-        _HARD_CUT_ROOT = tempfile.mkdtemp(prefix="spark_graft_iter_cut_")
-        atexit.register(shutil.rmtree, _HARD_CUT_ROOT, True)
-    path = os.path.join(_HARD_CUT_ROOT, f"r{rnd}_{uuid.uuid4().hex[:8]}")
+    sc = spark.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():  # noqa: SLF001
+        return df.checkpoint(eager=True), None
+    if not sc.master.startswith("local"):
+        return df.localCheckpoint(), None
+    from kafka_streams_dexcom_spark.sources.files import session_temp_dir
+
+    root = session_temp_dir("iter_cut")
+    path = os.path.join(root, f"r{rnd}_{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return spark.read.parquet(path), path
 
 
 def connected_components(
@@ -57,7 +65,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 50,
-    hard_cut_every: int = 8,
+    hard_cut_every: int | None = 8,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; exact
     connected components. Each round combines min-neighbor HOOKING with
@@ -71,7 +79,10 @@ def connected_components(
     ``hard_cut_every``: every K rounds the label table is FULLY
     re-materialized (reliable checkpoint when the session has a
     checkpoint dir, else a parquet round-trip through a process-local
-    temp dir). Measured on Spark 4.1 local mode: per-round cost with
+    temp dir in local mode; ``0``/``None`` disables, restoring the pure
+    localCheckpoint chain). Superseded cut files are deleted as the loop
+    advances, so at most one on-disk label copy is live per invocation.
+    Measured on Spark 4.1 local mode: per-round cost with
     chained localCheckpoints is flat for ~16 rounds and then grows
     ~2.5× PER ROUND (a 25-round run goes from 0.4s rounds to 100s+
     rounds — the customer-name ER graph, whose digit-edit chains are
@@ -98,6 +109,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    prev_cut_path: str | None = None
     for rnd in range(max_rounds):
         # qualified aliases: labels derives from edges, so every round is
         # a self-join by lineage — name-qualify to keep Catalyst unambiguous
@@ -153,8 +165,12 @@ def connected_components(
                     ).alias("label"),
                 )
             )
-        if (rnd + 1) % hard_cut_every == 0:
-            updated = _hard_cut(updated, rnd)
+        if hard_cut_every and (rnd + 1) % hard_cut_every == 0:
+            updated, cut_path = _hard_cut(updated, rnd)
+            if prev_cut_path is not None:
+                shutil.rmtree(prev_cut_path, ignore_errors=True)
+            if cut_path is not None:
+                prev_cut_path = cut_path
         else:
             updated = updated.localCheckpoint()
         labels = updated.select("node", "label")

@@ -133,7 +133,6 @@ def _cluster_members(d: DataFrame, out_col: str = "cluster") -> DataFrame:
 
 
 _CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
-_CLUSTER_TMP_ROOT: str | None = None
 
 
 def cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,22 +154,17 @@ def cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes. Reading it back also cuts the CC lineage, so consumers
     plan against a flat scan of (doc_id, cluster), not the iterative
     graph pipeline."""
-    import atexit
     import os
-    import shutil
-    import tempfile
+
+    from kafka_streams_dexcom_spark.sources.files import session_temp_dir
 
     key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
     cached = _CLUSTER_CACHE.get(key)
     if cached is not None:
         return cached
-    global _CLUSTER_TMP_ROOT
-    if _CLUSTER_TMP_ROOT is None:
-        _CLUSTER_TMP_ROOT = tempfile.mkdtemp(prefix="spark_graft_cluster_maps_")
-        atexit.register(shutil.rmtree, _CLUSTER_TMP_ROOT, True)
     d = load_table(spark, sf_dir, "documents")
     path = os.path.join(
-        _CLUSTER_TMP_ROOT,
+        session_temp_dir("cluster_maps"),
         f"{key[0]}_{abs(hash(key[1]))}",
     )
     _cluster_members(d).write.mode("overwrite").parquet(path)
@@ -1244,7 +1238,10 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     two sources usually means one mirrors the other and can be dropped
     wholesale). Statistics are count/min/max — order-independent, so the
     result is exact on any partitioning (an avg of doubles would not
-    be).
+    be). Source pairs are UNORDERED: the pair list orients (a, b) by
+    doc id, which says nothing about sources, so (source_a, source_b)
+    is canonicalized lexicographically — one row per source pair, not
+    two half-counts split by which side happened to hold the lower id.
 
     Scale: the bounded near-dup pair set joins doc→source twice on
     doc_id (hash joins against the corpus), then aggregates to at most
@@ -1268,7 +1265,10 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
         .where(F.col("source_a") != F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        .groupBy(
+            F.least("source_a", "source_b").alias("source_a"),
+            F.greatest("source_a", "source_b").alias("source_b"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.min("jaccard").alias("min_jaccard"),
@@ -1280,7 +1280,8 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dedup_cross_source"] = q_dedup_cross_source
 ORACLES["dedup_cross_source"] = f"""
     WITH p AS ({_ngram_jaccard_oracle()})
-    SELECT da.source AS source_a, db.source AS source_b,
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
            COUNT(*) AS n_pairs,
            MIN(p.jaccard) AS min_jaccard,
            MAX(p.jaccard) AS max_jaccard

@@ -117,3 +117,26 @@ def materialize(df: DataFrame) -> DataFrame:
     if df.isStreaming:
         return df
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+_TMP_ROOTS: dict[str, str] = {}
+
+
+def session_temp_dir(tag: str) -> str:
+    """Per-process temp root for engine-internal disk artifacts
+    (iteration hard cuts, materialized cluster maps): created lazily on
+    first use, one root per ``tag``, removed recursively at interpreter
+    exit. Single lifecycle implementation so cleanup-policy fixes land
+    everywhere at once. Local-mode only by construction — on a cluster
+    these artifacts go through the distributed checkpoint dir or an
+    explicit table path instead of process-local disk."""
+    import atexit
+    import shutil
+    import tempfile
+
+    root = _TMP_ROOTS.get(tag)
+    if root is None:
+        root = tempfile.mkdtemp(prefix=f"spark_graft_{tag}_")
+        atexit.register(shutil.rmtree, root, True)
+        _TMP_ROOTS[tag] = root
+    return root

@@ -329,3 +329,30 @@ def test_cc_hard_cut_uses_checkpoint_dir_when_set(spark, tmp_path):
         )
     finally:
         sc._jsc.sc().setCheckpointDir(None)  # noqa: SLF001
+
+
+def test_cc_hard_cut_disable_and_reclamation(spark):
+    """hard_cut_every=0/None restores the pure localCheckpoint chain
+    (still exact); with cuts enabled, superseded cut directories are
+    deleted as the loop advances — at most one on-disk label copy per
+    invocation survives the call."""
+    import os
+
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+    from kafka_streams_dexcom_spark.sources.files import session_temp_dir
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(149)], "doc_a long, doc_b long"
+    )
+    for disable in (0, None):
+        out = connected_components(edges, hard_cut_every=disable)
+        assert {r.component for r in out.collect()} == {0}
+
+    root = session_temp_dir("iter_cut")
+    before = set(os.listdir(root))
+    out = connected_components(edges, hard_cut_every=2)
+    assert {r.component for r in out.collect()} == {0}
+    new_dirs = set(os.listdir(root)) - before
+    assert len(new_dirs) <= 1, f"superseded cuts not reclaimed: {new_dirs}"
