@@ -1470,3 +1470,187 @@ ORACLES["er_customer_golden"] = f"""
            CAST(m.c_custkey = m.entity_id AS INT) AS is_canonical
     FROM member m JOIN sizes s USING (entity_id)
 """
+
+
+SEMDEDUP_TAU = 0.35
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    deduplication in embedding space: near-identical MEANING, not
+    near-identical bytes, which catches paraphrases and re-encodings
+    that every lexical dedup misses. Trained k-means cells (the IVF
+    coarse quantizer, kmeans_cells) block the candidates — pairs are
+    only scored within a cell, never all-pairs; within-cell pairs with
+    cosine >= SEMDEDUP_TAU are semantic duplicates; connected
+    components turn pairwise hits into semantic groups; each group
+    keeps ONE representative — the member FARTHEST from its cell
+    centroid (the paper's pick: the least cluster-typical member
+    preserves the most diversity). Ties break on lowest vec_id; the
+    election centroid is the per-dim mean (round 6) of the FINAL cell
+    membership, deterministic on both engines.
+
+    Scale: candidates are Sum(cell_size^2) under a learned partition
+    (the dedup_embedding_ivf bound); CC iterates over the bounded pair
+    graph; centroid stats are K x dim rows broadcast back. Zero-norm
+    vectors are dropped upstream (with_embedding_norm), as everywhere
+    in the embedding family."""
+    from kafka_streams_dexcom_spark.operators.clustering import (
+        DIST2_TPL,
+        kmeans_assign,
+    )
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+    from kafka_streams_dexcom_spark.queries.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = kmeans_assign(e, k=KMEANS_K, iterations=KMEANS_ITERS)
+    v = dd.with_embedding_norm(e).select("vec_id", "vec")
+    base = v.join(cells, "vec_id")
+    pairs = dd.embedding_cosine_pairs(
+        e.join(cells, "vec_id"), block_col="cell", threshold=SEMDEDUP_TAU
+    )
+    comp = connected_components(
+        pairs, a_col="vec_id_a", b_col="vec_id_b"
+    )
+    member = (
+        cells.join(comp, cells.vec_id == comp.node, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("component"), F.col("vec_id")).alias(
+                "sem_cluster"
+            ),
+        )
+    )
+    per_dim = (
+        base.select("cell", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+    )
+    cvec = per_dim.groupBy("cell").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cx))), "
+            "s -> s.cx)"
+        ).alias("cvec")
+    )
+    dist = (
+        base.join(F.broadcast(cvec), "cell")
+        .select(
+            "vec_id",
+            F.round(
+                F.expr(DIST2_TPL.format(a="vec", b="cvec")), 6
+            ).alias("d2"),
+        )
+    )
+    keepers = (
+        member.join(dist, "vec_id")
+        .groupBy("sem_cluster")
+        .agg(
+            F.max_by(
+                F.col("vec_id"), F.struct(F.col("d2"), (-F.col("vec_id")).alias("nid"))
+            ).alias("keeper")
+        )
+    )
+    return member.join(keepers, "sem_cluster").select(
+        "vec_id",
+        "cell",
+        "sem_cluster",
+        (F.col("vec_id") == F.col("keeper")).cast("int").alias("keep"),
+    )
+
+
+def _semdedup_oracle() -> str:
+    """Replay: Lloyd rounds (kmeans_oracle_ctes) -> in-cell cosine
+    pairs (same fold as _embedding_ivf_oracle) -> recursive-CTE CC ->
+    per-dim centroid means (round 6) -> farthest-from-centroid
+    election with the same (d2, lowest-id) ordering."""
+    from kafka_streams_dexcom_spark.queries.similarity import (
+        KMEANS_ITERS,
+        kmeans_oracle_ctes,
+    )
+
+    dot = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
+    )
+    dist2 = (
+        "list_reduce(list_transform(range(1, len({a}) + 1), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+    )
+    ctes = kmeans_oracle_ctes()
+    final = f"a{KMEANS_ITERS}"
+    ctes.append(f"""nn AS (
+            SELECT vid, cid, vec,
+                   sqrt({dot.format(a='vec', b='vec')}) AS norm
+            FROM {final}
+        )""")
+    ctes.append(f"""sp AS (
+            SELECT a.vid AS u, b.vid AS v
+            FROM nn a JOIN nn b
+              ON a.cid = b.cid AND a.vid < b.vid
+            WHERE a.norm > 0 AND b.norm > 0
+              AND round({dot.format(a='a.vec', b='b.vec')}
+                        / (a.norm * b.norm), 6) >= {SEMDEDUP_TAU}
+        )""")
+    ctes.append("""se AS (
+            SELECT u, v FROM sp UNION SELECT v, u FROM sp
+        )""")
+    ctes.append("""sreach AS (
+            SELECT DISTINCT u AS node, u AS label FROM se
+            UNION
+            SELECT e.u AS node, r.label
+            FROM se e JOIN sreach r ON e.v = r.node
+        )""")
+    ctes.append("""scomp AS (
+            SELECT node, min(label) AS component
+            FROM sreach GROUP BY node
+        )""")
+    ctes.append(f"""smember AS (
+            SELECT nn.vid, nn.cid,
+                   coalesce(scomp.component, nn.vid) AS sem_cluster
+            FROM nn LEFT JOIN scomp ON nn.vid = scomp.node
+        )""")
+    ctes.append(f"""scent AS (
+            SELECT cid, pos, round(avg(x), 6) AS cx FROM (
+                SELECT cid, unnest(vec) AS x,
+                       unnest(range(1, len(vec) + 1)) AS pos
+                FROM {final}
+            ) GROUP BY cid, pos
+        )""")
+    ctes.append("""scvec AS (
+            SELECT cid, list(cx ORDER BY pos) AS cvec
+            FROM scent GROUP BY cid
+        )""")
+    ctes.append(f"""sdist AS (
+            SELECT n.vid,
+                   round({dist2.format(a='n.vec', b='c.cvec')}, 6) AS d2
+            FROM {final} n JOIN scvec c ON n.cid = c.cid
+        )""")
+    ctes.append("""skeep AS (
+            SELECT sem_cluster, vid AS keeper FROM (
+                SELECT m.sem_cluster, m.vid,
+                       row_number() OVER (
+                           PARTITION BY m.sem_cluster
+                           ORDER BY d.d2 DESC, m.vid ASC
+                       ) AS rk
+                FROM smember m JOIN sdist d ON m.vid = d.vid
+            ) WHERE rk = 1
+        )""")
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + """
+        SELECT m.vid AS vec_id, m.cid AS cell, m.sem_cluster,
+               CAST(m.vid = k.keeper AS INT) AS keep
+        FROM smember m JOIN skeep k USING (sem_cluster)
+    """
+    )
+
+
+QUERIES["semdedup"] = q_semdedup
+ORACLES["semdedup"] = _semdedup_oracle()

@@ -1714,3 +1714,148 @@ ORACLES["token_budget_pack"] = f"""
            ) <= {PACK_BUDGET} THEN 1 ELSE 0 END AS INTEGER) AS is_kept
     FROM base
 """.format(qsql=quality_score_sql())
+
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169) — data selection by
+    importance resampling: score every document by how much more likely
+    its hashed-unigram features are under the TARGET distribution (here
+    the `lang = 'en'` slice, standing in for the high-quality reference
+    corpus) than under the raw corpus. ``dsir_weight`` is the per-token
+    average log-likelihood ratio; positive = target-like, and
+    resampling/top-k on it tilts a raw crawl toward the target domain
+    without training a classifier.
+
+    Features are md5-hashed tokens folded into DSIR_BUCKETS buckets
+    (the paper's hashed n-gram trick — LM size is bucket-bounded, not
+    vocab-bounded); both feature LMs use add-one smoothing over the
+    bucket space, so the ratio is defined even where the target slice
+    has no mass. Docs with zero tokens carry no features and drop out.
+
+    Shape: ONE token-scale shuffle (map-side combined per-(doc,feat)
+    counts), repartition by feat so both LM counts are window passes
+    over the same partitioning, totals via a broadcast 1-row scan-side
+    aggregate — never a vocabulary join. Determinism: each log is a
+    ratio of exact integers fixed-pointed to 1e-9 BEFORE the subtract
+    (doc_cross_entropy discipline); the final weight is a double ratio
+    of exact bigints."""
+    from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
+    from kafka_streams_dexcom_spark.sources.files import fan_out_small
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(text, '\\\\s+'), t -> t != '')"
+    feats = (
+        f"transform({toks}, t -> "
+        f"{HASH60_TPL.format(x='t')} % {DSIR_BUCKETS})"
+    )
+    b = F.lit(DSIR_BUCKETS)
+    totals = d.select(
+        F.expr(f"size({toks})").cast("bigint").alias("n"),
+        (F.col("lang") == DSIR_TARGET_LANG).cast("bigint").alias("is_t"),
+    ).agg(
+        F.sum("n").alias("n_raw"),
+        F.sum(F.col("n") * F.col("is_t")).alias("n_t"),
+    )
+    doc_feat = (
+        fan_out_small(d)
+        .select(
+            "doc_id",
+            (F.col("lang") == DSIR_TARGET_LANG)
+            .cast("bigint")
+            .alias("is_t"),
+            F.explode(F.expr(feats)).alias("feat"),
+        )
+        .groupBy("doc_id", "feat")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("is_t").alias("is_t"))
+        .repartition("feat")
+    )
+    w_f = Window.partitionBy("feat")
+    scored = doc_feat.select(
+        "doc_id",
+        "cnt",
+        F.sum("cnt").over(w_f).alias("cr"),
+        F.sum(F.col("cnt") * F.col("is_t")).over(w_f).alias("ct"),
+    ).crossJoin(F.broadcast(totals))
+    u_t = F.floor(
+        F.log(
+            (F.col("ct") + 1).cast("double")
+            / (F.col("n_t") + b).cast("double")
+        )
+        * F.lit(1.0e9)
+    )
+    u_r = F.floor(
+        F.log(
+            (F.col("cr") + 1).cast("double")
+            / (F.col("n_raw") + b).cast("double")
+        )
+        * F.lit(1.0e9)
+    )
+    per = scored.select(
+        "doc_id", "cnt", ((u_t - u_r) * F.col("cnt")).alias("units")
+    )
+    return (
+        per.groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_feats"), F.sum("units").alias("units"))
+        .select(
+            "doc_id",
+            "n_feats",
+            "units",
+            (
+                F.col("units").cast("double")
+                / F.col("n_feats").cast("double")
+                / F.lit(1.0e9)
+            ).alias("dsir_weight"),
+        )
+    )
+
+
+QUERIES["dsir_weights"] = q_dsir_weights
+ORACLES["dsir_weights"] = f"""
+    WITH t AS (
+        SELECT doc_id, (lang = '{DSIR_TARGET_LANG}') AS is_t,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    tot AS (
+        SELECT SUM(len(toks)) AS n_raw,
+               SUM(CASE WHEN is_t THEN len(toks) ELSE 0 END) AS n_t
+        FROM t
+    ),
+    f AS (
+        SELECT doc_id, is_t,
+               UNNEST(list_transform(toks,
+                   tk -> {hash60_sql("tk")} % {DSIR_BUCKETS})) AS feat
+        FROM t
+    ),
+    df AS (
+        SELECT doc_id, feat, CAST(COUNT(*) AS BIGINT) AS cnt,
+               MAX(CAST(is_t AS BIGINT)) AS is_t
+        FROM f GROUP BY doc_id, feat
+    ),
+    wf AS (
+        SELECT doc_id, cnt,
+               SUM(cnt) OVER (PARTITION BY feat) AS cr,
+               SUM(cnt * is_t) OVER (PARTITION BY feat) AS ct
+        FROM df
+    ),
+    per AS (
+        SELECT doc_id, cnt,
+               (floor(ln(CAST(ct + 1 AS DOUBLE)
+                         / CAST(tot.n_t + {DSIR_BUCKETS} AS DOUBLE))
+                      * 1000000000)
+                - floor(ln(CAST(cr + 1 AS DOUBLE)
+                           / CAST(tot.n_raw + {DSIR_BUCKETS} AS DOUBLE))
+                        * 1000000000)) * cnt AS units
+        FROM wf CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+           CAST(SUM(units) AS BIGINT) AS units,
+           CAST(SUM(units) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE)
+               / 1000000000.0 AS dsir_weight
+    FROM per GROUP BY doc_id
+"""

@@ -9,6 +9,7 @@ plans.assert_pushed_filters).
 from __future__ import annotations
 
 import os
+import threading
 import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
@@ -120,6 +121,7 @@ def materialize(df: DataFrame) -> DataFrame:
 
 
 _TMP_ROOTS: dict[str, str] = {}
+_TMP_ROOTS_LOCK = threading.Lock()
 
 
 def session_temp_dir(tag: str) -> str:
@@ -134,9 +136,10 @@ def session_temp_dir(tag: str) -> str:
     import shutil
     import tempfile
 
-    root = _TMP_ROOTS.get(tag)
-    if root is None:
-        root = tempfile.mkdtemp(prefix=f"spark_graft_{tag}_")
-        atexit.register(shutil.rmtree, root, True)
-        _TMP_ROOTS[tag] = root
-    return root
+    with _TMP_ROOTS_LOCK:
+        root = _TMP_ROOTS.get(tag)
+        if root is None:
+            root = tempfile.mkdtemp(prefix=f"spark_graft_{tag}_")
+            atexit.register(shutil.rmtree, root, True)
+            _TMP_ROOTS[tag] = root
+        return root

@@ -522,3 +522,52 @@ def test_multimodal_oracle_byte_exact_on_non_ascii(spark, tmp_path):
     assert r1["values_match"], r1
     r2 = compare(q_multimodal_decode(spark, sf_dir), con, ORACLES["multimodal_decode"])
     assert r2["values_match"], r2
+
+
+def test_semdedup_one_keeper_per_cluster(spark):
+    """semdedup invariants on real testdata: clusters partition the
+    (non-zero-norm) vector set, exactly one keeper per semantic
+    cluster, and the keeper is the member farthest from its cell
+    centroid (max d2, lowest-id tie-break) — the SemDeDup election."""
+    from kafka_streams_dexcom_spark.queries.dedup import q_semdedup
+
+    out = q_semdedup(spark, "/root/testdata/sf0.001").collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.sem_cluster, []).append(r)
+    assert sum(len(v) for v in by_cluster.values()) == len(out)
+    for cl, members in by_cluster.items():
+        assert sum(m.keep for m in members) == 1, f"cluster {cl}"
+        # cluster label is the min member id (CC min-label convention)
+        assert cl == min(m.vec_id for m in members)
+    # at least one multi-member semantic group at this tau, else the
+    # query under test degenerates to identity
+    assert any(len(v) > 1 for v in by_cluster.values())
+
+
+def test_dsir_weights_tilt_toward_target(spark):
+    """DSIR sanity on real testdata: target-language docs score a
+    strictly higher mean weight than the rest (that is the entire point
+    of the importance ratio), and per-doc n_feats equals the doc's
+    whitespace token count."""
+    from kafka_streams_dexcom_spark.queries.text import (
+        DSIR_TARGET_LANG,
+        q_dsir_weights,
+    )
+    from kafka_streams_dexcom_spark.sources.files import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = q_dsir_weights(spark, sf)
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "size(filter(split(text, '\\\\s+'), t -> t != ''))"
+        ).cast("bigint").alias("n_toks"),
+    )
+    rows = out.join(d, "doc_id").collect()
+    assert all(r.n_feats == r.n_toks for r in rows)
+    tgt = [r.dsir_weight for r in rows if r.lang == DSIR_TARGET_LANG]
+    rest = [r.dsir_weight for r in rows if r.lang != DSIR_TARGET_LANG]
+    assert tgt and rest
+    assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
