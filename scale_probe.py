@@ -76,6 +76,14 @@ PROBE_QUERIES = [
     "gap_fill_linear",
     "token_budget_pack",
     "metrics_unpivot",
+    # round-4: dsir_weights is token-linear (doc,feat counts + a
+    # bucket-bounded window). The other round-4 queries are excluded as
+    # pair-generating shapes (semdedup / dedup_cross_source /
+    # cluster_size_histogram / survivor_token_savings /
+    # er_customer_golden / cc_incremental_replay all sit on near-dup or
+    # fuzzy pair graphs, which a self-union inflates ×100);
+    # cc_incremental has its own synthetic corpus-scale probe below.
+    "dsir_weights",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10
