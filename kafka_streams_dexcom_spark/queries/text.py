@@ -1859,3 +1859,150 @@ ORACLES["dsir_weights"] = f"""
                / 1000000000.0 AS dsir_weight
     FROM per GROUP BY doc_id
 """
+
+
+LR_ITERS = 3
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FastText-style quality-filter training, in-engine: a tiny
+    logistic regression over cheap scan-side text features (bias,
+    length, punctuation ratio, stopword ratio), trained by LR_ITERS
+    full-batch gradient steps against the target-slice label
+    (`lang = DSIR_TARGET_LANG`), then applied to score every document —
+    the standard "train a cheap classifier on a trusted slice, filter
+    the crawl with it" pipeline step (GPT-3/CCNet-style quality
+    filtering), expressed as the same iterative-DataFrame template as
+    kmeans_assign.
+
+    Each step is ONE map-side-combinable 1-row aggregate over the
+    feature frame (gradient components fixed-pointed per row to 1e-9
+    units, so the sums are exact integers and partition order cannot
+    leak into the weights); the 4 learned weights — a bounded O(1)
+    collect, similarity.py:392 discipline — feed the next step as
+    literals. Scoring is a scan-side expression; nothing about the
+    corpus is ever shuffled.
+
+    Determinism: weight updates are derived from exact integer sums via
+    a fixed double expression tree replayed operation-for-operation in
+    the oracle's unrolled CTEs; the final sigmoid is rounded to 6
+    decimals on both engines."""
+    from kafka_streams_dexcom_spark.sources.files import fan_out_small
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(text, '\\\\s+'), t -> t != '')"
+    feats = (
+        fan_out_small(d)
+        .select(
+            "doc_id",
+            (F.col("lang") == DSIR_TARGET_LANG)
+            .cast("double")
+            .alias("y"),
+            F.lit(1.0).alias("x0"),
+            (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
+            (
+                F.length(
+                    F.regexp_replace("text", "[^.,;:!?]", "")
+                ).cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("x2"),
+            (
+                F.expr(
+                    f"size(filter({toks}, t -> t IN ('a', 'the')))"
+                ).cast("double")
+                / F.expr(f"size({toks})").cast("double")
+            ).alias("x3"),
+        )
+        .localCheckpoint()
+    )
+    xs = ["x0", "x1", "x2", "x3"]
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(LR_ITERS):
+        m = sum(
+            (F.lit(wj) * F.col(xj) for wj, xj in zip(w[1:], xs[1:])),
+            F.lit(w[0]) * F.col("x0"),
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+        row = feats.agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(
+                    F.floor((p - F.col("y")) * F.col(xj) * F.lit(1.0e9))
+                ).alias(f"s{j}")
+                for j, xj in enumerate(xs)
+            ],
+        ).collect()[0]
+        n = row["n"]
+        w = [
+            w[j] - (row[f"s{j}"] / n) / 1.0e9
+            for j in range(len(xs))
+        ]
+    m = sum(
+        (F.lit(wj) * F.col(xj) for wj, xj in zip(w[1:], xs[1:])),
+        F.lit(w[0]) * F.col("x0"),
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 6)
+    return feats.select(
+        "doc_id",
+        score.alias("lr_score"),
+        (score >= 0.5).cast("int").alias("pred_target"),
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    """Unrolled-GD replay: same features, same per-row 1e-9 fixed-point
+    gradient units, same left-associated weight/margin expression
+    trees, LR_ITERS CTE rounds."""
+    feat = f"""f AS (
+        SELECT doc_id,
+               CAST(lang = '{DSIR_TARGET_LANG}' AS INT)
+                   + CAST(0 AS DOUBLE) AS y,
+               1.0 AS x0,
+               CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
+               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                    AS DOUBLE) / CAST(n_chars AS DOUBLE) AS x2,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                        t -> t IN ('a', 'the'))) AS DOUBLE)
+                   / CAST(len(list_filter(string_split_regex(text,
+                         '\\s+'), t -> t <> '')) AS DOUBLE) AS x3
+        FROM documents
+    )"""
+    ctes = [feat, "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"]
+    for it in range(1, LR_ITERS + 1):
+        prev = f"w{it - 1}"
+        m = f"(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+        sums = ",\n".join(
+            f"SUM(floor((1.0 / (1.0 + exp(-{m})) - y) * x{j} "
+            f"* 1000000000)) AS s{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"""g{it} AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n, {sums}
+            FROM f CROSS JOIN {prev} w
+        )"""
+        )
+        ups = ", ".join(
+            f"w.w{j} - (CAST(g.s{j} AS DOUBLE) / g.n) / 1000000000.0"
+            f" AS w{j}"
+            for j in range(4)
+        )
+        ctes.append(
+            f"w{it} AS (SELECT {ups} FROM {prev} w CROSS JOIN g{it} g)"
+        )
+    m = "(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT doc_id,
+               round(1.0 / (1.0 + exp(-{m})), 6) AS lr_score,
+               CAST(round(1.0 / (1.0 + exp(-{m})), 6) >= 0.5 AS INT)
+                   AS pred_target
+        FROM f CROSS JOIN w{LR_ITERS} w
+    """
+    )
+
+
+QUERIES["quality_classifier"] = q_quality_classifier
+ORACLES["quality_classifier"] = _quality_classifier_oracle()

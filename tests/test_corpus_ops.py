@@ -571,3 +571,19 @@ def test_dsir_weights_tilt_toward_target(spark):
     rest = [r.dsir_weight for r in rows if r.lang != DSIR_TARGET_LANG]
     assert tgt and rest
     assert sum(tgt) / len(tgt) > sum(rest) / len(rest)
+
+
+def test_quality_classifier_learns_nonzero_model(spark):
+    """The LR training loop must actually move the weights: scores are
+    proper probabilities, not all identical (an all-zero weight vector
+    would give a constant 0.5), and the hard prediction is exactly the
+    0.5 threshold on the rounded score."""
+    from kafka_streams_dexcom_spark.queries.text import (
+        q_quality_classifier,
+    )
+
+    rows = q_quality_classifier(spark, "/root/testdata/sf0.001").collect()
+    scores = {r.lr_score for r in rows}
+    assert len(scores) > 1
+    assert all(0.0 < r.lr_score < 1.0 for r in rows)
+    assert all(r.pred_target == int(r.lr_score >= 0.5) for r in rows)
