@@ -1508,7 +1508,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    cells = kmeans_assign(e, k=KMEANS_K, iterations=KMEANS_ITERS)
+    # the final Lloyd assign stage is lazy; FOUR consumers below (pair
+    # blocking, membership, centroid stats, distances) would re-execute
+    # it — cut it once (iterative-hygiene rule, operators/graph.py)
+    cells = kmeans_assign(
+        e, k=KMEANS_K, iterations=KMEANS_ITERS
+    ).localCheckpoint()
     v = dd.with_embedding_norm(e).select("vec_id", "vec")
     base = v.join(cells, "vec_id")
     pairs = dd.embedding_cosine_pairs(
