@@ -1886,7 +1886,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: weight updates are derived from exact integer sums via
     a fixed double expression tree replayed operation-for-operation in
     the oracle's unrolled CTEs; the final sigmoid is rounded to 6
-    decimals on both engines."""
+    decimals on both engines. Degenerate inputs stay in-distribution:
+    the length feature is log-scaled (a 100k-char doc moves a gradient
+    step by ~1, not ~100 — full-batch GD at unit rate stays in the
+    sigmoid's linear region), ratio features on empty/whitespace-only
+    docs are CASE-guarded to 0 (ANSI mode makes a bare /0 an ERROR, and
+    those are exactly the docs a quality filter must score), and an
+    empty corpus returns an empty frame instead of dividing by zero."""
     from kafka_streams_dexcom_spark.sources.files import fan_out_small
 
     d = load_table(spark, sf_dir, "documents")
@@ -1899,30 +1905,44 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("y"),
             F.lit(1.0).alias("x0"),
-            (F.col("n_chars").cast("double") / F.lit(1000.0)).alias("x1"),
             (
+                F.log((F.col("n_chars") + 1).cast("double"))
+                / F.lit(10.0)
+            ).alias("x1"),
+            F.when(
+                F.col("n_chars") > 0,
                 F.length(
                     F.regexp_replace("text", "[^.,;:!?]", "")
                 ).cast("double")
-                / F.col("n_chars").cast("double")
-            ).alias("x2"),
-            (
+                / F.col("n_chars").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("x2"),
+            F.when(
+                F.expr(f"size({toks})") > 0,
                 F.expr(
                     f"size(filter({toks}, t -> t IN ('a', 'the')))"
                 ).cast("double")
-                / F.expr(f"size({toks})").cast("double")
-            ).alias("x3"),
+                / F.expr(f"size({toks})").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("x3"),
         )
         .localCheckpoint()
     )
     xs = ["x0", "x1", "x2", "x3"]
-    w = [0.0, 0.0, 0.0, 0.0]
-    for _ in range(LR_ITERS):
-        m = sum(
+
+    def margin(w: list[float]):
+        # left-associated w·x — the association is parity-critical
+        # (the oracle replays the identical tree)
+        return sum(
             (F.lit(wj) * F.col(xj) for wj, xj in zip(w[1:], xs[1:])),
             F.lit(w[0]) * F.col("x0"),
         )
-        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-m))
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(LR_ITERS):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(w)))
         row = feats.agg(
             F.count(F.lit(1)).alias("n"),
             *[
@@ -1933,15 +1953,15 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         ).collect()[0]
         n = row["n"]
+        if n == 0:
+            break
         w = [
             w[j] - (row[f"s{j}"] / n) / 1.0e9
             for j in range(len(xs))
         ]
-    m = sum(
-        (F.lit(wj) * F.col(xj) for wj, xj in zip(w[1:], xs[1:])),
-        F.lit(w[0]) * F.col("x0"),
+    score = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-margin(w))), 6
     )
-    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-m)), 6)
     return feats.select(
         "doc_id",
         score.alias("lr_score"),
@@ -1958,22 +1978,29 @@ def _quality_classifier_oracle() -> str:
                CAST(lang = '{DSIR_TARGET_LANG}' AS INT)
                    + CAST(0 AS DOUBLE) AS y,
                1.0 AS x0,
-               CAST(n_chars AS DOUBLE) / 1000.0 AS x1,
-               CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-                    AS DOUBLE) / CAST(n_chars AS DOUBLE) AS x2,
-               CAST(len(list_filter(string_split_regex(text, '\\s+'),
-                        t -> t IN ('a', 'the'))) AS DOUBLE)
+               ln(CAST(n_chars + 1 AS DOUBLE)) / 10.0 AS x1,
+               CASE WHEN n_chars > 0 THEN
+                   CAST(length(regexp_replace(text, '[^.,;:!?]', '',
+                        'g')) AS DOUBLE) / CAST(n_chars AS DOUBLE)
+               ELSE 0.0 END AS x2,
+               CASE WHEN len(list_filter(string_split_regex(text,
+                        '\\s+'), t -> t <> '')) > 0 THEN
+                   CAST(len(list_filter(string_split_regex(text,
+                        '\\s+'), t -> t IN ('a', 'the'))) AS DOUBLE)
                    / CAST(len(list_filter(string_split_regex(text,
-                         '\\s+'), t -> t <> '')) AS DOUBLE) AS x3
+                         '\\s+'), t -> t <> '')) AS DOUBLE)
+               ELSE 0.0 END AS x3
         FROM documents
     )"""
     ctes = [feat, "w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3)"]
+    # ONE margin string reused by every round and the final scoring —
+    # the left association is parity-critical with the Spark margin()
+    m = "(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
     for it in range(1, LR_ITERS + 1):
         prev = f"w{it - 1}"
-        m = f"(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
         sums = ",\n".join(
-            f"SUM(floor((1.0 / (1.0 + exp(-{m})) - y) * x{j} "
-            f"* 1000000000)) AS s{j}"
+            f"SUM(CAST(floor((1.0 / (1.0 + exp(-{m})) - y) * x{j} "
+            f"* 1000000000) AS BIGINT)) AS s{j}"
             for j in range(4)
         )
         ctes.append(
@@ -1990,7 +2017,6 @@ def _quality_classifier_oracle() -> str:
         ctes.append(
             f"w{it} AS (SELECT {ups} FROM {prev} w CROSS JOIN g{it} g)"
         )
-    m = "(w.w0 * x0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
     return (
         "WITH "
         + ",\n".join(ctes)

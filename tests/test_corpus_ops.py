@@ -587,3 +587,29 @@ def test_quality_classifier_learns_nonzero_model(spark):
     assert len(scores) > 1
     assert all(0.0 < r.lr_score < 1.0 for r in rows)
     assert all(r.pred_target == int(r.lr_score >= 0.5) for r in rows)
+
+
+def test_quality_classifier_degenerate_docs(spark, tmp_path):
+    """Empty/whitespace-only docs must still get a real score (ratio
+    features coalesce to 0, never NULL), and a 100k-char doc must not
+    blow up the gradient (log-scaled length feature): every score stays
+    a proper probability."""
+    from kafka_streams_dexcom_spark.queries.text import (
+        q_quality_classifier,
+    )
+
+    rows = [
+        (0, "", "en", "src0"),
+        (1, "   ", "de", "src0"),
+        (2, "the a " + "word " * 20000, "en", "src1"),
+        (3, "plain short text.", "fr", "src1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, s, len(t)) for i, t, lg, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = q_quality_classifier(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert all(r.lr_score is not None for r in out)
+    assert all(0.0 < r.lr_score < 1.0 for r in out)
