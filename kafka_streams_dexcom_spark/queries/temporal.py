@@ -863,3 +863,157 @@ ORACLES["gap_fill_linear"] = f"""
            END AS fill_mode
     FROM f WHERE slot_ts IS NOT NULL
 """
+
+
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from the event
+    changelog — the warehouse shape downstream of CDC: per user,
+    consecutive events with the SAME event_type collapse into one
+    validity interval (gaps-and-islands run-length encoding), each
+    interval carrying [valid_from, valid_to) in epoch micros, its event
+    count, and the is_current flag (open interval). cdc_user_state is
+    the LATEST-state snapshot; this is the full history a temporal
+    join or audit reads.
+
+    Shape: one hash partition on user_id serves both window passes
+    (change detection + next-interval lookup, same sort order); the
+    interval aggregation is a map-side-combinable hash agg on
+    (user_id, run). No join, no second sort. Determinism: ordering ties
+    break on event_id; all outputs are exact integers/strings."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    runs = e.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "run",
+        F.sum("chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = runs.groupBy("user_id", "run").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("valid_from_us").asc())
+    return iv.select(
+        "user_id",
+        "event_type",
+        "valid_from_us",
+        F.lead("valid_from_us").over(w2).alias("valid_to_us"),
+        "n_events",
+    ).withColumn(
+        "is_current",
+        F.col("valid_to_us").isNull().cast("int"),
+    )
+
+
+QUERIES["scd2_user_state"] = q_scd2_user_state
+ORACLES["scd2_user_state"] = """
+    WITH o AS (
+        SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts) ASC, event_id ASC)
+    ),
+    r AS (
+        SELECT user_id, event_type, ts_us,
+               SUM(chg) OVER (PARTITION BY user_id
+                              ORDER BY ts_us ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS run
+        FROM o
+    ),
+    iv AS (
+        SELECT user_id, run, min(event_type) AS event_type,
+               min(ts_us) AS valid_from_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM r GROUP BY user_id, run
+    )
+    SELECT user_id, event_type, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY valid_from_us ASC)
+               AS valid_to_us,
+           n_events,
+           CAST(lead(valid_from_us) OVER (PARTITION BY user_id
+                                          ORDER BY valid_from_us ASC)
+                IS NULL AS INT) AS is_current
+    FROM iv
+"""
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (from_type, to_type, n, p) with p the row-normalized
+    transition probability — the user-journey model behind funnel
+    mining and next-event prediction. One user-partitioned window pass
+    builds the consecutive pairs; counts aggregate to at most
+    |event_type|^2 rows; p is a double ratio of exact bigints
+    (deterministic); row totals come from a window over the tiny
+    aggregate, never a self-join."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    pairs = (
+        e.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(tot).cast("double")
+        ).alias("p"),
+    )
+
+
+QUERIES["event_transitions"] = q_event_transitions
+ORACLES["event_transitions"] = """
+    WITH s AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(ts) ASC, event_id ASC) AS to_type
+        FROM events
+    ),
+    c AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM s WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE)
+               AS p
+    FROM c
+"""

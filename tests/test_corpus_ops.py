@@ -613,3 +613,39 @@ def test_quality_classifier_degenerate_docs(spark, tmp_path):
     assert len(out) == 4
     assert all(r.lr_score is not None for r in out)
     assert all(0.0 < r.lr_score < 1.0 for r in out)
+
+
+def test_scd2_intervals_tile_per_user(spark):
+    """SCD2 invariants: per user, intervals are disjoint and contiguous
+    (each valid_to equals the next valid_from), exactly one open
+    interval per user, and consecutive intervals always change state
+    (runs are maximal)."""
+    from kafka_streams_dexcom_spark.queries.temporal import (
+        q_scd2_user_state,
+    )
+
+    rows = q_scd2_user_state(spark, "/root/testdata/sf0.001").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from_us)
+        assert sum(r.is_current for r in ivs) == 1
+        assert ivs[-1].valid_to_us is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to_us == b.valid_from_us, user
+            assert a.event_type != b.event_type, user
+
+
+def test_event_transitions_rows_normalize(spark):
+    """Transition probabilities must sum to 1 within each from_type."""
+    from kafka_streams_dexcom_spark.queries.temporal import (
+        q_event_transitions,
+    )
+
+    rows = q_event_transitions(spark, "/root/testdata/sf0.001").collect()
+    sums = {}
+    for r in rows:
+        assert r.p > 0
+        sums[r.from_type] = sums.get(r.from_type, 0.0) + r.p
+    assert sums and all(abs(s - 1.0) < 1e-9 for s in sums.values())
