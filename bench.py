@@ -110,6 +110,13 @@ HEADLINE = [
     "gap_fill_linear",           # two-sided linear-interp resample
     "token_budget_pack",         # two-level quality-ranked budget cut
     "metrics_unpivot",           # narrow Expand melt + 4-group profile
+    # round-4 additions cheap enough for the per-round series (the
+    # heavy pair/CC compositions — semdedup, er_customer_golden — stay
+    # full-suite-only so the headline series remains comparable)
+    "dsir_weights",              # hashed-feature importance weights
+    "quality_classifier",        # in-engine LR quality-filter training
+    "scd2_user_state",           # gaps-and-islands SCD2 history
+    "event_transitions",         # Markov user-journey matrix
 ]
 
 

@@ -84,6 +84,9 @@ PROBE_QUERIES = [
     # fuzzy pair graphs, which a self-union inflates ×100);
     # cc_incremental has its own synthetic corpus-scale probe below.
     "dsir_weights",
+    "quality_classifier",
+    "scd2_user_state",
+    "event_transitions",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10
