@@ -1,0 +1,221 @@
+"""Streaming maintenance of the near-dup cluster map — the daily-ingest
+path (operators/graph.py:cc_incremental) as a LIVE Structured Streaming
+topology instead of a replayed batch query.
+
+Each micro-batch of new documents:
+
+1. builds the batch's OWN minhash artifacts (hashed shingle sets + LSH
+   band table) — cost ∝ batch;
+2. generates candidates as batch×batch (within the micro-batch) plus
+   batch×corpus against the STORED band index — the corpus is never
+   re-shingled (the incremental_minhash_dedup contract, here actually
+   incremental because the corpus artifacts persist between batches);
+3. verifies candidates with exact Jaccard over the hashed shingle sets;
+4. folds the verified edges into the stored labeling with
+   cc_incremental (contracted CC over the batch-sized graph, one
+   broadcast relabel join — never CC over the corpus);
+5. publishes labels + band index + shingle sets ATOMICALLY: all three
+   artifacts are written to one staging root and swapped into place
+   with a single directory rename pair (streaming.incremental.swap
+   discipline), so a crash can never publish a label table that
+   disagrees with its band index.
+
+Exactly-once effect: foreachBatch is at-least-once, so the view records
+the last applied (batch_id, lineage) and a replayed batch is a no-op —
+the same marker discipline as IncrementalCounts, including the loud
+failure when a NEW query lineage points at an EXISTING view directory
+(batch ids restart at 0 and would otherwise be silently skipped).
+
+Equivalence contract (pinned by tests/test_cluster_map_stream.py): with
+the bucket cap disabled, the final labels after streaming the corpus in
+any number of micro-batches are IDENTICAL to one-shot
+minhash_lsh_dedup + connected_components over the whole corpus — LSH
+banding is deterministic, a cross-batch pair (a earlier, b later) is
+found when b's batch probes the corpus index, and cc_incremental is
+exact by the contraction argument.
+
+At 100 TB: the stored band index is the big artifact; bucket it by
+(band_idx, band_hash) (sources/bucketing.py) so the candidate join
+shuffles only the batch side, and swap the directory-rename publish for
+a transactional table format commit. State grows with the corpus — this
+maintainer IS the corpus index builder, not a bounded-state operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.functions.rounding import trunc6
+from kafka_streams_dexcom_spark.operators.dedup import (
+    hashed_shingle_corpus,
+    lsh_band_hashes,
+    minhash_signature,
+)
+from kafka_streams_dexcom_spark.operators.graph import cc_incremental
+from kafka_streams_dexcom_spark.streaming.incremental import (
+    recover_directory,
+    swap_directory,
+)
+
+
+class ClusterMapMaintainer:
+    """foreachBatch sink maintaining (labels, band index, shingle sets)
+    for a stream of new documents. See module docstring."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        lineage_id: str | None = None,
+        threshold: float = 0.2,
+        max_bucket: int | None = None,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.path = path
+        self.lineage_id = lineage_id
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+        self.id_col = id_col
+        self.text_col = text_col
+
+    # -- marker ----------------------------------------------------------
+    def _marker_path(self) -> str:
+        return os.path.join(self.path, "_last_batch_id")
+
+    def _read_marker(self) -> tuple[int, str | None]:
+        try:
+            with open(self._marker_path()) as f:
+                lines = f.read().splitlines()
+            return int(lines[0].strip()), (
+                lines[1].strip()
+                if len(lines) > 1 and lines[1].strip()
+                else None
+            )
+        except (OSError, ValueError, IndexError):
+            return -1, None
+
+    # -- stored artifacts ------------------------------------------------
+    def _read(self, sub: str, schema: str) -> DataFrame:
+        recover_directory(self.path)
+        p = os.path.join(self.path, sub)
+        if os.path.exists(p):
+            return self.spark.read.parquet(p)
+        return self.spark.createDataFrame([], schema)
+
+    def labels(self) -> DataFrame:
+        return self._read("labels", "node long, component long")
+
+    def _bands(self) -> DataFrame:
+        return self._read(
+            "bands", f"{self.id_col} long, band_idx int, band_hash long"
+        )
+
+    def _sets(self) -> DataFrame:
+        return self._read(
+            "sets", f"{self.id_col} long, sh_hashes array<long>"
+        )
+
+    # -- the sink --------------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        last_id, last_lineage = self._read_marker()
+        if self.lineage_id is not None and last_id >= 0:
+            if last_lineage is None or last_lineage != self.lineage_id:
+                raise RuntimeError(
+                    "cluster-map view at "
+                    f"{self.path} belongs to lineage {last_lineage!r}; "
+                    f"refusing batches from {self.lineage_id!r} — replay "
+                    "guards would silently drop this query's early "
+                    "batches"
+                )
+        if batch_id <= last_id:
+            return  # replayed micro-batch: already folded in
+        idc = self.id_col
+        # batch artifacts (cost ∝ batch): shingle ONCE (the function is
+        # eagerly materialized), derive sets and bands from it; bands
+        # feed two joins so they get their own cut.
+        hfull = hashed_shingle_corpus(
+            batch_df.select(idc, self.text_col), idc, self.text_col
+        )
+        hn = hfull.select(idc, "sh_hashes")
+        bn = (
+            lsh_band_hashes(minhash_signature(hfull).select(idc, "sig"))
+            .select(idc, "band_idx", "band_hash")
+            .localCheckpoint()
+        )
+        bc = self._bands()
+        if self.max_bucket is not None:
+            ok = (
+                bc.groupBy("band_idx", "band_hash")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .filter(F.col("__c") <= self.max_bucket)
+                .drop("__c")
+            )
+            bc = bc.join(ok, ["band_idx", "band_hash"], "left_semi")
+        new_old = (
+            bn.select(
+                F.col(idc).alias("id_a"), "band_idx", "band_hash"
+            )
+            .join(
+                bc.select(
+                    F.col(idc).alias("id_b"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .select("id_a", "id_b")
+        )
+        new_new = (
+            bn.select(
+                F.col(idc).alias("id_a"), "band_idx", "band_hash"
+            )
+            .join(
+                bn.select(
+                    F.col(idc).alias("id_b"), "band_idx", "band_hash"
+                ),
+                ["band_idx", "band_hash"],
+            )
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        cand = new_old.union(new_new).distinct()
+        all_sets = self._sets().union(hn)
+        sa = hn.select(F.col(idc).alias("id_a"), F.col("sh_hashes").alias("set_a"))
+        sb = all_sets.select(
+            F.col(idc).alias("id_b"), F.col("sh_hashes").alias("set_b")
+        )
+        inter = F.size(F.array_intersect("set_a", "set_b"))
+        union = F.size("set_a") + F.size("set_b") - inter
+        edges = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                trunc6(inter.cast("double") / union.cast("double")),
+            )
+            .filter(F.col("jaccard") >= self.threshold)
+            .select(
+                F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+            )
+        )
+        new_labels = cc_incremental(edges, self.labels()).select(
+            "node", "component"
+        )
+        # atomic publish: ALL artifacts + marker land in one staging
+        # root, one swap — labels can never disagree with their index
+        staging = self.path + ".staging"
+        if os.path.exists(staging):
+            import shutil
+
+            shutil.rmtree(staging)
+        new_labels.write.parquet(os.path.join(staging, "labels"))
+        self._bands().union(bn).write.parquet(
+            os.path.join(staging, "bands")
+        )
+        all_sets.write.parquet(os.path.join(staging, "sets"))
+        with open(os.path.join(staging, "_last_batch_id"), "w") as f:
+            f.write(f"{batch_id}\n{self.lineage_id or ''}")
+        swap_directory(staging, self.path)

@@ -1,0 +1,86 @@
+"""Streaming cluster-map maintenance (streaming/cluster_map_stream.py):
+the daily-ingest clustering path as a live topology.
+
+The load-bearing assertion is BATCH≡STREAM: streaming the corpus in
+micro-batches through ClusterMapMaintainer must end with labels
+IDENTICAL to one-shot minhash_lsh_dedup + connected_components over the
+whole corpus (caps disabled). Plus replay idempotence and the
+lineage-mismatch guard.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators import dedup as dd
+from kafka_streams_dexcom_spark.operators.graph import connected_components
+from kafka_streams_dexcom_spark.sources.files import load_table
+from kafka_streams_dexcom_spark.streaming.cluster_map_stream import (
+    ClusterMapMaintainer,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+THRESHOLD = 0.2
+
+
+def _stream_corpus(spark, tmp_path, chunks=3, lineage="q1"):
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "in")
+    # deterministic chunking by doc_id so the batch split is stable
+    d.withColumn("chunk", F.col("doc_id") % chunks).write.partitionBy(
+        "chunk"
+    ).mode("overwrite").parquet(src)
+    view = str(tmp_path / "view")
+    m = ClusterMapMaintainer(
+        spark, view, lineage_id=lineage, threshold=THRESHOLD
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(m)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return m, d
+
+
+def test_stream_equals_one_shot_batch(spark, tmp_path):
+    m, d = _stream_corpus(spark, tmp_path)
+    got = {(r.node, r.component) for r in m.labels().collect()}
+
+    # (the pipeline's LSH_MAX_BUCKET cap is far above any bucket at this
+    # SF, so capped batch == uncapped streaming here)
+    pairs = dd.minhash_lsh_dedup(d, threshold=THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    want = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want
+    assert got, "degenerate test: no near-dup pairs at this threshold"
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    m, d = _stream_corpus(spark, tmp_path)
+    before = sorted((r.node, r.component) for r in m.labels().collect())
+    last = m._read_marker()[0]
+    # simulate the at-least-once replay: re-apply an already-folded batch
+    m(d.limit(5), last)
+    after = sorted((r.node, r.component) for r in m.labels().collect())
+    assert before == after
+
+
+def test_new_lineage_on_existing_view_fails_loudly(spark, tmp_path):
+    m, d = _stream_corpus(spark, tmp_path, lineage="q1")
+    fresh = ClusterMapMaintainer(
+        spark, m.path, lineage_id="q2", threshold=THRESHOLD
+    )
+    with pytest.raises(RuntimeError, match="lineage"):
+        fresh(d.limit(5), 0)
