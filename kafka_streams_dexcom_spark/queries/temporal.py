@@ -909,7 +909,12 @@ def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts_us").alias("valid_from_us"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w2 = Window.partitionBy("user_id").orderBy(F.col("valid_from_us").asc())
+    # order by run, not valid_from_us: two runs can START on the same
+    # microsecond (same-ts events of different types, tie-broken by
+    # event_id in the first pass), and run is strictly increasing in
+    # event order per user — a valid_from_us order would make lead()
+    # nondeterministic on that tie
+    w2 = Window.partitionBy("user_id").orderBy(F.col("run").asc())
     return iv.select(
         "user_id",
         "event_type",
@@ -948,11 +953,11 @@ ORACLES["scd2_user_state"] = """
     )
     SELECT user_id, event_type, valid_from_us,
            lead(valid_from_us) OVER (PARTITION BY user_id
-                                     ORDER BY valid_from_us ASC)
+                                     ORDER BY run ASC)
                AS valid_to_us,
            n_events,
            CAST(lead(valid_from_us) OVER (PARTITION BY user_id
-                                          ORDER BY valid_from_us ASC)
+                                          ORDER BY run ASC)
                 IS NULL AS INT) AS is_current
     FROM iv
 """

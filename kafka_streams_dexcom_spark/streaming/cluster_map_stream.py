@@ -48,14 +48,15 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kafka_streams_dexcom_spark.functions.rounding import trunc6
 from kafka_streams_dexcom_spark.operators.dedup import (
+    exact_jaccard,
     hashed_shingle_corpus,
     lsh_band_hashes,
     minhash_signature,
 )
 from kafka_streams_dexcom_spark.operators.graph import cc_incremental
 from kafka_streams_dexcom_spark.streaming.incremental import (
+    read_batch_marker,
     recover_directory,
     swap_directory,
 )
@@ -88,16 +89,7 @@ class ClusterMapMaintainer:
         return os.path.join(self.path, "_last_batch_id")
 
     def _read_marker(self) -> tuple[int, str | None]:
-        try:
-            with open(self._marker_path()) as f:
-                lines = f.read().splitlines()
-            return int(lines[0].strip()), (
-                lines[1].strip()
-                if len(lines) > 1 and lines[1].strip()
-                else None
-            )
-        except (OSError, ValueError, IndexError):
-            return -1, None
+        return read_batch_marker(self._marker_path())
 
     # -- stored artifacts ------------------------------------------------
     def _read(self, sub: str, schema: str) -> DataFrame:
@@ -124,7 +116,15 @@ class ClusterMapMaintainer:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         last_id, last_lineage = self._read_marker()
         if self.lineage_id is not None and last_id >= 0:
-            if last_lineage is None or last_lineage != self.lineage_id:
+            if last_lineage is None:
+                raise RuntimeError(
+                    f"cluster-map view at {self.path} carries a legacy "
+                    "marker with no lineage; this view type has no "
+                    "adoption path — rebuild the view or construct the "
+                    "maintainer with lineage_id=None to accept the "
+                    "directory-is-bound-to-one-lineage contract yourself"
+                )
+            if last_lineage != self.lineage_id:
                 raise RuntimeError(
                     "cluster-map view at "
                     f"{self.path} belongs to lineage {last_lineage!r}; "
@@ -148,32 +148,33 @@ class ClusterMapMaintainer:
             .localCheckpoint()
         )
         bc = self._bands()
+        bn_probe, bc_probe = bn, bc
         if self.max_bucket is not None:
+            # cap on COMBINED (corpus ∪ batch) bucket occupancy — the
+            # one-shot pipeline caps the full-corpus bucket, so capping
+            # only the stored side would still let a degenerate bucket
+            # inside one batch emit its m²/2 within-batch pairs
             ok = (
-                bc.groupBy("band_idx", "band_hash")
+                bc.union(bn)
+                .groupBy("band_idx", "band_hash")
                 .agg(F.count(F.lit(1)).alias("__c"))
                 .filter(F.col("__c") <= self.max_bucket)
                 .drop("__c")
             )
-            bc = bc.join(ok, ["band_idx", "band_hash"], "left_semi")
-        new_old = (
-            bn.select(
-                F.col(idc).alias("id_a"), "band_idx", "band_hash"
-            )
-            .join(
-                bc.select(
-                    F.col(idc).alias("id_b"), "band_idx", "band_hash"
-                ),
-                ["band_idx", "band_hash"],
-            )
-            .select("id_a", "id_b")
+            bn_probe = bn.join(ok, ["band_idx", "band_hash"], "left_semi")
+            bc_probe = bc.join(ok, ["band_idx", "band_hash"], "left_semi")
+        a_side = bn_probe.select(
+            F.col(idc).alias("id_a"), "band_idx", "band_hash"
         )
+        new_old = a_side.join(
+            bc_probe.select(
+                F.col(idc).alias("id_b"), "band_idx", "band_hash"
+            ),
+            ["band_idx", "band_hash"],
+        ).select("id_a", "id_b")
         new_new = (
-            bn.select(
-                F.col(idc).alias("id_a"), "band_idx", "band_hash"
-            )
-            .join(
-                bn.select(
+            a_side.join(
+                bn_probe.select(
                     F.col(idc).alias("id_b"), "band_idx", "band_hash"
                 ),
                 ["band_idx", "band_hash"],
@@ -183,19 +184,8 @@ class ClusterMapMaintainer:
         )
         cand = new_old.union(new_new).distinct()
         all_sets = self._sets().union(hn)
-        sa = hn.select(F.col(idc).alias("id_a"), F.col("sh_hashes").alias("set_a"))
-        sb = all_sets.select(
-            F.col(idc).alias("id_b"), F.col("sh_hashes").alias("set_b")
-        )
-        inter = F.size(F.array_intersect("set_a", "set_b"))
-        union = F.size("set_a") + F.size("set_b") - inter
         edges = (
-            cand.join(sa, "id_a")
-            .join(sb, "id_b")
-            .withColumn(
-                "jaccard",
-                trunc6(inter.cast("double") / union.cast("double")),
-            )
+            exact_jaccard(cand, all_sets, idc, set_col="sh_hashes")
             .filter(F.col("jaccard") >= self.threshold)
             .select(
                 F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")

@@ -50,6 +50,23 @@ def swap_directory(staging: str, live: str) -> None:
         shutil.rmtree(old)
 
 
+def read_batch_marker(marker_path: str) -> tuple[int, str | None]:
+    """(last applied batch id, lineage id that applied it) from a
+    ``_last_batch_id`` marker file; (-1, None) when absent/corrupt. The
+    ONE parser for every streaming-maintained view's replay guard —
+    a format change here reaches all of them at once."""
+    try:
+        with open(marker_path) as f:
+            lines = f.read().splitlines()
+        return int(lines[0].strip()), (
+            lines[1].strip()
+            if len(lines) > 1 and lines[1].strip()
+            else None
+        )
+    except (OSError, ValueError, IndexError):
+        return -1, None
+
+
 def recover_directory(live: str) -> None:
     """Crash recovery for swap_directory: if only the .old copy exists
     (crash between the two renames), restore it."""
@@ -88,14 +105,7 @@ class IncrementalCounts:
 
     def _read_marker(self) -> tuple[int, str | None]:
         """(last applied batch id, lineage id that applied it)."""
-        try:
-            with open(self._batch_id_path()) as f:
-                lines = f.read().splitlines()
-            return int(lines[0].strip()), (
-                lines[1].strip() if len(lines) > 1 and lines[1].strip() else None
-            )
-        except (OSError, ValueError, IndexError):
-            return -1, None
+        return read_batch_marker(self._batch_id_path())
 
     def last_applied_batch_id(self) -> int:
         return self._read_marker()[0]
