@@ -72,7 +72,7 @@ def q_sim_search_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rnk", out["rank"].cast("bigint")).drop("rank")
 
 
-def _brute_oracle() -> str:
+def _brute_oracle(k: int = TOP_K) -> str:
     return f"""
         WITH {_BASE_CTES},
         scored AS (
@@ -89,7 +89,7 @@ def _brute_oracle() -> str:
             FROM scored
         )
         SELECT query_id, vec_id, round(cs, 6) AS cos_sim, rnk
-        FROM ranked WHERE rnk <= {TOP_K}
+        FROM ranked WHERE rnk <= {k}
     """
 
 

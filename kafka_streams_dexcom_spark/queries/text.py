@@ -2032,3 +2032,103 @@ def _quality_classifier_oracle() -> str:
 
 QUERIES["quality_classifier"] = q_quality_classifier
 ORACLES["quality_classifier"] = _quality_classifier_oracle()
+
+
+RRF_K = 60
+# the dense tower retrieves deeper than the lexical top-20: rank fusion
+# only has something to fuse where the candidate sets overlap, and a
+# shallow dense list over synthetic embeddings would intersect the
+# lexical list almost never
+HYBRID_DENSE_K = 50
+
+
+def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    2009): the lexical ranking (bm25_freetext, posting-list inverted
+    index) and the dense ranking (sim_search_bruteforce over the query
+    embeddings sharing the same query ids) fuse by
+    sum(1 / (RRF_K + rank)) — the standard two-tower retrieval merge a
+    training-data pipeline uses to slice a corpus by topic when neither
+    tower alone recalls everything. Rank-based fusion needs no score
+    calibration between towers, which is exactly why RRF is the default.
+
+    Shape: both towers are already candidate-bounded top-k queries
+    (index + broadcast query batch / broadcast query vectors +
+    two-level top-k); fusion is a full-outer join on the k-bounded
+    result sets — corpus-scale data never reaches this query. The
+    score is a fixed-order sum of two exact IEEE divisions, so the
+    oracle matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    from kafka_streams_dexcom_spark.operators import similarity as sim
+
+    qids = [qid for qid, _ in BM25_FREETEXT_QUERIES]
+    lex = q_bm25_freetext(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    dense = sim.brute_force_topk(
+        e, tuple(qids), HYBRID_DENSE_K
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("vec_rank"),
+    )
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer")
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("lex_rank")),
+        F.lit(0.0),
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("vec_rank")),
+        F.lit(0.0),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.select("query_id", "doc_id", score.alias("rrf_score"))
+        .withColumn(
+            "fused_rank", F.row_number().over(w).cast("bigint")
+        )
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    from kafka_streams_dexcom_spark.queries.similarity import (
+        _brute_oracle,
+    )
+
+    qids = ", ".join(str(qid) for qid, _ in BM25_FREETEXT_QUERIES)
+    return f"""
+    WITH b AS ({ORACLES["bm25_freetext"]}),
+    v AS ({_brute_oracle(HYBRID_DENSE_K)}),
+    l AS (SELECT query_id, doc_id, rank AS lex_rank FROM b),
+    dn AS (
+        SELECT query_id, vec_id AS doc_id, rnk AS vec_rank
+        FROM v WHERE query_id IN ({qids})
+    ),
+    f AS (
+        SELECT coalesce(l.query_id, dn.query_id) AS query_id,
+               coalesce(l.doc_id, dn.doc_id) AS doc_id,
+               l.lex_rank, dn.vec_rank
+        FROM l FULL OUTER JOIN dn
+          ON l.query_id = dn.query_id AND l.doc_id = dn.doc_id
+    ),
+    s AS (
+        SELECT query_id, doc_id,
+               coalesce(1.0 / ({RRF_K}.0 + lex_rank), 0.0)
+                   + coalesce(1.0 / ({RRF_K}.0 + vec_rank), 0.0)
+                   AS rrf_score
+        FROM f
+    )
+    SELECT query_id, doc_id, rrf_score,
+           CAST(row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY rrf_score DESC, doc_id ASC
+           ) AS BIGINT) AS fused_rank
+    FROM s
+"""
+
+
+QUERIES["hybrid_search_rrf"] = q_hybrid_search_rrf
+ORACLES["hybrid_search_rrf"] = _hybrid_rrf_oracle()

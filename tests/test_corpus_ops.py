@@ -649,3 +649,28 @@ def test_event_transitions_rows_normalize(spark):
         assert r.p > 0
         sums[r.from_type] = sums.get(r.from_type, 0.0) + r.p
     assert sums and all(abs(s - 1.0) < 1e-9 for s in sums.values())
+
+
+def test_hybrid_rrf_fuses_both_towers(spark):
+    """RRF invariants: dense 1..n ranks per query; every score is
+    positive and <= 2/(K+1); and the fusion is non-degenerate — at
+    least one (query, doc) is scored by BOTH towers (score strictly
+    above the single-tower maximum of 1/(K+1))."""
+    from kafka_streams_dexcom_spark.queries.text import (
+        RRF_K,
+        q_hybrid_search_rrf,
+    )
+
+    rows = q_hybrid_search_rrf(spark, "/root/testdata/sf0.01").collect()
+    single_max = 1.0 / (RRF_K + 1)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+        assert 0 < r.rrf_score <= 2 * single_max
+    for q, rs in by_q.items():
+        assert sorted(r.fused_rank for r in rs) == list(
+            range(1, len(rs) + 1)
+        )
+    assert any(r.rrf_score > single_max for r in rows), (
+        "no document was found by both towers — fusion is degenerate"
+    )
