@@ -1659,3 +1659,60 @@ def _semdedup_oracle() -> str:
 
 QUERIES["semdedup"] = q_semdedup
 ORACLES["semdedup"] = _semdedup_oracle()
+
+
+def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curated-corpus manifest — the single table a training run
+    consumes at the end of the pipeline: per document its near-dup
+    cluster, the keep/drop decision (min-id survivor policy), the
+    leakage-safe train/eval assignment (hashed from the CLUSTER label,
+    so near-copies can never straddle the split), provenance columns,
+    and the whitespace token count the batch packer budgets with. One
+    row per document; keep=1 & split='train' rows are the training set.
+
+    Scale: one hash join of the corpus against the shared materialized
+    cluster map (both sides partitioned on doc_id), token counts
+    scan-side, split/keep narrow projections — the manifest writer adds
+    nothing beyond the dedup pipeline it composes."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "lang",
+        F.expr(
+            "size(filter(split(text, '\\\\s+'), t -> t != ''))"
+        ).cast("bigint").alias("n_tokens"),
+    )
+    member = cluster_map(spark, sf_dir)
+    bucket = F.pmod(
+        F.expr(dd.HASH60_TPL.format(x="CAST(cluster AS STRING)")),
+        F.lit(100),
+    ).cast("bigint")
+    return d.join(member, "doc_id").select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_tokens",
+        "cluster",
+        (F.col("cluster") == F.col("doc_id")).cast("int").alias("keep"),
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+
+
+QUERIES["curation_manifest"] = q_curation_manifest
+ORACLES["curation_manifest"] = f"""
+    WITH comp AS ({_cc_oracle()}),
+    member AS (
+        SELECT d.doc_id, d.source, d.lang,
+               CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                    t -> t <> '')) AS BIGINT) AS n_tokens,
+               coalesce(c.component, d.doc_id) AS cluster
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    )
+    SELECT doc_id, source, lang, n_tokens, cluster,
+           CAST(cluster = doc_id AS INT) AS keep,
+           CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT}
+                THEN 'train' ELSE 'eval' END AS split
+    FROM member
+"""
