@@ -179,13 +179,9 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     own id if it has no near-dup), plus the keep/drop decision. This is
     the row a 100 TB dedup job actually writes back out."""
     return cluster_map(spark, sf_dir).select(
-        "doc_id", F.col("cluster").alias("canonical_id")
-    ).select(
         "doc_id",
-        "canonical_id",
-        (F.col("canonical_id") == F.col("doc_id"))
-        .cast("int")
-        .alias("is_survivor"),
+        F.col("cluster").alias("canonical_id"),
+        keep_col().alias("is_survivor"),
     )
 
 
@@ -1151,6 +1147,28 @@ ORACLES = {
 TRAIN_PCT = 90
 
 
+def split_cols() -> tuple:
+    """(bucket, split) Column pair hashed from the ``cluster`` label —
+    THE split policy, shared by leakage_safe_split and
+    curation_manifest so the manifest can never disagree with the split
+    query it composes. Oracle twin: _SPLIT_BUCKET / _SPLIT_CASE."""
+    bucket = F.pmod(
+        F.expr(dd.HASH60_TPL.format(x="CAST(cluster AS STRING)")),
+        F.lit(100),
+    ).cast("bigint")
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("eval"))
+    )
+    return bucket, split
+
+
+def keep_col():
+    """The min-id survivor rule (cluster label == doc id), shared by
+    dedup_survivors and curation_manifest."""
+    return (F.col("cluster") == F.col("doc_id")).cast("int")
+
+
 def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/eval split: assign documents to train or eval
     by hashing their NEAR-DUP CLUSTER id, not their doc id — so a
@@ -1165,17 +1183,12 @@ def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the assignment is deterministic (md5), so re-runs and backfills
     place every document identically with no stored split table."""
     member = cluster_map(spark, sf_dir)
-    bucket = F.pmod(
-        F.expr(dd.HASH60_TPL.format(x="CAST(cluster AS STRING)")),
-        F.lit(100),
-    ).cast("bigint")
+    bucket, split = split_cols()
     return member.select(
         "doc_id",
         "cluster",
         bucket.alias("bucket"),
-        F.when(bucket < TRAIN_PCT, F.lit("train"))
-        .otherwise(F.lit("eval"))
-        .alias("split"),
+        split.alias("split"),
     )
 
 
@@ -1215,6 +1228,11 @@ ORACLES["cc_incremental_replay"] = _cc_oracle()
 _SPLIT_BUCKET = (
     DUCK_HASH60.format(x="CAST(cluster AS VARCHAR)") + " % 100"
 )
+# the split policy's oracle twin (see split_cols) — ONE definition so
+# leakage_safe_split and curation_manifest can never diverge
+_SPLIT_CASE = (
+    f"CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT} THEN 'train' ELSE 'eval' END"
+)
 
 ORACLES["leakage_safe_split"] = f"""
     WITH comp AS ({{cc}}),
@@ -1224,8 +1242,7 @@ ORACLES["leakage_safe_split"] = f"""
     )
     SELECT doc_id, cluster,
            CAST({_SPLIT_BUCKET} AS BIGINT) AS bucket,
-           CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT}
-                THEN 'train' ELSE 'eval' END AS split
+           {_SPLIT_CASE} AS split
     FROM member
 """.format(cc=_cc_oracle())
 
@@ -1683,20 +1700,15 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_tokens"),
     )
     member = cluster_map(spark, sf_dir)
-    bucket = F.pmod(
-        F.expr(dd.HASH60_TPL.format(x="CAST(cluster AS STRING)")),
-        F.lit(100),
-    ).cast("bigint")
+    _, split = split_cols()
     return d.join(member, "doc_id").select(
         "doc_id",
         "source",
         "lang",
         "n_tokens",
         "cluster",
-        (F.col("cluster") == F.col("doc_id")).cast("int").alias("keep"),
-        F.when(bucket < TRAIN_PCT, F.lit("train"))
-        .otherwise(F.lit("eval"))
-        .alias("split"),
+        keep_col().alias("keep"),
+        split.alias("split"),
     )
 
 
@@ -1712,7 +1724,6 @@ ORACLES["curation_manifest"] = f"""
     )
     SELECT doc_id, source, lang, n_tokens, cluster,
            CAST(cluster = doc_id AS INT) AS keep,
-           CASE WHEN {_SPLIT_BUCKET} < {TRAIN_PCT}
-                THEN 'train' ELSE 'eval' END AS split
+           {_SPLIT_CASE} AS split
     FROM member
 """

@@ -2095,9 +2095,20 @@ def q_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _hybrid_rrf_oracle() -> str:
     from kafka_streams_dexcom_spark.queries.similarity import (
+        QUERY_IDS,
         _brute_oracle,
     )
 
+    # the dense oracle inherits _BASE_CTES, whose query CTE is the
+    # similarity module's QUERY_IDS — a freetext qid outside that set
+    # would retrieve on the Spark side but be absent from the oracle,
+    # failing the gate far from the edit site. Fail HERE instead.
+    missing = {qid for qid, _ in BM25_FREETEXT_QUERIES} - set(QUERY_IDS)
+    assert not missing, (
+        f"BM25_FREETEXT_QUERIES ids {sorted(missing)} have no query "
+        "embedding in similarity.QUERY_IDS — extend QUERY_IDS (and "
+        "_BASE_CTES) before fusing them"
+    )
     qids = ", ".join(str(qid) for qid, _ in BM25_FREETEXT_QUERIES)
     return f"""
     WITH b AS ({ORACLES["bm25_freetext"]}),

@@ -652,15 +652,19 @@ def test_event_transitions_rows_normalize(spark):
 
 
 def test_hybrid_rrf_fuses_both_towers(spark):
-    """RRF invariants: dense 1..n ranks per query; every score is
-    positive and <= 2/(K+1); and the fusion is non-degenerate — at
-    least one (query, doc) is scored by BOTH towers (score strictly
-    above the single-tower maximum of 1/(K+1))."""
+    """RRF invariants: fused ranks are a contiguous 1..n per query;
+    every score is positive and <= 2/(K+1); and the fusion is
+    non-degenerate — at least one (query, doc) is scored by BOTH towers
+    (score strictly above the single-tower maximum of 1/(K+1))."""
     from kafka_streams_dexcom_spark.queries.text import (
         RRF_K,
         q_hybrid_search_rrf,
     )
 
+    # sf0.01, not this file's usual sf0.001: tower overlap is a
+    # birthday-style event (lex top-20 ∩ dense top-50 over N docs) and
+    # the 500-doc corpus is the smallest where the non-degeneracy
+    # assertion holds on this fixed data
     rows = q_hybrid_search_rrf(spark, "/root/testdata/sf0.01").collect()
     single_max = 1.0 / (RRF_K + 1)
     by_q = {}
