@@ -667,7 +667,7 @@ def _simhash_pairs_oracle() -> str:
     """
 
 
-def _ngram_jaccard_oracle() -> str:
+def _ngram_jaccard_oracle(threshold: float = NGRAM_THRESHOLD) -> str:
     return f"""
         WITH {_duck_shingles_cte()},
         inv AS (
@@ -689,7 +689,7 @@ def _ngram_jaccard_oracle() -> str:
         WHERE floor(CAST(inter AS DOUBLE)
                     / CAST(size_a + size_b - inter AS DOUBLE)
                     * 1000000) / 1000000.0
-              >= {NGRAM_THRESHOLD}
+              >= {threshold}
     """
 
 
@@ -1726,4 +1726,73 @@ ORACLES["curation_manifest"] = f"""
            CAST(cluster = doc_id AS INT) AS keep,
            {_SPLIT_CASE} AS split
     FROM member
+"""
+
+
+CURVE_THRESHOLDS = (0.2, 0.3, 0.4, 0.5)
+
+
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-sensitivity report — the table a curator reads before
+    committing to a near-dup threshold: for each candidate Jaccard
+    cutoff, how many pairs survive and how many documents are touched
+    by at least one such pair. ONE pair computation at the loosest
+    cutoff feeds every row (a pair at 0.4 is also a pair at 0.2), so
+    sweeping the knob costs one extra tiny aggregate, not a pipeline
+    re-run per threshold.
+
+    Scale: the pair set is the prefix-filtered ngram join (candidate
+    bounded); per-doc max-jaccard is a hash agg on doc id; the curve
+    itself is |thresholds| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    base = min(CURVE_THRESHOLDS)
+    pairs = dd.ngram_jaccard_pairs(d, threshold=base).select(
+        "id_a", "id_b", "jaccard"
+    ).localCheckpoint()  # one computation feeds the pair AND doc aggs
+    doc_max = (
+        pairs.select(F.col("id_a").alias("doc_id"), "jaccard")
+        .union(pairs.select(F.col("id_b").alias("doc_id"), "jaccard"))
+        .groupBy("doc_id")
+        .agg(F.max("jaccard").alias("max_j"))
+    )
+    # one conditional-aggregate pass per side (not a job per threshold);
+    # the collected rows are |thresholds|-bounded scalars
+    prow = pairs.agg(
+        *[
+            F.count(F.when(F.col("jaccard") >= t, 1)).alias(f"c{i}")
+            for i, t in enumerate(CURVE_THRESHOLDS)
+        ]
+    ).collect()[0]
+    drow = doc_max.agg(
+        *[
+            F.count(F.when(F.col("max_j") >= t, 1)).alias(f"c{i}")
+            for i, t in enumerate(CURVE_THRESHOLDS)
+        ]
+    ).collect()[0]
+    rows = [
+        (t, prow[f"c{i}"], drow[f"c{i}"])
+        for i, t in enumerate(CURVE_THRESHOLDS)
+    ]
+    return spark.createDataFrame(
+        rows, "threshold double, n_pairs long, n_docs long"
+    )
+
+
+QUERIES["dedup_threshold_curve"] = q_dedup_threshold_curve
+ORACLES["dedup_threshold_curve"] = f"""
+    WITH p AS ({_ngram_jaccard_oracle(min(CURVE_THRESHOLDS))}),
+    dm AS (
+        SELECT doc_id, max(jaccard) AS max_j FROM (
+            SELECT doc_a AS doc_id, jaccard FROM p
+            UNION ALL
+            SELECT doc_b AS doc_id, jaccard FROM p
+        ) GROUP BY doc_id
+    ),
+    t(threshold) AS (VALUES {", ".join(f"(CAST({t} AS DOUBLE))" for t in CURVE_THRESHOLDS)})
+    SELECT t.threshold,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p
+            WHERE p.jaccard >= t.threshold) AS n_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dm
+            WHERE dm.max_j >= t.threshold) AS n_docs
+    FROM t
 """
