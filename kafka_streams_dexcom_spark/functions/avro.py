@@ -214,6 +214,30 @@ def to_avro_column(
         return F.concat(F.lit(header), body) if header else body
 
     fields = parse_record_schema(schema_json)
+    # Two Spark->pandas conversion hazards, both fixed by reshaping the
+    # struct BEFORE it crosses Arrow:
+    # 1. int/long columns containing a null coerce to float64 in pandas,
+    #    silently destroying |v| >= 2^53 (epoch-micros territory) — so
+    #    every int/long field transits as a decimal STRING and is parsed
+    #    back exactly in the UDF.
+    # 2. a null float and a genuine NaN both land as NaN in a float64
+    #    column, but native to_avro encodes NaN as a valid IEEE payload
+    #    and only SQL NULL as the Avro null branch — so each float/double
+    #    field carries a Spark-computed __mask_<name> isNull companion.
+    shaped_fields = []
+    float_fields = []
+    for name, typ, _ in fields:
+        if typ in ("int", "long"):
+            shaped_fields.append(
+                data.getField(name).cast("string").alias(name)
+            )
+        else:
+            shaped_fields.append(data.getField(name).alias(name))
+            if typ in ("float", "double"):
+                float_fields.append(
+                    data.getField(name).isNull().alias(f"__mask_{name}")
+                )
+    shaped = F.struct(*shaped_fields, *float_fields)
 
     @F.pandas_udf("binary")
     def enc(s):  # s: pd.DataFrame (struct columns)
@@ -224,9 +248,15 @@ def to_avro_column(
             buf = bytearray(header)
             for name, typ, nullable in fields:
                 v = s[name].iloc[i]
-                is_null = v is None or (
-                    not isinstance(v, (str, bytes)) and pd.isna(v)
-                )
+                if typ in ("float", "double"):
+                    # NaN is a VALUE here; only SQL NULL (the mask) is null
+                    is_null = bool(s[f"__mask_{name}"].iloc[i])
+                elif typ in ("int", "long"):
+                    is_null = v is None  # string detour: object dtype
+                else:
+                    is_null = v is None or (
+                        not isinstance(v, (str, bytes)) and pd.isna(v)
+                    )
                 if nullable:
                     if is_null:
                         buf += _zigzag_encode(0)
@@ -234,11 +264,13 @@ def to_avro_column(
                     buf += _zigzag_encode(1)
                 elif is_null:
                     raise ValueError(f"null in non-nullable field {name!r}")
+                if typ in ("int", "long"):
+                    v = int(v)  # exact: parsed from the decimal string
                 buf += _encode_value(typ, v)
             out.append(bytes(buf))
         return pd.Series(out)
 
-    return enc(data)
+    return enc(shaped)
 
 
 def from_avro_column(
@@ -259,8 +291,42 @@ def from_avro_column(
 
     fields = parse_record_schema(schema_json)
     out_type = spark_struct_for(schema_json)
+    expected_id = confluent_schema_id
+    # Return-trip hazards mirror the encode side: int/long go back as
+    # pandas nullable Int32/Int64 (never float64, exact past 2^53);
+    # float/double go back as exact decimal STRINGS ("NaN"/"Infinity"/
+    # repr — repr of a double is shortest-exact) rebuilt with a Spark
+    # cast, because both plain float64 columns and pandas' masked Float
+    # arrays collapse a genuine IEEE NaN into null on the pandas->Arrow
+    # trip, while native from_avro keeps NaN as a value.
+    _PD_DTYPES = {
+        "int": "Int32",
+        "long": "Int64",
+        "boolean": "boolean",
+    }
+    inter_type = T.StructType(
+        [
+            T.StructField(
+                name,
+                T.StringType()
+                if typ in ("float", "double")
+                else _SPARK_TYPES[typ],
+                nullable=True,
+            )
+            for name, typ, _ in fields
+        ]
+    )
 
-    @F.pandas_udf(returnType=out_type)
+    def _float_str(v) -> str:
+        import math
+
+        if math.isnan(v):
+            return "NaN"
+        if math.isinf(v):
+            return "Infinity" if v > 0 else "-Infinity"
+        return repr(v)
+
+    @F.pandas_udf(returnType=inter_type)
     def dec(s):  # s: pd.Series of bytes -> pd.DataFrame
         import pandas as pd
 
@@ -274,6 +340,24 @@ def from_avro_column(
                 for name, _, _ in fields:
                     cols[name].append(None)
                 continue
+            if skip:
+                # validate the Confluent wire framing instead of blind
+                # positional stripping — absent or foreign framing must
+                # fail per-payload, not silently decode garbage
+                if len(payload) < 5:
+                    raise ValueError(
+                        "payload shorter than the 5-byte Confluent header"
+                    )
+                if payload[0] != 0x00:
+                    raise ValueError(
+                        f"bad Confluent magic byte 0x{payload[0]:02x}"
+                    )
+                embedded = struct.unpack(">I", payload[1:5])[0]
+                if embedded != expected_id:
+                    raise ValueError(
+                        f"Confluent schema id {embedded} != expected "
+                        f"{expected_id}"
+                    )
             pos = skip
             for name, typ, nullable in fields:
                 if nullable:
@@ -282,9 +366,33 @@ def from_avro_column(
                         cols[name].append(None)
                         continue
                 v, pos = _decode_value(typ, payload, pos)
+                if typ in ("float", "double"):
+                    v = _float_str(v)
                 cols[name].append(v)
-        return pd.DataFrame(cols)
+        return pd.DataFrame(
+            {
+                name: pd.array(
+                    [pd.NA if v is None else v for v in cols[name]],
+                    dtype=_PD_DTYPES[typ],
+                )
+                if typ in _PD_DTYPES
+                else pd.Series(cols[name], dtype="object")
+                for name, typ, _ in fields
+            }
+        )
 
+    inter = dec(data)
+    # rebuild the declared numeric types from the exact strings; the same
+    # `inter` expression is referenced per field, and ExtractPythonUDFs
+    # deduplicates identical UDF expressions into one evaluation node
+    rebuilt = F.struct(
+        *[
+            inter.getField(name).cast(_SPARK_TYPES[typ]).alias(name)
+            if typ in ("float", "double")
+            else inter.getField(name).alias(name)
+            for name, typ, _ in fields
+        ]
+    )
     return F.when(data.isNull(), F.lit(None).cast(out_type)).otherwise(
-        dec(data)
+        rebuilt
     )

@@ -47,10 +47,19 @@ def _hard_cut(df: DataFrame, rnd: int) -> tuple[DataFrame, str | None]:
     import uuid
 
     spark = df.sparkSession
-    sc = spark.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isDefined():  # noqa: SLF001
+    try:
+        # classic-session probe: raises under Spark Connect, where the
+        # driver-side SparkContext (and py4j) are unreachable — fall back
+        # to the plain localCheckpoint Connect 4.x supports rather than
+        # failing every deep graph that reaches the first cut
+        sc = spark.sparkContext
+        checkpoint_dir_set = sc._jsc.sc().getCheckpointDir().isDefined()  # noqa: SLF001
+        master = sc.master
+    except Exception:
+        return df.localCheckpoint(), None
+    if checkpoint_dir_set:
         return df.checkpoint(eager=True), None
-    if not sc.master.startswith("local"):
+    if not master.startswith("local"):
         return df.localCheckpoint(), None
     from kafka_streams_dexcom_spark.sources.files import session_temp_dir
 

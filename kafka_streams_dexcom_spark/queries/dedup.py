@@ -132,7 +132,7 @@ def _cluster_members(d: DataFrame, out_col: str = "cluster") -> DataFrame:
     )
 
 
-_CLUSTER_CACHE: dict[tuple[str, str], DataFrame] = {}
+_CLUSTER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -156,16 +156,27 @@ def cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph pipeline."""
     import os
 
-    from kafka_streams_dexcom_spark.sources.files import session_temp_dir
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_temp_dir,
+    )
 
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    # the corpus fingerprint (file listing + sizes + mtimes) is part of
+    # the key, so an in-session rewrite of documents.parquet recomputes
+    # instead of serving stale labels — regeneration is no longer
+    # assumed to be cross-session-only
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+    )
     cached = _CLUSTER_CACHE.get(key)
     if cached is not None:
         return cached
     d = load_table(spark, sf_dir, "documents")
     path = os.path.join(
         session_temp_dir("cluster_maps"),
-        f"{key[0]}_{abs(hash(key[1]))}",
+        f"{key[0]}_{abs(hash((key[1], key[2])))}",
     )
     _cluster_members(d).write.mode("overwrite").parquet(path)
     out = spark.read.parquet(path)

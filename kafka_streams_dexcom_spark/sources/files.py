@@ -120,6 +120,41 @@ def materialize(df: DataFrame) -> DataFrame:
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def corpus_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a local table file/directory: md5
+    over the sorted (relative path, size, mtime_ns) listing. Used to key
+    per-session materialized artifacts (cluster map, trained quantizer)
+    so an in-session rewrite of the source table recomputes the artifact
+    instead of silently serving stale labels. Listing-only — never reads
+    data bytes — so it costs microseconds at any table size; on a real
+    cluster the same role is played by the table format's snapshot id."""
+    import hashlib
+
+    h = hashlib.md5()
+    p = os.path.abspath(path)
+    entries: list[tuple[str, int, int]] = []
+    if os.path.isdir(p):
+        for root, _dirs, names in os.walk(p):
+            for n in names:
+                fp = os.path.join(root, n)
+                try:
+                    st = os.stat(fp)
+                except OSError:
+                    continue
+                entries.append(
+                    (os.path.relpath(fp, p), st.st_size, st.st_mtime_ns)
+                )
+    else:
+        try:
+            st = os.stat(p)
+            entries.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
+        except OSError:
+            pass
+    for rel, size, mtime in sorted(entries):
+        h.update(f"{rel}\x00{size}\x00{mtime}\x00".encode())
+    return h.hexdigest()[:16]
+
+
 _TMP_ROOTS: dict[str, str] = {}
 _TMP_ROOTS_LOCK = threading.Lock()
 

@@ -228,3 +228,104 @@ def test_avro_null_value_decodes_to_null_struct(spark):
         from_avro_column(F.col("v"), EGV_AVRO_SCHEMA, spark=spark).alias("r")
     ).collect()
     assert out[0].r is None
+
+
+def test_avro_large_long_and_nan_fidelity(spark):
+    """ADVICE r4 fixes: (1) nullable longs must not transit float64 —
+    |v| >= 2^53 (epoch-micros territory) must round-trip exactly even
+    when the batch contains a null; (2) a genuine IEEE NaN in a nullable
+    double is a VALUE (encodes as a payload, decodes as NaN), while SQL
+    NULL takes the Avro null branch — matching native to_avro/from_avro."""
+    import json
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from kafka_streams_dexcom_spark.functions.avro import (
+        from_avro_column,
+        to_avro_column,
+    )
+
+    schema = json.dumps(
+        {
+            "type": "record",
+            "name": "Wide",
+            "fields": [
+                {"name": "big", "type": ["null", "long"]},
+                {"name": "x", "type": ["null", "double"]},
+            ],
+        }
+    )
+    big = 2**53 + 1  # not representable in float64
+    df = spark.createDataFrame(
+        [(big, float("nan")), (None, None), (7, 1.5)],
+        T.StructType(
+            [
+                T.StructField("big", T.LongType()),
+                T.StructField("x", T.DoubleType()),
+            ]
+        ),
+    )
+    out = (
+        df.select(
+            to_avro_column(
+                F.struct("big", "x"), schema, force_fallback=True
+            ).alias("b")
+        )
+        .select(
+            from_avro_column(
+                F.col("b"), schema, force_fallback=True
+            ).alias("r")
+        )
+        .select("r.*")
+        .collect()
+    )
+    assert out[0].big == big
+    assert math.isnan(out[0].x)
+    assert out[1].big is None and out[1].x is None
+    assert out[2].big == 7 and out[2].x == 1.5
+
+
+def test_avro_confluent_framing_validated(spark):
+    """ADVICE r4 fix: the fallback decoder must verify the Confluent
+    header (magic byte + embedded schema id) instead of stripping 5
+    bytes positionally — a mismatched id fails loudly, never decodes
+    garbage."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.functions.avro import (
+        EGV_AVRO_SCHEMA,
+        from_avro_column,
+        to_avro_column,
+    )
+
+    enc = spark.createDataFrame(
+        [("2020-11-02T02:00:00", 120)], "systemTime string, value int"
+    ).select(
+        to_avro_column(
+            F.struct(
+                "systemTime",
+                F.lit(None).cast("string").alias("displayTime"),
+                "value",
+                F.lit(None).cast("int").alias("realtimeValue"),
+                F.lit(None).cast("int").alias("smoothedValue"),
+                F.lit(None).cast("string").alias("status"),
+                F.lit(None).cast("string").alias("trend"),
+                F.lit(None).cast("float").alias("trendRate"),
+            ),
+            EGV_AVRO_SCHEMA,
+            force_fallback=True,
+            confluent_schema_id=7,
+        ).alias("b")
+    )
+    with pytest.raises(Exception, match="schema id"):
+        enc.select(
+            from_avro_column(
+                F.col("b"),
+                EGV_AVRO_SCHEMA,
+                force_fallback=True,
+                confluent_schema_id=8,
+            ).alias("r")
+        ).collect()
