@@ -144,36 +144,49 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        # pointer jump: label ← label(label). Every label value IS a
-        # node id (labels start as identity and only copy node ids), so
-        # the lookup always hits; labels are monotone non-increasing, so
-        # the jump only tightens. This is what turns O(diameter) rounds
-        # into O(log diameter). ADAPTIVE: the first two rounds are
-        # hook-only — shallow near-dup forests (diameter ≤ 2, the common
-        # case) converge before ever paying the extra join; deep graphs
-        # start halving their chains from round 3.
+        # pointer jump: label ← label(label), applied TWICE per round.
+        # Every label value IS a node id (labels start as identity and
+        # only copy node ids), so the lookup always hits; labels are
+        # monotone non-increasing, so each jump only tightens — the
+        # invariants that make the result exact are jump-count-
+        # independent. Both jumps read the SAME previous-round label
+        # table, so they add one shuffle join each but NO extra
+        # materialization (the degradation driver is materialization-
+        # chain length, not join count — ROUND4_NOTES.md). One stale
+        # jump compresses reach by ~φ per round (the jump table lags
+        # the hook by a round); two compress by ~2× — measured on the
+        # hundreds-deep customer-name edit-chain graph
+        # (er_customer_golden, sf0.1): 24 rounds → 13, 26s → 15s.
+        # ADAPTIVE: the first two rounds are hook-only — shallow
+        # near-dup forests (diameter ≤ 2, the common case) converge
+        # before ever paying the extra joins; deep graphs start
+        # compressing their chains from round 3.
         if rnd < 2:
             updated = hooked
         else:
-            updated = (
-                hooked.alias("h")
-                .join(
-                    labels.select(
-                        F.col("node").alias("j_node"),
-                        F.col("label").alias("j_label"),
-                    ),
-                    F.col("h.label") == F.col("j_node"),
-                    "left",
+            updated = hooked
+            for j in range(2):
+                updated = (
+                    updated.alias("h")
+                    .join(
+                        labels.select(
+                            F.col("node").alias(f"j{j}_node"),
+                            F.col("label").alias(f"j{j}_label"),
+                        ),
+                        F.col("h.label") == F.col(f"j{j}_node"),
+                        "left",
+                    )
+                    .select(
+                        F.col("h.node").alias("node"),
+                        F.col("h.prev_label").alias("prev_label"),
+                        F.least(
+                            F.col("h.label"),
+                            F.coalesce(
+                                F.col(f"j{j}_label"), F.col("h.label")
+                            ),
+                        ).alias("label"),
+                    )
                 )
-                .select(
-                    F.col("h.node").alias("node"),
-                    F.col("h.prev_label").alias("prev_label"),
-                    F.least(
-                        F.col("h.label"),
-                        F.coalesce(F.col("j_label"), F.col("h.label")),
-                    ).alias("label"),
-                )
-            )
         if hard_cut_every and (rnd + 1) % hard_cut_every == 0:
             updated, cut_path = _hard_cut(updated, rnd)
             if prev_cut_path is not None:

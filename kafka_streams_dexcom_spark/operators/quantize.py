@@ -202,6 +202,7 @@ def pq_topk(
     m: int = PQ_M,
     ksub: int = PQ_KSUB,
     dim: int = 64,
+    trained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """PQ ADC top-k: approximate L2 via per-subspace distance tables.
 
@@ -217,8 +218,14 @@ def pq_topk(
     payload per vector in a real layout — and never re-reads the float
     vectors after encoding; this is the memory shape that lets a
     1000-executor cluster hold a trillion codes. Compose with IVF cell
-    pruning (sim_search_ivf) to avoid the full code scan per query."""
-    cents, codes = pq_train_encode(emb, id_col, vec_col, m, ksub, dim=dim)
+    pruning (sim_search_ivf) to avoid the full code scan per query.
+
+    ``trained``: a pre-built (codebooks, codes) pair — e.g. the shared
+    session artifact (queries/similarity.pq_artifacts) — skips training;
+    None trains in-query."""
+    cents, codes = trained if trained is not None else pq_train_encode(
+        emb, id_col, vec_col, m, ksub, dim=dim
+    )
     base = with_embedding_norm(emb.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vid"), "vec"
     )
@@ -283,6 +290,7 @@ def ivfpq_topk(
     ksub: int = PQ_KSUB,
     dim: int = 64,
     nprobe: int = 1,
+    trained: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """IVF-PQ: coarse cell pruning composed with PQ ADC ranking — the
     FAISS IVFPQ shape, and the configuration that actually runs at
@@ -300,7 +308,9 @@ def ivfpq_topk(
     )
     from kafka_streams_dexcom_spark.operators.dedup import DOT_EXPR_TPL
 
-    cents, codes = pq_train_encode(emb, id_col, vec_col, m, ksub, dim=dim)
+    cents, codes = trained if trained is not None else pq_train_encode(
+        emb, id_col, vec_col, m, ksub, dim=dim
+    )
     base = with_embedding_norm(
         emb.select(id_col, vec_col, cell_col), vec_col
     ).select(F.col(id_col).alias("vid"), "vec", cell_col)

@@ -68,8 +68,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
+    return ngram_pairs_map(spark, sf_dir, threshold=NGRAM_THRESHOLD).select(
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         "jaccard",
@@ -106,8 +105,62 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVAL_SOURCE = "src0"
 
+# The loosest Jaccard cutoff any registered consumer uses (the threshold
+# curve sweeps down to 0.2); the shared pair artifact is built once at
+# this cutoff and every tighter consumer is an exact filter of it.
+NGRAM_PAIRS_BASE = 0.2
 
-def _cluster_members(d: DataFrame, out_col: str = "cluster") -> DataFrame:
+
+def ngram_pairs_map(
+    spark: SparkSession, sf_dir: str, threshold: float = NGRAM_THRESHOLD
+) -> DataFrame:
+    """The near-dup candidate pair set (id_a, id_b, jaccard) over the
+    documents corpus, MATERIALIZED ONCE per (Spark application, corpus)
+    at the loosest registered cutoff and shared by every consumer —
+    dedup_ngram_jaccard, the cluster-map build, cc_incremental_replay,
+    dedup_cross_source, dedup_threshold_curve (five independent
+    prefix-index pair computations before this). A pair at Jaccard 0.4
+    is also a pair at 0.2, and the prefix filter is oracle-proven
+    lossless at every threshold, so ``pairs(τ) ==
+    pairs(base).filter(jaccard >= τ)`` exactly — the filter compares the
+    same stored double both engines computed. At 100 TB the candidate
+    pair table is the published output of the most expensive dedup
+    stage; every policy query downstream reads it, none re-shingle the
+    corpus."""
+    import os
+
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    if threshold < NGRAM_PAIRS_BASE:
+        # looser than the artifact's base: the filter would silently
+        # drop pairs — compute directly instead of serving a wrong set
+        return dd.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=threshold
+        )
+    base = session_artifact(
+        spark,
+        "ngram_pairs",
+        (
+            os.path.abspath(sf_dir),
+            corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            NGRAM_PAIRS_BASE,
+        ),
+        lambda: dd.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"),
+            threshold=NGRAM_PAIRS_BASE,
+        ),
+    )
+    if threshold == NGRAM_PAIRS_BASE:
+        return base
+    return base.filter(F.col("jaccard") >= threshold)
+
+
+def _cluster_members(
+    spark: SparkSession, sf_dir: str, out_col: str = "cluster"
+) -> DataFrame:
     """Shared near-dup cluster membership: ngram near-dup graph → exact
     connected components → (doc_id, <out_col>), singleton documents
     labeled with their own id. The single source of truth for every
@@ -118,7 +171,8 @@ def _cluster_members(d: DataFrame, out_col: str = "cluster") -> DataFrame:
         connected_components,
     )
 
-    pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD).select(
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_pairs_map(spark, sf_dir, threshold=NGRAM_THRESHOLD).select(
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     comp = connected_components(pairs)
@@ -132,7 +186,6 @@ def _cluster_members(d: DataFrame, out_col: str = "cluster") -> DataFrame:
     )
 
 
-_CLUSTER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,30 +211,22 @@ def cluster_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka_streams_dexcom_spark.sources.files import (
         corpus_fingerprint,
-        session_temp_dir,
+        session_artifact,
     )
 
     # the corpus fingerprint (file listing + sizes + mtimes) is part of
     # the key, so an in-session rewrite of documents.parquet recomputes
     # instead of serving stale labels — regeneration is no longer
     # assumed to be cross-session-only
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.abspath(sf_dir),
-        corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+    return session_artifact(
+        spark,
+        "cluster_map",
+        (
+            os.path.abspath(sf_dir),
+            corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        ),
+        lambda: _cluster_members(spark, sf_dir),
     )
-    cached = _CLUSTER_CACHE.get(key)
-    if cached is not None:
-        return cached
-    d = load_table(spark, sf_dir, "documents")
-    path = os.path.join(
-        session_temp_dir("cluster_maps"),
-        f"{key[0]}_{abs(hash((key[1], key[2])))}",
-    )
-    _cluster_members(d).write.mode("overwrite").parquet(path)
-    out = spark.read.parquet(path)
-    _CLUSTER_CACHE[key] = out
-    return out
 
 
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -280,14 +325,12 @@ def q_dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means cell, so candidate volume is Σ cell² under a learned,
     data-adaptive partition; the oracle replays the 3 Lloyd rounds and
     the in-cell pair generation exactly."""
-    from kafka_streams_dexcom_spark.operators.clustering import kmeans_assign
     from kafka_streams_dexcom_spark.queries.similarity import (
-        KMEANS_ITERS,
-        KMEANS_K,
+        kmeans_cells_map,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    cells = kmeans_assign(e, k=KMEANS_K, iterations=KMEANS_ITERS)
+    cells = kmeans_cells_map(spark, sf_dir)
     base = e.join(cells, "vec_id")
     return dd.embedding_cosine_pairs(
         base, block_col="cell", threshold=COSINE_THRESHOLD
@@ -1221,11 +1264,10 @@ def q_cc_incremental_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    d = load_table(spark, sf_dir, "documents")
-    pairs = (
-        dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD)
-        .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-        .localCheckpoint()  # consumed by both splits below
+    # the shared artifact is parquet-backed, so both splits below plan
+    # against a flat scan — no localCheckpoint needed
+    pairs = ngram_pairs_map(spark, sf_dir, threshold=NGRAM_THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
     )
     new_a = F.col("doc_a") % 10 == 0
     new_b = F.col("doc_b") % 10 == 0
@@ -1275,7 +1317,7 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id (hash joins against the corpus), then aggregates to at most
     |sources|² rows."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(d, threshold=NGRAM_THRESHOLD)
+    pairs = ngram_pairs_map(spark, sf_dir, threshold=NGRAM_THRESHOLD)
     src = d.select("doc_id", "source")
     return (
         pairs.join(
@@ -1523,25 +1565,20 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph; centroid stats are K x dim rows broadcast back. Zero-norm
     vectors are dropped upstream (with_embedding_norm), as everywhere
     in the embedding family."""
-    from kafka_streams_dexcom_spark.operators.clustering import (
-        DIST2_TPL,
-        kmeans_assign,
-    )
+    from kafka_streams_dexcom_spark.operators.clustering import DIST2_TPL
     from kafka_streams_dexcom_spark.operators.graph import (
         connected_components,
     )
     from kafka_streams_dexcom_spark.queries.similarity import (
-        KMEANS_ITERS,
-        KMEANS_K,
+        kmeans_cells_map,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    # the final Lloyd assign stage is lazy; FOUR consumers below (pair
-    # blocking, membership, centroid stats, distances) would re-execute
-    # it — cut it once (iterative-hygiene rule, operators/graph.py)
-    cells = kmeans_assign(
-        e, k=KMEANS_K, iterations=KMEANS_ITERS
-    ).localCheckpoint()
+    # the shared quantizer artifact is parquet-backed, so the FOUR
+    # consumers below (pair blocking, membership, centroid stats,
+    # distances) each plan against a flat scan — no localCheckpoint
+    # needed, no per-query retraining
+    cells = kmeans_cells_map(spark, sf_dir)
     v = dd.with_embedding_norm(e).select("vec_id", "vec")
     base = v.join(cells, "vec_id")
     pairs = dd.embedding_cosine_pairs(
@@ -1755,11 +1792,11 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the pair set is the prefix-filtered ngram join (candidate
     bounded); per-doc max-jaccard is a hash agg on doc id; the curve
     itself is |thresholds| rows."""
-    d = load_table(spark, sf_dir, "documents")
     base = min(CURVE_THRESHOLDS)
-    pairs = dd.ngram_jaccard_pairs(d, threshold=base).select(
+    # the shared parquet-backed artifact feeds the pair AND doc aggs
+    pairs = ngram_pairs_map(spark, sf_dir, threshold=base).select(
         "id_a", "id_b", "jaccard"
-    ).localCheckpoint()  # one computation feeds the pair AND doc aggs
+    )
     doc_max = (
         pairs.select(F.col("id_a").alias("doc_id"), "jaccard")
         .union(pairs.select(F.col("id_b").alias("doc_id"), "jaccard"))

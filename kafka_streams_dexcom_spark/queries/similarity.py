@@ -349,16 +349,89 @@ KMEANS_K = 8
 KMEANS_ITERS = 3
 
 
+def kmeans_cells_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained coarse quantizer's (vec_id, cell) assignment,
+    MATERIALIZED ONCE per (Spark application, corpus) and shared by
+    every consumer — kmeans_cells, dedup_embedding_ivf, semdedup. At
+    100 TB a trained quantizer is a published artifact every embedding
+    job reads, never a per-query subquery retraining the same Lloyd
+    pipeline (three independent trainings before this). Oracles are
+    unchanged: they replay training from the data, and the parquet
+    round-trip is bit-exact, so parity is unaffected."""
+    import os
+
+    from kafka_streams_dexcom_spark.operators.clustering import kmeans_assign
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    return session_artifact(
+        spark,
+        "kmeans_cells",
+        (
+            os.path.abspath(sf_dir),
+            corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+            KMEANS_K,
+            KMEANS_ITERS,
+        ),
+        lambda: kmeans_assign(
+            load_table(spark, sf_dir, "embeddings"),
+            k=KMEANS_K,
+            iterations=KMEANS_ITERS,
+        ),
+    )
+
+
+def pq_artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The trained PQ (codebooks, codes) pair, materialized once per
+    (Spark application, corpus) — the encode side of a PQ index is a
+    published artifact exactly like the coarse quantizer above; before
+    this, sim_search_pq and sim_search_ivfpq each re-ran the identical
+    codebook training + corpus encode."""
+    import os
+
+    from kafka_streams_dexcom_spark.operators.quantize import pq_train_encode
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    key = (
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
+    )
+    # one training run feeds BOTH artifacts: stash the pair from the
+    # first build closure so the second tag's build doesn't retrain
+    trained: dict[str, DataFrame] = {}
+
+    def _train() -> None:
+        if not trained:
+            cents, codes = pq_train_encode(
+                load_table(spark, sf_dir, "embeddings")
+            )
+            trained["cents"], trained["codes"] = cents, codes
+
+    def _build(which: str):
+        def build() -> DataFrame:
+            _train()
+            return trained[which]
+
+        return build
+
+    cents = session_artifact(spark, "pq_cents", key, _build("cents"))
+    codes = session_artifact(spark, "pq_codes", key, _build("codes"))
+    return cents, codes
+
+
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the IVF coarse quantizer: 3 Lloyd rounds of k-means (k=8)
     over the embeddings. The determinism discipline (fixed init,
     lowest-cid tie-breaks, round(avg, 6) centroid components,
     sequential-fold distances) exists precisely so the iterations can be
-    replayed exactly in SQL — see _kmeans_oracle's unrolled rounds."""
-    from kafka_streams_dexcom_spark.operators.clustering import kmeans_assign
-
-    e = load_table(spark, sf_dir, "embeddings")
-    return kmeans_assign(e, k=KMEANS_K, iterations=KMEANS_ITERS)
+    replayed exactly in SQL — see _kmeans_oracle's unrolled rounds.
+    Served from the shared kmeans_cells_map artifact."""
+    return kmeans_cells_map(spark, sf_dir)
 
 
 def kmeans_oracle_ctes(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> list[str]:
@@ -497,13 +570,13 @@ def _quantize_oracle() -> str:
 
 
 def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ADC search (operators/quantize.py): train
-    per-subspace codebooks, encode the corpus to 4×4-bit codes, rank by
-    summed distance-table lookups."""
+    """Product-quantization ADC search (operators/quantize.py): rank by
+    summed distance-table lookups over the shared trained codebooks +
+    corpus codes (pq_artifacts — trained once per session/corpus)."""
     from kafka_streams_dexcom_spark.operators.quantize import pq_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return pq_topk(e, QUERY_IDS, TOP_K)
+    return pq_topk(e, QUERY_IDS, TOP_K, trained=pq_artifacts(spark, sf_dir))
 
 
 def _pq_ctes(
@@ -639,11 +712,14 @@ def _pq_oracle(
 
 def q_sim_search_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF cell pruning composed with PQ ADC ranking — the billion-scale
-    ANN configuration (operators/quantize.ivfpq_topk)."""
+    ANN configuration (operators/quantize.ivfpq_topk). Codebooks/codes
+    come from the shared pq_artifacts session artifact."""
     from kafka_streams_dexcom_spark.operators.quantize import ivfpq_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivfpq_topk(e, QUERY_IDS, TOP_K)
+    return ivfpq_topk(
+        e, QUERY_IDS, TOP_K, trained=pq_artifacts(spark, sf_dir)
+    )
 
 
 def _ivfpq_oracle(

@@ -155,6 +155,59 @@ def corpus_fingerprint(path: str) -> str:
     return h.hexdigest()[:16]
 
 
+_ARTIFACT_CACHE: dict[tuple, DataFrame] = {}
+# reentrant: cluster_map's build nests into ngram_pairs_map's
+# session_artifact call on the same thread
+_ARTIFACT_LOCK = threading.RLock()
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Stable per-application cache-key component; sparkContext raises
+    under Spark Connect, where the session object itself is the scope."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return f"connect_{id(spark)}"
+
+
+def session_artifact(
+    spark: SparkSession,
+    tag: str,
+    key_parts: tuple,
+    build,
+) -> DataFrame:
+    """Materialize a DataFrame ONCE per (Spark application, ``tag``,
+    ``key_parts``) and share the parquet-backed result with every
+    consumer — the publish-once contract for expensive shared
+    computations (near-dup cluster map, trained k-means quantizer, PQ
+    codebooks). At 100 TB these are published table artifacts every
+    downstream policy reads, never subqueries each consumer recomputes;
+    this mirrors that contract at test scale.
+
+    ``build`` is a zero-arg callable returning the DataFrame to
+    materialize; it runs only on a cache miss. Include a
+    ``corpus_fingerprint`` of the source table in ``key_parts`` so an
+    in-session rewrite recomputes instead of serving stale rows. The
+    parquet round-trip also cuts lineage: consumers plan against a flat
+    scan, not the builder pipeline. Artifacts live under a per-process
+    temp root removed at interpreter exit (session_temp_dir)."""
+    key = (_session_key(spark), tag, *key_parts)
+    # hold the (reentrant) lock across the build so concurrent callers
+    # can't double-write the same parquet path; builds are
+    # once-per-(session, corpus), so the serialization cost is nil
+    with _ARTIFACT_LOCK:
+        cached = _ARTIFACT_CACHE.get(key)
+        if cached is not None:
+            return cached
+        path = os.path.join(
+            session_temp_dir(f"artifact_{tag}"), f"{abs(hash(key))}"
+        )
+        build().write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        _ARTIFACT_CACHE[key] = out
+        return out
+
+
 _TMP_ROOTS: dict[str, str] = {}
 _TMP_ROOTS_LOCK = threading.Lock()
 
