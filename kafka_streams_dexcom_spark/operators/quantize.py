@@ -193,6 +193,43 @@ def pq_train_encode(
     return cents, assigned.select("vid", "s", "cid")
 
 
+_TRAINED_GEOMETRY_OK: set[tuple] = set()
+
+
+def _validate_trained(
+    cents: DataFrame, m: int, dim: int, caller: str
+) -> None:
+    """Geometry guard for a pre-trained (codebooks, codes) pair: after
+    training, ``ksub`` is irrelevant (the ADC table joins whatever
+    codewords exist) but ``m`` and ``dim`` shape the QUERY subvector
+    slices — a mismatch (artifact trained with defaults, caller passing
+    m=8) silently misaligns every slice against the codebook subspaces
+    and produces wrong distance tables, not an error. One tiny aggregate
+    over the m·ksub-row codebook frame (already a materialized
+    artifact) turns that into a loud ValueError. Validation is memoized
+    per (codebook frame object, m, dim): session artifacts hand every
+    consumer the same cached DataFrame, so the guard costs one tiny
+    aggregate per (artifact, geometry), not per query call."""
+    memo_key = (id(cents), m, dim)
+    if memo_key in _TRAINED_GEOMETRY_OK:
+        return
+    row = cents.agg(
+        F.countDistinct("s").alias("n_s"),
+        F.max(F.size("cvec")).alias("dsub_max"),
+        F.min(F.size("cvec")).alias("dsub_min"),
+    ).collect()[0]
+    dsub = dim // m
+    if row.n_s != m or row.dsub_max != dsub or row.dsub_min != dsub:
+        raise ValueError(
+            f"{caller}: trained codebooks have {row.n_s} subspaces of "
+            f"width [{row.dsub_min},{row.dsub_max}] but the call asks "
+            f"for m={m}, dim={dim} (subvector width {dsub}) — the ADC "
+            "distance tables would be silently wrong. Re-train the "
+            "artifact with matching geometry or drop the overrides."
+        )
+    _TRAINED_GEOMETRY_OK.add(memo_key)
+
+
 def pq_topk(
     emb: DataFrame,
     query_ids,
@@ -223,9 +260,13 @@ def pq_topk(
     ``trained``: a pre-built (codebooks, codes) pair — e.g. the shared
     session artifact (queries/similarity.pq_artifacts) — skips training;
     None trains in-query."""
-    cents, codes = trained if trained is not None else pq_train_encode(
-        emb, id_col, vec_col, m, ksub, dim=dim
-    )
+    if trained is not None:
+        cents, codes = trained
+        _validate_trained(cents, m, dim, "pq_topk")
+    else:
+        cents, codes = pq_train_encode(
+            emb, id_col, vec_col, m, ksub, dim=dim
+        )
     base = with_embedding_norm(emb.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vid"), "vec"
     )
@@ -308,9 +349,13 @@ def ivfpq_topk(
     )
     from kafka_streams_dexcom_spark.operators.dedup import DOT_EXPR_TPL
 
-    cents, codes = trained if trained is not None else pq_train_encode(
-        emb, id_col, vec_col, m, ksub, dim=dim
-    )
+    if trained is not None:
+        cents, codes = trained
+        _validate_trained(cents, m, dim, "ivfpq_topk")
+    else:
+        cents, codes = pq_train_encode(
+            emb, id_col, vec_col, m, ksub, dim=dim
+        )
     base = with_embedding_norm(
         emb.select(id_col, vec_col, cell_col), vec_col
     ).select(F.col(id_col).alias("vid"), "vec", cell_col)

@@ -126,12 +126,24 @@ def ngram_pairs_map(
     same stored double both engines computed. At 100 TB the candidate
     pair table is the published output of the most expensive dedup
     stage; every policy query downstream reads it, none re-shingle the
-    corpus."""
+    corpus.
+
+    Cap-safety guard: the base prefix index is LOOSER than any tighter
+    threshold's (longer prefixes → bigger buckets), so a bucket that
+    exceeds NGRAM_MAX_BUCKET at base 0.2 but fits under it at τ=0.3
+    would be dropped from the artifact while the direct computation
+    keeps it — the filter identity above holds only when the cap never
+    binds at base. A one-time per-(session, corpus) probe counts
+    over-cap base buckets; if any exist, every call falls back to the
+    direct per-threshold computation instead of serving a silently
+    lossy artifact (correctness-first caching, same discipline as the
+    threshold guard below)."""
     import os
 
     from kafka_streams_dexcom_spark.sources.files import (
         corpus_fingerprint,
         session_artifact,
+        session_value,
     )
 
     if threshold < NGRAM_PAIRS_BASE:
@@ -140,14 +152,41 @@ def ngram_pairs_map(
         return dd.ngram_jaccard_pairs(
             load_table(spark, sf_dir, "documents"), threshold=threshold
         )
+    corpus_key = (
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+    )
+
+    def _probe_cap_binds() -> int:
+        docs = load_table(spark, sf_dir, "documents")
+        pref = dd.prefix_index(
+            dd.hashed_shingle_corpus(docs, "doc_id", "text", 3),
+            "doc_id",
+            NGRAM_PAIRS_BASE,
+        )
+        return dd.dropped_buckets(pref, ["sh"], dd.NGRAM_MAX_BUCKET).count()
+
+    n_over_cap = session_value(
+        spark, "ngram_pairs_cap_binds", corpus_key, _probe_cap_binds
+    )
+    if n_over_cap:
+        import warnings
+
+        warnings.warn(
+            f"ngram_pairs_map: {n_over_cap} prefix bucket(s) exceed "
+            f"NGRAM_MAX_BUCKET={dd.NGRAM_MAX_BUCKET} at base threshold "
+            f"{NGRAM_PAIRS_BASE}; the shared pair artifact would be "
+            "lossy for tighter thresholds — computing pairs directly "
+            f"at threshold={threshold} instead.",
+            stacklevel=2,
+        )
+        return dd.ngram_jaccard_pairs(
+            load_table(spark, sf_dir, "documents"), threshold=threshold
+        )
     base = session_artifact(
         spark,
         "ngram_pairs",
-        (
-            os.path.abspath(sf_dir),
-            corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
-            NGRAM_PAIRS_BASE,
-        ),
+        (*corpus_key, NGRAM_PAIRS_BASE),
         lambda: dd.ngram_jaccard_pairs(
             load_table(spark, sf_dir, "documents"),
             threshold=NGRAM_PAIRS_BASE,

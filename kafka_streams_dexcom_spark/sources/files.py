@@ -127,7 +127,13 @@ def corpus_fingerprint(path: str) -> str:
     so an in-session rewrite of the source table recomputes the artifact
     instead of silently serving stale labels. Listing-only — never reads
     data bytes — so it costs microseconds at any table size; on a real
-    cluster the same role is played by the table format's snapshot id."""
+    cluster the same role is played by the table format's snapshot id.
+
+    Raises ``FileNotFoundError`` when the listing is empty (missing
+    path, or a non-local URI ``os.stat`` can't see): a constant
+    empty-listing digest would silently DISABLE the stale-artifact
+    detection this function exists to provide — every corpus would key
+    to the same fingerprint and rewrites would serve stale artifacts."""
     import hashlib
 
     h = hashlib.md5()
@@ -150,6 +156,13 @@ def corpus_fingerprint(path: str) -> str:
             entries.append((os.path.basename(p), st.st_size, st.st_mtime_ns))
         except OSError:
             pass
+    if not entries:
+        raise FileNotFoundError(
+            f"corpus_fingerprint: no stat-able entries under {path!r} — "
+            "a fingerprint over an empty listing cannot detect staleness "
+            "(missing path, or a non-local URI; fingerprint the table "
+            "format's snapshot id instead)"
+        )
     for rel, size, mtime in sorted(entries):
         h.update(f"{rel}\x00{size}\x00{mtime}\x00".encode())
     return h.hexdigest()[:16]
@@ -206,6 +219,28 @@ def session_artifact(
         out = spark.read.parquet(path)
         _ARTIFACT_CACHE[key] = out
         return out
+
+
+_VALUE_CACHE: dict[tuple, object] = {}
+
+
+def session_value(
+    spark: SparkSession,
+    tag: str,
+    key_parts: tuple,
+    build,
+):
+    """Scalar sibling of session_artifact: compute a plain Python value
+    ONCE per (Spark application, ``tag``, ``key_parts``) and cache it
+    in-process. Used for cheap corpus-shape probes that gate an
+    artifact's validity (e.g. 'did the hot-bucket cap bind at the base
+    threshold?') — the probe must run BEFORE deciding whether the
+    artifact is exact, so it can't live inside the artifact build."""
+    key = (_session_key(spark), tag, *key_parts)
+    with _ARTIFACT_LOCK:
+        if key not in _VALUE_CACHE:
+            _VALUE_CACHE[key] = build()
+        return _VALUE_CACHE[key]
 
 
 _TMP_ROOTS: dict[str, str] = {}
