@@ -1552,20 +1552,79 @@ def q_er_customer_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["er_customer_golden"] = q_er_customer_golden
+def cc_doubling_sql(edges: str = "edges", rounds: int = 64) -> str:
+    """Exact connected components as a CTE chain for DEEP graphs:
+    ``rounds`` unrolled layers of min-neighbor HOOKING + one
+    pointer-doubling self-jump (label ← label-of-label against the same
+    layer), the SQL twin of operators/graph.connected_components.
+
+    Why not the recursive-CTE reachability oracle (_cc_oracle): plain
+    ``WITH RECURSIVE`` reach accumulates Σ size² (node, label) rows over
+    O(diameter) iterations — on the customer-name digit-edit chains
+    (hundreds of hops deep) that is ~300s at sf0.1, 70x the engine
+    query it checks. Doubling halves the remaining pointer depth each
+    layer, so 20 layers cover any component whose min-label path is
+    ≤ 2^20 hops at a few ms per layer.
+
+    Each layer is ``AS MATERIALIZED``: DuckDB 1.0 INLINES plain CTEs,
+    and layer i references layer i-1 twice — without materialization
+    the expansion is 2^rounds scans ("too many open files", then heat
+    death).
+
+    Emits ``comp(node, component)`` plus ``cc_bad(n)``, the count of
+    edges whose endpoints still disagree. The CONSUMER's final SELECT
+    must append ``AND/WHERE (SELECT n FROM cc_bad) = 0`` — an
+    unconverged run then returns ZERO rows (a loud rows_match failure)
+    instead of silently returning partial labels. The guard cannot live
+    on ``comp`` itself: downstream LEFT JOIN + coalesce(component, id)
+    patterns would quietly turn an empty comp into all-singletons.
+
+    Exactness when the guard passes: labels start as identity, only
+    ever copy node ids, and are monotone non-increasing, so each
+    component's minimum node keeps its own id; if every edge's
+    endpoints agree, each component is uniformly labeled — necessarily
+    with that minimum."""
+    ctes = [
+        f"l0 AS MATERIALIZED ("
+        f"SELECT DISTINCT u AS node, u AS label FROM {edges})"
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        hook, cur = f"h{i}", f"l{i}"
+        ctes.append(
+            f"""{hook} AS MATERIALIZED (
+            SELECT n.node, LEAST(n.label, COALESCE(mm.nl, n.label)) AS label
+            FROM {prev} n LEFT JOIN (
+                SELECT e.u AS hk_node, MIN(l.label) AS nl
+                FROM {edges} e JOIN {prev} l ON e.v = l.node GROUP BY e.u
+            ) mm ON n.node = mm.hk_node)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+            SELECT h.node, LEAST(h.label, COALESCE(l2.label, h.label)) AS label
+            FROM {hook} h LEFT JOIN {hook} l2 ON h.label = l2.node)"""
+        )
+        prev = cur
+    ctes.append(
+        f"""cc_bad AS (
+        SELECT COUNT(*) AS n FROM {edges} e
+        JOIN {prev} a ON e.u = a.node JOIN {prev} b ON e.v = b.node
+        WHERE a.label <> b.label)"""
+    )
+    ctes.append(
+        f"comp AS (SELECT node, label AS component FROM {prev})"
+    )
+    return ",\n".join(ctes)
+
+
 ORACLES["er_customer_golden"] = f"""
-    WITH RECURSIVE p AS ({ORACLES["er_fuzzy_customers"]}),
-    edges AS (
+    WITH p AS MATERIALIZED ({ORACLES["er_fuzzy_customers"]}),
+    edges AS MATERIALIZED (
         SELECT c_custkey_a AS u, c_custkey_b AS v FROM p
         UNION
         SELECT c_custkey_b AS u, c_custkey_a AS v FROM p
     ),
-    reach AS (
-        SELECT DISTINCT u AS node, u AS label FROM edges
-        UNION
-        SELECT e.u AS node, r.label
-        FROM edges e JOIN reach r ON e.v = r.node
-    ),
-    comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+    {cc_doubling_sql()},
     member AS (
         SELECT c.c_custkey,
                coalesce(comp.component, c.c_custkey) AS entity_id
@@ -1578,6 +1637,7 @@ ORACLES["er_customer_golden"] = f"""
     SELECT m.c_custkey, m.entity_id, s.n_records,
            CAST(m.c_custkey = m.entity_id AS INT) AS is_canonical
     FROM member m JOIN sizes s USING (entity_id)
+    WHERE (SELECT n FROM cc_bad) = 0
 """
 
 
