@@ -235,6 +235,54 @@ def main() -> None:
         results["p5_stateful_dim"] = round(
             n_typed / (time.time() - t0), 1
         )
+
+        # Streaming cluster-map maintainer: the corpus-scale dedup-index
+        # builder (streaming/cluster_map_stream.py) fed the documents
+        # table in NUM_CHUNKS micro-batches. Unlike P3-P5 this is a
+        # stateful corpus-index topology — per-batch cost grows with
+        # the stored index, so the per-batch second figures matter as
+        # much as the aggregate rows/s (a flat profile at 10x corpus
+        # would mean the batch side is NOT what's being joined).
+        from kafka_streams_dexcom_spark.streaming.cluster_map_stream import (
+            ClusterMapMaintainer,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        docs_in = f"{work}/docs_in"
+        n_docs = _write_chunks(docs, docs_in, NUM_CHUNKS)
+        maintainer = ClusterMapMaintainer(
+            spark, f"{work}/cluster_view", lineage_id="bench"
+        )
+        batch_secs: list[float] = []
+
+        def timed_maintainer(batch_df: DataFrame, batch_id: int) -> None:
+            b0 = time.time()
+            maintainer(batch_df, batch_id)
+            batch_secs.append(round(time.time() - b0, 2))
+
+        docs_schema = spark.read.parquet(docs_in).schema
+        stream = _stream(spark, docs_in, docs_schema)
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(timed_maintainer)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt_cmap")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        n_labels = maintainer.labels().count()
+        results["cluster_map_stream"] = round(n_docs / wall, 1)
+        results["cluster_map_batch_sec"] = {
+            "first": batch_secs[0] if batch_secs else None,
+            "last": batch_secs[-1] if batch_secs else None,
+            "max": max(batch_secs) if batch_secs else None,
+            "n_batches": len(batch_secs),
+            "labels": n_labels,
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
