@@ -131,6 +131,51 @@ def kafka_stream_avro(
     )
 
 
+def kafka_stream_protobuf(
+    spark: SparkSession,
+    bootstrap: str,
+    topic: str,
+    fields: list[tuple[str, int, str]] | None = None,
+    starting_offsets: str = "earliest",
+    message_name: str | None = None,
+    desc_file: str | None = None,
+) -> DataFrame:
+    """KStream with protobuf value serde — the protobuf twin of
+    kafka_stream_avro, completing the topic-boundary serde matrix
+    (CategorizeWithSimpleRule.java:58-59 configures the Serde pair per
+    topic). The value stays BINARY and decodes via
+    functions.protobuf.from_protobuf_column: native spark-protobuf when
+    the package is loaded and (``message_name``, ``desc_file``) are
+    given, the vendored wire-format codec otherwise. Defaults to the
+    EGV message fields (schemas.py twin)."""
+    from kafka_streams_dexcom_spark.functions.protobuf import (
+        EGV_PROTO_FIELDS,
+        from_protobuf_column,
+    )
+
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("key").cast("string").alias("key"),
+        "topic",
+        "partition",
+        "offset",
+        F.col("timestamp").alias("kafka_ts"),
+        from_protobuf_column(
+            F.col("value"),
+            fields or EGV_PROTO_FIELDS,
+            spark=spark,
+            message_name=message_name,
+            desc_file=desc_file,
+        ).alias("parsed"),
+    )
+
+
 def kafka_table(
     spark: SparkSession,
     bootstrap: str,
