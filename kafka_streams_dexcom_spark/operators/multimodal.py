@@ -70,10 +70,11 @@ def _decode_stub(payload: bytes) -> tuple[int, int, int, float]:
 
 def _decode_real(payload: bytes, media_type: str) -> tuple[int, int, int, float]:
     """Real codec adapter: PIL for images when importable (it covers
-    every format); otherwise the vendored stdlib PNG codec
-    (functions/png.py), so PNG payloads decode to REAL pixels on a bare
-    cluster with zero extra dependencies. Non-PNG images without PIL
-    raise per-payload — an honest failure, never silent fake features.
+    every format); otherwise the vendored codecs — stdlib PNG
+    (functions/png.py) and numpy baseline JPEG (functions/jpeg.py) — so
+    PNG and JPEG payloads decode to REAL pixels on a bare cluster with
+    zero extra dependencies. Other image formats without PIL raise
+    per-payload — an honest failure, never silent fake features.
     Audio/video would wire torchaudio/ffmpeg the same way; until those
     land they fall back to the stub so a mixed-media frame still
     decodes. Imports are lazy so executors only pay for a codec when
@@ -91,6 +92,10 @@ def _decode_real(payload: bytes, media_type: str) -> tuple[int, int, int, float]
                 arr = np.asarray(img.convert("L"), dtype=np.float64)
                 feature_mean = round(float(arr.mean()) / 255.0, 6)
             return width, height, n_frames, feature_mean
+        from kafka_streams_dexcom_spark.functions.jpeg import (
+            JPEG_MAGIC,
+            jpeg_features,
+        )
         from kafka_streams_dexcom_spark.functions.png import (
             PNG_MAGIC,
             png_features,
@@ -98,9 +103,11 @@ def _decode_real(payload: bytes, media_type: str) -> tuple[int, int, int, float]
 
         if payload[:8] == PNG_MAGIC:
             return png_features(payload)
+        if payload[:2] == JPEG_MAGIC:
+            return jpeg_features(payload)
         raise ValueError(
-            "real image decode without PIL supports PNG only "
-            "(payload is not a PNG)"
+            "real image decode without PIL supports PNG and baseline "
+            "JPEG only (payload is neither)"
         )
     return _decode_stub(payload)
 
