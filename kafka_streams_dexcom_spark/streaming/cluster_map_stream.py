@@ -37,8 +37,11 @@ exact by the contraction argument.
 At 100 TB: the stored band index is the big artifact; bucket it by
 (band_idx, band_hash) (sources/bucketing.py) so the candidate join
 shuffles only the batch side, and swap the directory-rename publish for
-a transactional table format commit. State grows with the corpus — this
-maintainer IS the corpus index builder, not a bounded-state operator.
+a transactional table format commit — the optimistic-commit protocol is
+implemented locally in streaming/commitlog.VersionedTable (put-if-absent
+manifest, exactly-one-winner concurrency pytest) so that upgrade is a
+call-site change. State grows with the corpus — this maintainer IS the
+corpus index builder, not a bounded-state operator.
 """
 
 from __future__ import annotations

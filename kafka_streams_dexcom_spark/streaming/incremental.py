@@ -39,7 +39,15 @@ def swap_directory(staging: str, live: str) -> None:
     somewhere on disk). A crash between the renames leaves ``live``
     missing but ``live + ".old"`` intact — readers recover it (see
     IncrementalCounts.read). The staging directory ceases to exist after
-    the swap, so nothing accumulates."""
+    the swap, so nothing accumulates.
+
+    SINGLE-WRITER only: two concurrent publishers race the renames and
+    the loser's output silently vanishes. When the view can have
+    concurrent maintainers, publish through
+    streaming/commitlog.VersionedTable instead — same stage-then-publish
+    shape, but the commit is an atomic put-if-absent on a numbered
+    manifest (exactly one winner, losers rebase), the local stand-in
+    for a Delta/Iceberg transactional commit."""
     old = live + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)

@@ -1,0 +1,207 @@
+"""Optimistic commit log (streaming/commitlog.py): exactly-one-winner
+races, serializable rebase chains, no torn reads, crash debris vacuum —
+the concurrent-writer story the directory-rename swap lacks."""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+
+import pytest
+
+from kafka_streams_dexcom_spark.streaming.commitlog import (
+    CommitConflict,
+    VersionedTable,
+)
+
+
+def _write_payload(staged: str, n_files: int, tag: str) -> None:
+    """n_files data files plus a checksum manifest — a reader can
+    detect ANY torn state (missing/extra/foreign file)."""
+    for i in range(n_files):
+        with open(os.path.join(staged, f"part-{i:03d}"), "w") as f:
+            f.write(f"{tag}:{i}")
+    with open(os.path.join(staged, "_checksum.json"), "w") as f:
+        json.dump({"n_files": n_files, "tag": tag}, f)
+
+
+def _validate_payload(data_dir: str) -> dict:
+    with open(os.path.join(data_dir, "_checksum.json")) as f:
+        meta = json.load(f)
+    parts = sorted(p for p in os.listdir(data_dir) if p.startswith("part-"))
+    assert len(parts) == meta["n_files"], "torn read: file count mismatch"
+    for i, p in enumerate(parts):
+        with open(os.path.join(data_dir, p)) as f:
+            assert f.read() == f"{meta['tag']}:{i}", "torn read: foreign file"
+    return meta
+
+
+def test_basic_commit_and_time_travel(tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    assert t.latest_version() == -1
+    with pytest.raises(FileNotFoundError):
+        t.data_path()
+    s0 = t.stage()
+    _write_payload(s0, 3, "v0")
+    assert t.commit(s0, -1) == 0
+    s1 = t.stage()
+    _write_payload(s1, 5, "v1")
+    assert t.commit(s1, 0) == 1
+    assert t.latest_version() == 1
+    assert _validate_payload(t.data_path())["tag"] == "v1"
+    # committed versions are immutable history
+    assert _validate_payload(t.data_path(0))["tag"] == "v0"
+    assert t.read_manifest(1)["base_version"] == 0
+
+
+def test_stale_base_commit_conflicts(tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    s = t.stage()
+    _write_payload(s, 1, "a")
+    t.commit(s, -1)
+    s = t.stage()
+    _write_payload(s, 1, "b")
+    t.commit(s, 0)
+    # derived from version 0, but 1 already landed: must NOT publish
+    s = t.stage()
+    _write_payload(s, 1, "stale")
+    with pytest.raises(CommitConflict):
+        t.commit(s, 0)
+    assert _validate_payload(t.data_path())["tag"] == "b"
+
+
+def test_two_writers_exactly_one_wins(tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    barrier = threading.Barrier(2)
+    outcomes: list[str] = []
+    lock = threading.Lock()
+
+    def writer(tag: str) -> None:
+        s = t.stage()
+        _write_payload(s, 2, tag)
+        barrier.wait()
+        try:
+            t.commit(s, -1)
+            res = f"won:{tag}"
+        except CommitConflict:
+            res = f"lost:{tag}"
+        with lock:
+            outcomes.append(res)
+
+    threads = [
+        threading.Thread(target=writer, args=(tag,)) for tag in ("A", "B")
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    wins = [o for o in outcomes if o.startswith("won")]
+    losses = [o for o in outcomes if o.startswith("lost")]
+    assert len(wins) == 1 and len(losses) == 1
+    assert t.latest_version() == 0
+    # the table holds the WINNER's payload, intact
+    assert "won:" + _validate_payload(t.data_path())["tag"] in wins
+
+
+def test_commit_retry_serializes_n_writers(tmp_path):
+    """8 concurrent writers with rebase loops: all eventually commit,
+    versions are dense, and every manifest's base is its predecessor —
+    the serializable-history invariant."""
+    t = VersionedTable(str(tmp_path / "t"))
+    n = 8
+
+    def writer(tag: str) -> None:
+        def build(base: int, staged: str) -> None:
+            # rebuild against the current base (the rebase contract):
+            # payload records which version it was derived from
+            _write_payload(staged, 2, f"{tag}@base{base}")
+
+        t.commit_retry(build, max_attempts=50)
+
+    threads = [
+        threading.Thread(target=writer, args=(f"w{i}",)) for i in range(n)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert t.latest_version() == n - 1
+    for v in range(n):
+        m = t.read_manifest(v)
+        assert m["version"] == v and m["base_version"] == v - 1
+        meta = _validate_payload(t.data_path(v))
+        # each committed payload was BUILT against its manifest base
+        assert meta["tag"].endswith(f"@base{v - 1}")
+
+
+def test_no_torn_reads_under_concurrent_commits(tmp_path):
+    """A reader polling during a stream of commits must only ever see
+    complete, checksum-consistent versions."""
+    t = VersionedTable(str(tmp_path / "t"))
+    stop = threading.Event()
+    errors: list[str] = []
+
+    def writer() -> None:
+        for v in range(30):
+            s = t.stage()
+            _write_payload(s, 4 + v % 3, f"gen{v}")
+            t.commit(s, v - 1)
+        stop.set()
+
+    def reader() -> None:
+        seen = -1
+        while not stop.is_set() or seen < 0:
+            v = t.latest_version()
+            if v < 0:
+                continue
+            try:
+                _validate_payload(t.data_path(v))
+            except AssertionError as e:  # pragma: no cover
+                errors.append(str(e))
+                stop.set()
+                return
+            seen = v
+
+    th_w = threading.Thread(target=writer)
+    th_r = [threading.Thread(target=reader) for _ in range(3)]
+    th_w.start()
+    for th in th_r:
+        th.start()
+    th_w.join()
+    for th in th_r:
+        th.join()
+    assert not errors
+    assert t.latest_version() == 29
+
+
+def test_vacuum_removes_old_and_crash_debris(tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    for v in range(4):
+        s = t.stage()
+        _write_payload(s, 1, f"v{v}")
+        t.commit(s, v - 1)
+    # crash debris: a staged dir whose writer died pre-commit
+    orphan = t.stage()
+    _write_payload(orphan, 1, "orphan")
+    removed = t.vacuum(keep_last=2)
+    assert len(removed) == 3  # v0, v1 data dirs + the orphan
+    # retained versions still read cleanly
+    assert _validate_payload(t.data_path(3))["tag"] == "v3"
+    assert _validate_payload(t.data_path(2))["tag"] == "v2"
+    with pytest.raises((FileNotFoundError, AssertionError)):
+        _validate_payload(t.data_path(0))
+
+
+def test_spark_write_commit_roundtrip(spark, tmp_path):
+    """The Spark convenience path: stage a DataFrame as parquet, commit,
+    read back — and a second derived commit supersedes it."""
+    t = VersionedTable(str(tmp_path / "t"))
+    df = spark.range(100).withColumnRenamed("id", "k")
+    assert t.write_commit(df) == 0
+    assert t.read(spark).count() == 100
+    derived = t.read(spark).filter("k % 2 = 0")
+    assert t.write_commit(derived, meta={"op": "halve"}) == 1
+    assert t.read(spark).count() == 50
+    assert t.read(spark, version=0).count() == 100
+    assert t.read_manifest(1)["meta"] == {"op": "halve"}
