@@ -1032,6 +1032,20 @@ def bpe_train(
     Determinism: counts are exact integers; (n desc, s1 asc, s2 asc)
     totally orders candidate pairs, so every round's merge is exactly
     replayable — the oracle unrolls the same rounds in SQL."""
+    merges, _vocab = _bpe_loop(df, text_col, n_merges, apply_last=False)
+    return merges
+
+
+def _bpe_loop(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int,
+    apply_last: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE merge loop: returns (merge table, vocabulary). With
+    ``apply_last`` the final round's merge is also folded into the
+    vocabulary — training only needs the merge TABLE (bpe_train), while
+    encoding needs the fully-merged vocab (bpe_encode_counts)."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     vocab = (
         fan_out_small(df)
@@ -1039,6 +1053,7 @@ def bpe_train(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wc"))
         .select(
+            "w",
             "wc",
             F.expr("split(w, '')").alias("syms"),
         )
@@ -1070,7 +1085,7 @@ def bpe_train(
             "n_occurrences",
         )
         merges = row if merges is None else merges.union(row)
-        if rnd == n_merges:
+        if rnd == n_merges and not apply_last:
             break
         merge_fold = F.expr(
             "CASE WHEN size(syms) <= 1 THEN syms ELSE "
@@ -1081,10 +1096,74 @@ def bpe_train(
         )
         vocab = (
             vocab.crossJoin(F.broadcast(best.select("bp1", "bp2")))
-            .select("wc", merge_fold.alias("syms"))
+            .select("w", "wc", merge_fold.alias("syms"))
             .localCheckpoint()
         )
-    return merges
+    return merges, vocab
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 5,
+) -> DataFrame:
+    """Tokenize the corpus under the LEARNED BPE vocabulary — the apply
+    side that completes the tokenizer story (bpe_pair_stats is one
+    training round, bpe_train is the merge table, this is what a data
+    pipeline actually runs on every document): per doc, the word count,
+    the token count after all ``n_merges`` merges, the character
+    count, and the chars-per-token compression ratio the merges bought.
+
+    Scale: the expensive part — training AND the merge folds — runs on
+    the DISTINCT-WORD vocabulary (corpus-size-independent, same
+    argument as bpe_train); documents then join word → token-length
+    through one (doc, word)-keyed aggregation, the tf-idf shuffle
+    shape. Documents with no words survive the left join with zero
+    counts (the phantom-empty-token discipline).
+
+    Determinism: token counts are exact integers; the ratio is
+    floor-truncated to 6 decimals so both engines compare equal."""
+    _merges, vocab = _bpe_loop(df, text_col, n_merges, apply_last=True)
+    enc = vocab.select(
+        "w",
+        F.size("syms").alias("wtok"),
+        F.length("w").alias("wlen"),
+    )
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    wc = (
+        df.select(F.col(id_col), F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = (
+        wc.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("wtok")).alias("n_tokens"),
+            F.sum(F.col("n") * F.col("wlen")).alias("n_chars"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.floor(
+                    F.col("n_chars")
+                    * F.lit(1_000_000).cast("double")
+                    / F.col("n_tokens")
+                )
+                / F.lit(1_000_000.0),
+            ).alias("compression"),
+        )
+    )
 
 
 def doc_chunks_udtf(df: DataFrame, spark: SparkSession) -> DataFrame:

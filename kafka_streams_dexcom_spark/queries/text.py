@@ -643,6 +643,93 @@ def _bpe_train_oracle(n_merges: int = 5) -> str:
     return "WITH " + ",".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the learned BPE vocabulary
+    (operators/text.py:bpe_encode_counts): per-doc word/token/char
+    counts after all 5 merges plus the chars-per-token compression —
+    the apply side a pipeline runs on every document after training."""
+    return tx.bpe_encode_counts(
+        load_table(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 5) -> str:
+    """Replay of bpe_encode_counts: the same unrolled merge rounds as
+    _bpe_train_oracle but carrying the word key and folding ALL
+    ``n_merges`` merges into the vocabulary, then the per-doc word join
+    and exact integer count aggregation."""
+    parts = ["""
+        v0 AS (
+            SELECT w, wc,
+                   list_transform(range(1, length(w) + 1),
+                                  i -> w[i:i]) AS syms
+            FROM (
+                SELECT t AS w, count(*) AS wc
+                FROM documents,
+                     UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS u(t)
+                GROUP BY t
+            )
+        )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+        p{r} AS (
+            SELECT syms[i] AS s1, syms[i + 1] AS s2,
+                   CAST(sum(wc) AS BIGINT) AS n
+            FROM v{r - 1}, UNNEST(range(1, len(syms))) AS rr(i)
+            WHERE len(syms) >= 2
+            GROUP BY 1, 2
+        ),
+        b{r} AS (
+            SELECT s1 AS bp1, s2 AS bp2, n
+            FROM p{r} ORDER BY n DESC, s1 ASC, s2 ASC LIMIT 1
+        ),
+        v{r} AS (
+            SELECT w, wc,
+                   CASE WHEN len(syms) <= 1 THEN syms ELSE
+                     list_reduce(list_transform(syms, x -> [x]),
+                       (acc, el) ->
+                         CASE WHEN acc[-1] = bp1 AND el[1] = bp2
+                              THEN list_concat(acc[1:len(acc) - 1],
+                                               [bp1 || bp2])
+                              ELSE list_concat(acc, el) END)
+                   END AS syms
+            FROM v{r - 1} CROSS JOIN b{r}
+        )""")
+    return (
+        "WITH " + ",".join(parts) + f""",
+        enc AS (
+            SELECT w, len(syms) AS wtok, length(w) AS wlen
+            FROM v{n_merges}
+        ),
+        wcnt AS (
+            SELECT doc_id, t AS w, count(*) AS n
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS u(t)
+            GROUP BY doc_id, t
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_words,
+                   CAST(sum(n * wtok) AS BIGINT) AS n_tokens,
+                   CAST(sum(n * wlen) AS BIGINT) AS n_chars
+            FROM wcnt JOIN enc USING (w)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_words, 0) AS n_words,
+               coalesce(per.n_tokens, 0) AS n_tokens,
+               coalesce(per.n_chars, 0) AS n_chars,
+               CASE WHEN coalesce(per.n_tokens, 0) > 0
+                    THEN floor(per.n_chars * 1000000.0 / per.n_tokens)
+                         / 1000000.0
+               END AS compression
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
+    )
+
+
 
 QUERIES = {
     "zipf_slope": q_zipf_slope,
@@ -673,6 +760,7 @@ QUERIES = {
     "dup_span_fraction": q_dup_span_fraction,
     "bpe_pair_stats": q_bpe_pair_stats,
     "bpe_train": q_bpe_train,
+    "bpe_encode": q_bpe_encode,
     "doc_chunks_udtf": q_doc_chunks_udtf,
     "bm25_rerank": q_bm25_rerank,
 }
@@ -749,6 +837,7 @@ def _bm25_freetext_oracle() -> str:
 
 ORACLES = {
     "bpe_train": _bpe_train_oracle(BPE_MERGES),
+    "bpe_encode": _bpe_encode_oracle(BPE_MERGES),
     "bpe_pair_stats": """
         WITH words AS (
             SELECT t AS w, count(*) AS wc

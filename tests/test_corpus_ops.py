@@ -678,3 +678,45 @@ def test_hybrid_rrf_fuses_both_towers(spark):
     assert any(r.rrf_score > single_max for r in rows), (
         "no document was found by both towers — fusion is degenerate"
     )
+
+
+def test_bpe_encode_counts_hand_case(spark):
+    """One merge on a 2-doc corpus, counts verifiable by hand: words
+    'aa'x2 / 'ab'x1 make (a,a) the argmax pair, so 'aa' encodes to 1
+    token and 'ab' stays 2; an empty doc keeps zero counts and a NULL
+    compression (guarded division)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.operators.text import bpe_encode_counts
+
+    df = spark.createDataFrame(
+        [(1, "aa aa"), (2, "ab"), (3, "   ")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.n_chars, r.compression)
+        for r in bpe_encode_counts(df, n_merges=1).collect()
+    }
+    assert got[1] == (2, 2, 4, 2.0)
+    assert got[2] == (1, 2, 2, 1.0)
+    assert got[3] == (0, 0, 0, None)
+
+
+def test_bpe_encode_matches_train_merge_table(spark):
+    """The encode path folds the SAME merges bpe_train reports — the
+    shared loop cannot diverge between the two query surfaces."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        _bpe_loop,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "foo foofoo bar barbar foo"), (2, "bar foo barbar")],
+        "doc_id long, text string",
+    )
+    want = {
+        (r["round"], r["pair"]) for r in bpe_train(df, n_merges=3).collect()
+    }
+    merges, _ = _bpe_loop(df, "text", 3, apply_last=True)
+    got = {(r["round"], r["pair"]) for r in merges.collect()}
+    assert got == want and len(got) == 3
