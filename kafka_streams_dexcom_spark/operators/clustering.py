@@ -26,6 +26,30 @@ DIST2_TPL = (
 )
 
 
+def assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vid, vec, cid) argmin-L2 assignment of ``base`` (vid, vec rows)
+    to a FROZEN broadcast centroid set (cid, cvec) — the per-round step
+    of Lloyd training AND, standalone, the whole job of IVF ingest
+    (new vectors are assigned to an already-trained quantizer, never
+    retraining it).
+
+    argmin via min_by on the (d2, cid) struct: a hash aggregate with
+    map-side partials — no per-vid sort, unlike a row_number window.
+    Struct ordering preserves the lowest-cid tie-break exactly."""
+    scored = base.crossJoin(F.broadcast(centroids)).withColumn(
+        "d2", F.expr(DIST2_TPL.format(a="vec", b="cvec"))
+    )
+    return scored.groupBy("vid").agg(
+        F.min_by(
+            F.struct("vec", "cid"), F.struct("d2", "cid")
+        ).alias("__m")
+    ).select(
+        "vid",
+        F.col("__m.vec").alias("vec"),
+        F.col("__m.cid").alias("cid"),
+    )
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = 8,
@@ -45,21 +69,7 @@ def kmeans_assign(
     )
 
     def assign(centroids: DataFrame) -> DataFrame:
-        scored = base.crossJoin(F.broadcast(centroids)).withColumn(
-            "d2", F.expr(DIST2_TPL.format(a="vec", b="cvec"))
-        )
-        # argmin via min_by on the (d2, cid) struct: a hash aggregate with
-        # map-side partials — no per-vid sort, unlike a row_number window.
-        # Struct ordering preserves the lowest-cid tie-break exactly.
-        return scored.groupBy("vid").agg(
-            F.min_by(
-                F.struct("vec", "cid"), F.struct("d2", "cid")
-            ).alias("__m")
-        ).select(
-            "vid",
-            F.col("__m.vec").alias("vec"),
-            F.col("__m.cid").alias("cid"),
-        )
+        return assign_to_centroids(base, centroids)
 
     assigned = assign(cents)
     for _ in range(iterations - 1):

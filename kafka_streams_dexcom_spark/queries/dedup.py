@@ -1161,21 +1161,6 @@ def q_er_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         session_artifact,
     )
 
-    def build() -> DataFrame:
-        c = load_table(spark, sf_dir, "customer")
-        return dd.fuzzy_pigeonhole_pairs(
-            c.select(
-                "c_custkey",
-                "c_name",
-                "c_nationkey",
-                F.length("c_name").alias("name_len"),
-            ),
-            ["c_nationkey", "name_len"],
-            id_col="c_custkey",
-            text_col="c_name",
-            max_bucket=None,
-        )
-
     return session_artifact(
         spark,
         "er_fuzzy_pairs",
@@ -1183,7 +1168,26 @@ def q_er_fuzzy_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.abspath(sf_dir),
             corpus_fingerprint(os.path.join(sf_dir, "customer.parquet")),
         ),
-        build,
+        lambda: er_fuzzy_pairs_pipeline(spark, sf_dir),
+    )
+
+
+def er_fuzzy_pairs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw linkage pair pipeline q_er_fuzzy_customers materializes
+    (exposed separately so plan tests assert the GENERATION shape — the
+    artifact wrapper's own plan is deliberately a flat parquet scan)."""
+    c = load_table(spark, sf_dir, "customer")
+    return dd.fuzzy_pigeonhole_pairs(
+        c.select(
+            "c_custkey",
+            "c_name",
+            "c_nationkey",
+            F.length("c_name").alias("name_len"),
+        ),
+        ["c_nationkey", "name_len"],
+        id_col="c_custkey",
+        text_col="c_name",
+        max_bucket=None,
     )
 
 

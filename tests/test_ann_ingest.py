@@ -1,0 +1,110 @@
+"""Streaming IVF postings maintainer (streaming/ann_ingest.py): exact
+batch≡stream assignment equality against the frozen quantizer, commit-
+log versioning with replay/lineage guards, and cell-count consistency."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators.clustering import (
+    assign_to_centroids,
+)
+from kafka_streams_dexcom_spark.operators.dedup import with_embedding_norm
+from kafka_streams_dexcom_spark.operators.similarity import ivf_centroids
+from kafka_streams_dexcom_spark.sources.files import load_table
+from kafka_streams_dexcom_spark.streaming.ann_ingest import (
+    IvfPostingsMaintainer,
+)
+from tests.conftest import SF_DIR
+
+
+def _frozen_centroids(spark):
+    """A frozen quantizer from the embeddings' label column — the
+    maintainer never trains, it only assigns."""
+    e = load_table(spark, SF_DIR, "embeddings")
+    base = with_embedding_norm(
+        e.select("vec_id", "embedding", "label"), "embedding"
+    )
+    cents = ivf_centroids(
+        base.select(F.col("vec_id").alias("vid"), "vec", "label"), "label"
+    ).select(F.col("label").alias("cid"), F.col("centroid").alias("cvec"))
+    return e, cents
+
+
+def _stream_embeddings(spark, tmp_path, centroids, chunks=3, lineage="q1"):
+    e = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    src = str(tmp_path / "in")
+    e.withColumn("chunk", F.col("vec_id") % chunks).write.partitionBy(
+        "chunk"
+    ).mode("overwrite").parquet(src)
+    m = IvfPostingsMaintainer(
+        spark, str(tmp_path / "index"), centroids, lineage_id=lineage
+    )
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(m)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return m, e
+
+
+def test_stream_equals_one_shot_assignment(spark, tmp_path):
+    e, cents = _frozen_centroids(spark)
+    m, _ = _stream_embeddings(spark, tmp_path, cents)
+    got = {(r.vec_id, r.cell) for r in m.postings().collect()}
+    base = with_embedding_norm(
+        e.select("vec_id", "embedding"), "embedding"
+    ).select(F.col("vec_id").alias("vid"), "vec")
+    want = {
+        (r.vid, r.cid)
+        for r in assign_to_centroids(base, m.centroids).collect()
+    }
+    assert got == want
+    assert got, "degenerate test: no vectors assigned"
+
+
+def test_versions_accumulate_per_batch(spark, tmp_path):
+    _, cents = _frozen_centroids(spark)
+    m, _ = _stream_embeddings(spark, tmp_path, cents, chunks=3)
+    assert m.table.latest_version() == 2  # one commit per micro-batch
+    n0 = m.postings(version=0).count()
+    n2 = m.postings(version=2).count()
+    assert 0 < n0 < n2
+    meta = m.table.read_manifest(2)["meta"]
+    assert meta["lineage"] == "q1" and meta["batch_id"] == 2
+
+
+def test_replayed_batch_is_noop(spark, tmp_path):
+    _, cents = _frozen_centroids(spark)
+    m, e = _stream_embeddings(spark, tmp_path, cents)
+    v = m.table.latest_version()
+    n = m.postings().count()
+    replay = e.limit(10)
+    m(replay, 0)  # batch 0 already applied
+    assert m.table.latest_version() == v
+    assert m.postings().count() == n
+
+
+def test_new_lineage_on_existing_index_fails_loudly(spark, tmp_path):
+    _, cents = _frozen_centroids(spark)
+    m, e = _stream_embeddings(spark, tmp_path, cents, lineage="q1")
+    fresh = IvfPostingsMaintainer(
+        spark, str(tmp_path / "index"), cents, lineage_id="q2"
+    )
+    with pytest.raises(RuntimeError, match="lineage"):
+        fresh(e.limit(5), 0)
+
+
+def test_cell_counts_reconcile(spark, tmp_path):
+    _, cents = _frozen_centroids(spark)
+    m, _ = _stream_embeddings(spark, tmp_path, cents)
+    total = sum(r.n_vectors for r in m.cell_counts().collect())
+    assert total == m.postings().count()

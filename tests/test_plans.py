@@ -248,10 +248,13 @@ def test_er_fuzzy_customers_no_self_join(spark, sf_dir):
     """Pair generation is the within-bucket combination explode — a
     SortMergeJoin/CartesianProduct would mean an all-pairs self-join."""
     from kafka_streams_dexcom_spark.queries.dedup import (
-        q_er_fuzzy_customers,
+        er_fuzzy_pairs_pipeline,
     )
 
-    plan = explain_str(q_er_fuzzy_customers(spark, sf_dir))
+    # the registered query returns the session ARTIFACT (a flat parquet
+    # scan by design); the generation-shape assertions target the
+    # builder pipeline it materializes
+    plan = explain_str(er_fuzzy_pairs_pipeline(spark, sf_dir))
     assert "Join" not in plan, plan
     assert "levenshtein" in plan, plan
 
