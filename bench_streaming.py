@@ -283,6 +283,60 @@ def main() -> None:
             "n_batches": len(batch_secs),
             "labels": n_labels,
         }
+
+        # Streaming ANN ingest: per-batch argmin assignment of new
+        # embeddings to the frozen quantizer + a commit-log publish —
+        # the live IVF index-build path (streaming/ann_ingest.py).
+        from kafka_streams_dexcom_spark.operators.dedup import (
+            with_embedding_norm,
+        )
+        from kafka_streams_dexcom_spark.operators.similarity import (
+            ivf_centroids,
+        )
+        from kafka_streams_dexcom_spark.streaming.ann_ingest import (
+            IvfPostingsMaintainer,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = ivf_centroids(
+            with_embedding_norm(
+                emb.select("vec_id", "embedding", "label"), "embedding"
+            ).select("vec", "label"),
+            "label",
+        ).select(F.col("label").alias("cid"), F.col("centroid").alias("cvec"))
+        emb_in = f"{work}/emb_in"
+        n_vecs = _write_chunks(
+            emb.select("vec_id", "embedding"), emb_in, NUM_CHUNKS
+        )
+        ann = IvfPostingsMaintainer(
+            spark, f"{work}/ann_index", cents, lineage_id="bench"
+        )
+        ann_secs: list[float] = []
+
+        def timed_ann(batch_df: DataFrame, batch_id: int) -> None:
+            b0 = time.time()
+            ann(batch_df, batch_id)
+            ann_secs.append(round(time.time() - b0, 2))
+
+        emb_schema = spark.read.parquet(emb_in).schema
+        stream = _stream(spark, emb_in, emb_schema)
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(timed_ann)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt_ann")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results["ann_ingest_stream"] = round(n_vecs / (time.time() - t0), 1)
+        results["ann_ingest_batch_sec"] = {
+            "first": ann_secs[0] if ann_secs else None,
+            "last": ann_secs[-1] if ann_secs else None,
+            "max": max(ann_secs) if ann_secs else None,
+            "n_batches": len(ann_secs),
+            "postings": ann.postings().count(),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
