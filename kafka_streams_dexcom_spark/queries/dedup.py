@@ -1459,6 +1459,79 @@ ORACLES["cluster_size_histogram"] = f"""
 """
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster quality audit — the precision check a curation run
+    does BEFORE trusting the min-id survivor policy: cluster size, edge
+    count, pairwise-similarity range, edge density, and whether the
+    cluster is a complete clique. Transitivity is dedup's known failure
+    mode (A~B and B~C chain A with C even when sim(A,C) is below
+    threshold); low-density clusters are exactly the ones where the
+    survivor policy silently drops non-duplicates, so this table is the
+    review queue for threshold tuning.
+
+    Reads BOTH shared artifacts (cluster map + pair set) — two hash
+    aggregations and one join, nothing rescans the corpus."""
+    member = cluster_map(spark, sf_dir)
+    pairs = ngram_pairs_map(spark, sf_dir, threshold=NGRAM_THRESHOLD)
+    sizes = (
+        member.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    edges = (
+        pairs.join(member, pairs.id_a == member.doc_id)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+    max_edges = F.col("n_docs") * (F.col("n_docs") - 1)
+    return sizes.join(edges, "cluster").select(
+        "cluster",
+        "n_docs",
+        "n_edges",
+        "min_jaccard",
+        "max_jaccard",
+        (
+            F.floor(
+                F.lit(2_000_000.0) * F.col("n_edges") / max_edges
+            )
+            / F.lit(1_000_000.0)
+        ).alias("density"),
+        (F.lit(2) * F.col("n_edges") == max_edges).cast("int").alias(
+            "is_complete"
+        ),
+    )
+
+
+QUERIES["dedup_cluster_stats"] = q_dedup_cluster_stats
+ORACLES["dedup_cluster_stats"] = f"""
+    WITH p AS ({_ngram_jaccard_oracle()}),
+    comp AS ({_cc_oracle()}),
+    member AS (SELECT node AS doc_id, component AS cluster FROM comp),
+    sizes AS (
+        SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM member GROUP BY cluster
+    ),
+    e AS (
+        SELECT m.cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               min(p.jaccard) AS min_jaccard,
+               max(p.jaccard) AS max_jaccard
+        FROM p JOIN member m ON p.doc_a = m.doc_id
+        GROUP BY m.cluster
+    )
+    SELECT s.cluster, s.n_docs, e.n_edges, e.min_jaccard, e.max_jaccard,
+           floor(2000000.0 * e.n_edges / (s.n_docs * (s.n_docs - 1)))
+               / 1000000.0 AS density,
+           CAST(2 * e.n_edges = s.n_docs * (s.n_docs - 1) AS INT)
+               AS is_complete
+    FROM sizes s JOIN e USING (cluster)
+"""
+
+
 def q_survivor_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup ROI per source: whitespace-token volume before dedup, after
     keeping only cluster survivors (min-id policy), and the drop ratio —
