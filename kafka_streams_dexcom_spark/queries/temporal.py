@@ -1022,3 +1022,134 @@ ORACLES["event_transitions"] = """
                AS p
     FROM c
 """
+
+
+PSI_BINS = 10
+
+
+def q_value_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week Population Stability Index of the event value
+    distribution — the drift alarm a 100 TB feature pipeline runs per
+    ingest window (PSI > 0.25 conventionally means the upstream
+    distribution shifted enough to retrain). Values bin into PSI_BINS
+    equi-width buckets over the GLOBAL extent (fixed bins — per-week
+    extents would hide exactly the shift being measured; same broadcast
+    two-pass shape as value_histogram, same degenerate-extent guard),
+    Laplace-smoothed so empty buckets stay finite, and each bucket's
+    (p-q)·ln(p/q) contribution is floored to integer nano-units before
+    the per-week sum — partition-order independent, exactly replayed by
+    the oracle.
+
+    Scale: one scan for the extent, one narrow binning pass, then
+    everything is (weeks × PSI_BINS)-sized: the grid cross join,
+    the week-over-week self-join, and the final sum are all bounded by
+    the calendar, not the data."""
+    e = load_table(spark, sf_dir, "events").select("ts", "value")
+    ext = e.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(PSI_BINS))
+    binned = e.join(F.broadcast(ext), how="cross").select(
+        F.date_trunc("week", F.col("ts")).alias("week"),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width),
+                F.lit(PSI_BINS - 1),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    counts = binned.groupBy("week", "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = counts.select("week").distinct().crossJoin(
+        F.broadcast(
+            spark.range(PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+        )
+    )
+    full = grid.join(counts, ["week", "bin"], "left").select(
+        "week", "bin", F.coalesce("n", F.lit(0)).alias("n")
+    )
+    totals = full.groupBy("week").agg(F.sum("n").alias("nw"))
+    cur = full.join(totals, "week")
+    prev = cur.select(
+        F.col("week").alias("pweek"),
+        F.col("bin").alias("pbin"),
+        F.col("n").alias("pn"),
+        F.col("nw").alias("pnw"),
+    )
+    j = cur.join(
+        prev,
+        (F.col("bin") == F.col("pbin"))
+        & (
+            F.col("week")
+            == F.col("pweek") + F.expr("INTERVAL 7 DAYS")
+        ),
+    )
+    p = (F.col("n") + F.lit(1)).cast("double") / (
+        F.col("nw") + F.lit(PSI_BINS)
+    ).cast("double")
+    q = (F.col("pn") + F.lit(1)).cast("double") / (
+        F.col("pnw") + F.lit(PSI_BINS)
+    ).cast("double")
+    units = F.floor((p - q) * F.log(p / q) * F.lit(1e9)).cast("bigint")
+    return (
+        j.select("week", F.col("nw").alias("n_events"), units.alias("u"))
+        .groupBy("week")
+        .agg(
+            F.first("n_events").alias("n_events"),
+            F.sum("u").alias("psi_units"),
+        )
+        .select(
+            "week",
+            "n_events",
+            "psi_units",
+            (F.col("psi_units").cast("double") / F.lit(1e9)).alias("psi"),
+        )
+    )
+
+
+QUERIES["value_drift_psi"] = q_value_drift_psi
+ORACLES["value_drift_psi"] = f"""
+    WITH ext AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+    binned AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+               CASE WHEN mx = mn THEN 0 ELSE CAST(LEAST(
+                   floor((value - mn) / ((mx - mn) / {PSI_BINS}.0)),
+                   {PSI_BINS - 1}) AS INT) END AS bin
+        FROM events CROSS JOIN ext
+    ),
+    counts AS (
+        SELECT week, bin, CAST(COUNT(*) AS BIGINT) AS n
+        FROM binned GROUP BY week, bin
+    ),
+    grid AS (
+        SELECT w.week, CAST(b.range AS INT) AS bin
+        FROM (SELECT DISTINCT week FROM counts) w
+        CROSS JOIN range({PSI_BINS}) b
+    ),
+    full_g AS (
+        SELECT g.week, g.bin, coalesce(c.n, 0) AS n
+        FROM grid g LEFT JOIN counts c USING (week, bin)
+    ),
+    tot AS (
+        SELECT week, CAST(sum(n) AS BIGINT) AS nw
+        FROM full_g GROUP BY week
+    ),
+    cur AS (SELECT f.week, f.bin, f.n, t.nw FROM full_g f JOIN tot t USING (week)),
+    j AS (
+        SELECT c.week, c.nw,
+               CAST(floor(
+                   (CAST(c.n + 1 AS DOUBLE) / CAST(c.nw + {PSI_BINS} AS DOUBLE)
+                    - CAST(p.n + 1 AS DOUBLE) / CAST(p.nw + {PSI_BINS} AS DOUBLE))
+                   * ln((CAST(c.n + 1 AS DOUBLE) / CAST(c.nw + {PSI_BINS} AS DOUBLE))
+                        / (CAST(p.n + 1 AS DOUBLE) / CAST(p.nw + {PSI_BINS} AS DOUBLE)))
+                   * 1e9) AS BIGINT) AS u
+        FROM cur c JOIN cur p
+          ON c.bin = p.bin AND c.week = p.week + INTERVAL 7 DAY
+    )
+    SELECT week, CAST(min(nw) AS BIGINT) AS n_events,
+           CAST(sum(u) AS BIGINT) AS psi_units,
+           CAST(sum(u) AS DOUBLE) / 1e9 AS psi
+    FROM j GROUP BY week
+"""
