@@ -87,6 +87,14 @@ PROBE_QUERIES = [
     "quality_classifier",
     "scd2_user_state",
     "event_transitions",
+    # round-6: bpe_encode is token-linear (the self-union leaves the
+    # DISTINCT-word vocab unchanged, so the merge folds cost the same
+    # and only the word-count shuffle and doc join grow 10×);
+    # value_drift_psi is one binning pass + calendar-bounded joins.
+    # dedup_cluster_stats is excluded with the rest of the pair-graph
+    # family.
+    "bpe_encode",
+    "value_drift_psi",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10

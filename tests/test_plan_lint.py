@@ -44,6 +44,8 @@ EAGER = {
     "dup_span_fraction",
     "bpe_train",
     "bm25_rerank",
+    # round-6: bpe_encode shares bpe_train's eager merge-fold loop
+    "bpe_encode",
 }
 
 

@@ -300,3 +300,32 @@ def test_scan_read_schema_handles_parametric_types(spark, tmp_path):
     ).write.parquet(path)
     df = spark.read.parquet(path).select("amount", "vec", "tag")
     assert set(scan_read_schema(df)) == {"amount", "vec", "tag"}
+
+
+def test_value_drift_psi_scan_pruned_and_no_cartesian(spark, sf_dir):
+    """PSI reads only (ts, value) from the 6-column events table, and
+    every join past the binning pass is keyed (grid/self-join on
+    week+bin) — a CartesianProduct would mean the calendar-bounded
+    claim broke."""
+    from kafka_streams_dexcom_spark.queries.temporal import (
+        q_value_drift_psi,
+    )
+
+    df = q_value_drift_psi(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan, plan
+    read = scan_read_schema(df)
+    assert set(read) <= {"ts", "value"}, read
+
+
+def test_dedup_cluster_stats_reads_artifacts_not_corpus(spark, sf_dir):
+    """The audit query must plan against the two materialized artifacts
+    (flat parquet scans), never re-shingle documents: no 'documents'
+    relation and no md5/shingle expressions in its plan."""
+    from kafka_streams_dexcom_spark.queries.dedup import (
+        q_dedup_cluster_stats,
+    )
+
+    plan = explain_str(q_dedup_cluster_stats(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "documents.parquet" not in plan, plan
