@@ -2232,3 +2232,47 @@ def _hybrid_rrf_oracle() -> str:
 
 QUERIES["hybrid_search_rrf"] = q_hybrid_search_rrf
 ORACLES["hybrid_search_rrf"] = _hybrid_rrf_oracle()
+
+
+def q_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile normalization of the composite quality score
+    — the calibration step BEFORE a global quality threshold: raw
+    scores are not comparable across heterogeneous sources (a 0.6 from
+    a clean encyclopedic source and a 0.6 from a forum crawl mean
+    different things), so curation pipelines threshold on the
+    WITHIN-SOURCE percentile instead. percent_rank is (rank-1)/(n-1) on
+    exact integers with ties sharing a rank, so the output is
+    deterministic on any partitioning and replays exactly in SQL.
+
+    Scale: the score is computed scan-side in the same single pass that
+    carries the source column (quality_score's extra_cols — no second
+    scan, no doc_id re-join); the window sorts once within each source
+    partition."""
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+
+    q = tx.quality_score(
+        load_table(spark, sf_dir, "documents"),
+        extra_cols=(F.col("source"),),
+    ).select("doc_id", "source", "quality_score")
+    w = Window.partitionBy("source").orderBy("quality_score")
+    return q.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        trunc6(F.percent_rank().over(w)).alias("src_pct"),
+    )
+
+
+QUERIES["quality_quantile_norm"] = q_quality_quantile_norm
+ORACLES["quality_quantile_norm"] = f"""
+    WITH q AS ({quality_score_sql()}),
+    s AS (
+        SELECT d.doc_id, d.source, q.quality_score
+        FROM documents d JOIN q USING (doc_id)
+    )
+    SELECT doc_id, source, quality_score,
+           floor(percent_rank() OVER (
+               PARTITION BY source ORDER BY quality_score
+           ) * 1000000) / 1000000.0 AS src_pct
+    FROM s
+"""
