@@ -2276,3 +2276,78 @@ ORACLES["quality_quantile_norm"] = f"""
            ) * 1000000) / 1000000.0 AS src_pct
     FROM s
 """
+
+
+def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens-per-word under the
+    learned BPE merges, THE standard tokenizer-quality metric (a
+    language with fertility 2.3 pays 2.3x the sequence length, compute,
+    and effective-context cost of a fertility-1.0 language; tokenizer
+    evals report exactly this table). Composes the bpe_encode pieces:
+    the merged vocabulary maps word → token length, documents contribute
+    word counts per language, one join + one bounded aggregate.
+
+    Determinism: sums are exact integers; the single fertility division
+    per language row is floor-truncated to 6 decimals."""
+    from kafka_streams_dexcom_spark.operators.text import _bpe_loop
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = _bpe_loop(docs, "text", 5, apply_last=True)
+    enc = vocab.select("w", F.size("syms").alias("wtok"))
+    toks_expr = "filter(split(text, '\\\\s+'), t -> t != '')"
+    wc = (
+        docs.select("lang", F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = (
+        wc.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("wtok")).alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("n_tokens") * F.lit(1_000_000.0) / F.col("n_words")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("fertility"),
+    )
+
+
+def _bpe_fertility_oracle(n_merges: int = 5) -> str:
+    """Replay: the same unrolled merged vocabulary as
+    _bpe_encode_oracle, aggregated per language."""
+    base = _bpe_encode_oracle(n_merges)
+    # reuse the shared CTE chain up to `enc`, then swap the per-doc tail
+    # for the per-language aggregate
+    head = base.split("        wcnt AS (")[0]
+    return (
+        head
+        + f"""
+        wcnt AS (
+            SELECT lang, t AS w, count(*) AS n
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS u(t)
+            GROUP BY lang, t
+        )
+        SELECT lang,
+               CAST(sum(n) AS BIGINT) AS n_words,
+               CAST(sum(n * wtok) AS BIGINT) AS n_tokens,
+               floor(sum(n * wtok) * 1000000.0 / sum(n)) / 1000000.0
+                   AS fertility
+        FROM wcnt JOIN enc USING (w)
+        GROUP BY lang
+    """
+    )
+
+
+QUERIES["bpe_fertility"] = q_bpe_fertility
+ORACLES["bpe_fertility"] = _bpe_fertility_oracle(5)

@@ -44,8 +44,9 @@ EAGER = {
     "dup_span_fraction",
     "bpe_train",
     "bm25_rerank",
-    # round-6: bpe_encode shares bpe_train's eager merge-fold loop
+    # round-6: bpe_encode/bpe_fertility share bpe_train's eager loop
     "bpe_encode",
+    "bpe_fertility",
 }
 
 
