@@ -117,11 +117,23 @@ class VersionedTable:
             "data_dir": final_name,
             **({"meta": meta} if meta else {}),
         }
+        # Write the manifest COMPLETELY to a private temp name, then
+        # hard-link it into place: link() is the put-if-absent CAS
+        # (fails with FileExistsError when the version exists) AND the
+        # linked name appears with its full content in one step. A bare
+        # O_CREAT|O_EXCL create-then-write would let a concurrent
+        # reader list the manifest and read it EMPTY — a torn manifest,
+        # caught live by the no-torn-reads test's reader threads. The
+        # temp name does not end in .json, so latest_version never
+        # counts it.
+        final_path = self._manifest_path(version)
+        tmp_path = f"{final_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp_path, "w") as f:
+            json.dump(manifest, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(
-                self._manifest_path(version),
-                os.O_CREAT | os.O_EXCL | os.O_WRONLY,
-            )
+            os.link(tmp_path, final_path)
         except FileExistsError:
             # the losing side of the race: withdraw the data dir so
             # vacuum has less to do, then tell the caller to rebase
@@ -129,10 +141,8 @@ class VersionedTable:
             raise CommitConflict(
                 f"version {version} already committed under {self.root}"
             ) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-            f.flush()
-            os.fsync(f.fileno())
+        finally:
+            os.unlink(tmp_path)
         return version
 
     def commit_retry(self, build, max_attempts: int = 10) -> int:
