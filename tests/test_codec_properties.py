@@ -1,0 +1,130 @@
+"""Property-based codec tests (hypothesis): the vendored protobuf wire
+codec and baseline JPEG codec against randomized inputs. These run on
+the PURE codec layers (no Spark per example — the Spark wiring has its
+own golden/round-trip tests), so the example budget can be generous."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_dexcom_spark.functions.jpeg import (
+    decode_jpeg,
+    encode_jpeg_gray,
+)
+from kafka_streams_dexcom_spark.functions.protobuf import (
+    _decode_scalar,
+    _encode_field,
+    _varint_decode,
+    _varint_encode,
+)
+
+_FAST = dict(max_examples=200, deadline=None)
+_SLOW = dict(max_examples=25, deadline=None)
+
+
+@given(u=st.integers(0, 2**64 - 1))
+@settings(**_FAST)
+def test_varint_roundtrip(u):
+    buf = _varint_encode(u)
+    assert len(buf) <= 10
+    v, pos = _varint_decode(buf, 0)
+    assert v == u and pos == len(buf)
+
+
+@given(v=st.integers(-(2**63), 2**63 - 1))
+@settings(**_FAST)
+def test_int64_field_roundtrip(v):
+    wire = _encode_field(1, "int64", v)
+    # tag byte for field 1 / wire type 0 is 0x08
+    assert wire[0] == 0x08
+    got, pos = _decode_scalar("int64", wire, 1)
+    assert got == v and pos == len(wire)
+
+
+@given(v=st.integers(-(2**31), 2**31 - 1))
+@settings(**_FAST)
+def test_int32_field_roundtrip(v):
+    wire = _encode_field(1, "int32", v)
+    got, pos = _decode_scalar("int32", wire, 1)
+    assert got == v and pos == len(wire)
+
+
+@given(s=st.text(max_size=80))
+@settings(**_FAST)
+def test_string_field_roundtrip(s):
+    wire = _encode_field(2, "string", s)
+    got, pos = _decode_scalar("string", wire, 1)
+    assert got == s and pos == len(wire)
+
+
+@given(b=st.binary(max_size=80))
+@settings(**_FAST)
+def test_bytes_field_roundtrip(b):
+    wire = _encode_field(3, "bytes", b)
+    got, pos = _decode_scalar("bytes", wire, 1)
+    assert got == b and pos == len(wire)
+
+
+@given(
+    v=st.floats(
+        allow_nan=True, allow_infinity=True, width=64
+    )
+)
+@settings(**_FAST)
+def test_double_field_bitexact_roundtrip(v):
+    wire = _encode_field(4, "double", v)
+    got, pos = _decode_scalar("double", wire, 1)
+    assert pos == len(wire)
+    # bit-exact including NaN payloads, infinities, and -0.0
+    assert struct.pack("<d", got) == struct.pack("<d", v)
+
+
+@given(v=st.floats(allow_nan=True, allow_infinity=True, width=32))
+@settings(**_FAST)
+def test_float_field_bitexact_roundtrip(v):
+    wire = _encode_field(5, "float", v)
+    got, pos = _decode_scalar("float", wire, 1)
+    assert pos == len(wire)
+    assert struct.pack("<f", got) == struct.pack("<f", v)
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SLOW)
+def test_jpeg_gray_ones_quant_near_lossless(h, w, seed):
+    """With an all-ones quant table the only loss is DCT round-off:
+    every pixel must land within 1 of the original, at ANY shape —
+    including non-multiple-of-8 dimensions that exercise the edge-pad
+    and crop paths."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    dw, dh, c, arr = decode_jpeg(encode_jpeg_gray(img, quant=np.ones(64)))
+    assert (dw, dh, c) == (w, h, 1)
+    assert np.abs(arr[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+@given(
+    h=st.integers(1, 20),
+    w=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    interval=st.integers(1, 5),
+)
+@settings(**_SLOW)
+def test_jpeg_restart_interval_invariant(h, w, seed, interval):
+    """Restart markers partition the entropy stream without changing a
+    single decoded pixel, for any interval and image shape."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    ones = np.ones(64)
+    _, _, _, a = decode_jpeg(encode_jpeg_gray(img, quant=ones))
+    _, _, _, b = decode_jpeg(
+        encode_jpeg_gray(img, quant=ones, restart_interval=interval)
+    )
+    assert np.array_equal(a, b)
