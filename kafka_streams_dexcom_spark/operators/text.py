@@ -1107,6 +1107,7 @@ def bpe_encode_counts(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_merges: int = 5,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenize the corpus under the LEARNED BPE vocabulary — the apply
     side that completes the tokenizer story (bpe_pair_stats is one
@@ -1123,8 +1124,14 @@ def bpe_encode_counts(
     counts (the phantom-empty-token discipline).
 
     Determinism: token counts are exact integers; the ratio is
-    floor-truncated to 6 decimals so both engines compare equal."""
-    _merges, vocab = _bpe_loop(df, text_col, n_merges, apply_last=True)
+    floor-truncated to 6 decimals so both engines compare equal.
+
+    Pass a pre-trained ``vocab`` (w, wc, syms — e.g. the shared
+    ``bpe_artifacts`` table) to skip the in-query training loop; the
+    production shape, where the tokenizer is a frozen published
+    artifact and this function is pure apply."""
+    if vocab is None:
+        _merges, vocab = _bpe_loop(df, text_col, n_merges, apply_last=True)
     enc = vocab.select(
         "w",
         F.size("syms").alias("wtok"),

