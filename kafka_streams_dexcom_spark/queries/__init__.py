@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 def _modules():
     from kafka_streams_dexcom_spark.queries import (
         core,
+        corpus,
         dedup,
         joinshapes,
         multimodal,
@@ -27,7 +28,7 @@ def _modules():
     # ONE module list for queries and oracles — two copies would let
     # them drift (a query registered without its oracle or vice versa)
     return (core, relational, joinshapes, temporal, dedup, similarity,
-            text, multimodal)
+            text, multimodal, corpus)
 
 
 def _merged(attr: str) -> dict:

@@ -1,0 +1,226 @@
+"""Bulk-ingestion queries: JSONL schema-on-read with corrupt-record
+quarantine, and WARC crawl-archive parsing — the batch front door of a
+training-data pipeline (the reference's ingestion boundary is Kafka
+topics, StreamsFilterEgvs.java:27-38; at 100 TB the same records arrive
+as files).
+
+Fixture discipline: the component under test here IS the file reader,
+so unlike the multimodal family (payloads derived in-plan from
+documents.text) these queries must round-trip real files. Each fixture
+is derived from the documents table once per (session, corpus
+fingerprint) into the session temp root — the JSONL corpus via a
+DISTRIBUTED ``df.write.json`` (plus one small planted corrupt shard,
+driver-written, 3 lines), the WARC archives via the vendored writer
+(driver-side over DuckDB: fixture generation stands in for the crawler,
+which is not an engine component; the engine component — the reader —
+runs fully distributed). The oracles never see the files: they recompute
+the same statistics from the documents view, so a reader that drops,
+duplicates, or mis-decodes records fails the hash gate.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_streams_dexcom_spark.sources import corpus as cs
+from kafka_streams_dexcom_spark.sources.files import (
+    corpus_fingerprint,
+    load_table,
+    session_temp_dir,
+    session_value,
+)
+
+N_CORRUPT_LINES = 3
+
+DOCS_JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _jsonl_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the documents table as a JSONL directory (distributed
+    Spark JSON write, 4 shards) plus one planted corrupt shard; built
+    once per (session, corpus)."""
+    fp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+
+    def build() -> str:
+        out = os.path.join(
+            session_temp_dir("jsonl_corpus"), fp.replace(os.sep, "_")
+        )
+        (
+            load_table(spark, sf_dir, "documents")
+            .repartition(4)
+            .write.mode("overwrite")
+            .json(out)
+        )
+        bad = [
+            '{"doc_id": 1, "text": "unterminated',
+            '{"doc_id": "not-a-number", "text": "bad type"}',
+            "]",
+        ]
+        assert len(bad) == N_CORRUPT_LINES
+        with open(os.path.join(out, "part-corrupt.json"), "w") as f:
+            f.write("\n".join(bad) + "\n")
+        return out
+
+    return session_value(spark, "jsonl_corpus", (os.path.abspath(sf_dir), fp), build)
+
+
+def q_jsonl_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL round-trip + quarantine: read the corpus dump with an
+    explicit schema in PERMISSIVE mode, split valid rows from the 3
+    planted malformed lines, and aggregate per (source, lang) — doc
+    count, actual text chars, metadata char total — with the global
+    quarantine count carried on every row (broadcast of a 1-row
+    aggregate; the contractual-flag discipline of approx_sketches). A
+    reader that silently dropped valid rows, let corrupt lines through
+    as nulls, or mangled int64/string values fails the hash."""
+    path = _jsonl_fixture(spark, sf_dir)
+    raw = cs.read_jsonl(spark, path, DOCS_JSONL_SCHEMA)
+    valid, quarantine = cs.split_quarantine(raw)
+    nq = quarantine.agg(F.count(F.lit(1)).cast("int").alias("n_quarantined"))
+    stats = valid.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("n_chars").alias("sum_meta_chars"),
+    )
+    return stats.crossJoin(F.broadcast(nq))
+
+
+def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build 8 per-record-gzipped WARC archives (Common Crawl layout)
+    from the documents table: one warcinfo + per-doc request/response
+    records, bucketed by doc_id % 8. Driver-side DuckDB read — fixture
+    generation stands in for the crawler; see module docstring."""
+    import gzip
+
+    import duckdb
+
+    fp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+
+    def build() -> str:
+        out = os.path.join(
+            session_temp_dir("warc_corpus"), fp.replace(os.sep, "_")
+        )
+        os.makedirs(out, exist_ok=True)
+        rows = duckdb.sql(
+            "SELECT doc_id, text, source FROM read_parquet($p) ORDER BY doc_id",
+            params={"p": os.path.join(sf_dir, "documents.parquet")},
+        ).fetchall()
+        date = "2026-01-01T00:00:00Z"
+        buckets: dict[int, list[bytes]] = {b: [] for b in range(8)}
+        for b in range(8):
+            buckets[b].append(
+                cs.warc_record_bytes(
+                    "warcinfo",
+                    {
+                        "WARC-Record-ID": f"<urn:warcinfo:{b}>",
+                        "WARC-Date": date,
+                        "Content-Type": "application/warc-fields",
+                    },
+                    b"software: spark-graft-fixture\r\n",
+                )
+            )
+        for doc_id, text, source in rows:
+            b = doc_id % 8
+            uri = f"https://{source}.example/doc/{doc_id}"
+            buckets[b].append(
+                cs.warc_record_bytes(
+                    "request",
+                    {
+                        "WARC-Record-ID": f"<urn:req:{doc_id}>",
+                        "WARC-Date": date,
+                        "WARC-Target-URI": uri,
+                        "Content-Type": "application/http;msgtype=request",
+                    },
+                    f"GET /doc/{doc_id} HTTP/1.1\r\n\r\n".encode(),
+                )
+            )
+            buckets[b].append(
+                cs.warc_record_bytes(
+                    "response",
+                    {
+                        "WARC-Record-ID": f"<urn:resp:{doc_id}>",
+                        "WARC-Date": date,
+                        "WARC-Target-URI": uri,
+                        "Content-Type": "application/http;msgtype=response",
+                    },
+                    cs.http_response_bytes(
+                        text.encode("utf-8"),
+                        status=200,
+                        content_type="text/plain; charset=utf-8",
+                    ),
+                )
+            )
+        for b, recs in buckets.items():
+            # one gzip member per record — the Common Crawl layout the
+            # reader's concatenated-member decompress handles
+            data = b"".join(
+                gzip.compress(r, mtime=0) for r in recs
+            )
+            with open(os.path.join(out, f"crawl-{b}.warc.gz"), "wb") as f:
+                f.write(data)
+        return out
+
+    return session_value(spark, "warc_corpus", (os.path.abspath(sf_dir), fp), build)
+
+
+def q_warc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive ingestion: parse the per-record-gzipped
+    archives, keep ONLY 'response' records (a parser that failed to
+    skip the warcinfo/request records would inflate every count), lift
+    the origin out of the target URI, decode the HTTP body, and
+    aggregate per source — doc count, decoded text chars, HTTP-200
+    count. The oracle recomputes all three from the documents view, so
+    record loss, duplication, header/body mis-splits, and UTF-8 damage
+    all fail the hash."""
+    path = _warc_fixture(spark, sf_dir)
+    recs = cs.read_warc(spark, os.path.join(path, "*.warc.gz"))
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract(
+            "target_uri", r"^https://([^.]+)\.example/", 1
+        ).alias("source"),
+        F.length(F.decode("payload", "UTF-8")).alias("n_chars"),
+        (F.col("http_status") == 200).cast("int").alias("is_200"),
+    )
+    return resp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("is_200").alias("n_http_200"),
+    )
+
+
+QUERIES = {
+    "jsonl_corpus_stats": q_jsonl_corpus_stats,
+    "warc_corpus_stats": q_warc_corpus_stats,
+}
+
+ORACLES = {
+    "jsonl_corpus_stats": f"""
+        SELECT source, lang,
+               count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_meta_chars,
+               CAST({N_CORRUPT_LINES} AS INTEGER) AS n_quarantined
+        FROM documents
+        GROUP BY source, lang
+    """,
+    "warc_corpus_stats": """
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(count(*) AS BIGINT) AS n_http_200
+        FROM documents
+        GROUP BY source
+    """,
+}

@@ -1,0 +1,252 @@
+"""Bulk corpus file-format sources: JSONL with corrupt-record
+quarantine, and a vendored WARC/1.0 (ISO 28500) reader for web-crawl
+archives.
+
+The reference ingests records from Kafka topics
+(StreamsFilterEgvs.java:27-38, RawConsumer.java); a training-data
+pipeline's batch equivalent is bulk files — JSONL dumps and WARC crawl
+archives (the Common Crawl shape). Spark-first split of the work:
+
+- **JSONL** is ``spark.read.json`` schema-on-read: JVM-side parsing,
+  block-splittable on uncompressed/zstd input, PERMISSIVE mode captures
+  malformed lines into a corrupt-record column instead of failing the
+  job — at 100 TB a reader that dies on line 48 billion is useless; the
+  quarantine split makes bad records a *dataset* you can count, sample,
+  and re-crawl rather than an exception.
+- **WARC** has no native Spark reader, so it rides ``binaryFile`` +
+  Arrow-batched ``mapInPandas``: one task per archive file, which is
+  exactly the parallelism production crawl pipelines use — WARC is not
+  block-splittable (records are back-to-back, per-record-gzipped in the
+  Common Crawl layout), but crawls ship as tens of thousands of ~1 GB
+  files, so file-level parallelism saturates any cluster. Payload bytes
+  stay executor-side end to end (the multimodal discipline:
+  operators/multimodal.py).
+
+The WARC *writer* here exists for fixtures and golden tests only — in
+production the crawler writes the archives; the engine component is the
+reader.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = CORRUPT_COL,
+) -> DataFrame:
+    """Schema-on-read JSONL with PERMISSIVE corrupt-record capture.
+
+    The caller passes the EXPLICIT value schema (schema inference is a
+    full extra pass over 100 TB — never pay it in production); the
+    corrupt column is appended here. Malformed lines land with all value
+    columns NULL and the raw line preserved in ``corrupt_col``;
+    well-formed lines carry NULL there. Split the two with
+    :func:`split_quarantine`.
+    """
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
+def split_quarantine(
+    df: DataFrame, corrupt_col: str = CORRUPT_COL, materialize: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(valid rows without the corrupt column, quarantined raw lines).
+
+    Spark disallows queries whose scan references ONLY the internal
+    corrupt-record column (SPARK-26224: the parser would need a second
+    full pass to know which lines failed) — the documented contract is
+    to cache or save the parsed results first. That is also the 100 TB
+    production shape: the raw read lands in a bronze table once, and
+    both the valid flow and the quarantine triage read the materialized
+    parse, never re-parsing the source. ``materialize=True`` stands in
+    for that bronze landing with a persist; pass False only when the
+    caller has already written the parsed frame to a table.
+    """
+    if materialize:
+        df = df.persist()
+    valid = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantine = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return valid, quarantine
+
+
+# --------------------------------------------------------------------------
+# WARC/1.0 — vendored pure-Python record codec (ISO 28500). The format:
+# each record is a header block of CRLF lines ("WARC/1.0", then
+# "Name: value" pairs), a blank CRLF line, Content-Length payload bytes,
+# then a CRLF CRLF record separator. Common Crawl gzips each record as
+# its own gzip member; Python's gzip.decompress handles concatenated
+# members natively, so one decompress yields the plain stream.
+# --------------------------------------------------------------------------
+
+_CRLF = b"\r\n"
+
+
+def warc_record_bytes(
+    warc_type: str, headers: dict[str, str], payload: bytes
+) -> bytes:
+    """Serialize one WARC/1.0 record (writer side: fixtures + goldens)."""
+    lines = [b"WARC/1.0"]
+    lines.append(f"WARC-Type: {warc_type}".encode())
+    for k, v in headers.items():
+        lines.append(f"{k}: {v}".encode())
+    lines.append(f"Content-Length: {len(payload)}".encode())
+    head = _CRLF.join(lines) + _CRLF + _CRLF
+    return head + payload + _CRLF + _CRLF
+
+
+def http_response_bytes(
+    body: bytes, status: int = 200, content_type: str = "text/plain"
+) -> bytes:
+    """Serialize the HTTP response message a 'response' record wraps."""
+    reason = {200: "OK", 404: "Not Found", 500: "Server Error"}.get(
+        status, "Unknown"
+    )
+    head = (
+        f"HTTP/1.1 {status} {reason}\r\n"
+        f"Content-Type: {content_type}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode()
+    return head + body
+
+
+def iter_warc_records(
+    data: bytes,
+) -> Iterator[tuple[dict[str, str], bytes]]:
+    """Parse a plain (decompressed) WARC stream into (headers, payload)
+    pairs. Header names are lower-cased; the version line is kept under
+    ``warc-version``. Raises ValueError on a malformed stream — a
+    truncated archive should fail loudly, not yield silently fewer
+    records (the convergence-guard lesson: plausible-but-short output is
+    worse than an error)."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record blank lines
+        while data.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            return
+        end = data.find(_CRLF + _CRLF, pos)
+        if end < 0:
+            raise ValueError("WARC: unterminated header block")
+        head = data[pos:end].decode("utf-8", errors="replace")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"WARC: bad version line {lines[0]!r}")
+        headers: dict[str, str] = {"warc-version": lines[0]}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError("WARC: missing/invalid Content-Length")
+        body_start = end + 4
+        if body_start + clen > n:
+            raise ValueError("WARC: truncated payload")
+        yield headers, data[body_start : body_start + clen]
+        pos = body_start + clen
+
+
+def parse_http_response(payload: bytes) -> tuple[int, str | None, bytes]:
+    """(status, content_type, body) from an HTTP response message."""
+    sep = payload.find(b"\r\n\r\n")
+    if sep < 0:
+        return 0, None, payload
+    head = payload[:sep].decode("utf-8", errors="replace")
+    lines = head.split("\r\n")
+    parts = lines[0].split(" ", 2)
+    try:
+        status = int(parts[1])
+    except (IndexError, ValueError):
+        status = 0
+    ctype = None
+    for line in lines[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-type":
+            ctype = v.strip()
+    return status, ctype, payload[sep + 4 :]
+
+
+WARC_SCHEMA = T.StructType(
+    [
+        T.StructField("warc_file", T.StringType()),
+        T.StructField("warc_type", T.StringType()),
+        T.StructField("target_uri", T.StringType()),
+        T.StructField("warc_date", T.StringType()),
+        T.StructField("http_status", T.IntegerType()),
+        T.StructField("content_type", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Read WARC archives (plain or gzipped) into one row per record.
+
+    ``binaryFile`` hands each archive to one task; the Arrow-batched
+    parser emits every record with its headers lifted to columns. For
+    'response' records the wrapped HTTP message is split: ``payload`` is
+    the HTTP *body* and ``http_status``/``content_type`` come from the
+    message head; other record types carry their raw payload and the
+    record's own Content-Type. Filtering/pruning happens downstream on
+    the lifted columns — at crawl scale you filter on warc_type and
+    content_type long before touching body bytes.
+    """
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                for headers, payload in iter_warc_records(data):
+                    wtype = headers.get("warc-type", "")
+                    status: int | None = None
+                    ctype = headers.get("content-type")
+                    body = payload
+                    if wtype == "response" and (ctype or "").startswith(
+                        "application/http"
+                    ):
+                        status, ctype, body = parse_http_response(payload)
+                    rows.append(
+                        (
+                            fpath,
+                            wtype,
+                            headers.get("warc-target-uri"),
+                            headers.get("warc-date"),
+                            status,
+                            ctype,
+                            body,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)

@@ -1,0 +1,188 @@
+"""Corpus file-format sources (sources/corpus.py): the vendored WARC
+codec's golden bytes and edge cases, the gzip multi-member path, the
+JSONL quarantine split, and both Spark readers end-to-end."""
+
+from __future__ import annotations
+
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_streams_dexcom_spark.sources import corpus as cs
+
+
+def _resp_record(doc_id: int, body: bytes, status: int = 200) -> bytes:
+    return cs.warc_record_bytes(
+        "response",
+        {
+            "WARC-Record-ID": f"<urn:resp:{doc_id}>",
+            "WARC-Date": "2026-01-01T00:00:00Z",
+            "WARC-Target-URI": f"https://ex.example/doc/{doc_id}",
+            "Content-Type": "application/http;msgtype=response",
+        },
+        cs.http_response_bytes(body, status=status),
+    )
+
+
+class TestWarcCodec:
+    def test_golden_record_bytes(self):
+        # hand-derived golden: header block CRLF-framed, exact
+        # Content-Length, double-CRLF terminator
+        rec = cs.warc_record_bytes(
+            "warcinfo",
+            {"WARC-Record-ID": "<urn:x:1>"},
+            b"hi",
+        )
+        assert rec == (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: warcinfo\r\n"
+            b"WARC-Record-ID: <urn:x:1>\r\n"
+            b"Content-Length: 2\r\n"
+            b"\r\n"
+            b"hi\r\n\r\n"
+        )
+
+    def test_roundtrip_fields(self):
+        data = _resp_record(7, b"hello world") + cs.warc_record_bytes(
+            "request",
+            {"WARC-Target-URI": "https://ex.example/doc/7"},
+            b"GET / HTTP/1.1\r\n\r\n",
+        )
+        recs = list(cs.iter_warc_records(data))
+        assert [h["warc-type"] for h, _ in recs] == ["response", "request"]
+        h, payload = recs[0]
+        assert h["warc-target-uri"] == "https://ex.example/doc/7"
+        status, ctype, body = cs.parse_http_response(payload)
+        assert (status, body) == (200, b"hello world")
+        assert ctype.startswith("text/plain")
+
+    def test_payload_containing_crlf_separators(self):
+        # Content-Length framing must win over separator scanning: a
+        # body embedding the record separator parses intact
+        body = b"a\r\n\r\nWARC/1.0\r\n\r\nb"
+        recs = list(cs.iter_warc_records(_resp_record(1, body)))
+        assert len(recs) == 1
+        _, _, got = cs.parse_http_response(recs[0][1])
+        assert got == body
+
+    def test_truncated_stream_raises(self):
+        rec = _resp_record(1, b"hello")
+        with pytest.raises(ValueError, match="truncated"):
+            list(cs.iter_warc_records(rec[: len(rec) - 12]))
+
+    def test_bad_version_line_raises(self):
+        with pytest.raises(ValueError, match="version"):
+            list(cs.iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))
+
+    def test_http_parse_non_200_and_headerless(self):
+        status, _, body = cs.parse_http_response(
+            cs.http_response_bytes(b"gone", status=404)
+        )
+        assert (status, body) == (404, b"gone")
+        # payload with no header separator falls through raw
+        status, ctype, body = cs.parse_http_response(b"rawbytes")
+        assert (status, ctype, body) == (0, None, b"rawbytes")
+
+
+class TestWarcSparkReader:
+    def test_gzip_members_and_type_lifting(self, spark, tmp_path):
+        # Common Crawl layout: one gzip member per record
+        recs = [
+            cs.warc_record_bytes("warcinfo", {}, b"fixture\r\n"),
+            _resp_record(1, "héllo".encode("utf-8")),
+            _resp_record(2, b"plain", status=404),
+        ]
+        gz = b"".join(gzip.compress(r, mtime=0) for r in recs)
+        (tmp_path / "a.warc.gz").write_bytes(gz)
+        # plain (uncompressed) twin in the same directory
+        (tmp_path / "b.warc").write_bytes(b"".join(recs))
+
+        df = cs.read_warc(spark, str(tmp_path / "*.warc*"))
+        rows = df.orderBy("warc_file", "target_uri").collect()
+        assert [r.warc_type for r in rows].count("response") == 4
+        resp = [r for r in rows if r.warc_type == "response"]
+        # HTTP head split off: payload is the BODY, status/ctype lifted
+        assert {bytes(r.payload) for r in resp} == {
+            "héllo".encode("utf-8"),
+            b"plain",
+        }
+        assert {r.http_status for r in resp} == {200, 404}
+        info = [r for r in rows if r.warc_type == "warcinfo"]
+        assert all(r.http_status is None for r in info)
+        assert all(bytes(r.payload) == b"fixture\r\n" for r in info)
+
+
+JSONL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("s", T.StringType()),
+    ]
+)
+
+
+class TestJsonlQuarantine:
+    def test_split_and_value_fidelity(self, spark, tmp_path):
+        lines = [
+            '{"id": 9007199254740993, "s": "big int64 stays exact"}',
+            '{"id": 2, "s": "ünïcode"}',
+            '{"id": 3}',
+            '{"id": "oops", "s": "bad type"}',
+            "not json at all",
+        ]
+        (tmp_path / "part-0.jsonl").write_text("\n".join(lines) + "\n")
+        raw = cs.read_jsonl(spark, str(tmp_path), JSONL_SCHEMA)
+        valid, quarantine = cs.split_quarantine(raw)
+        got = {r.id: r.s for r in valid.collect()}
+        # int64 beyond double precision round-trips exactly; missing
+        # field is NULL, not corrupt
+        assert got == {
+            9007199254740993: "big int64 stays exact",
+            2: "ünïcode",
+            3: None,
+        }
+        bad = sorted(r.raw_line for r in quarantine.collect())
+        assert bad == ["not json at all", '{"id": "oops", "s": "bad type"}']
+
+    def test_schema_clash_raises(self, spark, tmp_path):
+        clash = T.StructType([T.StructField(cs.CORRUPT_COL, T.StringType())])
+        with pytest.raises(ValueError, match="_corrupt_record"):
+            cs.read_jsonl(spark, str(tmp_path), clash)
+
+
+class TestRegisteredQueries:
+    def test_jsonl_corpus_stats_counts(self, spark, sf_dir):
+        from kafka_streams_dexcom_spark.queries.corpus import (
+            N_CORRUPT_LINES,
+            q_jsonl_corpus_stats,
+        )
+
+        out = q_jsonl_corpus_stats(spark, sf_dir)
+        rows = out.collect()
+        n_docs = sum(r.n_docs for r in rows)
+        exact = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .count()
+        )
+        assert n_docs == exact
+        assert {r.n_quarantined for r in rows} == {N_CORRUPT_LINES}
+
+    def test_warc_corpus_stats_matches_documents(self, spark, sf_dir):
+        from kafka_streams_dexcom_spark.queries.corpus import (
+            q_warc_corpus_stats,
+        )
+
+        out = q_warc_corpus_stats(spark, sf_dir)
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+        got = {r.source: (r.n_docs, r.sum_chars, r.n_http_200)
+               for r in out.collect()}
+        want = {r.source: (r.n_docs, r.sum_chars, r.n_docs)
+                for r in docs.collect()}
+        assert got == want
