@@ -91,6 +91,55 @@ def split_quarantine(
     return valid, quarantine
 
 
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = CORRUPT_COL,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl`: the file-source stream a
+    continuously-landing corpus drop zone feeds (the batch/stream dual
+    the engine keeps for every source — sources/kafka.py discipline).
+    Same explicit schema + PERMISSIVE corrupt capture; pair with
+    :func:`jsonl_quarantine_writer` to split per micro-batch."""
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(path)
+
+
+def jsonl_quarantine_writer(valid_write, quarantine_write,
+                            corrupt_col: str = CORRUPT_COL):
+    """foreachBatch function landing each parsed micro-batch once and
+    delivering the valid/quarantine split to two idempotent epoch
+    writers — the streaming form of the bronze-landing contract in
+    :func:`split_quarantine` (the micro-batch persist is the landing;
+    both sides read it, the source is parsed exactly once per epoch)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            valid, quarantine = split_quarantine(
+                batch_df, corrupt_col, materialize=False
+            )
+            valid_write(valid, batch_id)
+            quarantine_write(quarantine, batch_id)
+        finally:
+            batch_df.unpersist()
+
+    return apply
+
+
 # --------------------------------------------------------------------------
 # WARC/1.0 — vendored pure-Python record codec (ISO 28500). The format:
 # each record is a header block of CRLF lines ("WARC/1.0", then

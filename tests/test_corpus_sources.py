@@ -152,6 +152,48 @@ class TestJsonlQuarantine:
             cs.read_jsonl(spark, str(tmp_path), clash)
 
 
+class TestJsonlStream:
+    def test_batch_stream_equivalence_with_quarantine(self, spark, tmp_path):
+        """The streaming reader + per-epoch quarantine split must land
+        EXACTLY the batch reader's valid/quarantine partition of the
+        same files (the engine's batch≡stream discipline)."""
+        src = tmp_path / "in"
+        src.mkdir()
+        (src / "a.jsonl").write_text(
+            '{"id": 1, "s": "x"}\nnot json\n{"id": 2, "s": "y"}\n'
+        )
+        (src / "b.jsonl").write_text('{"id": "bad"}\n{"id": 3, "s": "z"}\n')
+
+        raw = cs.read_jsonl(spark, str(src), JSONL_SCHEMA)
+        bvalid, bquar = cs.split_quarantine(raw)
+        want_valid = sorted((r.id, r.s) for r in bvalid.collect())
+        want_quar = sorted(r.raw_line for r in bquar.collect())
+
+        got_valid: list = []
+        got_quar: list = []
+        stream = cs.read_jsonl_stream(
+            spark, str(src), JSONL_SCHEMA, max_files_per_trigger=1
+        )
+        sink = cs.jsonl_quarantine_writer(
+            lambda df, bid: got_valid.extend(
+                (r.id, r.s) for r in df.collect()
+            ),
+            lambda df, bid: got_quar.extend(
+                r.raw_line for r in df.collect()
+            ),
+        )
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert sorted(got_valid) == want_valid == [(1, "x"), (2, "y"), (3, "z")]
+        assert sorted(got_quar) == want_quar
+        assert len(want_quar) == 2
+
+
 class TestRegisteredQueries:
     def test_jsonl_corpus_stats_counts(self, spark, sf_dir):
         from kafka_streams_dexcom_spark.queries.corpus import (
