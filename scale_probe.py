@@ -95,6 +95,14 @@ PROBE_QUERIES = [
     # family.
     "bpe_encode",
     "value_drift_psi",
+    # round-6 corpus sources: both token-linear over documents — JSONL
+    # is one splittable scan + agg; WARC parses one archive per task
+    # (×10 docs → ×10 fixture bytes across the same 8 archives, so the
+    # probe also exercises the bigger-archive-per-task profile). The
+    # min-of-2 timing amortizes the one-time fixture build, mirroring
+    # the bench's published-artifact discipline.
+    "jsonl_corpus_stats",
+    "warc_corpus_stats",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10
@@ -129,20 +137,28 @@ def timed(fn, spark, sf_dir: str) -> float:
 
 
 def main() -> None:
+    # usage: scale_probe.py [out_dir [name ...]] — trailing names probe a
+    # subset (new-query spot checks without re-timing the whole list)
     out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_x10"
+    subset = sys.argv[2:]
+    unknown = set(subset) - set(PROBE_QUERIES)
+    if unknown:
+        raise SystemExit(f"not in PROBE_QUERIES: {sorted(unknown)}")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="scale_probe")
     spark.sparkContext.setLogLevel("ERROR")
     build_x10(spark, out_dir)
     qs = all_queries()
     rows = {}
-    for name in PROBE_QUERIES:
+    for name in subset or PROBE_QUERIES:
         base = timed(qs[name], spark, SRC)
         x10 = timed(qs[name], spark, out_dir)
         ratio = round(x10 / base, 2) if base > 0 else None
         rows[name] = {"sf0.1_s": base, "x10_s": x10, "ratio": ratio}
         print(f"{name:28s} {base:6.2f}s -> {x10:6.2f}s  x{ratio}")
-    special = {"cc_incremental": probe_cc_incremental(spark)}
+    special = (
+        {} if subset else {"cc_incremental": probe_cc_incremental(spark)}
+    )
     print(json.dumps({"probe": rows, "special": special}))
     spark.stop()
 
