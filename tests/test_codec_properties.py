@@ -128,3 +128,93 @@ def test_jpeg_restart_interval_invariant(h, w, seed, interval):
         encode_jpeg_gray(img, quant=ones, restart_interval=interval)
     )
     assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# WARC record codec (sources/corpus.py): arbitrary payloads — including
+# bytes embedding the CRLF record separator and fake version lines —
+# must round-trip through writer → parser on Content-Length framing
+# alone, in any record order, and per-record gzip members must
+# decompress to the identical stream.
+
+from kafka_streams_dexcom_spark.sources.corpus import (  # noqa: E402
+    http_response_bytes,
+    iter_warc_records,
+    parse_http_response,
+    warc_record_bytes,
+)
+
+_warc_header_val = st.text(
+    alphabet=st.characters(min_codepoint=33, max_codepoint=126),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(
+    recs=st.lists(
+        st.tuples(
+            st.sampled_from(["response", "request", "warcinfo", "metadata"]),
+            _warc_header_val,
+            st.binary(max_size=300),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_FAST)
+def test_warc_stream_roundtrip(recs):
+    data = b"".join(
+        warc_record_bytes(t, {"WARC-Target-URI": uri}, payload)
+        for t, uri, payload in recs
+    )
+    got = list(iter_warc_records(data))
+    assert len(got) == len(recs)
+    for (t, uri, payload), (headers, body) in zip(recs, got):
+        assert headers["warc-type"] == t
+        assert headers["warc-target-uri"] == uri
+        assert body == payload
+        assert int(headers["content-length"]) == len(payload)
+
+
+@given(
+    payloads=st.lists(st.binary(max_size=200), min_size=1, max_size=6),
+    status=st.sampled_from([200, 301, 404, 500]),
+)
+@settings(**_FAST)
+def test_warc_gzip_members_and_http_split(payloads, status):
+    import gzip
+
+    recs = [
+        warc_record_bytes(
+            "response",
+            {"Content-Type": "application/http;msgtype=response"},
+            http_response_bytes(p, status=status),
+        )
+        for p in payloads
+    ]
+    # per-record gzip members (Common Crawl layout) decompress to the
+    # exact concatenated plain stream the reader parses
+    gz = b"".join(gzip.compress(r, mtime=0) for r in recs)
+    assert gzip.decompress(gz) == b"".join(recs)
+    for payload, (_h, rec_payload) in zip(
+        payloads, iter_warc_records(b"".join(recs))
+    ):
+        got_status, _ctype, body = parse_http_response(rec_payload)
+        assert got_status == status
+        assert body == payload
+
+
+@given(cut=st.integers(1, 40), payload=st.binary(min_size=0, max_size=64))
+@settings(**_FAST)
+def test_warc_any_truncation_raises_never_silently_drops(cut, payload):
+    rec = warc_record_bytes("response", {}, payload)
+    truncated = rec[: max(0, len(rec) - 4 - cut)]  # keep it genuinely short
+    if not truncated:
+        return
+    try:
+        got = list(iter_warc_records(truncated))
+    except ValueError:
+        return  # loud failure is the contract
+    # the only acceptable silent outcome is a clean whole-record prefix
+    assert all(b == payload for _h, b in got) and len(got) <= 1
