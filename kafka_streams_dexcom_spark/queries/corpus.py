@@ -97,6 +97,53 @@ def q_jsonl_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(nq))
 
 
+N_CSV_CORRUPT_LINES = 2
+
+
+def _csv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """documents as a CSV directory (distributed write, 4 shards) plus
+    one planted corrupt shard: a bad-type line and a wrong-arity line."""
+    fp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+
+    def build() -> str:
+        out = os.path.join(
+            session_temp_dir("csv_corpus"), fp.replace(os.sep, "_")
+        )
+        cs.write_csv(
+            load_table(spark, sf_dir, "documents")
+            .select([f.name for f in DOCS_JSONL_SCHEMA.fields])
+            .repartition(4),
+            out,
+        )
+        bad = ["not_a_number,foo,bar,baz,qux", "1,too,short"]
+        assert len(bad) == N_CSV_CORRUPT_LINES
+        with open(os.path.join(out, "part-corrupt.csv"), "w") as f:
+            f.write("\n".join(bad) + "\n")
+        return out
+
+    return session_value(spark, "csv_corpus", (os.path.abspath(sf_dir), fp), build)
+
+
+def q_csv_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip + quarantine: same contract as
+    ``jsonl_corpus_stats`` on the third format leg — explicit schema,
+    PERMISSIVE quarantine of the 2 planted malformed lines (bad type,
+    wrong arity), per-lang aggregation, global quarantine count as a
+    contractual flag on every row. Quoting/escaping fidelity is part of
+    what the hash checks: a reader that mangled quoted fields or
+    confused empty-vs-null changes sum_chars."""
+    path = _csv_fixture(spark, sf_dir)
+    raw = cs.read_csv(spark, path, DOCS_JSONL_SCHEMA)
+    valid, quarantine = cs.split_quarantine(raw)
+    nq = quarantine.agg(F.count(F.lit(1)).cast("int").alias("n_quarantined"))
+    stats = valid.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum("n_chars").alias("sum_meta_chars"),
+    )
+    return stats.crossJoin(F.broadcast(nq))
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Build 8 per-record-gzipped WARC archives (Common Crawl layout)
     from the documents table: one warcinfo + per-doc request/response
@@ -202,6 +249,7 @@ def q_warc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "jsonl_corpus_stats": q_jsonl_corpus_stats,
+    "csv_corpus_stats": q_csv_corpus_stats,
     "warc_corpus_stats": q_warc_corpus_stats,
 }
 
@@ -214,6 +262,15 @@ ORACLES = {
                CAST({N_CORRUPT_LINES} AS INTEGER) AS n_quarantined
         FROM documents
         GROUP BY source, lang
+    """,
+    "csv_corpus_stats": f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+               CAST(sum(n_chars) AS BIGINT) AS sum_meta_chars,
+               CAST({N_CSV_CORRUPT_LINES} AS INTEGER) AS n_quarantined
+        FROM documents
+        GROUP BY lang
     """,
     "warc_corpus_stats": """
         SELECT source,

@@ -91,6 +91,77 @@ def split_quarantine(
     return valid, quarantine
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    corrupt_col: str = CORRUPT_COL,
+    header: bool = False,
+    sep: str = ",",
+    null_value: str = "\\N",
+) -> DataFrame:
+    """Schema-on-read CSV with the same PERMISSIVE corrupt-record
+    quarantine contract as :func:`read_jsonl` — the third leg of the
+    delimited-text format matrix (JSONL / CSV / WARC). Explicit schema
+    only (inference is an extra full pass); malformed lines — unclosed
+    quotes, type-cast failures — land in the corrupt column with value
+    fields NULL, split downstream via :func:`split_quarantine`.
+
+    Dialect decisions, each load-bearing:
+
+    - ``escape='"'``: RFC-4180 doubles quotes inside quoted fields
+      (``""``); Spark's default escape is backslash, under which a
+      doubled-quote file parses to garbage-with-quotes via the
+      STOP_AT_DELIMITER unescaped-quote fallback instead of failing.
+    - ``nullValue='\\N'`` (the MySQL-dump sentinel): with the default
+      ``nullValue=""``, a quoted empty field (``""``) and a missing
+      field both read as NULL. Moving the null sentinel off the empty
+      string restores the distinction — unquoted-empty → NULL,
+      ``""`` → empty string — which :func:`write_csv` round-trips.
+      The cost: a literal ``\\N`` field reads as NULL even when quoted
+      (univocity matches the sentinel after unquoting), so that one
+      string value is unrepresentable in this dialect. Fine for a
+      null-vs-empty-faithful interchange format; data that must carry
+      arbitrary bytes belongs in JSONL or parquet.
+    - Deliberately NOT multiLine mode: multiLine CSV is unsplittable (a
+      record boundary can hide inside any quoted field, so one task
+      must own the whole file). Corpora with embedded newlines belong
+      in JSONL or parquet; line-oriented CSV stays block-splittable at
+      100 TB.
+    """
+    if corrupt_col in schema.fieldNames():
+        raise ValueError(f"schema already contains {corrupt_col!r}")
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("escape", '"')
+        .option("nullValue", null_value)
+        .csv(path)
+    )
+
+
+def write_csv(df: DataFrame, path: str, null_value: str = "\\N") -> None:
+    """Write ``df`` as CSV in the exact dialect :func:`read_csv` reads:
+    RFC-4180 doubled quotes, NULL as the ``\\N`` sentinel (so NULL and
+    empty string survive a round trip distinctly — except a literal
+    ``\\N`` string, which reads back as NULL; see :func:`read_csv`),
+    no header. Column order is the frame's order — pin it with a
+    select before calling when the reader's schema is fixed."""
+    (
+        df.write.mode("overwrite")
+        .option("escape", '"')
+        .option("nullValue", null_value)
+        .option("emptyValue", '""')
+        .csv(path)
+    )
+
+
 def read_jsonl_stream(
     spark: SparkSession,
     path: str,

@@ -102,6 +102,7 @@ PROBE_QUERIES = [
     # min-of-2 timing amortizes the one-time fixture build, mirroring
     # the bench's published-artifact discipline.
     "jsonl_corpus_stats",
+    "csv_corpus_stats",
     "warc_corpus_stats",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora

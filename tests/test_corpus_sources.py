@@ -152,6 +152,62 @@ class TestJsonlQuarantine:
             cs.read_jsonl(spark, str(tmp_path), clash)
 
 
+class TestCsvQuarantine:
+    def test_quoting_nulls_and_malformed(self, spark, tmp_path):
+        lines = [
+            '1,"has, comma and ""quote"""',
+            "2,",  # unquoted empty → NULL
+            '3,""',  # quoted empty → empty string
+            "4,\\N",  # null sentinel → NULL
+            '5,"\\N"',  # sentinel matches even quoted (documented)
+            "not_a_number,oops",  # bad type → quarantine
+            "6,too,many,cols",  # wrong arity → quarantine
+        ]
+        (tmp_path / "part-0.csv").write_text("\n".join(lines) + "\n")
+        raw = cs.read_csv(spark, str(tmp_path), JSONL_SCHEMA)
+        valid, quarantine = cs.split_quarantine(raw)
+        got = {r.id: r.s for r in valid.collect()}
+        assert got == {
+            1: 'has, comma and "quote"',
+            2: None,
+            3: "",
+            4: None,
+            5: None,
+        }
+        bad = sorted(r.raw_line for r in quarantine.collect())
+        assert bad == ["6,too,many,cols", "not_a_number,oops"]
+
+    def test_write_read_round_trip_preserves_null_vs_empty(
+        self, spark, tmp_path
+    ):
+        src = spark.createDataFrame(
+            [(1, 'a "quoted", str'), (2, None), (3, "")],
+            schema=JSONL_SCHEMA,
+        )
+        out = str(tmp_path / "rt")
+        cs.write_csv(src, out)
+        back = cs.read_csv(spark, out, JSONL_SCHEMA)
+        valid, quarantine = cs.split_quarantine(back)
+        assert quarantine.count() == 0
+        got = {r.id: r.s for r in valid.collect()}
+        assert got == {1: 'a "quoted", str', 2: None, 3: ""}
+
+    def test_csv_corpus_stats_counts(self, spark, sf_dir):
+        from kafka_streams_dexcom_spark.queries.corpus import (
+            N_CSV_CORRUPT_LINES,
+            q_csv_corpus_stats,
+        )
+
+        out = q_csv_corpus_stats(spark, sf_dir)
+        rows = out.collect()
+        exact = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .count()
+        )
+        assert sum(r.n_docs for r in rows) == exact
+        assert {r.n_quarantined for r in rows} == {N_CSV_CORRUPT_LINES}
+
+
 class TestJsonlStream:
     def test_batch_stream_equivalence_with_quarantine(self, spark, tmp_path):
         """The streaming reader + per-epoch quarantine split must land
