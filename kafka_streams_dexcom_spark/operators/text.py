@@ -147,6 +147,75 @@ def quality_score(
     )
 
 
+# Gopher rule thresholds (Rae et al. 2021, arXiv:2112.11446, Table A1).
+# The line-structure rules (bullet/ellipsis line fractions) need documents
+# with lines, which this corpus lacks — the character-level symbol-ratio
+# rule covers that family here. Stopword set = LANG_MARKERS['en'] (the
+# repo's one English stop list; Gopher's is 8 words of the same kind).
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WLEN = 3
+GOPHER_MAX_MEAN_WLEN = 10
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style rule-based quality filter: one INT flag per rule plus
+    the conjunction (`keep`), per document.
+
+    Every rule decides on EXACT integer arithmetic — ratio thresholds
+    become cross-multiplications (mean word length in [3,10] ⇔
+    3·n ≤ Σlen ≤ 10·n; ≥80% alpha words ⇔ 5·n_alpha ≥ 4·n; symbol ratio
+    ≤ 0.1 ⇔ 10·n_sym ≤ n), so no engine-side float rounding can ever
+    flip a flag. A word-free document passes the degenerate 0≤0 ratio
+    rules but fails the word-count rule, so keep=0.
+
+    Scale: pure scan-side projection — higher-order functions on the
+    split array inside whole-stage codegen, zero shuffles, zero joins;
+    the filter runs at read bandwidth on any corpus size."""
+    df = fan_out_small(df)
+    toks_sql = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    n_words = F.size(F.expr(toks_sql)).cast("bigint")
+    sum_wlen = F.expr(
+        f"aggregate(transform({toks_sql}, t -> length(t)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    n_alpha = F.expr(
+        f"size(filter({toks_sql}, t -> t RLIKE '[A-Za-z]'))"
+    ).cast("bigint")
+    n_hash = F.length(text_col) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    # non-overlapping '...' occurrences; the length delta is always a
+    # multiple of 3, so integer div is exact
+    n_ell = F.expr(
+        f"(length({text_col}) - length(replace({text_col}, '...', ''))) div 3"
+    )
+    stop_arr = ", ".join(f"'{t}'" for t in LANG_MARKERS["en"])
+    n_stop = F.expr(
+        f"size(filter(array({stop_arr}), s -> array_contains({toks_sql}, s)))"
+    ).cast("bigint")
+    r_words = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_mean = (F.lit(GOPHER_MIN_MEAN_WLEN) * n_words <= sum_wlen) & (
+        sum_wlen <= F.lit(GOPHER_MAX_MEAN_WLEN) * n_words
+    )
+    r_sym = F.lit(10) * (n_hash.cast("bigint") + n_ell) <= n_words
+    r_alpha = F.lit(5) * n_alpha >= F.lit(4) * n_words
+    r_stop = n_stop >= GOPHER_MIN_STOP_HITS
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        r_words.cast("int").alias("r_word_count"),
+        r_mean.cast("int").alias("r_mean_word_len"),
+        r_sym.cast("int").alias("r_symbol_ratio"),
+        r_alpha.cast("int").alias("r_alpha_words"),
+        r_stop.cast("int").alias("r_stopwords"),
+        (r_words & r_mean & r_sym & r_alpha & r_stop)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
 def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace and BPE-ish token counts + chars/token — the unit
     economics column set for token-budget planning."""

@@ -4,7 +4,8 @@ replay the identical sequential-fold arithmetic (see operators.similarity).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators import similarity as sim
 from kafka_streams_dexcom_spark.sources.files import load_table
@@ -894,6 +895,64 @@ def _matryoshka_oracle() -> str:
     """
 
 
+EMBED_OUTLIER_K = 5
+
+
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-batch quality audit: the K vectors FARTHEST from their
+    label's centroid, per label — the standard encoder-regression /
+    mislabeled-input surfacing pass a pipeline runs on every new
+    embedding batch (an encoder that silently degrades shows up as a
+    fresh crop of far-from-centroid vectors). Same centroid arithmetic
+    as semdedup's election (per-dim mean rounded to 6 decimals; d2
+    rounded to 6 before ranking, vec_id tie-break) so the ordering is
+    replayable cross-engine.
+
+    Scale: one posexplode shuffle keyed (label, pos) for the centroids
+    — |labels|·dim rows out — then the centroid table broadcasts back
+    onto a scan of the vectors; the top-k window sorts within label
+    partitions only. Zero-norm vectors are dropped upstream
+    (with_embedding_norm), as everywhere in the embedding family."""
+    from kafka_streams_dexcom_spark.operators.clustering import DIST2_TPL
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        with_embedding_norm,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = with_embedding_norm(e).select("vec_id", "label", "vec")
+    per_dim = (
+        v.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("x"), 6).alias("cx"))
+    )
+    cvec = per_dim.groupBy("label").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, cx))), "
+            "s -> s.cx)"
+        ).alias("cvec")
+    )
+    dist = v.join(F.broadcast(cvec), "label").select(
+        "vec_id",
+        "label",
+        F.round(F.expr(DIST2_TPL.format(a="vec", b="cvec")), 6).alias(
+            "d2"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= EMBED_OUTLIER_K)
+        .select(
+            "label",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "vec_id",
+            "d2",
+        )
+    )
+
+
 QUERIES = {
     "sim_search_matmul": q_sim_search_matmul,
     "embedding_quantize": q_embedding_quantize,
@@ -907,9 +966,39 @@ QUERIES = {
     "sim_search_recall": q_sim_search_recall,
     "ann_recall_matrix": q_ann_recall_matrix,
     "matryoshka_recall": q_matryoshka_recall,
+    "embedding_outliers": q_embedding_outliers,
 }
 
+_DIST2 = (
+    "list_reduce(list_transform(range(1, len({a}) + 1), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
 ORACLES = {
+    "embedding_outliers": f"""
+        WITH {_BASE_CTES},
+        cent AS (
+            SELECT label, pos, round(avg(x), 6) AS cx FROM (
+                SELECT label, unnest(vec) AS x,
+                       unnest(range(1, len(vec) + 1)) AS pos
+                FROM n
+            ) GROUP BY label, pos
+        ),
+        cv AS (
+            SELECT label, list(cx ORDER BY pos) AS cvec
+            FROM cent GROUP BY label
+        ),
+        d AS (
+            SELECT n.vec_id, n.label,
+                   round({_DIST2.format(a='n.vec', b='c.cvec')}, 6) AS d2
+            FROM n JOIN cv c ON n.label = c.label
+        )
+        SELECT label, CAST(rnk AS BIGINT) AS rnk, vec_id, d2 FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY label ORDER BY d2 DESC, vec_id ASC
+            ) AS rnk FROM d
+        ) WHERE rnk <= {EMBED_OUTLIER_K}
+    """,
     "sim_search_matmul": f"""
         WITH iv AS (
             SELECT vec_id,

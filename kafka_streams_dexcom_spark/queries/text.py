@@ -450,6 +450,63 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (operators/text.py:gopher_rules) — the
+    published rule-based curation pass, one exact-integer flag per rule.
+    Complements quality_score (a ranking score) with hard gates."""
+    return tx.gopher_rules(load_table(spark, sf_dir, "documents"))
+
+
+# Knuth multiplicative constant (⌊2^32/φ⌋, odd): the standard
+# multiplicative-hash shard assignment; taking the HIGH 6 bits of the
+# 32-bit product is what mixes a sequential id space (low bits of
+# id*const are just id's low bits scaled).
+SHARD_MULT = 2654435761
+N_SHARDS = 64
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard balance audit — the partitioner check run BEFORE
+    writing a corpus as N fixed shards: assign every doc to one of 64
+    shards by a deterministic multiplicative hash of doc_id, then report
+    per-shard doc count, char mass, and load ratio vs the ideal 1/64
+    share. A hot shard here is a hot reducer/file at write time; the
+    same audit at 100 TB decides between hash-sharding and
+    range-sharding with explicit splits.
+
+    Plan: one scan-side projection (the hash is integer arithmetic, no
+    UDF) + one 64-key groupBy + a broadcast single-row total — the
+    audit costs one pass regardless of corpus size. The hash is pure
+    BIGINT math so the DuckDB oracle computes the identical assignment
+    (no engine-hash dependence: Spark's hash() and DuckDB's hash()
+    would never agree)."""
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    shard = F.shiftright(
+        F.pmod(F.col("doc_id") * F.lit(SHARD_MULT), F.lit(2**32)), 26
+    ).cast("int")
+    per = (
+        d.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+    tot = d.agg(F.sum("n_chars").alias("total_chars"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "sum_chars",
+        trunc6(
+            F.col("sum_chars").cast("double")
+            * N_SHARDS
+            / F.col("total_chars").cast("double")
+        ).alias("load_ratio"),
+    )
+
+
 def q_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.pii_scan(load_table(spark, sf_dir, "documents"))
 
@@ -804,6 +861,8 @@ QUERIES = {
     "winnow_fingerprints": q_winnow_fingerprints,
     "stratified_sample": q_stratified_sample,
     "repetition_stats": q_repetition_stats,
+    "gopher_rules": q_gopher_rules,
+    "shard_balance": q_shard_balance,
     "pii_scan": q_pii_scan,
     "pmi_pairs": q_pmi_pairs,
     "quality_deciles": q_quality_deciles,
@@ -1356,6 +1415,76 @@ ORACLES = {
                      / CAST(max(total) FILTER (WHERE n = 3) AS DOUBLE)
                      * 1000000) / 1000000.0 AS dup_trigram_frac
         FROM s GROUP BY doc_id
+    """,
+    "gopher_rules": f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       x -> x != '') AS toks
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
+                       list_reduce(list_transform(toks,
+                           t -> CAST(length(t) AS BIGINT)),
+                           (a, b) -> a + b)
+                   END AS BIGINT) AS sum_wlen,
+                   CAST(len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                       AS n_alpha,
+                   CAST(length(text) - length(replace(text, '#', ''))
+                       AS BIGINT) AS n_hash,
+                   CAST((length(text)
+                         - length(replace(text, '...', ''))) // 3
+                       AS BIGINT) AS n_ell,
+                   CAST(len(list_filter([{_STOPS}],
+                       s -> list_contains(toks, s))) AS BIGINT) AS n_stop
+            FROM t
+        )
+        SELECT doc_id, n_words,
+               CAST(n_words BETWEEN {tx.GOPHER_MIN_WORDS}
+                    AND {tx.GOPHER_MAX_WORDS} AS INT) AS r_word_count,
+               CAST({tx.GOPHER_MIN_MEAN_WLEN} * n_words <= sum_wlen
+                    AND sum_wlen <= {tx.GOPHER_MAX_MEAN_WLEN} * n_words
+                    AS INT) AS r_mean_word_len,
+               CAST(10 * (n_hash + n_ell) <= n_words AS INT)
+                   AS r_symbol_ratio,
+               CAST(5 * n_alpha >= 4 * n_words AS INT) AS r_alpha_words,
+               CAST(n_stop >= {tx.GOPHER_MIN_STOP_HITS} AS INT)
+                   AS r_stopwords,
+               CAST(n_words BETWEEN {tx.GOPHER_MIN_WORDS}
+                        AND {tx.GOPHER_MAX_WORDS}
+                    AND {tx.GOPHER_MIN_MEAN_WLEN} * n_words <= sum_wlen
+                    AND sum_wlen <= {tx.GOPHER_MAX_MEAN_WLEN} * n_words
+                    AND 10 * (n_hash + n_ell) <= n_words
+                    AND 5 * n_alpha >= 4 * n_words
+                    AND n_stop >= {tx.GOPHER_MIN_STOP_HITS} AS INT)
+                   AS keep
+        FROM c
+    """,
+    "shard_balance": f"""
+        WITH s AS (
+            SELECT CAST(((doc_id * {SHARD_MULT}) % 4294967296) >> 26
+                       AS INT) AS shard,
+                   n_chars
+            FROM documents
+        ),
+        a AS (
+            SELECT shard, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM s GROUP BY shard
+        ),
+        tot AS (
+            SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents
+        )
+        SELECT shard, n_docs, sum_chars,
+               floor(CAST(sum_chars AS DOUBLE) * {N_SHARDS}
+                     / CAST(total_chars AS DOUBLE) * 1000000) / 1000000.0
+                   AS load_ratio
+        FROM a, tot
     """,
     "pii_scan": f"""
         WITH s0 AS (SELECT doc_id, text AS t0 FROM documents),

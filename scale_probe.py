@@ -103,6 +103,9 @@ PROBE_QUERIES = [
     # the bench's published-artifact discipline.
     "jsonl_corpus_stats",
     "csv_corpus_stats",
+    "gopher_rules",
+    "shard_balance",
+    "embedding_outliers",
     "warc_corpus_stats",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora

@@ -329,3 +329,43 @@ def test_dedup_cluster_stats_reads_artifacts_not_corpus(spark, sf_dir):
     plan = explain_str(q_dedup_cluster_stats(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "documents.parquet" not in plan, plan
+
+
+def test_gopher_rules_is_pure_scan(spark, sf_dir):
+    """The rule filter must stay a scan-side projection: higher-order
+    functions in codegen, no join, no aggregation exchange (only the
+    fan_out_small repartition node is allowed)."""
+    from kafka_streams_dexcom_spark.queries.text import q_gopher_rules
+
+    plan = explain_str(q_gopher_rules(spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2, plan  # fan_out_small only
+    assert scan_read_schema(q_gopher_rules(spark, sf_dir)) == [
+        "doc_id",
+        "text",
+    ]
+
+
+def test_shard_balance_broadcasts_total(spark, sf_dir):
+    """64-key agg + broadcast single-row total: no sort-merge join, no
+    cartesian beyond the 1-row broadcast nest, 2-column pruned scan."""
+    from kafka_streams_dexcom_spark.queries.text import q_shard_balance
+
+    df = q_shard_balance(spark, sf_dir)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert set(scan_read_schema(df)) == {"doc_id", "n_chars"}, plan
+
+
+def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
+    """Centroid table (|labels| rows) broadcasts back onto the vector
+    scan; the ranking window partitions by label — never a global sort."""
+    from kafka_streams_dexcom_spark.queries.similarity import (
+        q_embedding_outliers,
+    )
+
+    plan = explain_str(q_embedding_outliers(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -240,3 +240,60 @@ def test_doc_chunks_udtf_matches_codegen(spark, sf_dir):
     a = {tuple(r) for r in doc_chunks(d).collect()}
     b = {tuple(r) for r in doc_chunks_udtf(d, spark).collect()}
     assert a == b and len(a) > 0
+
+
+def test_gopher_rules_each_rule_fires_independently(spark):
+    """One adversarial doc per rule, plus a passing doc — pins every
+    integer cross-multiplication threshold exactly at its boundary."""
+    from kafka_streams_dexcom_spark.operators.text import gopher_rules
+
+    passing = "the a of and is " + " ".join(f"word{i}" for i in range(45))
+    short = "the a of and is just a few words here"  # < 50 words
+    # 50 single-char words: mean word length 1 < 3
+    tiny_words = "a " * 25 + "the " + "b " * 24
+    symbols = passing + " " + "# " * 20  # hash per word ratio > 0.1
+    numeric = "the a of and is " + " ".join(str(i) for i in range(60))
+    nostops = " ".join(f"word{i}" for i in range(60))  # the/a/of... absent
+    df = spark.createDataFrame(
+        [
+            (1, passing),
+            (2, short),
+            (3, tiny_words),
+            (4, symbols),
+            (5, numeric),
+            (6, nostops),
+            (7, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].keep == 1 and all(
+        v == 1 for k, v in out[1].asDict().items() if k.startswith("r_")
+    )
+    assert out[2].r_word_count == 0 and out[2].keep == 0
+    assert out[3].r_mean_word_len == 0 and out[3].keep == 0
+    assert out[4].r_symbol_ratio == 0 and out[4].keep == 0
+    # >20% pure-number words fail the alpha rule
+    assert out[5].r_alpha_words == 0 and out[5].keep == 0
+    assert out[6].r_stopwords == 0 and out[6].keep == 0
+    # empty doc: ratio rules degenerate to pass, word count gates it out
+    assert out[7].n_words == 0 and out[7].keep == 0
+    assert out[7].r_word_count == 0 and out[7].r_mean_word_len == 1
+
+
+def test_gopher_rules_boundary_values(spark):
+    from kafka_streams_dexcom_spark.operators.text import gopher_rules
+
+    # exactly 50 words of exactly mean length 3, with 2 distinct stops:
+    # every inclusive lower bound holds with equality
+    words = ["the", "a"] + ["abc"] * 48
+    text_eq = " ".join(words)  # mean = (3+1+48*3)/50 = 2.96 -> FAILS
+    # make mean exactly 3: the(3) + a(1) -> need sum 150: 48 words sum 146
+    words2 = ["the", "a"] + ["abc"] * 46 + ["abcd", "abcd"]
+    assert sum(len(w) for w in words2) == 150 and len(words2) == 50
+    df = spark.createDataFrame(
+        [(1, text_eq), (2, " ".join(words2))], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in gopher_rules(df).collect()}
+    assert out[1].r_mean_word_len == 0  # 2.96 < 3, exact arithmetic
+    assert out[2].r_mean_word_len == 1 and out[2].keep == 1
