@@ -457,6 +457,112 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.gopher_rules(load_table(spark, sf_dir, "documents"))
 
 
+# UniMax (Chung et al. 2023, arXiv:2304.09151): allocate a token budget
+# across sources with a per-source epoch cap, waterfilling the surplus —
+# the principled alternative to temperature sampling for multi-source
+# corpora. Cap as a rational (11/10 = 1.1 epochs) keeps every step in
+# exact BIGINT arithmetic.
+UNIMAX_CAP_NUM = 11
+UNIMAX_CAP_DEN = 10
+
+
+def q_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation per source: cap_i = ⌊1.1·s_i⌋ tokens
+    (s_i = source's BPE-ish token count), budget B = Σs_i (one nominal
+    epoch of the whole corpus). The waterfill level θ solves
+    Σ min(cap_i, θ) = B: sources whose cap sits under water are used to
+    their cap (capped=1), the rest all get the same ⌊θ⌋ tokens — the
+    closed form is a prefix-sum scan over caps sorted ascending, no
+    iteration: source k is capped iff P_{k-1} + (n-k+1)·c_k ≤ B, then
+    θ = (B − P_K)/(n − K).
+
+    Exactness: everything through alloc_tokens is BIGINT (the epoch cap
+    is the rational 11/10, θ is floored integer division); only the
+    final epochs ratio is a trunc6 double.
+
+    Scale: one token-counting scan + one |sources|-key agg; everything
+    after is arithmetic on the tiny source dimension (a global-ordered
+    window over |sources| rows — bounded by construction; a pipeline
+    with millions of 'sources' would bucket them first)."""
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+
+    d = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.regexp_extract_all(
+            F.col("text"), F.lit(tx.BPE_ISH_PATTERN), 0
+        )
+    ).cast("bigint")
+    per = (
+        d.select("source", n_bpe.alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("src_tokens"),
+        )
+        .withColumn(
+            "cap_tokens",
+            F.expr(
+                f"(src_tokens * {UNIMAX_CAP_NUM}) div {UNIMAX_CAP_DEN}"
+            ),
+        )
+    )
+    tot = per.agg(
+        F.sum("src_tokens").alias("budget"),
+        F.count(F.lit(1)).alias("n_src"),
+    )
+    w_prev = (
+        Window.orderBy("cap_tokens", "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_rank = Window.orderBy("cap_tokens", "source")
+    staged = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "p_prev", F.coalesce(F.sum("cap_tokens").over(w_prev), F.lit(0))
+        )
+        .withColumn("k", F.row_number().over(w_rank))
+        .withColumn(
+            "capped",
+            (
+                F.col("p_prev")
+                + (F.col("n_src") - F.col("k") + 1) * F.col("cap_tokens")
+                <= F.col("budget")
+            ).cast("int"),
+        )
+    )
+    fill = staged.agg(
+        F.sum("capped").alias("n_capped"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped") == 1, F.col("cap_tokens"))),
+            F.lit(0),
+        ).alias("capped_mass"),
+    )
+    return (
+        staged.crossJoin(F.broadcast(fill))
+        .withColumn(
+            "alloc_tokens",
+            F.when(F.col("capped") == 1, F.col("cap_tokens")).otherwise(
+                F.expr(
+                    "(budget - capped_mass) div "
+                    "greatest(n_src - n_capped, 1L)"
+                )
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            "cap_tokens",
+            "capped",
+            "alloc_tokens",
+            trunc6(
+                F.col("alloc_tokens").cast("double")
+                / F.col("src_tokens").cast("double")
+            ).alias("epochs"),
+        )
+    )
+
+
 # Knuth multiplicative constant (⌊2^32/φ⌋, odd): the standard
 # multiplicative-hash shard assignment; taking the HIGH 6 bits of the
 # 32-bit product is what mixes a sequential id space (low bits of
@@ -863,6 +969,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "gopher_rules": q_gopher_rules,
     "shard_balance": q_shard_balance,
+    "unimax_mix": q_unimax_mix,
     "pii_scan": q_pii_scan,
     "pmi_pairs": q_pmi_pairs,
     "quality_deciles": q_quality_deciles,
@@ -1463,6 +1570,57 @@ ORACLES = {
                     AND n_stop >= {tx.GOPHER_MIN_STOP_HITS} AS INT)
                    AS keep
         FROM c
+    """,
+    "unimax_mix": f"""
+        WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(regexp_extract_all(text,
+                       '{tx.BPE_ISH_PATTERN}'))) AS BIGINT) AS src_tokens
+            FROM documents GROUP BY source
+        ),
+        capd AS (
+            SELECT *, (src_tokens * {UNIMAX_CAP_NUM}) // {UNIMAX_CAP_DEN}
+                       AS cap_tokens
+            FROM per
+        ),
+        tot AS (
+            SELECT CAST(sum(src_tokens) AS BIGINT) AS budget,
+                   count(*) AS n_src
+            FROM capd
+        ),
+        staged AS (
+            SELECT c.*, t.budget, t.n_src,
+                   CAST(coalesce(sum(cap_tokens) OVER (
+                       ORDER BY cap_tokens, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS p_prev,
+                   row_number() OVER (ORDER BY cap_tokens, source) AS k
+            FROM capd c, tot t
+        ),
+        flagged AS (
+            SELECT *,
+                   CAST(p_prev + (n_src - k + 1) * cap_tokens <= budget
+                       AS INT) AS capped
+            FROM staged
+        ),
+        fill AS (
+            SELECT CAST(sum(capped) AS BIGINT) AS n_capped,
+                   CAST(coalesce(sum(CASE WHEN capped = 1
+                       THEN cap_tokens END), 0) AS BIGINT) AS capped_mass
+            FROM flagged
+        )
+        SELECT source, n_docs, src_tokens, cap_tokens, capped,
+               CAST(CASE WHEN capped = 1 THEN cap_tokens ELSE
+                   (budget - capped_mass)
+                       // greatest(n_src - n_capped, 1)
+               END AS BIGINT) AS alloc_tokens,
+               floor(CAST(CASE WHEN capped = 1 THEN cap_tokens ELSE
+                       (budget - capped_mass)
+                           // greatest(n_src - n_capped, 1)
+                   END AS DOUBLE)
+                   / CAST(src_tokens AS DOUBLE) * 1000000) / 1000000.0
+                   AS epochs
+        FROM flagged, fill
     """,
     "shard_balance": f"""
         WITH s AS (

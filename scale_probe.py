@@ -104,6 +104,7 @@ PROBE_QUERIES = [
     "jsonl_corpus_stats",
     "csv_corpus_stats",
     "gopher_rules",
+    "unimax_mix",
     "shard_balance",
     "embedding_outliers",
     "warc_corpus_stats",

@@ -297,3 +297,39 @@ def test_gopher_rules_boundary_values(spark):
     out = {r.doc_id: r for r in gopher_rules(df).collect()}
     assert out[1].r_mean_word_len == 0  # 2.96 < 3, exact arithmetic
     assert out[2].r_mean_word_len == 1 and out[2].keep == 1
+
+
+def test_unimax_waterfill_known_allocation(spark):
+    """Hand-computed waterfill: caps [11, 11, 55, 110] with budget 100
+    -> sources 1,2 capped (11 each), theta = (100-22)/2 = 39 for the
+    rest; invariant sum(alloc) <= budget, alloc <= cap everywhere."""
+    from kafka_streams_dexcom_spark.queries.text import q_unimax_mix
+    import kafka_streams_dexcom_spark.queries.text as qt
+    from unittest import mock
+
+    rows = []
+    did = 0
+    # src tokens: a=10, b=10, c=50, d=100 (words are 1 token each)
+    for src, n in (("a", 10), ("b", 10), ("c", 50), ("d", 100)):
+        rows.append((did, " ".join(["tok"] * n), "en", src, 0))
+        did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with mock.patch.object(
+        qt, "load_table", lambda _spark, _sf, _t: df
+    ):
+        out = {r.source: r for r in q_unimax_mix(spark, "unused").collect()}
+    # budget = 170, caps = [11, 11, 55, 110]
+    # k=1: 0 + 4*11 = 44 <= 170 capped; k=2: 11+3*11=44 capped
+    # k=3: 22+2*55 = 132 <= 170 capped! k=4: 77+1*110=187 > 170 not
+    # theta = (170-77)/1 = 93
+    assert out["a"].capped == 1 and out["a"].alloc_tokens == 11
+    assert out["b"].capped == 1 and out["b"].alloc_tokens == 11
+    assert out["c"].capped == 1 and out["c"].alloc_tokens == 55
+    assert out["d"].capped == 0 and out["d"].alloc_tokens == 93
+    total = sum(r.alloc_tokens for r in out.values())
+    assert total == 170  # exact budget exhaustion when waterfill binds
+    for r in out.values():
+        assert r.alloc_tokens <= r.cap_tokens
+        assert abs(r.epochs - r.alloc_tokens / r.src_tokens) < 2e-6
