@@ -163,6 +163,88 @@ def decode_features(
     )
 
 
+AUDIO_SCHEMA = (
+    "doc_id bigint, sample_rate bigint, n_channels bigint, "
+    "n_frames bigint, peak_abs bigint, mean_abs_milli bigint"
+)
+
+
+def attach_wav_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a REAL RIFF/WAVE payload column from the documents
+    table (Arrow-batched; the bytes never touch the driver): each text
+    byte becomes one 16-bit sample, (b−128)·256, interleaved into
+    1 + doc_id%2 channels at 8000 + (doc_id%3)·4000 Hz, trailing
+    partial frame truncated. Deterministic byte-for-byte, so an oracle
+    can recompute every downstream feature from the text column — while
+    the payloads themselves are genuine WAV files any reader accepts.
+
+    In production this column arrives from object storage; this
+    synthesizer stands in for the crawler and doubles as the encoder
+    half of the codec round trip (every decode below reads bytes the
+    vendored encoder wrote)."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.wav import wav_encode
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    str(text).encode("utf-8"), dtype=np.uint8
+                ).astype(np.int16)
+                ch = 1 + int(did) % 2
+                rate = 8000 + (int(did) % 3) * 4000
+                frames = b.size // ch
+                samples = (b[: frames * ch] - 128) * 256
+                payloads.append(wav_encode(samples, rate, ch, bits=16))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return fan_out_small(docs).select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary"
+    )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction over a binary WAV column:
+    vendored RIFF/PCM decode (functions/wav.py) → integer features
+    (rate, channels, frames, peak, milli-unit mean absolute amplitude).
+    Same contract as decode_features for images: payload bytes stay
+    executor-side, output is flat/typed, a malformed payload raises
+    per-row (honest failure) rather than yielding fake features."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.wav import wav_features
+
+        for pdf in batches:
+            feats = [
+                (None,) * 5 if p is None else wav_features(bytes(p))
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": [f[0] for f in feats],
+                    "n_channels": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                    "peak_abs": [f[3] for f in feats],
+                    "mean_abs_milli": [f[4] for f in feats],
+                }
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=AUDIO_SCHEMA
+    )
+
+
 def frame_sample(
     media: DataFrame,
     every_n: int = 2,

@@ -60,6 +60,21 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio decode end-to-end: synthesize genuine RIFF/WAVE PCM
+    payloads from the text bytes (operators/multimodal.py:
+    attach_wav_payload — Arrow-batched, deterministic byte-for-byte),
+    then run the production audio feature extractor (audio_features →
+    functions/wav.py vendored codec: chunk walk, pad bytes, 8/16-bit
+    PCM). The oracle recomputes every integer feature from the text
+    bytes directly, so a codec that mis-framed channels, dropped the
+    trailing partial frame wrong, or mixed up the 8-bit offset would
+    hash-mismatch. Completes the multimodal matrix: PNG/JPEG real
+    (images), WAV real (audio), frame plumbing (video)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.audio_features(mm.attach_wav_payload(docs))
+
+
 _MEDIA_TYPE = "['image', 'audio', 'video'][(doc_id % 3) + 1]"
 
 QUERIES = {
@@ -67,9 +82,43 @@ QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_dedup": q_multimodal_dedup,
+    "audio_wav_stats": q_audio_wav_stats,
 }
 
 ORACLES = {
+    "audio_wav_stats": """
+        WITH b AS (
+            SELECT doc_id, octet_length(encode(text)) AS nb,
+                   hex(encode(text)) AS hx
+            FROM documents
+        ),
+        p AS (
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 3) * 4000 AS BIGINT)
+                       AS sample_rate,
+                   CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+                   hx,
+                   CAST(nb // (1 + doc_id % 2) AS BIGINT) AS n_frames
+            FROM b
+        ),
+        s AS (
+            SELECT doc_id, sample_rate, n_channels, n_frames,
+                   list_transform(
+                       range(1, n_frames * n_channels + 1),
+                       i -> abs((CAST('0x' || substr(hx,
+                                CAST(2 * i - 1 AS INT), 2) AS INT)
+                                - 128) * 256)) AS a
+            FROM p
+        )
+        SELECT doc_id, sample_rate, n_channels, n_frames,
+               CAST(coalesce(list_aggregate(a, 'max'), 0) AS BIGINT)
+                   AS peak_abs,
+               CAST(CASE WHEN len(a) = 0 THEN 0 ELSE
+                   CAST(list_aggregate(a, 'sum') AS BIGINT) * 1000
+                       // len(a)
+               END AS BIGINT) AS mean_abs_milli
+        FROM s
+    """,
     "multimodal_meta": f"""
         SELECT doc_id,
                {_MEDIA_TYPE} AS media_type,

@@ -107,6 +107,7 @@ PROBE_QUERIES = [
     "unimax_mix",
     "shard_balance",
     "embedding_outliers",
+    "audio_wav_stats",
     "warc_corpus_stats",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora

@@ -218,3 +218,101 @@ def test_warc_any_truncation_raises_never_silently_drops(cut, payload):
         return  # loud failure is the contract
     # the only acceptable silent outcome is a clean whole-record prefix
     assert all(b == payload for _h, b in got) and len(got) <= 1
+
+
+# --- RIFF/WAVE PCM codec ---------------------------------------------------
+
+from kafka_streams_dexcom_spark.functions.wav import (  # noqa: E402
+    wav_decode,
+    wav_encode,
+    wav_features,
+)
+
+
+@given(
+    frames=st.integers(0, 300),
+    ch=st.integers(1, 4),
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    bits=st.sampled_from([8, 16]),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(**_FAST)
+def test_wav_roundtrip_any_geometry(frames, ch, rate, bits, seed):
+    rng = np.random.default_rng(seed)
+    lo, hi = (-128, 128) if bits == 8 else (-32768, 32768)
+    samples = rng.integers(lo, hi, size=frames * ch, dtype=np.int64)
+    payload = wav_encode(samples, rate, ch, bits)
+    r_rate, r_ch, r_bits, got = wav_decode(payload)
+    assert (r_rate, r_ch, r_bits) == (rate, ch, bits)
+    np.testing.assert_array_equal(got, samples.astype(np.int16))
+    # RIFF size field covers the whole payload minus the 8-byte header
+    assert struct.unpack("<I", payload[4:8])[0] == len(payload) - 8
+
+
+def test_wav_golden_header_bytes():
+    """Hand-derived canonical file: 2 mono 16-bit samples at 8000 Hz.
+    Pins the exact field layout (PCM code, byte rate, block align) so a
+    struct-order regression cannot round-trip its way past the suite."""
+    payload = wav_encode(np.array([1, -2]), 8000, 1, 16)
+    assert payload == (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 4) + b"\x01\x00\xfe\xff"
+    )
+
+
+def test_wav_odd_8bit_data_chunk_is_padded():
+    payload = wav_encode(np.array([5, -5, 7]), 8000, 1, 8)
+    assert len(payload) % 2 == 0  # pad byte after odd-sized data chunk
+    _, _, bits, got = wav_decode(payload)
+    assert bits == 8
+    np.testing.assert_array_equal(got, [5, -5, 7])
+
+
+def test_wav_decode_skips_unknown_chunks():
+    """A LIST/INFO chunk (odd-sized, so its pad byte is exercised)
+    between fmt and data must be skipped by declared size."""
+    base = wav_encode(np.array([100, -100]), 16000, 1, 16)
+    fmt_chunk = base[12:36]  # 'fmt ' + size + 16 body bytes
+    data_chunk = base[36:]
+    info = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body = fmt_chunk + info + data_chunk
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, ch, bits, got = wav_decode(payload)
+    assert (rate, ch, bits) == (16000, 1, 16)
+    np.testing.assert_array_equal(got, [100, -100])
+
+
+@given(cut=st.integers(1, 43))
+@settings(**_FAST)
+def test_wav_truncation_raises(cut):
+    payload = wav_encode(np.arange(-8, 8), 8000, 2, 16)
+    import pytest
+
+    with pytest.raises(ValueError):
+        wav_decode(payload[: len(payload) - cut])
+
+
+def test_wav_rejects_non_pcm_and_bad_depth():
+    import pytest
+
+    good = wav_encode(np.array([0, 1]), 8000, 1, 16)
+    # flip format code to 3 (IEEE float)
+    bad_code = good[:20] + struct.pack("<H", 3) + good[22:]
+    with pytest.raises(ValueError, match="format code"):
+        wav_decode(bad_code)
+    bad_bits = good[:34] + struct.pack("<H", 24) + good[36:]
+    with pytest.raises(ValueError, match="bit depth"):
+        wav_decode(bad_bits)
+    with pytest.raises(ValueError):
+        wav_encode(np.array([0]), 8000, 1, 24)
+
+
+def test_wav_features_integer_contract():
+    # mono: samples [-32768, 32512]; mean_abs_milli floors exactly
+    payload = wav_encode(np.array([-32768, 32512]), 8000, 1, 16)
+    assert wav_features(payload) == (
+        8000, 1, 2, 32768, (32768 + 32512) * 1000 // 2,
+    )
+    empty = wav_encode(np.array([], dtype=np.int64), 44100, 2, 16)
+    assert wav_features(empty) == (44100, 2, 0, 0, 0)
