@@ -159,7 +159,11 @@ GOPHER_MAX_MEAN_WLEN = 10
 GOPHER_MIN_STOP_HITS = 2
 
 
-def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Gopher-style rule-based quality filter: one INT flag per rule plus
     the conjunction (`keep`), per document.
 
@@ -213,6 +217,9 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         (r_words & r_mean & r_sym & r_alpha & r_stop)
         .cast("int")
         .alias("keep"),
+        # passthrough columns ride the SAME scan (quality_score's
+        # extra_cols discipline) so gating a stream never needs a join
+        *(F.col(c) for c in carry_cols),
     )
 
 

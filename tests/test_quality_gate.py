@@ -1,0 +1,83 @@
+"""Streaming curation gate (streaming/quality_gate.py): the three-way
+corrupt/rejected/accepted routing must land EXACTLY the batch
+partition of the same files — corrupt split by the PERMISSIVE parse,
+valid rows gated by gopher_rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from kafka_streams_dexcom_spark.operators.text import gopher_rules
+from kafka_streams_dexcom_spark.sources import corpus as cs
+from kafka_streams_dexcom_spark.streaming.quality_gate import (
+    curation_gate_writer,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+def _passing_text() -> str:
+    return "the a of and is " + " ".join(f"word{i}" for i in range(50))
+
+
+def test_stream_gate_matches_batch_partition(spark, tmp_path):
+    import json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    good = _passing_text()
+    (src / "a.jsonl").write_text(
+        json.dumps({"doc_id": 1, "text": good})
+        + "\n{not json at all\n"
+        + json.dumps({"doc_id": 2, "text": "too short to keep"})
+        + "\n"
+    )
+    (src / "b.jsonl").write_text(
+        json.dumps({"doc_id": 3, "text": good + " extra"})
+        + "\n"
+        + json.dumps({"doc_id": "bad-type", "text": "x"})
+        + "\n"
+    )
+
+    # batch expectation: same reader, same split, same gate
+    raw = cs.read_jsonl(spark, str(src), DOC_SCHEMA)
+    valid, quar = cs.split_quarantine(raw)
+    flags = {r.doc_id: r.keep for r in gopher_rules(valid).collect()}
+    want_accept = sorted(d for d, k in flags.items() if k == 1)
+    want_reject = sorted(d for d, k in flags.items() if k == 0)
+    want_quar = sorted(r.raw_line for r in quar.collect())
+    assert want_accept == [1, 3] and want_reject == [2]
+    assert len(want_quar) == 2
+
+    got_accept: list = []
+    got_reject: list = []
+    got_quar: list = []
+    schemas: list = []
+    sink = curation_gate_writer(
+        lambda df, bid: (
+            schemas.append(tuple(df.columns)),
+            got_accept.extend(r.doc_id for r in df.collect()),
+        ),
+        lambda df, bid: got_reject.extend(r.doc_id for r in df.collect()),
+        lambda df, bid: got_quar.extend(r.raw_line for r in df.collect()),
+    )
+    q = (
+        cs.read_jsonl_stream(
+            spark, str(src), DOC_SCHEMA, max_files_per_trigger=1
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(got_accept) == want_accept
+    assert sorted(got_reject) == want_reject
+    assert sorted(got_quar) == want_quar
+    # accepted rows come back in the SOURCE schema (flags dropped)
+    assert set(schemas) == {("doc_id", "text")}
