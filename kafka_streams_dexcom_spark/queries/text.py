@@ -450,6 +450,13 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM over the corpus
+    (operators/text.py:kneser_ney_lm) — every observed bigram with its
+    count statistics and the smoothed p_kn."""
+    return tx.kneser_ney_lm(load_table(spark, sf_dir, "documents"))
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filter (operators/text.py:gopher_rules) — the
     published rule-based curation pass, one exact-integer flag per rule.
@@ -970,6 +977,7 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "shard_balance": q_shard_balance,
     "unimax_mix": q_unimax_mix,
+    "kneser_ney_lm": q_kneser_ney_lm,
     "pii_scan": q_pii_scan,
     "pmi_pairs": q_pmi_pairs,
     "quality_deciles": q_quality_deciles,
@@ -1570,6 +1578,45 @@ ORACLES = {
                     AND n_stop >= {tx.GOPHER_MIN_STOP_HITS} AS INT)
                    AS keep
         FROM c
+    """,
+    "kneser_ney_lm": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       x -> x != '') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(w1 := toks[i],
+                                        w2 := toks[i + 1]))) AS b
+            FROM t WHERE len(toks) >= 2
+        ),
+        c AS (
+            SELECT b.w1 AS w1, b.w2 AS w2,
+                   CAST(count(*) AS BIGINT) AS n_bigram
+            FROM bg GROUP BY 1, 2
+        ),
+        w AS (
+            SELECT *,
+                   CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT)
+                       AS n_w1,
+                   CAST(count(*) OVER (PARTITION BY w1) AS BIGINT)
+                       AS n1_w1,
+                   CAST(count(*) OVER (PARTITION BY w2) AS BIGINT)
+                       AS n1_w2,
+                   CAST(count(*) OVER () AS BIGINT) AS n_tot
+            FROM c
+        )
+        SELECT w1, w2, n_bigram, n_w1, n1_w1, n1_w2, n_tot,
+               floor(((CAST(n_bigram AS DOUBLE) - {tx.KN_DISCOUNT})
+                          / CAST(n_w1 AS DOUBLE)
+                      + {tx.KN_DISCOUNT} * CAST(n1_w1 AS DOUBLE)
+                          / CAST(n_w1 AS DOUBLE)
+                          * (CAST(n1_w2 AS DOUBLE)
+                             / CAST(n_tot AS DOUBLE))) * 1000000)
+                   / 1000000.0 AS p_kn
+        FROM w
     """,
     "unimax_mix": f"""
         WITH per AS (

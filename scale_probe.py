@@ -105,6 +105,7 @@ PROBE_QUERIES = [
     "csv_corpus_stats",
     "gopher_rules",
     "unimax_mix",
+    "kneser_ney_lm",
     "shard_balance",
     "embedding_outliers",
     "audio_wav_stats",

@@ -333,3 +333,27 @@ def test_unimax_waterfill_known_allocation(spark):
     for r in out.values():
         assert r.alloc_tokens <= r.cap_tokens
         assert abs(r.epochs - r.alloc_tokens / r.src_tokens) < 2e-6
+
+
+def test_kneser_ney_hand_computed(spark):
+    """Corpus 'a b a b c': c(ab)=2, c(ba)=1, c(bc)=1; hand-derived
+    interpolated-KN values with d=0.75 — p(b|a)=0.75 exactly,
+    p(a|b)=p(c|b)=0.375; observed mass per context stays under 1
+    (the discount reserves mass for unseen continuations)."""
+    from kafka_streams_dexcom_spark.operators.text import kneser_ney_lm
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c")], "doc_id long, text string"
+    )
+    out = {(r.w1, r.w2): r for r in kneser_ney_lm(df).collect()}
+    assert set(out) == {("a", "b"), ("b", "a"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert (ab.n_bigram, ab.n_w1, ab.n1_w1, ab.n1_w2, ab.n_tot) == (
+        2, 2, 1, 1, 3,
+    )
+    assert ab.p_kn == 0.75  # (2-.75)/2 + .75*(1/2)*(1/3)
+    assert out[("b", "a")].p_kn == 0.375  # (1-.75)/2 + .75*(2/2)*(1/3)
+    assert out[("b", "c")].p_kn == 0.375
+    # per-context observed mass < 1: discount mass left for unseen
+    mass_b = out[("b", "a")].p_kn + out[("b", "c")].p_kn
+    assert mass_b == 0.75
