@@ -177,15 +177,23 @@ def gopher_rules(
     Scale: pure scan-side projection — higher-order functions on the
     split array inside whole-stage codegen, zero shuffles, zero joins;
     the filter runs at read bandwidth on any corpus size."""
-    df = fan_out_small(df)
     toks_sql = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    n_words = F.size(F.expr(toks_sql)).cast("bigint")
+    # bind the token array once: the stopword lambda below iterates the
+    # stop set, and array_contains over an UNBOUND filter(split(...))
+    # would re-tokenize per stop word (see kneser_ney_lm)
+    df = fan_out_small(df).select(
+        "doc_id",
+        F.col(text_col),
+        F.expr(toks_sql).alias("__tk"),
+        *(F.col(c) for c in carry_cols if c != text_col),
+    )
+    n_words = F.size("__tk").cast("bigint")
     sum_wlen = F.expr(
-        f"aggregate(transform({toks_sql}, t -> length(t)), "
+        "aggregate(transform(__tk, t -> length(t)), "
         "0L, (acc, v) -> acc + v)"
     )
     n_alpha = F.expr(
-        f"size(filter({toks_sql}, t -> t RLIKE '[A-Za-z]'))"
+        "size(filter(__tk, t -> t RLIKE '[A-Za-z]'))"
     ).cast("bigint")
     n_hash = F.length(text_col) - F.length(
         F.regexp_replace(F.col(text_col), "#", "")
@@ -197,7 +205,7 @@ def gopher_rules(
     )
     stop_arr = ", ".join(f"'{t}'" for t in LANG_MARKERS["en"])
     n_stop = F.expr(
-        f"size(filter(array({stop_arr}), s -> array_contains({toks_sql}, s)))"
+        f"size(filter(array({stop_arr}), s -> array_contains(__tk, s)))"
     ).cast("bigint")
     r_words = n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
     r_mean = (F.lit(GOPHER_MIN_MEAN_WLEN) * n_words <= sum_wlen) & (
@@ -568,17 +576,20 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     wire exactly once."""
     toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
 
+    # slice must index a bound column — re-running split+filter per
+    # gram inside the lambda is quadratic in tokens (see kneser_ney_lm)
     def gram_structs(n: int) -> str:
         return (
-            f"transform(sequence(1, size({toks}) - {n - 1}), "
+            f"transform(sequence(1, size(tk) - {n - 1}), "
             f"i -> struct({n} AS n, "
-            f"concat_ws(' ', slice({toks}, i, {n})) AS gram))"
+            f"concat_ws(' ', slice(tk, i, {n})) AS gram))"
         )
 
     g = (
         fan_out_small(df)
+        .select("doc_id", F.expr(toks).alias("tk"))
         # need at least one trigram so every output column is non-null
-        .filter(F.expr(f"size({toks}) >= 3"))
+        .filter(F.size("tk") >= 3)
         .select(
             "doc_id",
             F.explode(
@@ -751,13 +762,16 @@ def doc_chunks(
     map + explode with no shuffle at any scale; chunk_idx derives from
     the start offset, not an order-dependent counter."""
     toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    # slice a bound column — per-chunk re-tokenization inside the
+    # lambda is quadratic in tokens (see kneser_ney_lm)
     chunks = F.expr(
-        f"transform(sequence(1, size({toks}), {stride}), "
-        f"s -> struct(s AS start_tok, slice({toks}, s, {window}) AS ctoks))"
+        f"transform(sequence(1, size(tk), {stride}), "
+        f"s -> struct(s AS start_tok, slice(tk, s, {window}) AS ctoks))"
     )
     return (
         fan_out_small(df)
-        .filter(F.expr(f"size({toks}) >= 1"))
+        .select("doc_id", F.expr(toks).alias("tk"))
+        .filter(F.size("tk") >= 1)
         .select("doc_id", F.explode(chunks).alias("ch"))
         .select(
             "doc_id",
@@ -1093,13 +1107,16 @@ def dup_span_fraction(
     Determinism: counts are exact integers; the fraction is truncated to
     6 decimals on both engines."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    # slice a bound column — per-gram re-tokenization inside the
+    # lambda is quadratic in tokens (see kneser_ney_lm)
     grams = F.expr(
-        f"transform(sequence(1, size({toks_expr}) - {k - 1}), "
-        f"i -> array_join(slice({toks_expr}, i, {k}), ' '))"
+        f"transform(sequence(1, size(tk) - {k - 1}), "
+        f"i -> array_join(slice(tk, i, {k}), ' '))"
     )
     occ = (
         fan_out_small(df)
-        .filter(F.expr(f"size({toks_expr}) >= {k}"))
+        .select("doc_id", F.expr(toks_expr).alias("tk"))
+        .filter(F.size("tk") >= k)
         .select("doc_id", F.explode(grams).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
