@@ -450,6 +450,51 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+PPL_BUCKETS = ("head", "middle", "tail")
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): per language, rank documents by their LM
+    cross-entropy and split into head/middle/tail thirds — the
+    published curation scheme where 'head' is the cleanest slice and
+    'tail' is usually dropped. Reuses doc_cross_entropy (the corpus's
+    own bigram LM, 1e-9 fixed-point units) as the perplexity proxy;
+    docs without a bigram (<2 tokens) carry no LM evidence and are
+    excluded, exactly like doc_perplexity.
+
+    Scale: doc_cross_entropy's passes + one broadcast-joined lang
+    column + an ntile window per language stratum (bounded partitions,
+    the quality_deciles discipline)."""
+    d = load_table(spark, sf_dir, "documents")
+    ce = tx.doc_cross_entropy(d)
+    scored = d.select("doc_id", "lang").join(ce, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("cross_entropy").asc(), F.col("doc_id").asc()
+    )
+    bucket = F.element_at(
+        F.array(*(F.lit(b) for b in PPL_BUCKETS)), F.col("t")
+    )
+    return (
+        scored.withColumn("t", F.ntile(3).over(w))
+        .groupBy("lang", "t")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+            F.min("cross_entropy").alias("min_ce"),
+            F.max("cross_entropy").alias("max_ce"),
+        )
+        .select(
+            "lang",
+            bucket.alias("bucket"),
+            "n_docs",
+            "sum_bigrams",
+            "min_ce",
+            "max_ce",
+        )
+    )
+
+
 def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram LM over the corpus
     (operators/text.py:kneser_ney_lm) — every observed bigram with its
@@ -978,6 +1023,7 @@ QUERIES = {
     "shard_balance": q_shard_balance,
     "unimax_mix": q_unimax_mix,
     "kneser_ney_lm": q_kneser_ney_lm,
+    "perplexity_buckets": q_perplexity_buckets,
     "pii_scan": q_pii_scan,
     "pmi_pairs": q_pmi_pairs,
     "quality_deciles": q_quality_deciles,
@@ -999,6 +1045,47 @@ QUERIES = {
     "doc_chunks_udtf": q_doc_chunks_udtf,
     "bm25_rerank": q_bm25_rerank,
 }
+
+# Shared CTE chain for the corpus bigram LM + per-doc 1e-9-unit
+# cross-entropy (single definition so doc_perplexity and its CCNet
+# bucketing consumer can never diverge). Ends at `g` =
+# (doc_id, n_bigrams, units).
+_DOC_PPL_CTES = """t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       x -> x != '') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(w1 := toks[i],
+                                        w2 := toks[i + 1]))) AS s
+            FROM t WHERE len(toks) >= 2
+        ),
+        p AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+        c AS (
+            SELECT w1, w2, count(*) AS n_bigram FROM p GROUP BY w1, w2
+        ),
+        lm AS (
+            SELECT w1, w2, n_bigram,
+                   CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT)
+                       AS n_w1
+            FROM c
+        ),
+        u AS (
+            SELECT p.doc_id,
+                   CAST(floor(-ln(CAST(n_bigram AS DOUBLE)
+                                  / CAST(n_w1 AS DOUBLE))
+                              * 1000000000.0) AS BIGINT) AS unit
+            FROM p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
+        ),
+        g AS (
+            SELECT doc_id, count(*) AS n_bigrams,
+                   CAST(sum(unit) AS BIGINT) AS units
+            FROM u GROUP BY doc_id
+        )"""
+
 
 def _bm25_freetext_oracle() -> str:
     """Mirrors operators/text.py:bm25_freetext exactly: same
@@ -1256,46 +1343,38 @@ ORACLES = {
                      / CAST(n AS DOUBLE) * 1000000) / 1000000.0 AS intercept
         FROM sums
     """,
-    "doc_perplexity": """
-        WITH t AS (
-            SELECT doc_id,
-                   list_filter(string_split_regex(text, '\\s+'),
-                       x -> x != '') AS toks
-            FROM documents
-        ),
-        bg AS (
-            SELECT doc_id,
-                   unnest(list_transform(range(1, len(toks)),
-                       i -> struct_pack(w1 := toks[i],
-                                        w2 := toks[i + 1]))) AS s
-            FROM t WHERE len(toks) >= 2
-        ),
-        p AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
-        c AS (
-            SELECT w1, w2, count(*) AS n_bigram FROM p GROUP BY w1, w2
-        ),
-        lm AS (
-            SELECT w1, w2, n_bigram,
-                   CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT)
-                       AS n_w1
-            FROM c
-        ),
-        u AS (
-            SELECT p.doc_id,
-                   CAST(floor(-ln(CAST(n_bigram AS DOUBLE)
-                                  / CAST(n_w1 AS DOUBLE))
-                              * 1000000000.0) AS BIGINT) AS unit
-            FROM p JOIN lm ON p.w1 = lm.w1 AND p.w2 = lm.w2
-        ),
-        g AS (
-            SELECT doc_id, count(*) AS n_bigrams,
-                   CAST(sum(unit) AS BIGINT) AS units
-            FROM u GROUP BY doc_id
-        )
+    "doc_perplexity": f"""
+        WITH {_DOC_PPL_CTES}
         SELECT doc_id, n_bigrams,
                ((units // n_bigrams) // 1000) / 1000000.0
                    AS cross_entropy
         FROM g
+    """,
+    "perplexity_buckets": f"""
+        WITH {_DOC_PPL_CTES},
+        ce AS (
+            SELECT doc_id, n_bigrams,
+                   ((units // n_bigrams) // 1000) / 1000000.0
+                       AS cross_entropy
+            FROM g
+        ),
+        j AS (
+            SELECT d.lang, ce.doc_id, ce.n_bigrams, ce.cross_entropy
+            FROM documents d JOIN ce ON d.doc_id = ce.doc_id
+        ),
+        nb AS (
+            SELECT *, ntile(3) OVER (
+                PARTITION BY lang
+                ORDER BY cross_entropy ASC, doc_id ASC
+            ) AS t
+            FROM j
+        )
+        SELECT lang, ['head', 'middle', 'tail'][t] AS bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+               min(cross_entropy) AS min_ce,
+               max(cross_entropy) AS max_ce
+        FROM nb GROUP BY lang, t
     """,
     "bm25_freetext": _bm25_freetext_oracle(),
     # Mirrors operators/text.py:bm25_search exactly: same tokenization,

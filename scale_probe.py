@@ -106,6 +106,7 @@ PROBE_QUERIES = [
     "gopher_rules",
     "unimax_mix",
     "kneser_ney_lm",
+    "perplexity_buckets",
     "shard_balance",
     "embedding_outliers",
     "audio_wav_stats",
