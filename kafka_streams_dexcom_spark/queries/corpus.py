@@ -144,10 +144,19 @@ def q_csv_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(nq))
 
 
+def _duck_path(table_path: str) -> str:
+    """DuckDB needs an explicit glob for Spark-written parquet
+    DIRECTORIES (the driver's testdata tables are single files, but the
+    ×10 probe copies are directories); read_parquet('<dir>') raises."""
+    if os.path.isdir(table_path):
+        return os.path.join(table_path, "*.parquet")
+    return table_path
+
+
 def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Build 8 per-record-gzipped WARC archives (Common Crawl layout)
     from the documents table: one warcinfo + per-doc request/response
-    records, bucketed by doc_id % 8. Driver-side DuckDB read — fixture
+    records, bucketed by doc_id over a corpus-scaled archive count. Driver-side DuckDB read — fixture
     generation stands in for the crawler; see module docstring."""
     import gzip
 
@@ -162,11 +171,16 @@ def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
         os.makedirs(out, exist_ok=True)
         rows = duckdb.sql(
             "SELECT doc_id, text, source FROM read_parquet($p) ORDER BY doc_id",
-            params={"p": os.path.join(sf_dir, "documents.parquet")},
+            params={"p": _duck_path(os.path.join(sf_dir, "documents.parquet"))},
         ).fetchall()
         date = "2026-01-01T00:00:00Z"
-        buckets: dict[int, list[bytes]] = {b: [] for b in range(8)}
-        for b in range(8):
+        # archive count scales with the corpus (~700 docs per archive,
+        # floor 8): crawls ship MORE archives for more data, not bigger
+        # ones — a fixed shard count would serialize the ×10 probe on 8
+        # tasks and misrepresent the format's real parallelism contract
+        n_shards = max(8, len(rows) // 700)
+        buckets: dict[int, list[bytes]] = {b: [] for b in range(n_shards)}
+        for b in range(n_shards):
             buckets[b].append(
                 cs.warc_record_bytes(
                     "warcinfo",
@@ -179,7 +193,7 @@ def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
                 )
             )
         for doc_id, text, source in rows:
-            b = doc_id % 8
+            b = doc_id % n_shards
             uri = f"https://{source}.example/doc/{doc_id}"
             buckets[b].append(
                 cs.warc_record_bytes(
@@ -247,10 +261,87 @@ def q_warc_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# every doc contributes a .txt member; docs with doc_id % WDS_GAP == 0
+# omit their .cls member — planted INCOMPLETE samples, so the
+# completeness count discriminates (a reader that dropped or duplicated
+# members shifts it)
+WDS_GAP = 97
+
+
+def _wds_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build 8 WebDataset .tar shards from the documents table: per doc
+    a `{doc_id:08d}.txt` member (text bytes) and — unless planted
+    incomplete — a `.cls` member (lang bytes), consecutive per key as
+    the spec requires, bucketed by doc_id over a corpus-scaled shard count. Driver-side DuckDB read;
+    fixture generation stands in for the shard writer (see module
+    docstring), the reader runs fully distributed."""
+    import duckdb
+
+    fp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+
+    def build() -> str:
+        out = os.path.join(
+            session_temp_dir("wds_corpus"), fp.replace(os.sep, "_")
+        )
+        os.makedirs(out, exist_ok=True)
+        rows = duckdb.sql(
+            "SELECT doc_id, text, lang FROM read_parquet($p) ORDER BY doc_id",
+            params={"p": _duck_path(os.path.join(sf_dir, "documents.parquet"))},
+        ).fetchall()
+        n_shards = max(8, len(rows) // 700)  # see _warc_fixture note
+        buckets: dict[int, list[bytes]] = {b: [] for b in range(n_shards)}
+        for doc_id, text, lang in rows:
+            b = doc_id % n_shards
+            key = f"{doc_id:08d}"
+            buckets[b].append(
+                cs.tar_member_bytes(f"{key}.txt", text.encode("utf-8"))
+            )
+            if doc_id % WDS_GAP != 0:
+                buckets[b].append(
+                    cs.tar_member_bytes(
+                        f"{key}.cls", lang.encode("utf-8")
+                    )
+                )
+        for b, members in buckets.items():
+            with open(os.path.join(out, f"shard-{b}.tar"), "wb") as f:
+                f.write(b"".join(members) + cs.tar_end_bytes())
+        return out
+
+    return session_value(
+        spark, "wds_corpus", (os.path.abspath(sf_dir), fp), build
+    )
+
+
+def q_webdataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard ingestion: parse the .tar shards, aggregate per
+    extension (member count, byte mass), and carry the number of
+    COMPLETE samples (both .txt and .cls present) on every row — the
+    dataset-integrity flag a multimodal training job checks before it
+    trusts a shard set. The oracle recomputes everything from the
+    documents view including the planted incomplete keys, so member
+    loss, duplication, name mis-parsing, or payload damage all fail the
+    hash. Payload bytes never reach the aggregation — stats ride the
+    lifted n_bytes column."""
+    path = _wds_fixture(spark, sf_dir)
+    rows = cs.read_webdataset(spark, os.path.join(path, "*.tar"))
+    per_ext = rows.groupBy("ext").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("n_bytes").alias("sum_bytes"),
+    )
+    complete = (
+        rows.groupBy("key")
+        .agg(F.count_distinct("ext").alias("ne"))
+        .filter(F.col("ne") == 2)
+        .agg(F.count(F.lit(1)).alias("n_complete"))
+    )
+    return per_ext.crossJoin(F.broadcast(complete))
+
+
 QUERIES = {
     "jsonl_corpus_stats": q_jsonl_corpus_stats,
     "csv_corpus_stats": q_csv_corpus_stats,
     "warc_corpus_stats": q_warc_corpus_stats,
+    "webdataset_stats": q_webdataset_stats,
 }
 
 ORACLES = {
@@ -271,6 +362,23 @@ ORACLES = {
                CAST({N_CSV_CORRUPT_LINES} AS INTEGER) AS n_quarantined
         FROM documents
         GROUP BY lang
+    """,
+    "webdataset_stats": f"""
+        WITH m AS (
+            SELECT doc_id, 'txt' AS ext,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'cls', octet_length(encode(lang))
+            FROM documents WHERE doc_id % {WDS_GAP} != 0
+        ),
+        c AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_complete
+            FROM documents WHERE doc_id % {WDS_GAP} != 0
+        )
+        SELECT ext, count(*) AS n_members,
+               CAST(sum(nb) AS BIGINT) AS sum_bytes, n_complete
+        FROM m, c GROUP BY ext, n_complete
     """,
     "warc_corpus_stats": """
         SELECT source,

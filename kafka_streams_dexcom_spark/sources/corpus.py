@@ -370,3 +370,120 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return files.select("path", "content").mapInPandas(parse, WARC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# POSIX ustar / WebDataset — vendored pure-Python tar member codec. The
+# WebDataset convention (Breuel et al.; the shard format LAION-scale
+# image-text corpora ship in): each .tar shard holds samples as groups
+# of CONSECUTIVE members sharing a basename key — `000042.txt`,
+# `000042.jpg` — so one sequential read yields complete samples. The
+# member layout is plain ustar: 512-byte header blocks (NUL-padded
+# name, octal size, checksum over the header with the checksum field
+# spaced out), payload padded to block size, two zero blocks at end.
+# --------------------------------------------------------------------------
+
+_TAR_BLOCK = 512
+
+
+def tar_member_bytes(name: str, payload: bytes) -> bytes:
+    """Serialize one ustar regular-file member (writer side: fixtures,
+    goldens, and the shard builders in tests)."""
+    nb = name.encode("utf-8")
+    if len(nb) > 100:
+        raise ValueError("ustar name limit is 100 bytes")
+    hdr = bytearray(_TAR_BLOCK)
+    hdr[0 : len(nb)] = nb
+    hdr[100:108] = b"0000644\x00"  # mode
+    hdr[108:116] = b"0000000\x00"  # uid
+    hdr[116:124] = b"0000000\x00"  # gid
+    hdr[124:136] = f"{len(payload):011o}".encode() + b"\x00"
+    hdr[136:148] = b"00000000000\x00"  # mtime 0: deterministic bytes
+    hdr[148:156] = b" " * 8  # checksum field spaces during the sum
+    hdr[156] = ord("0")  # typeflag: regular file
+    hdr[257:263] = b"ustar\x00"
+    hdr[263:265] = b"00"
+    hdr[148:156] = f"{sum(hdr):06o}".encode() + b"\x00 "
+    pad = (-len(payload)) % _TAR_BLOCK
+    return bytes(hdr) + payload + b"\x00" * pad
+
+
+def tar_end_bytes() -> bytes:
+    """The end-of-archive marker: two zero blocks."""
+    return b"\x00" * (2 * _TAR_BLOCK)
+
+
+def iter_tar_members(data: bytes) -> Iterator[tuple[str, bytes]]:
+    """Parse a ustar stream into (name, payload) pairs for regular
+    files (directories and other typeflags are skipped by size, like
+    the WARC reader skips non-response records). Verifies the magic
+    and the header checksum, and raises ValueError on truncation or a
+    missing end-of-archive marker — a short shard must fail loudly,
+    never yield silently fewer samples."""
+    pos, n = 0, len(data)
+    while pos + _TAR_BLOCK <= n:
+        hdr = data[pos : pos + _TAR_BLOCK]
+        if hdr.count(0) == _TAR_BLOCK:
+            return  # end-of-archive marker
+        if hdr[257:262] != b"ustar":
+            raise ValueError("tar: bad ustar magic")
+        stored = int(hdr[148:156].split(b"\x00")[0].strip() or b"0", 8)
+        calc = sum(hdr[:148]) + 8 * 0x20 + sum(hdr[156:])
+        if stored != calc:
+            raise ValueError("tar: header checksum mismatch")
+        name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8")
+        size = int(hdr[124:136].split(b"\x00")[0].strip(), 8)
+        body_at = pos + _TAR_BLOCK
+        if body_at + size > n:
+            raise ValueError(f"tar: truncated member {name!r}")
+        if hdr[156:157] in (b"0", b"\x00"):
+            yield name, data[body_at : body_at + size]
+        pos = body_at + size + ((-size) % _TAR_BLOCK)
+    raise ValueError("tar: missing end-of-archive marker")
+
+
+WEBDATASET_SCHEMA = T.StructType(
+    [
+        T.StructField("shard", T.StringType()),
+        T.StructField("key", T.StringType()),
+        T.StructField("ext", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Read WebDataset .tar shards into one row per member, with the
+    sample key and extension lifted out of the member name (basename
+    split at the FIRST dot — `000042.seg.png` → key `000042`, ext
+    `seg.png`, per the WebDataset spec).
+
+    One task per shard (binaryFile + Arrow mapInPandas — tar offers no
+    block-splittable entry points; shard-level parallelism is the
+    format's own design: training jobs shuffle SHARDS, not rows).
+    Filtering happens on the lifted key/ext columns before payload
+    bytes are touched downstream."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WEBDATASET_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                for name, payload in iter_tar_members(data):
+                    base = name.rsplit("/", 1)[-1]
+                    key, _, ext = base.partition(".")
+                    rows.append(
+                        (fpath, key, ext, len(payload), payload)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(
+        parse, WEBDATASET_SCHEMA
+    )

@@ -111,6 +111,7 @@ PROBE_QUERIES = [
     "embedding_outliers",
     "audio_wav_stats",
     "warc_corpus_stats",
+    "webdataset_stats",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10

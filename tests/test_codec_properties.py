@@ -316,3 +316,94 @@ def test_wav_features_integer_contract():
     )
     empty = wav_encode(np.array([], dtype=np.int64), 44100, 2, 16)
     assert wav_features(empty) == (44100, 2, 0, 0, 0)
+
+
+# --- POSIX ustar / WebDataset codec ----------------------------------------
+
+from kafka_streams_dexcom_spark.sources.corpus import (  # noqa: E402
+    iter_tar_members,
+    tar_end_bytes,
+    tar_member_bytes,
+)
+
+
+@given(
+    members=st.lists(
+        st.tuples(
+            st.integers(0, 10**8),
+            st.sampled_from(["txt", "cls", "jpg", "seg.png"]),
+            st.binary(max_size=1400),
+        ),
+        max_size=12,
+    )
+)
+@settings(**_FAST)
+def test_tar_roundtrip_members(members):
+    names = [f"{k:08d}.{ext}" for k, ext, _ in members]
+    blob = b"".join(
+        tar_member_bytes(n, p) for n, (_, _, p) in zip(names, members)
+    ) + tar_end_bytes()
+    assert len(blob) % 512 == 0  # every member padded to block size
+    got = list(iter_tar_members(blob))
+    assert [n for n, _ in got] == names
+    assert [p for _, p in got] == [p for _, _, p in members]
+
+
+def test_tar_golden_header_fields():
+    """Pin the exact ustar layout: octal size, spaced-out checksum,
+    magic, typeflag — a field-offset regression must not round-trip."""
+    m = tar_member_bytes("00000001.txt", b"hello")
+    assert m[0:12] == b"00000001.txt"
+    assert m[124:136] == b"00000000005\x00"
+    assert m[156] == ord("0")
+    assert m[257:263] == b"ustar\x00"
+    stored = int(m[148:156].split(b"\x00")[0], 8)
+    hdr = bytearray(m[:512])
+    hdr[148:156] = b" " * 8
+    assert stored == sum(hdr)
+    assert m[512:517] == b"hello" and len(m) == 1024
+
+
+@given(cut=st.integers(1, 2000))
+@settings(**_FAST)
+def test_tar_truncation_never_yields_wrong_data(cut):
+    """Cutting into the data region (member header/payload/pad or the
+    FIRST zero block) must raise; cutting only the tail of the end
+    marker loses no data, so the member must come back intact — either
+    way, never silently fewer/damaged samples."""
+    import pytest
+
+    blob = (
+        tar_member_bytes("00000001.txt", b"x" * 700) + tar_end_bytes()
+    )
+    # layout: member blocks [0, 1536), end marker [1536, 2560)
+    short = blob[: len(blob) - cut]
+    if cut <= 512:  # first zero block still complete
+        assert list(iter_tar_members(short)) == [
+            ("00000001.txt", b"x" * 700)
+        ]
+    else:
+        with pytest.raises(ValueError):
+            list(iter_tar_members(short))
+
+
+def test_tar_checksum_and_magic_rejected():
+    import pytest
+
+    good = tar_member_bytes("a.txt", b"data") + tar_end_bytes()
+    bad_sum = bytes([good[0] ^ 1]) + good[1:]
+    with pytest.raises(ValueError, match="checksum"):
+        list(iter_tar_members(bad_sum))
+    bad_magic = good[:257] + b"gnu??\x00" + good[263:]
+    with pytest.raises(ValueError, match="magic"):
+        list(iter_tar_members(bad_magic))
+
+
+def test_tar_skips_non_regular_members():
+    dirhdr = bytearray(tar_member_bytes("d/", b""))
+    dirhdr[156] = ord("5")  # directory typeflag
+    dirhdr[148:156] = b" " * 8
+    dirhdr[148:156] = f"{sum(dirhdr[:512]):06o}".encode() + b"\x00 "
+    blob = bytes(dirhdr) + tar_member_bytes("d/x.txt", b"y") + tar_end_bytes()
+    got = list(iter_tar_members(blob))
+    assert got == [("d/x.txt", b"y")]

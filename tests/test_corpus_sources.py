@@ -284,3 +284,40 @@ class TestRegisteredQueries:
         want = {r.source: (r.n_docs, r.sum_chars, r.n_docs)
                 for r in docs.collect()}
         assert got == want
+
+
+class TestWebdataset:
+    def test_reader_groups_keys_and_exts(self, spark, tmp_path):
+        blob = (
+            cs.tar_member_bytes("00000007.txt", b"seven")
+            + cs.tar_member_bytes("00000007.seg.png", b"\x89PNGfake")
+            + cs.tar_member_bytes("sub/dir/00000008.txt", b"eight")
+            + cs.tar_end_bytes()
+        )
+        (tmp_path / "shard-0.tar").write_bytes(blob)
+        rows = {
+            (r.key, r.ext): (r.n_bytes, bytes(r.payload))
+            for r in cs.read_webdataset(
+                spark, str(tmp_path / "*.tar")
+            ).collect()
+        }
+        # first-dot split and basename handling per the WebDataset spec
+        assert rows[("00000007", "txt")] == (5, b"seven")
+        assert rows[("00000007", "seg.png")] == (8, b"\x89PNGfake")
+        assert rows[("00000008", "txt")] == (5, b"eight")
+
+    def test_webdataset_stats_completeness(self, spark, sf_dir):
+        from kafka_streams_dexcom_spark.queries.corpus import (
+            WDS_GAP,
+            q_webdataset_stats,
+        )
+
+        out = {r.ext: r for r in q_webdataset_stats(spark, sf_dir).collect()}
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        n = docs.count()
+        n_gap = docs.filter(f"doc_id % {WDS_GAP} = 0").count()
+        assert out["txt"].n_members == n
+        assert out["cls"].n_members == n - n_gap
+        assert {r.n_complete for r in out.values()} == {n - n_gap}
