@@ -353,6 +353,55 @@ def bigram_lm(
     )
 
 
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon character entropy — the compression-style
+    quality screen (the cheap stand-in for a gzip-ratio filter): text
+    dominated by few symbols (padding, ASCII art, repeated separators)
+    scores near 0; natural prose sits in a narrow band; random/binary
+    junk scores near log2-of-alphabet. Entropy in nats over the char
+    distribution, each term floored to 1e-9-unit integers BEFORE the
+    per-doc sum so the result is exactly order-independent (integer
+    addition commutes; the doc_cross_entropy discipline).
+
+    Entirely scan-side: char counts come from nested array lambdas over
+    the bound char array — no explode, no shuffle; cost per row is
+    O(distinct_chars · len), bounded by the alphabet."""
+    df = fan_out_small(df)
+    # per-char work must index BOUND columns (ch, then the counts array
+    # k) — the kneser_ney_lm lambda-rebinding lesson
+    units = F.expr(
+        "aggregate(transform(transform(array_distinct(ch), "
+        "c -> size(filter(ch, x -> x = c))), "
+        "k -> floor(CAST(k AS DOUBLE) / CAST(size(ch) AS DOUBLE) "
+        "* ln(CAST(size(ch) AS DOUBLE) / CAST(k AS DOUBLE)) "
+        "* 1000000000.0)), 0L, (a, v) -> a + v)"
+    )
+    return (
+        df.select(
+            "doc_id",
+            F.expr(
+                f"filter(split({text_col}, ''), c -> c != '')"
+            ).alias("ch"),
+        )
+        .select(
+            "doc_id",
+            F.size("ch").cast("bigint").alias("n_chars_calc"),
+            F.size(F.array_distinct("ch"))
+            .cast("bigint")
+            .alias("n_distinct_chars"),
+            units.alias("__units"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_calc",
+            "n_distinct_chars",
+            (F.expr("__units div 1000") / F.lit(1.0e6)).alias(
+                "char_entropy"
+            ),
+        )
+    )
+
+
 KN_DISCOUNT = 0.75
 
 

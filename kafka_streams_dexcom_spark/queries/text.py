@@ -450,6 +450,13 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.repetition_stats(load_table(spark, sf_dir, "documents"))
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon character entropy per document
+    (operators/text.py:char_entropy) — the compression-style junk
+    screen, entirely scan-side."""
+    return tx.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
 PPL_BUCKETS = ("head", "middle", "tail")
 
 
@@ -1024,6 +1031,7 @@ QUERIES = {
     "unimax_mix": q_unimax_mix,
     "kneser_ney_lm": q_kneser_ney_lm,
     "perplexity_buckets": q_perplexity_buckets,
+    "char_entropy": q_char_entropy,
     "pii_scan": q_pii_scan,
     "pmi_pairs": q_pmi_pairs,
     "quality_deciles": q_quality_deciles,
@@ -1657,6 +1665,35 @@ ORACLES = {
                     AND n_stop >= {tx.GOPHER_MIN_STOP_HITS} AS INT)
                    AS keep
         FROM c
+    """,
+    "char_entropy": """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ''), c -> c != '')
+                       AS ch
+            FROM documents
+        ),
+        u AS (
+            SELECT doc_id,
+                   CAST(len(ch) AS BIGINT) AS n_chars_calc,
+                   CAST(len(list_distinct(ch)) AS BIGINT)
+                       AS n_distinct_chars,
+                   CAST(CASE WHEN len(ch) = 0 THEN 0 ELSE
+                       list_reduce(list_transform(
+                           list_transform(list_distinct(ch),
+                               c -> len(list_filter(ch, x -> x = c))),
+                           k -> CAST(floor(CAST(k AS DOUBLE)
+                                    / CAST(len(ch) AS DOUBLE)
+                                    * ln(CAST(len(ch) AS DOUBLE)
+                                         / CAST(k AS DOUBLE))
+                                    * 1000000000.0) AS BIGINT)),
+                           (a, v) -> a + v)
+                   END AS BIGINT) AS units
+            FROM t
+        )
+        SELECT doc_id, n_chars_calc, n_distinct_chars,
+               (units // 1000) / 1000000.0 AS char_entropy
+        FROM u
     """,
     "kneser_ney_lm": f"""
         WITH t AS (

@@ -107,6 +107,7 @@ PROBE_QUERIES = [
     "unimax_mix",
     "kneser_ney_lm",
     "perplexity_buckets",
+    "char_entropy",
     "shard_balance",
     "embedding_outliers",
     "audio_wav_stats",

@@ -357,3 +357,25 @@ def test_kneser_ney_hand_computed(spark):
     # per-context observed mass < 1: discount mass left for unseen
     mass_b = out[("b", "a")].p_kn + out[("b", "c")].p_kn
     assert mass_b == 0.75
+
+
+def test_char_entropy_known_values(spark):
+    """Hand-derived: 'aaaa' -> 0 nats; 'ab' -> ln 2; 'abcd' -> ln 4;
+    empty -> 0 (no 0/0); multibyte chars count as one symbol."""
+    import math
+
+    from kafka_streams_dexcom_spark.operators.text import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab"), (3, "abcd"), (4, ""), (5, "ÄÖ")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    unit = lambda p: math.floor(p * math.log(1 / p) * 1e9)  # noqa: E731
+    cut = lambda u: (u // 1000) / 1e6  # noqa: E731
+    assert out[1].char_entropy == 0.0 and out[1].n_distinct_chars == 1
+    assert out[2].char_entropy == cut(2 * unit(0.5))  # ln 2 truncated
+    assert out[3].char_entropy == cut(4 * unit(0.25))  # ln 4 truncated
+    assert out[4].n_chars_calc == 0 and out[4].char_entropy == 0.0
+    assert out[5].n_chars_calc == 2  # chars, not utf-8 bytes
+    assert out[5].char_entropy == cut(2 * unit(0.5))
