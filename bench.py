@@ -117,6 +117,25 @@ HEADLINE = [
     "quality_classifier",        # in-engine LR quality-filter training
     "scd2_user_state",           # gaps-and-islands SCD2 history
     "event_transitions",         # Markov user-journey matrix
+    # round-6 additions, all sub-2.5s (the corpus-source fixtures
+    # amortize under min-of-reps like the shared artifacts)
+    "jsonl_corpus_stats",        # PERMISSIVE JSONL + quarantine split
+    "csv_corpus_stats",          # RFC-4180 CSV + quarantine split
+    "warc_corpus_stats",         # vendored WARC archive reader
+    "webdataset_stats",          # vendored ustar/WebDataset reader
+    "audio_wav_stats",           # vendored RIFF/WAVE PCM decode
+    "gopher_rules",              # integer-exact rule-based quality gate
+    "char_entropy",              # zero-shuffle char-entropy junk screen
+    "perplexity_buckets",        # CCNet head/middle/tail per language
+    "kneser_ney_lm",             # interpolated-KN bigram smoothing
+    "unimax_mix",                # closed-form epoch-capped waterfill
+    "shard_balance",             # multiplicative-hash partitioner audit
+    "embedding_outliers",        # farthest-from-centroid encoder audit
+    "bpe_encode",                # tokenize under the shared BPE artifact
+    "bpe_fertility",             # tokens-per-word eval per language
+    "value_drift_psi",           # week-over-week PSI drift alarm
+    "quality_quantile_norm",     # within-source percentile calibration
+    "dedup_cluster_stats",       # per-cluster precision audit
 ]
 
 
