@@ -152,9 +152,13 @@ FULL_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def emit(result: dict, per_key: str) -> None:
     """Write the full result to FULL_OUT, print it for humans, then
     print the compact tail-budgeted line LAST (the driver parses that
-    one)."""
-    with open(FULL_OUT, "w") as f:
-        json.dump(result, f, indent=1)
+    one). Only the --full suite owns BENCH_FULL_latest.json — a
+    headline or artifacts run must not clobber the 164-query record
+    BASELINE.md points at (it did once; the file held a 107-query
+    headline map under the full-record name)."""
+    if result.get("metric") == "all_queries_total":
+        with open(FULL_OUT, "w") as f:
+            json.dump(result, f, indent=1)
     print(json.dumps(result))
     entries = sorted(
         result[per_key].items(), key=lambda kv: -kv[1]
