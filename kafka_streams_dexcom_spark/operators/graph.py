@@ -69,12 +69,70 @@ def _hard_cut(df: DataFrame, rnd: int) -> tuple[DataFrame, str | None]:
     return spark.read.parquet(path), path
 
 
+# Below this edge count the pair graph runs as ONE union-find task on
+# one executor instead of the O(log d) distributed loop. The output is
+# bit-identical (min-id per component is canonical for any algorithm);
+# only the physical strategy changes — the same runtime-stats dispatch
+# AQE applies to joins. 2M edges ≈ 32 MB of int64 pairs: trivial for
+# one task, while the iterative loop would pay seconds of per-round
+# scheduling for a graph this small (measured: semdedup's 1.2k-edge
+# graph cost 11.4s in rounds, <1s as one task).
+CC_SINGLE_TASK_EDGES = 2_000_000
+
+
+def _cc_single_task(edges: DataFrame) -> DataFrame:
+    """Exact CC of a small edge set as one executor task: repartition(1)
+    + mapInPandas union-find (path halving), then min original id per
+    root as the component label. Data never touches the driver; the
+    task is executor-side like any other."""
+    node_t = edges.schema["u"].dataType.simpleString()
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        us, vs = [], []
+        for pdf in batches:
+            us.append(pdf["u"].to_numpy())
+            vs.append(pdf["v"].to_numpy())
+        if not us:
+            yield pd.DataFrame({"node": [], "component": []})
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        ids, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        ui, vi = inv[: len(u)], inv[len(u) :]
+        parent = np.arange(len(ids))
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for a, b in zip(ui, vi):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by smaller ORIGINAL id keeps roots canonical
+                if ids[ra] < ids[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = np.array([find(i) for i in range(len(ids))])
+        yield pd.DataFrame({"node": ids, "component": ids[roots]})
+
+    return edges.repartition(1).mapInPandas(
+        run, schema=f"node {node_t}, component {node_t}"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_rounds: int = 50,
     hard_cut_every: int | None = 8,
+    single_task_edges: int | None = CC_SINGLE_TASK_EDGES,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; exact
     connected components. Each round combines min-neighbor HOOKING with
@@ -113,6 +171,14 @@ def connected_components(
     # sf0.01). Persist the loop-invariant edge list; cut the label
     # lineage every round with an eager localCheckpoint.
     edges = edges.persist()
+    # runtime-stats physical dispatch (the AQE discipline): a small
+    # graph runs as one union-find task — identical output, none of the
+    # per-round scheduling cost. The count materializes the persisted
+    # edge list either way, so it's not an extra pass.
+    if single_task_edges and edges.count() <= single_task_edges:
+        out = _cc_single_task(edges).localCheckpoint()
+        edges.unpersist()
+        return out
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()

@@ -140,7 +140,10 @@ def test_connected_components_round_cap_raises(spark):
         [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_rounds=1)
+        # force the iterative path — the guard under test lives there
+        # (a graph this small would otherwise take the single-task
+        # union-find dispatch, which has no rounds to cap)
+        connected_components(pairs, max_rounds=1, single_task_edges=None)
 
 
 def test_connected_components_long_chain_log_rounds(spark):
@@ -320,7 +323,11 @@ def test_cc_hard_cut_uses_checkpoint_dir_when_set(spark, tmp_path):
         edges = spark.createDataFrame(
             [(i, i + 1) for i in range(99)], "doc_a long, doc_b long"
         )
-        out = connected_components(edges, hard_cut_every=2)
+        # force the iterative path: the hard cut under test only
+        # exists there (a 99-edge graph takes the single-task dispatch)
+        out = connected_components(
+            edges, hard_cut_every=2, single_task_edges=None
+        )
         assert {r.component for r in out.collect()} == {0}
         import glob
 
@@ -356,3 +363,36 @@ def test_cc_hard_cut_disable_and_reclamation(spark):
     assert {r.component for r in out.collect()} == {0}
     new_dirs = set(os.listdir(root)) - before
     assert len(new_dirs) <= 1, f"superseded cuts not reclaimed: {new_dirs}"
+
+
+def test_cc_single_task_matches_iterative(spark):
+    """The runtime-stats dispatch must be invisible: the one-task
+    union-find path and the distributed iterative path produce
+    IDENTICAL (node, component) labelings — min id per component is
+    canonical for both. Random graph with chains, stars, and
+    singleton-free isolates."""
+    import random
+
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    edges = [(i, i + 1) for i in range(0, 40, 1)]  # one long chain
+    edges += [(100, 100 + k) for k in range(1, 9)]  # a star
+    edges += [
+        (rng.randrange(200, 260), rng.randrange(200, 260))
+        for _ in range(60)
+    ]  # random clumps incl. self-ish pairs
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    fast = {
+        (r.node, r.component)
+        for r in connected_components(df).collect()
+    }
+    slow = {
+        (r.node, r.component)
+        for r in connected_components(
+            df, single_task_edges=None
+        ).collect()
+    }
+    assert fast == slow and len(fast) > 50
