@@ -245,6 +245,88 @@ def audio_features(media: DataFrame) -> DataFrame:
     )
 
 
+VIDEO_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_frames bigint, "
+    "frame_idx bigint, mean_milli bigint"
+)
+
+
+def attach_avi_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Synthesize a REAL uncompressed-AVI payload column from the
+    documents table (Arrow-batched): 1 + n_bytes%5 frames of 8×8
+    grayscale, frame k pixel p = text byte (k·64+p) mod n — cyclic and
+    byte-deterministic, so the oracle recomputes every frame mean from
+    the text column while the payloads are genuine AVI files. A
+    byte-free doc gets zero frames (an empty movi list, still a valid
+    AVI). Same stand-in contract as attach_wav_payload."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.avi import avi_encode
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                b = np.frombuffer(
+                    str(text).encode("utf-8"), dtype=np.uint8
+                )
+                if b.size == 0:
+                    payloads.append(avi_encode([]))
+                    continue
+                n_frames = 1 + b.size % 5
+                idx = (
+                    np.arange(n_frames * 64).reshape(n_frames, 8, 8)
+                    % b.size
+                )
+                payloads.append(
+                    avi_encode([b[idx[k]] for k in range(n_frames)])
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    return fan_out_small(docs).select("doc_id", text_col).mapInPandas(
+        run, schema="doc_id bigint, payload binary"
+    )
+
+
+def video_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched video decode over a binary AVI column: vendored
+    RIFF/AVI parse (functions/avi.py) → one row per FRAME with the
+    integer milli-unit pixel mean — the per-frame feature stage a video
+    curation pipeline fans out before embedding/filtering. Payload
+    bytes stay executor-side; malformed payloads raise per-row."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.avi import avi_features
+
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                w, h, n, means = avi_features(bytes(p))
+                for k, m in enumerate(means):
+                    rows.append((did, w, h, n, k, m))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames",
+                    "frame_idx", "mean_milli",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(
+        run, schema=VIDEO_SCHEMA
+    )
+
+
 def frame_sample(
     media: DataFrame,
     every_n: int = 2,

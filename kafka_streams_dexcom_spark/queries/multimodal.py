@@ -75,6 +75,18 @@ def q_audio_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.audio_features(mm.attach_wav_payload(docs))
 
 
+def q_video_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real video decode end-to-end: synthesize genuine uncompressed
+    AVI payloads (1+n%5 frames of 8×8 gray built cyclically from the
+    text bytes), decode with the vendored RIFF/AVI codec, and emit one
+    row per frame with its exact integer pixel mean. With PNG/JPEG
+    (image), WAV (audio), and this (video), every media_type in the
+    multimodal family now has a REAL decoder behind it — the stub path
+    remains only as the oracle twin for the legacy decode queries."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.video_features(mm.attach_avi_payload(docs))
+
+
 _MEDIA_TYPE = "['image', 'audio', 'video'][(doc_id % 3) + 1]"
 
 QUERIES = {
@@ -83,9 +95,39 @@ QUERIES = {
     "multimodal_frame_sample": q_multimodal_frame_sample,
     "multimodal_dedup": q_multimodal_dedup,
     "audio_wav_stats": q_audio_wav_stats,
+    "video_avi_frames": q_video_avi_frames,
 }
 
 ORACLES = {
+    "video_avi_frames": """
+        WITH b AS (
+            SELECT doc_id, octet_length(encode(text)) AS n,
+                   hex(encode(text)) AS hx
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n, hx,
+                   CAST(1 + n % 5 AS BIGINT) AS n_frames
+            FROM b WHERE n > 0
+        ),
+        fr AS (
+            SELECT doc_id, n, hx, n_frames,
+                   CAST(unnest(range(0, n_frames)) AS BIGINT)
+                       AS frame_idx
+            FROM f
+        )
+        SELECT doc_id,
+               CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               n_frames, frame_idx,
+               CAST(list_reduce(list_transform(range(0, 64),
+                       p -> CAST('0x' || substr(hx,
+                            CAST(2 * ((frame_idx * 64 + p) % n) + 1
+                                 AS INT), 2) AS BIGINT)),
+                    (a, v) -> a + v) * 1000 // 64 AS BIGINT)
+                   AS mean_milli
+        FROM fr
+    """,
     "audio_wav_stats": """
         WITH b AS (
             SELECT doc_id, octet_length(encode(text)) AS nb,

@@ -111,6 +111,7 @@ PROBE_QUERIES = [
     "shard_balance",
     "embedding_outliers",
     "audio_wav_stats",
+    "video_avi_frames",
     "warc_corpus_stats",
     "webdataset_stats",
 ]

@@ -407,3 +407,83 @@ def test_tar_skips_non_regular_members():
     blob = bytes(dirhdr) + tar_member_bytes("d/x.txt", b"y") + tar_end_bytes()
     got = list(iter_tar_members(blob))
     assert got == [("d/x.txt", b"y")]
+
+
+# --- RIFF/AVI uncompressed video codec -------------------------------------
+
+from kafka_streams_dexcom_spark.functions.avi import (  # noqa: E402
+    avi_decode,
+    avi_encode,
+    avi_features,
+)
+
+
+@given(
+    n_frames=st.integers(0, 6),
+    w=st.sampled_from([4, 8, 12, 16]),
+    h=st.integers(1, 12),
+    seed=st.integers(0, 2**32 - 1),
+)
+@settings(**_FAST)
+def test_avi_roundtrip_any_geometry(n_frames, w, h, seed):
+    """Round-trip across geometries INCLUDING widths whose 3-byte rows
+    need DIB 4-byte padding (w=4: stride 12 ok; w=12: 36 ok; the
+    padding logic itself is pinned by the stride formula) and the
+    zero-frame empty-movi case."""
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, (h, w)).astype(np.uint8)
+        for _ in range(n_frames)
+    ]
+    p = avi_encode(frames)
+    rw, rh, got = avi_decode(p)
+    if n_frames:
+        assert (rw, rh, len(got)) == (w, h, n_frames)
+        for a, b in zip(frames, got):
+            np.testing.assert_array_equal(a, b)
+    else:
+        assert got == []
+    assert struct.unpack("<I", p[4:8])[0] == len(p) - 8
+
+
+def test_avi_rejects_compressed_and_wrong_depth():
+    import pytest
+
+    good = avi_encode([np.zeros((8, 8), np.uint8)])
+    strf_at = good.index(b"strf") + 8
+    # biCompression lives 16 bytes into BITMAPINFOHEADER
+    bad_comp = (
+        good[: strf_at + 16]
+        + struct.pack("<I", 0x44495658)  # 'XVID'
+        + good[strf_at + 20 :]
+    )
+    with pytest.raises(ValueError, match="compressed"):
+        avi_decode(bad_comp)
+    bad_bits = (
+        good[: strf_at + 14]
+        + struct.pack("<H", 8)
+        + good[strf_at + 16 :]
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        avi_decode(bad_bits)
+    with pytest.raises(ValueError, match="not a RIFF/AVI"):
+        avi_decode(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+@given(cut=st.integers(1, 200))
+@settings(**_FAST)
+def test_avi_truncation_raises(cut):
+    import pytest
+
+    p = avi_encode([np.full((8, 8), 9, np.uint8)] * 2)
+    with pytest.raises(ValueError):
+        avi_decode(p[: len(p) - cut])
+
+
+def test_avi_features_integer_means():
+    f0 = np.zeros((8, 8), np.uint8)
+    f1 = np.full((8, 8), 255, np.uint8)
+    f2 = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    w, h, n, means = avi_features(avi_encode([f0, f1, f2]))
+    assert (w, h, n) == (8, 8, 3)
+    assert means == [0, 255000, (63 * 64 // 2) * 1000 // 64]
