@@ -337,6 +337,64 @@ def main() -> None:
             "n_batches": len(ann_secs),
             "postings": ann.postings().count(),
         }
+
+        # Streaming curation gate: JSONL landing -> PERMISSIVE parse ->
+        # three-way corrupt/rejected/accepted routing with the gopher
+        # flags riding the landing scan (streaming/quality_gate.py).
+        # Counted per sink so the figure is transform+routing
+        # throughput, not driver serialization.
+        from pyspark.sql import types as T
+
+        from kafka_streams_dexcom_spark.sources.corpus import (
+            read_jsonl_stream,
+        )
+        from kafka_streams_dexcom_spark.streaming.quality_gate import (
+            curation_gate_writer,
+        )
+
+        gate_schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+            ]
+        )
+        gate_in = f"{work}/gate_in"
+        docs_full = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        n_gate = docs_full.count()
+        docs_full.repartition(NUM_CHUNKS).write.mode("overwrite").json(
+            gate_in
+        )
+        routed = {"accept": 0, "reject": 0, "quarantine": 0}
+
+        def counted(name: str):
+            def w(df: DataFrame, batch_id: int) -> None:
+                routed[name] += df.count()
+
+            return w
+
+        gate = curation_gate_writer(
+            counted("accept"), counted("reject"), counted("quarantine")
+        )
+        stream = read_jsonl_stream(
+            spark, gate_in, gate_schema, max_files_per_trigger=1
+        )
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(gate)
+            .option("checkpointLocation", f"{work}/ckpt_gate")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert routed["accept"] + routed["reject"] == n_gate
+        results["curation_gate_stream"] = round(
+            n_gate / (time.time() - t0), 1
+        )
+        results["curation_gate_routed"] = dict(routed)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -369,3 +369,43 @@ def test_embedding_outliers_broadcasts_centroids(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_corpus_readers_have_no_shuffle_before_python(spark, sf_dir):
+    """The WARC/WebDataset/audio/video readers must feed payload bytes
+    straight from the file scan into the Arrow stage — an Exchange
+    before the Python node would shuffle payload bytes across the
+    cluster for no reason."""
+    from kafka_streams_dexcom_spark.queries.corpus import (
+        _warc_fixture,
+        _wds_fixture,
+    )
+    from kafka_streams_dexcom_spark.sources import corpus as cs
+    import os
+
+    warc = cs.read_warc(
+        spark, os.path.join(_warc_fixture(spark, sf_dir), "*.warc.gz")
+    )
+    wds = cs.read_webdataset(
+        spark, os.path.join(_wds_fixture(spark, sf_dir), "*.tar")
+    )
+    for df in (warc, wds):
+        plan = explain_str(df)
+        assert "Exchange" not in plan, plan
+        assert "MapInPandas" in plan, plan
+
+
+def test_audio_video_pipelines_are_shuffle_free(spark, sf_dir):
+    """Synthesize + decode are two chained Arrow stages over the same
+    scan — zero shuffles end to end (the fan_out_small repartition of
+    the small test input is the only allowed Exchange)."""
+    from kafka_streams_dexcom_spark.queries.multimodal import (
+        q_audio_wav_stats,
+        q_video_avi_frames,
+    )
+
+    for q in (q_audio_wav_stats, q_video_avi_frames):
+        plan = explain_str(q(spark, sf_dir))
+        assert plan.count("MapInPandas") >= 2, plan
+        assert "Join" not in plan, plan
+        assert plan.count("Exchange") <= 2, plan  # fan_out_small only
