@@ -405,6 +405,131 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
 KN_DISCOUNT = 0.75
 
 
+def _bigram_type_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """(w1, w2, n_bigram) over the corpus — the one token-scale shuffle
+    both KN variants share. The token array is projected ONCE so
+    element_at inside the transform lambda indexes a bound column
+    rather than re-running split+filter per element (a 2.67x -> ~1x
+    x10-probe difference at bigram volume)."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    bigrams = F.expr(
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, i) AS w1, "
+        "element_at(tk, i + 1) AS w2))"
+    )
+    return (
+        fan_out_small(df)
+        .select(F.expr(toks_expr).alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(F.explode(bigrams).alias("bg"))
+        .groupBy(
+            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("n_bigram"))
+    )
+
+
+def kneser_ney_modified(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """MODIFIED Kneser-Ney (Chen & Goodman 1999, the form every serious
+    n-gram toolkit ships as its default): instead of one fixed
+    discount, three discounts D1/D2/D3+ ESTIMATED FROM THE DATA via the
+    count-of-counts statistics n1..n4 (# bigram types occurring exactly
+    1..4 times):
+
+        Y  = n1 / (n1 + 2·n2)
+        D1 = 1 − 2·Y·n2/n1    D2 = 2 − 3·Y·n3/n2    D3 = 3 − 4·Y·n4/n3
+
+        p(w2|w1) = (c − D(c))/c(w1)
+                 + (D1·N1(w1) + D2·N2(w1) + D3·N3+(w1))/c(w1) · P_cont(w2)
+
+    where N_k(w1) counts w1's continuations at count level k — the
+    interpolation weight gives back exactly the mass the discounts
+    removed, so each context's distribution still sums to 1 over the
+    full vocabulary.
+
+    Degenerate counts-of-counts: the estimator needs n1, n2, n3 > 0
+    (any natural corpus has singletons; the sf0.1 synthetic word-soup
+    does NOT — every bigram occurs ≥3 times). When any of them is 0
+    all three discounts FALL BACK to the fixed 0.75 (the toolkit
+    convention when Good-Turing statistics are unusable), under which
+    the formula collapses exactly to kneser_ney_lm's fixed-discount
+    form. The estimator's denominators are greatest(·, 1)-guarded so
+    the unused branch can never raise under ANSI mode even when
+    subexpression elimination hoists it out of the CASE.
+
+    Scale: identical plan shape to kneser_ney_lm — the count-of-count
+    statistics ride the SAME two vocab-scale exchanges (three more
+    conditional window sums on the already-partitioned table) and the
+    global n1..n4 is one broadcast 1-row aggregate."""
+    counts = _bigram_type_counts(df, text_col)
+    w1_win = Window.partitionBy("w1")
+    w2_win = Window.partitionBy("w2")
+    c = F.col("n_bigram")
+    glob = counts.agg(
+        F.count(F.lit(1)).alias("n_tot"),
+        F.sum((c == 1).cast("long")).alias("g1"),
+        F.sum((c == 2).cast("long")).alias("g2"),
+        F.sum((c == 3).cast("long")).alias("g3"),
+        F.sum((c == 4).cast("long")).alias("g4"),
+    )
+    stats = (
+        counts.repartition("w1")
+        .withColumn("n_w1", F.sum("n_bigram").over(w1_win))
+        .withColumn(
+            "nc1_w1", F.sum((c == 1).cast("long")).over(w1_win)
+        )
+        .withColumn(
+            "nc2_w1", F.sum((c == 2).cast("long")).over(w1_win)
+        )
+        .withColumn(
+            "nc3p_w1", F.sum((c >= 3).cast("long")).over(w1_win)
+        )
+        .withColumn("n1_w2", F.count(F.lit(1)).over(w2_win))
+        .crossJoin(F.broadcast(glob))
+    )
+
+    def dbl(name: str):
+        return F.col(name).cast("double")
+
+    deg = (
+        (F.col("g1") == 0) | (F.col("g2") == 0) | (F.col("g3") == 0)
+    )
+    fb = F.lit(KN_DISCOUNT)
+    y = dbl("g1") / F.greatest(
+        dbl("g1") + F.lit(2.0) * dbl("g2"), F.lit(1.0)
+    )
+    d1 = F.when(deg, fb).otherwise(
+        F.lit(1.0)
+        - F.lit(2.0) * y * dbl("g2") / F.greatest(dbl("g1"), F.lit(1.0))
+    )
+    d2 = F.when(deg, fb).otherwise(
+        F.lit(2.0)
+        - F.lit(3.0) * y * dbl("g3") / F.greatest(dbl("g2"), F.lit(1.0))
+    )
+    d3 = F.when(deg, fb).otherwise(
+        F.lit(3.0)
+        - F.lit(4.0) * y * dbl("g4") / F.greatest(dbl("g3"), F.lit(1.0))
+    )
+    d_of_c = (
+        F.when(c == 1, d1).when(c == 2, d2).otherwise(d3)
+    )
+    gamma = (
+        d1 * dbl("nc1_w1") + d2 * dbl("nc2_w1") + d3 * dbl("nc3p_w1")
+    ) / dbl("n_w1")
+    p_mkn = (dbl("n_bigram") - d_of_c) / dbl("n_w1") + gamma * (
+        dbl("n1_w2") / dbl("n_tot")
+    )
+    return stats.select(
+        "w1",
+        "w2",
+        "n_bigram",
+        "n_w1",
+        "n1_w2",
+        "n_tot",
+        trunc6(p_mkn).alias("p_mkn"),
+    )
+
+
 def kneser_ney_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
     Goodman 1998's fixed-discount form, d = 0.75) — the smoothing that
@@ -424,25 +549,7 @@ def kneser_ney_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     the vocabulary-sized count table; the w2 window is the second
     vocab-scale exchange; N1+(··) joins as a broadcast 1-row aggregate
     (doc_cross_entropy's subset-rule discipline)."""
-    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    # project the token array ONCE: element_at inside the transform
-    # lambda must index a bound column, not re-run split+filter per
-    # element (a 2.67x -> ~2x x10-probe difference at bigram volume)
-    bigrams = F.expr(
-        "transform(sequence(1, size(tk) - 1), "
-        "i -> struct(element_at(tk, i) AS w1, "
-        "element_at(tk, i + 1) AS w2))"
-    )
-    counts = (
-        fan_out_small(df)
-        .select(F.expr(toks_expr).alias("tk"))
-        .filter(F.size("tk") >= 2)
-        .select(F.explode(bigrams).alias("bg"))
-        .groupBy(
-            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
-        )
-        .agg(F.count(F.lit(1)).alias("n_bigram"))
-    )
+    counts = _bigram_type_counts(df, text_col)
     w1_win = Window.partitionBy("w1")
     w2_win = Window.partitionBy("w2")
     tot = counts.agg(F.count(F.lit(1)).alias("n_tot"))

@@ -509,6 +509,13 @@ def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.kneser_ney_lm(load_table(spark, sf_dir, "documents"))
 
 
+def q_kneser_ney_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified Kneser-Ney (operators/text.py:kneser_ney_modified) —
+    the Chen-Goodman data-estimated three-discount form, the default
+    smoothing of every serious n-gram toolkit."""
+    return tx.kneser_ney_modified(load_table(spark, sf_dir, "documents"))
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filter (operators/text.py:gopher_rules) — the
     published rule-based curation pass, one exact-integer flag per rule.
@@ -1030,6 +1037,7 @@ QUERIES = {
     "shard_balance": q_shard_balance,
     "unimax_mix": q_unimax_mix,
     "kneser_ney_lm": q_kneser_ney_lm,
+    "kneser_ney_modified": q_kneser_ney_modified,
     "perplexity_buckets": q_perplexity_buckets,
     "char_entropy": q_char_entropy,
     "pii_scan": q_pii_scan,
@@ -1093,6 +1101,89 @@ _DOC_PPL_CTES = """t AS (
                    CAST(sum(unit) AS BIGINT) AS units
             FROM u GROUP BY doc_id
         )"""
+
+
+def _mkn_oracle() -> str:
+    """Mirrors operators/text.py:kneser_ney_modified exactly: same
+    count-of-count statistics, same greatest(·,1)-guarded estimator
+    trees, same degenerate-counts fallback to the fixed 0.75 discount,
+    same operation order in every double expression."""
+    y = (
+        "(CAST(g1 AS DOUBLE) / greatest(CAST(g1 AS DOUBLE)"
+        " + 2.0 * CAST(g2 AS DOUBLE), 1.0))"
+    )
+    deg = "g1 = 0 OR g2 = 0 OR g3 = 0"
+    ds = []
+    for k, m, gn, gd in (
+        ("1.0", "2.0", "g2", "g1"),
+        ("2.0", "3.0", "g3", "g2"),
+        ("3.0", "4.0", "g4", "g3"),
+    ):
+        ds.append(
+            f"(CASE WHEN {deg} THEN 0.75 ELSE "
+            f"CAST({k} AS DOUBLE) - {m} * {y} * CAST({gn} AS DOUBLE)"
+            f" / greatest(CAST({gd} AS DOUBLE), 1.0) END)"
+        )
+    d1, d2, d3 = ds
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       x -> x != '') AS toks
+            FROM documents
+        ),
+        bg AS (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> struct_pack(w1 := toks[i],
+                                        w2 := toks[i + 1]))) AS b
+            FROM t WHERE len(toks) >= 2
+        ),
+        c AS (
+            SELECT b.w1 AS w1, b.w2 AS w2,
+                   CAST(count(*) AS BIGINT) AS n_bigram
+            FROM bg GROUP BY 1, 2
+        ),
+        g AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_tot,
+                   CAST(sum(CASE WHEN n_bigram = 1 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS g1,
+                   CAST(sum(CASE WHEN n_bigram = 2 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS g2,
+                   CAST(sum(CASE WHEN n_bigram = 3 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS g3,
+                   CAST(sum(CASE WHEN n_bigram = 4 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS g4
+            FROM c
+        ),
+        w AS (
+            SELECT c.*, g.n_tot, g.g1, g.g2, g.g3, g.g4,
+                   CAST(sum(n_bigram) OVER (PARTITION BY w1) AS BIGINT)
+                       AS n_w1,
+                   CAST(sum(CASE WHEN n_bigram = 1 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY w1) AS BIGINT) AS nc1_w1,
+                   CAST(sum(CASE WHEN n_bigram = 2 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY w1) AS BIGINT) AS nc2_w1,
+                   CAST(sum(CASE WHEN n_bigram >= 3 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY w1) AS BIGINT) AS nc3p_w1,
+                   CAST(count(*) OVER (PARTITION BY w2) AS BIGINT)
+                       AS n1_w2
+            FROM c, g
+        )
+        SELECT w1, w2, n_bigram, n_w1, n1_w2, n_tot,
+               floor(((CAST(n_bigram AS DOUBLE)
+                       - CASE WHEN n_bigram = 1 THEN {d1}
+                              WHEN n_bigram = 2 THEN {d2}
+                              ELSE {d3} END)
+                          / CAST(n_w1 AS DOUBLE)
+                      + ({d1} * CAST(nc1_w1 AS DOUBLE)
+                         + {d2} * CAST(nc2_w1 AS DOUBLE)
+                         + {d3} * CAST(nc3p_w1 AS DOUBLE))
+                          / CAST(n_w1 AS DOUBLE)
+                          * (CAST(n1_w2 AS DOUBLE)
+                             / CAST(n_tot AS DOUBLE))) * 1000000)
+                   / 1000000.0 AS p_mkn
+        FROM w
+    """
 
 
 def _bm25_freetext_oracle() -> str:
@@ -1695,6 +1786,7 @@ ORACLES = {
                (units // 1000) / 1000000.0 AS char_entropy
         FROM u
     """,
+    "kneser_ney_modified": _mkn_oracle(),
     "kneser_ney_lm": f"""
         WITH t AS (
             SELECT doc_id,

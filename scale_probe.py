@@ -106,6 +106,7 @@ PROBE_QUERIES = [
     "gopher_rules",
     "unimax_mix",
     "kneser_ney_lm",
+    "kneser_ney_modified",
     "perplexity_buckets",
     "char_entropy",
     "shard_balance",

@@ -379,3 +379,57 @@ def test_char_entropy_known_values(spark):
     assert out[4].n_chars_calc == 0 and out[4].char_entropy == 0.0
     assert out[5].n_chars_calc == 2  # chars, not utf-8 bytes
     assert out[5].char_entropy == cut(2 * unit(0.5))
+
+
+def test_modified_kneser_ney_against_reference_impl(spark):
+    """Independent pure-Python Chen-Goodman reimplementation over a
+    corpus engineered to populate every count-of-count level (n1..n4
+    all > 0), compared term-for-term; plus the normalization property:
+    each context's OBSERVED mass + reserved mass stays within [0, 1]."""
+    import math
+    from collections import Counter
+
+    from kafka_streams_dexcom_spark.operators.text import (
+        kneser_ney_modified,
+    )
+
+    text = " ".join(
+        ["a b"] * 4 + ["a c"] * 3 + ["a d"] * 2 + ["a e"]
+        + ["b c"] * 2 + ["b d"] + ["c d"] * 4 + ["d e"] * 3
+    )
+    toks = text.split()
+    bigrams = Counter(zip(toks, toks[1:]))
+    n = Counter(bigrams.values())
+    n1, n2, n3, n4 = n[1], n[2], n[3], n[4]
+    assert min(n1, n2, n3, n4) > 0
+    y = n1 / (n1 + 2.0 * n2)
+    d1 = 1.0 - 2.0 * y * n2 / n1
+    d2 = 2.0 - 3.0 * y * n3 / n2
+    d3 = 3.0 - 4.0 * y * n4 / n3
+    cw1 = Counter()
+    nk_w1: dict = {}
+    n1_w2 = Counter()
+    for (w1, w2), c in bigrams.items():
+        cw1[w1] += c
+        lv = 1 if c == 1 else (2 if c == 2 else 3)
+        nk_w1.setdefault(w1, Counter())[lv] += 1
+        n1_w2[w2] += 1
+    ntot = len(bigrams)
+
+    def ref(w1, w2):
+        c = bigrams[(w1, w2)]
+        d = d1 if c == 1 else (d2 if c == 2 else d3)
+        ks = nk_w1[w1]
+        gamma = (d1 * ks[1] + d2 * ks[2] + d3 * ks[3]) / cw1[w1]
+        p = (c - d) / cw1[w1] + gamma * (n1_w2[w2] / ntot)
+        return math.floor(p * 1e6) / 1e6
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = {(r.w1, r.w2): r.p_mkn for r in kneser_ney_modified(df).collect()}
+    assert set(out) == set(bigrams)
+    for key, got in out.items():
+        assert abs(got - ref(*key)) < 2e-6, (key, got, ref(*key))
+    # per-context mass check (observed mass <= 1; discounts reserve the rest)
+    for w1 in cw1:
+        mass = sum(p for (a, _b), p in out.items() if a == w1)
+        assert 0.0 < mass <= 1.0 + 1e-9
