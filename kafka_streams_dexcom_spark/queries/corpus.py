@@ -144,6 +144,12 @@ def q_csv_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(F.broadcast(nq))
 
 
+# every WARC_OPTOUT-th doc's HTTP response carries "X-Robots-Tag:
+# noai, noimageai" — the published opt-out convention a compliant
+# training-data crawler must honor at ingestion time
+WARC_OPTOUT = 13
+
+
 def _duck_path(table_path: str) -> str:
     """DuckDB needs an explicit glob for Spark-written parquet
     DIRECTORIES (the driver's testdata tables are single files, but the
@@ -220,6 +226,14 @@ def _warc_fixture(spark: SparkSession, sf_dir: str) -> str:
                         text.encode("utf-8"),
                         status=200,
                         content_type="text/plain; charset=utf-8",
+                        # planted opt-out directives: every WDS_OPTOUT-th
+                        # origin serves an AI-training opt-out header the
+                        # compliance gate must honor
+                        extra_headers=(
+                            {"X-Robots-Tag": "noai, noimageai"}
+                            if doc_id % WARC_OPTOUT == 0
+                            else None
+                        ),
                     ),
                 )
             )
@@ -337,10 +351,46 @@ def q_webdataset_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_ext.crossJoin(F.broadcast(complete))
 
 
+def q_warc_optout_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opt-out-aware crawl ingestion — the compliance gate: responses
+    whose HTTP head carries an AI-training opt-out directive
+    (X-Robots-Tag containing `noai`) are EXCLUDED from the corpus and
+    counted per source, so the release manifest can prove what was
+    honored. The directive is filtered on the LIFTED string column
+    before any body byte is decoded (the gate costs a scan predicate,
+    not a parse). The oracle recomputes kept/opted-out counts and kept
+    char mass from the documents view with the planted rule, so a
+    reader that dropped the header, matched it on the wrong records,
+    or let opted-out bodies through fails the hash."""
+    path = _warc_fixture(spark, sf_dir)
+    recs = cs.read_warc(spark, os.path.join(path, "*.warc.gz"))
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract(
+            "target_uri", r"^https://([^.]+)\.example/", 1
+        ).alias("source"),
+        F.coalesce(
+            F.col("x_robots_tag").contains("noai"), F.lit(False)
+        )
+        .cast("int")
+        .alias("opted_out"),
+        F.length(F.decode("payload", "UTF-8")).alias("n_chars"),
+    )
+    return resp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("opted_out").alias("n_opted_out"),
+        F.sum(
+            F.when(F.col("opted_out") == 0, F.col("n_chars")).otherwise(
+                F.lit(0)
+            )
+        ).alias("kept_chars"),
+    )
+
+
 QUERIES = {
     "jsonl_corpus_stats": q_jsonl_corpus_stats,
     "csv_corpus_stats": q_csv_corpus_stats,
     "warc_corpus_stats": q_warc_corpus_stats,
+    "warc_optout_filter": q_warc_optout_filter,
     "webdataset_stats": q_webdataset_stats,
 }
 
@@ -362,6 +412,17 @@ ORACLES = {
                CAST({N_CSV_CORRUPT_LINES} AS INTEGER) AS n_quarantined
         FROM documents
         GROUP BY lang
+    """,
+    "warc_optout_filter": f"""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN doc_id % {WARC_OPTOUT} = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_opted_out,
+               CAST(sum(CASE WHEN doc_id % {WARC_OPTOUT} = 0
+                   THEN 0 ELSE length(text) END) AS BIGINT)
+                   AS kept_chars
+        FROM documents
+        GROUP BY source
     """,
     "webdataset_stats": f"""
         WITH m AS (

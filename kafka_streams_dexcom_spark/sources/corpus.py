@@ -237,17 +237,25 @@ def warc_record_bytes(
 
 
 def http_response_bytes(
-    body: bytes, status: int = 200, content_type: str = "text/plain"
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/plain",
+    extra_headers: dict[str, str] | None = None,
 ) -> bytes:
-    """Serialize the HTTP response message a 'response' record wraps."""
+    """Serialize the HTTP response message a 'response' record wraps.
+    ``extra_headers`` carries e.g. the X-Robots-Tag opt-out directives
+    a compliance-aware reader must honor."""
     reason = {200: "OK", 404: "Not Found", 500: "Server Error"}.get(
         status, "Unknown"
     )
-    head = (
-        f"HTTP/1.1 {status} {reason}\r\n"
-        f"Content-Type: {content_type}\r\n"
-        f"Content-Length: {len(body)}\r\n\r\n"
-    ).encode()
+    lines = [
+        f"HTTP/1.1 {status} {reason}",
+        f"Content-Type: {content_type}",
+        f"Content-Length: {len(body)}",
+    ]
+    for k, v in (extra_headers or {}).items():
+        lines.append(f"{k}: {v}")
+    head = ("\r\n".join(lines) + "\r\n\r\n").encode()
     return head + body
 
 
@@ -292,9 +300,19 @@ def iter_warc_records(
 
 def parse_http_response(payload: bytes) -> tuple[int, str | None, bytes]:
     """(status, content_type, body) from an HTTP response message."""
+    status, headers, body = parse_http_response_full(payload)
+    return status, headers.get("content-type"), body
+
+
+def parse_http_response_full(
+    payload: bytes,
+) -> tuple[int, dict[str, str], bytes]:
+    """(status, lower-cased header map, body) — the full-header variant
+    compliance filtering needs (X-Robots-Tag lives in the HTTP head,
+    not the WARC record headers)."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0:
-        return 0, None, payload
+        return 0, {}, payload
     head = payload[:sep].decode("utf-8", errors="replace")
     lines = head.split("\r\n")
     parts = lines[0].split(" ", 2)
@@ -302,12 +320,11 @@ def parse_http_response(payload: bytes) -> tuple[int, str | None, bytes]:
         status = int(parts[1])
     except (IndexError, ValueError):
         status = 0
-    ctype = None
+    headers: dict[str, str] = {}
     for line in lines[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
-            ctype = v.strip()
-    return status, ctype, payload[sep + 4 :]
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, payload[sep + 4 :]
 
 
 WARC_SCHEMA = T.StructType(
@@ -318,6 +335,7 @@ WARC_SCHEMA = T.StructType(
         T.StructField("warc_date", T.StringType()),
         T.StructField("http_status", T.IntegerType()),
         T.StructField("content_type", T.StringType()),
+        T.StructField("x_robots_tag", T.StringType()),
         T.StructField("payload", T.BinaryType()),
     ]
 )
@@ -351,11 +369,19 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     wtype = headers.get("warc-type", "")
                     status: int | None = None
                     ctype = headers.get("content-type")
+                    robots: str | None = None
                     body = payload
                     if wtype == "response" and (ctype or "").startswith(
                         "application/http"
                     ):
-                        status, ctype, body = parse_http_response(payload)
+                        status, hh, body = parse_http_response_full(
+                            payload
+                        )
+                        ctype = hh.get("content-type")
+                        # lifted so opt-out filtering happens on a
+                        # string column BEFORE anything touches body
+                        # bytes (the compliance gate is a scan filter)
+                        robots = hh.get("x-robots-tag")
                     rows.append(
                         (
                             fpath,
@@ -364,6 +390,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             headers.get("warc-date"),
                             status,
                             ctype,
+                            robots,
                             body,
                         )
                     )

@@ -114,6 +114,7 @@ PROBE_QUERIES = [
     "audio_wav_stats",
     "video_avi_frames",
     "warc_corpus_stats",
+    "warc_optout_filter",
     "webdataset_stats",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
