@@ -321,3 +321,56 @@ class TestWebdataset:
         assert out["txt"].n_members == n
         assert out["cls"].n_members == n - n_gap
         assert {r.n_complete for r in out.values()} == {n - n_gap}
+
+
+class TestWebdatasetWriter:
+    def test_round_trip_and_consecutive_keys(self, spark, tmp_path):
+        """write_webdataset -> read_webdataset must return the exact
+        member set, and each shard must hold same-key members
+        CONSECUTIVELY (the WebDataset streaming contract) with every
+        sample's members in ONE shard."""
+        rows = []
+        for k in range(40):
+            rows.append((f"{k:08d}", "txt", f"text-{k}".encode()))
+            rows.append((f"{k:08d}", "cls", f"c{k % 3}".encode()))
+        src = spark.createDataFrame(
+            rows, "key string, ext string, payload binary"
+        )
+        out = str(tmp_path / "wds_out")
+        manifest = cs.write_webdataset(src, out, n_shards=4)
+        assert sum(m.n_members for m in manifest) == 80
+        assert sum(m.n_samples for m in manifest) == 40
+
+        back = cs.read_webdataset(spark, out + "/*.tar")
+        got = {
+            (r.key, r.ext): bytes(r.payload) for r in back.collect()
+        }
+        want = {(k, e): p for k, e, p in rows}
+        assert got == want
+
+        # per-shard: consecutive keys, one shard per sample
+        seen_shard: dict = {}
+        for m in manifest:
+            blob = (tmp_path / "wds_out" / f"shard-{m.shard:05d}.tar").read_bytes()
+            names = [n for n, _ in cs.iter_tar_members(blob)]
+            keys = [n.split(".")[0] for n in names]
+            # consecutive: each key appears in exactly one run
+            runs = [k for i, k in enumerate(keys) if i == 0 or keys[i - 1] != k]
+            assert len(runs) == len(set(keys))
+            for k in set(keys):
+                assert seen_shard.setdefault(k, m.shard) == m.shard
+
+    def test_writer_is_deterministic(self, spark, tmp_path):
+        rows = [(f"{k:08d}", "txt", bytes([k])) for k in range(16)]
+        src = spark.createDataFrame(
+            rows, "key string, ext string, payload binary"
+        )
+        a, b = str(tmp_path / "a"), str(tmp_path / "b")
+        cs.write_webdataset(src.repartition(7), a, n_shards=3)
+        cs.write_webdataset(src.repartition(2), b, n_shards=3)
+        for i in range(3):
+            fa = tmp_path / "a" / f"shard-{i:05d}.tar"
+            fb = tmp_path / "b" / f"shard-{i:05d}.tar"
+            assert fa.exists() == fb.exists()
+            if fa.exists():
+                assert fa.read_bytes() == fb.read_bytes()
