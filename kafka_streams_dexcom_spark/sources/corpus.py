@@ -516,6 +516,55 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_webdataset_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming twin of :func:`read_webdataset`: a binaryFile
+    file-source stream over a shard drop zone — the arrival-driven
+    ingestion a continuously-crawled multimodal corpus feeds (each
+    micro-batch = newly landed .tar shards; one task per shard, same
+    vendored parse). Pair with foreachBatch for per-epoch member
+    processing; the file-source checkpoint gives exactly-once shard
+    pickup."""
+    import pandas as pd
+
+    reader = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is fixed; streaming sources must declare it
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", max_files_per_trigger
+        )
+    files = reader.load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WEBDATASET_SCHEMA.fields]
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                for name, payload in iter_tar_members(data):
+                    base = name.rsplit("/", 1)[-1]
+                    key, _, ext = base.partition(".")
+                    rows.append(
+                        (fpath, key, ext, len(payload), payload)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select("path", "content").mapInPandas(
+        parse, WEBDATASET_SCHEMA
+    )
+
+
 def write_webdataset(
     members: DataFrame,
     out_dir: str,

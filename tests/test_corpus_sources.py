@@ -374,3 +374,47 @@ class TestWebdatasetWriter:
             assert fa.exists() == fb.exists()
             if fa.exists():
                 assert fa.read_bytes() == fb.read_bytes()
+
+
+class TestWebdatasetStream:
+    def test_batch_stream_member_equivalence(self, spark, tmp_path):
+        """The streaming shard reader must surface EXACTLY the batch
+        reader's member set across micro-batches (one shard per
+        trigger), with per-epoch isolation: each batch holds only its
+        own shard's members."""
+        rows = []
+        for k in range(30):
+            rows.append((f"{k:08d}", "txt", f"t{k}".encode()))
+            rows.append((f"{k:08d}", "cls", b"c"))
+        src = spark.createDataFrame(
+            rows, "key string, ext string, payload binary"
+        )
+        out = str(tmp_path / "shards")
+        cs.write_webdataset(src, out, n_shards=3)
+
+        want = {
+            (r.key, r.ext): bytes(r.payload)
+            for r in cs.read_webdataset(spark, out + "/*.tar").collect()
+        }
+        got: dict = {}
+        batch_shards: list = []
+        def sink(df, bid):
+            rows = df.collect()
+            batch_shards.append({r.shard for r in rows})
+            got.update(
+                {(r.key, r.ext): bytes(r.payload) for r in rows}
+            )
+
+        q = (
+            cs.read_webdataset_stream(
+                spark, out, max_files_per_trigger=1
+            )
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        assert got == want and len(want) == 60
+        assert len(batch_shards) == 3
+        assert all(len(s) == 1 for s in batch_shards)
