@@ -386,12 +386,48 @@ def q_warc_optout_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_format_matrix_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-format ingest integrity: the SAME corpus read through
+    parquet, JSONL, and CSV must agree byte-for-byte — one row per
+    (format, lang) with doc count and char mass, all three formats'
+    rows present. Any reader that drops rows, mangles quoting, or
+    confuses NULL/empty breaks its format's rows against the others
+    (and against the oracle, which states the invariant directly: the
+    per-lang stats are format-independent). This is the audit a
+    pipeline runs after adding an ingest path — correctness evidence
+    that survives the format matrix growing."""
+    pq = load_table(spark, sf_dir, "documents").select("lang", "text")
+    jl, _ = cs.split_quarantine(
+        cs.read_jsonl(
+            spark, _jsonl_fixture(spark, sf_dir), DOCS_JSONL_SCHEMA
+        )
+    )
+    cv, _ = cs.split_quarantine(
+        cs.read_csv(
+            spark, _csv_fixture(spark, sf_dir), DOCS_JSONL_SCHEMA
+        )
+    )
+    out = None
+    for fmt, df in (
+        ("parquet", pq),
+        ("jsonl", jl.select("lang", "text")),
+        ("csv", cv.select("lang", "text")),
+    ):
+        agg = df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        ).select(F.lit(fmt).alias("format"), "lang", "n_docs", "sum_chars")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
 QUERIES = {
     "jsonl_corpus_stats": q_jsonl_corpus_stats,
     "csv_corpus_stats": q_csv_corpus_stats,
     "warc_corpus_stats": q_warc_corpus_stats,
     "warc_optout_filter": q_warc_optout_filter,
     "webdataset_stats": q_webdataset_stats,
+    "format_matrix_consistency": q_format_matrix_consistency,
 }
 
 ORACLES = {
@@ -412,6 +448,15 @@ ORACLES = {
                CAST({N_CSV_CORRUPT_LINES} AS INTEGER) AS n_quarantined
         FROM documents
         GROUP BY lang
+    """,
+    "format_matrix_consistency": """
+        SELECT fmt.format, s.lang, s.n_docs, s.sum_chars
+        FROM (VALUES ('parquet'), ('jsonl'), ('csv')) fmt(format)
+        CROSS JOIN (
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        ) s
     """,
     "warc_optout_filter": f"""
         SELECT source,
