@@ -575,26 +575,23 @@ def write_webdataset(
     shards with same-key members CONSECUTIVE (the spec's streaming
     contract), one shard per task, payload bytes never on the driver.
 
-    Sharding: Knuth multiplicative hash of the key (the shard_balance
-    assignment — engine-independent and stable across writers), so a
-    sample's members land in one shard by construction. Each task
-    sorts its shard by (key, ext) and writes `shard-%05d.tar` via the
-    vendored ustar codec. Returns the manifest rows
-    [(shard, n_members, n_samples, n_bytes)] — the caller publishes
-    them (and the directory) through the commit log for an atomic
-    release; at object-store scale the open() below becomes a PUT.
-
-    The hash needs a BIGINT key; WebDataset keys here are the zero-
-    padded doc ids the fixtures write, so the key parses exactly."""
+    Sharding: the repo's portable md5-derived hash of the key STRING
+    (functions/hashing.py discipline — engine-independent and stable
+    across writers and key shapes, unlike a bigint cast that would
+    reject non-numeric keys), so a sample's members land in one shard
+    by construction. Each task sorts its shard by (key, ext) and
+    writes `shard-%05d.tar` via the vendored ustar codec. Returns the
+    manifest rows [(shard, n_members, n_samples, n_bytes)] — the
+    caller publishes them (and the directory) through the commit log
+    for an atomic release; at object-store scale the open() below
+    becomes a PUT."""
     import os as _os
 
     _os.makedirs(out_dir, exist_ok=True)
-    mult = 2654435761
-
-    shard = F.shiftright(
-        F.pmod(F.col("key").cast("bigint") * F.lit(mult), F.lit(2**32)),
-        26,
-    ) % n_shards
+    shard = (
+        F.expr("CAST(conv(substr(md5(key), 1, 15), 16, 10) AS BIGINT)")
+        % n_shards
+    )
 
     def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
