@@ -422,7 +422,72 @@ def q_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Reference rule bounds (CategorizeWithSimpleRule.java:45-47 — the
+# 75..180 INCLUSIVE in-range band, SURVEY §2.6 quirk #2) and a credited
+# interval cap of 10 minutes per reading (2× the Dexcom 5-minute
+# cadence: a reading "covers" time until the next one, but a gap longer
+# than the cap is sensor dropout, not time at that glucose level).
+TIR_LOW = 75.0
+TIR_HIGH = 180.0
+TIR_CAP_US = 600 * 1_000_000
+
+
+def q_time_in_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-in-range — THE clinical summary metric of the reference's
+    CGM domain: per user, the fraction of credited wear time spent
+    below / inside / above the reference's categorize band. Duration
+    weighting, not reading counting: each reading is credited the time
+    until the user's next reading, capped at TIR_CAP_US so dropout
+    gaps (sensor_gaps' subject) don't inflate the last value seen; the
+    final reading gets the cap. pct is exact integer milli-percent
+    (dur·100000 div total), partition-order independent.
+
+    Scale: one shuffle on user_id serves the lead window, the
+    category aggregation, and the per-user total (subset rule) — the
+    same single-exchange discipline as funnel_steps."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "value",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    dur = F.least(
+        F.coalesce(
+            F.lead("ts_us").over(w) - F.col("ts_us"),
+            F.lit(TIR_CAP_US),
+        ),
+        F.lit(TIR_CAP_US),
+    )
+    cat = (
+        F.when(F.col("value") < TIR_LOW, "low")
+        .when(F.col("value") <= TIR_HIGH, "in_range")
+        .otherwise("high")
+    )
+    per = (
+        e.select("user_id", cat.alias("category"), dur.alias("dur_us"))
+        .groupBy("user_id", "category")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.sum("dur_us").alias("dur_us"),
+        )
+    )
+    tot = Window.partitionBy("user_id")
+    return per.withColumn(
+        "tot_us", F.sum("dur_us").over(tot)
+    ).select(
+        "user_id",
+        "category",
+        "n_readings",
+        "dur_us",
+        F.expr("dur_us * 100000 div tot_us").alias("pct_milli"),
+    )
+
+
 QUERIES = {
+    "time_in_range": q_time_in_range,
     "group_sample_k": q_group_sample_k,
     "robust_anomalies": q_robust_anomalies,
     "cdc_user_state": q_cdc_user_state,
@@ -441,6 +506,39 @@ QUERIES = {
 }
 
 ORACLES = {
+    "time_in_range": f"""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS ts_us, value
+            FROM events
+        ),
+        d AS (
+            SELECT user_id, value,
+                   least(coalesce(lead(ts_us) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts_us ASC, event_id ASC
+                   ) - ts_us, {TIR_CAP_US}), {TIR_CAP_US}) AS dur_us
+            FROM e
+        ),
+        c AS (
+            SELECT user_id,
+                   CASE WHEN value < {TIR_LOW} THEN 'low'
+                        WHEN value <= {TIR_HIGH} THEN 'in_range'
+                        ELSE 'high' END AS category,
+                   dur_us
+            FROM d
+        ),
+        a AS (
+            SELECT user_id, category,
+                   count(*) AS n_readings,
+                   CAST(sum(dur_us) AS BIGINT) AS dur_us
+            FROM c GROUP BY user_id, category
+        )
+        SELECT user_id, category, n_readings, dur_us,
+               CAST(dur_us * 100000 // CAST(sum(dur_us) OVER (
+                   PARTITION BY user_id) AS BIGINT) AS BIGINT)
+                   AS pct_milli
+        FROM a
+    """,
     "group_sample_k": """
         SELECT event_type, event_id, user_id, value, rnk FROM (
             SELECT event_type, event_id, user_id, value,

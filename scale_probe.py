@@ -117,6 +117,7 @@ PROBE_QUERIES = [
     "warc_optout_filter",
     "webdataset_stats",
     "format_matrix_consistency",
+    "time_in_range",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10

@@ -720,3 +720,56 @@ def test_bpe_encode_matches_train_merge_table(spark):
     merges, _ = _bpe_loop(df, "text", 3, apply_last=True)
     got = {(r["round"], r["pair"]) for r in merges.collect()}
     assert got == want and len(got) == 3
+
+
+def test_time_in_range_duration_crediting(spark):
+    """Hand-derived TIR: each reading is credited time-to-next capped
+    at 600s; the final reading gets the cap; the reference's INCLUSIVE
+    75..180 band decides the category; pct is exact integer
+    milli-percent of the user's credited total."""
+    from kafka_streams_dexcom_spark.queries.temporal import (
+        TIR_CAP_US,
+        q_time_in_range,
+    )
+    import kafka_streams_dexcom_spark.queries.temporal as qt
+    from unittest import mock
+
+    us = 1_000_000
+    rows = [
+        # user 1: 300s low, 300s in-range (boundary 75 is IN), then a
+        # 2-hour dropout gap (capped at 600s), final reading capped
+        (1, 0 * us, 10, 74.99),
+        (1, 300 * us, 11, 75.0),
+        (1, 600 * us, 12, 180.0),   # in-range upper boundary inclusive
+        (1, 7800 * us, 13, 180.01),  # after dropout; final -> cap
+    ]
+    df = spark.createDataFrame(
+        [(u, t, e, v) for u, t, e, v in rows],
+        "user_id long, ts_us long, event_id long, value double",
+    )
+    from pyspark.sql import functions as F
+
+    events = df.select(
+        "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_id",
+        "value",
+    )
+    with mock.patch.object(
+        qt, "load_table", lambda _s, _d, _t: events
+    ):
+        out = {
+            (r.user_id, r.category): r
+            for r in q_time_in_range(spark, "unused").collect()
+        }
+    low = out[(1, "low")]
+    inr = out[(1, "in_range")]
+    high = out[(1, "high")]
+    assert (low.n_readings, low.dur_us) == (1, 300 * us)
+    # 75.0 at t=300 credited 300s; 180.0 at t=600 credited the CAP
+    # (the 7200s dropout is capped)
+    assert (inr.n_readings, inr.dur_us) == (2, 300 * us + TIR_CAP_US)
+    assert (high.n_readings, high.dur_us) == (1, TIR_CAP_US)
+    tot = low.dur_us + inr.dur_us + high.dur_us
+    assert low.pct_milli == low.dur_us * 100000 // tot
+    assert sum(r.pct_milli for r in out.values()) <= 100000
