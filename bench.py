@@ -196,7 +196,10 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
         kmeans_cells_map,
         pq_artifacts,
     )
-    from kafka_streams_dexcom_spark.queries.text import bpe_artifacts
+    from kafka_streams_dexcom_spark.queries.text import (
+        bm25_postings_map,
+        bpe_artifacts,
+    )
 
     def run(name, thunk):
         t0 = time.time()
@@ -212,6 +215,7 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
         "pq_artifacts": lambda: pq_artifacts(spark, sf_dir),
         "er_fuzzy_pairs": lambda: q_er_fuzzy_customers(spark, sf_dir),
         "bpe_tokenizer": lambda: bpe_artifacts(spark, sf_dir),
+        "bm25_postings": lambda: bm25_postings_map(spark, sf_dir),
     }
     timings = {name: run(name, thunk) for name, thunk in builds.items()}
     emit(

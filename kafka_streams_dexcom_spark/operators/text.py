@@ -1081,6 +1081,7 @@ def bm25_freetext(
     query_df: DataFrame,
     text_col: str = "text",
     k: int = 20,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Free-text BM25 over the inverted index: query terms arrive as
     DATA — a small (query_id, term) table — not compile-time constants,
@@ -1100,8 +1101,16 @@ def bm25_freetext(
     units (floor(part * 1e9)) — integer sums are partition-order
     independent, so the result is bit-identical on any partitioning and
     exactly replayable by the DuckDB oracle. Same RSJ idf / k1 / b as
-    bm25_search; ties break on doc_id."""
-    post = build_inverted_index(df, text_col).localCheckpoint()
+    bm25_search; ties break on doc_id.
+
+    ``postings``: a pre-built inverted index (term, doc_id, tf, dl) —
+    the published search-index artifact a production deployment reads;
+    None rebuilds it from the corpus (self-contained mode)."""
+    post = (
+        postings
+        if postings is not None
+        else build_inverted_index(df, text_col).localCheckpoint()
+    )
     # Corpus stats WITHOUT a second tokenization scan: per-doc lengths
     # are already denormalized into the postings (doc-scale distinct),
     # empty docs contribute dl=0 to the sum anyway, and n_docs is a
@@ -1557,6 +1566,7 @@ def bm25_rerank_proximity(
     text_col: str = "text",
     k: int = 20,
     topn: int = 10,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage retrieval: BM25 candidate generation (bm25_freetext)
     then a term-PROXIMITY re-rank — the classic cheap second-stage
@@ -1572,7 +1582,9 @@ def bm25_rerank_proximity(
     corpus-bounded. All arithmetic is exact integers (BM25 6-decimal
     units recovered exactly + an integer bonus), so the re-ranking is
     deterministic and the oracle replays it."""
-    cand = bm25_freetext(df, query_df, text_col, k=k).localCheckpoint()
+    cand = bm25_freetext(
+        df, query_df, text_col, k=k, postings=postings
+    ).localCheckpoint()
     cdocs = cand.select("query_id", "doc_id").distinct()
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     docs = fan_out_small(df).join(

@@ -38,6 +38,34 @@ BM25_FREETEXT_QUERIES = (
 BM25_FREETEXT_K = 20
 
 
+def bm25_postings_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus inverted index (term, doc_id, tf, dl), MATERIALIZED
+    ONCE per (Spark application, corpus) and shared by bm25_freetext
+    and bm25_rerank — a search system's index IS its published
+    artifact; rebuilding it per query batch was the one remaining
+    unamortized stage-1 (the kmeans_cells_map discipline, applied to
+    retrieval). Oracles are unchanged: they replay the index build
+    from the data, and the parquet round-trip is bit-exact."""
+    import os
+
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    return session_artifact(
+        spark,
+        "bm25_postings",
+        (
+            os.path.abspath(sf_dir),
+            corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        ),
+        lambda: tx.build_inverted_index(
+            load_table(spark, sf_dir, "documents")
+        ),
+    )
+
+
 def q_bm25_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Free-text BM25 over a posting-list inverted index: a BATCH of
     ad-hoc queries arrives as (query_id, term) rows and is answered in
@@ -52,7 +80,10 @@ def q_bm25_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     qdf = spark.createDataFrame(qrows, "query_id long, term string")
     return tx.bm25_freetext(
-        load_table(spark, sf_dir, "documents"), qdf, k=BM25_FREETEXT_K
+        load_table(spark, sf_dir, "documents"),
+        qdf,
+        k=BM25_FREETEXT_K,
+        postings=bm25_postings_map(spark, sf_dir),
     )
 
 
@@ -73,6 +104,7 @@ def q_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdf,
         k=BM25_FREETEXT_K,
         topn=RERANK_TOPN,
+        postings=bm25_postings_map(spark, sf_dir),
     )
 
 
