@@ -65,7 +65,8 @@ def avi_encode(frames: list[np.ndarray], fps: int = 10) -> bytes:
         1_000_000 // fps,  # dwMicroSecPerFrame
         size_image * fps,  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
-        0x10,  # dwFlags: AVIF_HASINDEX off, AVIF_WASCAPTUREFILE-ish 0x10
+        0,  # dwFlags: AVIF_HASINDEX off — no idx1 chunk is emitted, so
+        # advertising one (0x10) would break strict index-trusting players
         len(frames),  # dwTotalFrames
         0,  # dwInitialFrames
         1,  # dwStreams

@@ -133,6 +133,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, np.ndarray]:
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — consume them so 0xFF 0xFF <marker> parses as <marker>,
+        # not as a bogus 0xFF "marker" with a garbage segment length
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI

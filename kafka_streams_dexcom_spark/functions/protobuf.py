@@ -177,14 +177,21 @@ def _skip_unknown(wire: int, buf: bytes, pos: int) -> int:
     if wire == _WIRE_VARINT:
         _, pos = _varint_decode(buf, pos)
         return pos
+    # skips must bounds-check like _decode_scalar does: returning
+    # pos > len(buf) silently ends the decode loop and drops every
+    # remaining field to NULL instead of raising on the corrupt byte
     if wire == _WIRE_64BIT:
-        return pos + 8
-    if wire == _WIRE_32BIT:
-        return pos + 4
-    if wire == _WIRE_LEN:
+        end = pos + 8
+    elif wire == _WIRE_32BIT:
+        end = pos + 4
+    elif wire == _WIRE_LEN:
         n, pos = _varint_decode(buf, pos)
-        return pos + n
-    raise ValueError(f"unsupported wire type {wire}")
+        end = pos + n
+    else:
+        raise ValueError(f"unsupported wire type {wire}")
+    if end > len(buf):
+        raise ValueError("truncated unknown field")
+    return end
 
 
 _PROTOBUF_PROBE_CACHE: dict[str, bool] = {}

@@ -193,7 +193,12 @@ def pq_train_encode(
     return cents, assigned.select("vid", "s", "cid")
 
 
-_TRAINED_GEOMETRY_OK: set[tuple] = set()
+# memo value is a weakref to the validated codebook frame: keying on a
+# bare id() would let a GC'd frame's address be reused by a DIFFERENT
+# codebook and silently skip (or stale-pass) the guard — the weakref
+# pins the entry to the object's lifetime, so a recycled id() misses
+# (ref() is None or a different object) and re-validates.
+_TRAINED_GEOMETRY_OK: dict = {}
 
 
 def _validate_trained(
@@ -210,8 +215,11 @@ def _validate_trained(
     per (codebook frame object, m, dim): session artifacts hand every
     consumer the same cached DataFrame, so the guard costs one tiny
     aggregate per (artifact, geometry), not per query call."""
+    import weakref
+
     memo_key = (id(cents), m, dim)
-    if memo_key in _TRAINED_GEOMETRY_OK:
+    ref = _TRAINED_GEOMETRY_OK.get(memo_key)
+    if ref is not None and ref() is cents:
         return
     row = cents.agg(
         F.countDistinct("s").alias("n_s"),
@@ -227,7 +235,12 @@ def _validate_trained(
             "distance tables would be silently wrong. Re-train the "
             "artifact with matching geometry or drop the overrides."
         )
-    _TRAINED_GEOMETRY_OK.add(memo_key)
+    # drop entries whose frames died — bounds the memo and evicts any
+    # reused-id key before it can alias a new frame
+    dead = [k for k, r in _TRAINED_GEOMETRY_OK.items() if r() is None]
+    for k in dead:
+        del _TRAINED_GEOMETRY_OK[k]
+    _TRAINED_GEOMETRY_OK[memo_key] = weakref.ref(cents)
 
 
 def pq_topk(

@@ -168,12 +168,31 @@ class VersionedTable:
         ) from last
 
     # -- maintenance ---------------------------------------------------
-    def vacuum(self, keep_last: int = 2) -> list[str]:
+    def vacuum(
+        self, keep_last: int = 2, grace_seconds: float = 600.0
+    ) -> list[str]:
         """Remove data dirs not referenced by the last ``keep_last``
         commits, plus orphaned staging dirs (crash debris). Returns the
         removed names. Readers of retained versions are unaffected —
-        referenced dirs are immutable."""
+        referenced dirs are immutable.
+
+        Concurrent-writer safety (vacuum may race live commits — the
+        maintainers call it after every batch):
+
+        - A data dir whose version number EXCEEDS ``latest_version()``
+          is an in-flight commit: ``commit()`` renames the staging dir
+          to its final v-name BEFORE linking the manifest, so in that
+          window the dir is unreferenced but about to become live.
+          Never removed, regardless of age.
+        - Anything else unreferenced is only removed when its mtime is
+          older than ``grace_seconds`` — a concurrent writer's live
+          staging dir is always younger than the grace window, while
+          genuine crash debris ages past it. ``grace_seconds=0``
+          restores eager collection for single-writer offline cleanup.
+        """
+        import re
         import shutil
+        import time
 
         latest = self.latest_version()
         keep_dirs = set()
@@ -182,14 +201,24 @@ class VersionedTable:
                 keep_dirs.add(self.read_manifest(v)["data_dir"])
             except FileNotFoundError:
                 continue
+        now = time.time()
         removed = []
         for name in os.listdir(self.root):
             if name == _COMMITS or name in keep_dirs:
                 continue
+            m = re.match(r"^v(\d{8})-", name)
+            if m and int(m.group(1)) > latest:
+                continue  # in-flight commit, manifest not linked yet
             full = os.path.join(self.root, name)
-            if os.path.isdir(full):
-                shutil.rmtree(full, ignore_errors=True)
-                removed.append(name)
+            if not os.path.isdir(full):
+                continue
+            try:
+                if now - os.path.getmtime(full) < grace_seconds:
+                    continue  # presumed live (racing writer), not debris
+            except OSError:
+                continue  # vanished under us — a later pass gets it
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(name)
         return removed
 
     # -- Spark convenience ----------------------------------------------

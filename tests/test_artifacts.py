@@ -129,3 +129,23 @@ def test_pq_trained_matching_geometry_accepted(spark):
     trained = pq_train_encode(emb, m=4, ksub=4, dim=8)
     out = pq_topk(emb, [0], k=3, m=4, dim=8, trained=trained)
     assert out.count() == 3
+
+
+def test_geometry_memo_survives_id_reuse(spark):
+    """The validation memo must be pinned to the frame OBJECT, not its
+    id(): after GC a different codebook frame can land on the same id()
+    and must NOT inherit the dead frame's validation pass."""
+    from kafka_streams_dexcom_spark.operators import quantize as qz
+
+    emb = _emb(spark, n=20, dim=8)
+    good_cents, good_codes = pq_train_encode(emb, m=4, ksub=4, dim=8)
+    pq_topk(emb, [0], k=3, m=4, dim=8, trained=(good_cents, good_codes))
+    # simulate an id() collision: a stale memo entry recorded under the
+    # NEW frame's id but referencing the (now conceptually dead) old
+    # frame — exactly what a recycled address produces
+    import weakref
+
+    bad_cents, bad_codes = pq_train_encode(emb, m=2, ksub=4, dim=8)
+    qz._TRAINED_GEOMETRY_OK[(id(bad_cents), 4, 8)] = weakref.ref(good_cents)
+    with pytest.raises(ValueError, match="geometry|subspaces"):
+        pq_topk(emb, [0], k=3, m=4, dim=8, trained=(bad_cents, bad_codes))

@@ -487,3 +487,16 @@ def test_avi_features_integer_means():
     w, h, n, means = avi_features(avi_encode([f0, f1, f2]))
     assert (w, h, n) == (8, 8, 3)
     assert means == [0, 255000, (63 * 64 // 2) * 1000 // 64]
+
+
+def test_avi_flags_consistent_with_missing_index():
+    """avih dwFlags must NOT advertise AVIF_HASINDEX (0x10): no idx1
+    chunk is written, and a strict index-trusting player would fail on
+    the missing index. dwFlags sits 12 bytes into the avih payload."""
+    frames = [np.zeros((4, 4), np.uint8)]
+    p = avi_encode(frames)
+    at = p.find(b"avih")
+    assert at > 0
+    flags = struct.unpack_from("<I", p, at + 8 + 12)[0]
+    assert flags & 0x10 == 0
+    assert b"idx1" not in p

@@ -179,6 +179,14 @@ def test_no_torn_reads_under_concurrent_commits(tmp_path):
     assert t.latest_version() == 29
 
 
+def _backdate(path: str, seconds: float = 3600.0) -> None:
+    """Age a directory past any vacuum grace window."""
+    import time
+
+    old = time.time() - seconds
+    os.utime(path, (old, old))
+
+
 def test_vacuum_removes_old_and_crash_debris(tmp_path):
     t = VersionedTable(str(tmp_path / "t"))
     for v in range(4):
@@ -188,6 +196,12 @@ def test_vacuum_removes_old_and_crash_debris(tmp_path):
     # crash debris: a staged dir whose writer died pre-commit
     orphan = t.stage()
     _write_payload(orphan, 1, "orphan")
+    # fresh debris survives the grace window...
+    assert t.vacuum(keep_last=2) == []
+    # ...and is collected once aged past it
+    for name in os.listdir(t.root):
+        if name != "_commits":
+            _backdate(os.path.join(t.root, name))
     removed = t.vacuum(keep_last=2)
     assert len(removed) == 3  # v0, v1 data dirs + the orphan
     # retained versions still read cleanly
@@ -195,6 +209,75 @@ def test_vacuum_removes_old_and_crash_debris(tmp_path):
     assert _validate_payload(t.data_path(2))["tag"] == "v2"
     with pytest.raises((FileNotFoundError, AssertionError)):
         _validate_payload(t.data_path(0))
+
+
+def test_vacuum_never_touches_in_flight_commit(tmp_path):
+    """The window commit() opens between rename-to-v-name and manifest
+    link: the dir is unreferenced with version > latest. vacuum must
+    leave it even when aged — removing it would let the racing link
+    succeed and publish a manifest over an rmtree'd data dir (a torn
+    table)."""
+    t = VersionedTable(str(tmp_path / "t"))
+    s = t.stage()
+    _write_payload(s, 1, "v0")
+    t.commit(s, -1)
+    # simulate a writer crashed/paused mid-commit of version 1
+    inflight = os.path.join(t.root, "v00000001-deadbeef")
+    os.makedirs(inflight)
+    _write_payload(inflight, 2, "inflight")
+    _backdate(inflight)
+    assert t.vacuum(keep_last=1, grace_seconds=0.0) == []
+    # the paused commit can still land and read back intact
+    with open(os.path.join(t.root, "_commits", "00000001.json"), "w") as f:
+        json.dump(
+            {"version": 1, "base_version": 0, "data_dir": "v00000001-deadbeef"},
+            f,
+        )
+    assert _validate_payload(t.data_path(1))["tag"] == "inflight"
+
+
+def test_vacuum_racing_commits_never_tears_table(tmp_path):
+    """A maintainer committing every batch while another thread vacuums
+    aggressively (keep_last=1, default grace): every version a reader
+    resolves must validate — the exact advertised concurrent-maintainer
+    use case."""
+    t = VersionedTable(str(tmp_path / "t"))
+    errors: list[str] = []
+    done = threading.Event()
+
+    def writer() -> None:
+        for v in range(40):
+            s = t.stage()
+            _write_payload(s, 2 + v % 2, f"gen{v}")
+            t.commit(s, v - 1)
+        done.set()
+
+    def vacuumer() -> None:
+        while not done.is_set():
+            t.vacuum(keep_last=1)
+
+    def reader() -> None:
+        while not done.is_set():
+            v = t.latest_version()
+            if v < 0:
+                continue
+            try:
+                _validate_payload(t.data_path(v))
+            except Exception as e:  # pragma: no cover
+                errors.append(f"v{v}: {type(e).__name__}: {e}")
+                done.set()
+                return
+
+    threads = [
+        threading.Thread(target=fn)
+        for fn in (writer, vacuumer, reader, reader)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors
+    assert _validate_payload(t.data_path())["tag"] == "gen39"
 
 
 def test_spark_write_commit_roundtrip(spark, tmp_path):

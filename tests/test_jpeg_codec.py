@@ -149,3 +149,17 @@ def test_real_decode_path_in_spark(spark):
     assert got[1] == (8, 8, 1, round(128 / 255.0, 6))
     assert got[3] == (2, 2, 1, 0.4)
     assert got[2][0:3] == (3, 2, 1) and abs(got[2][3] - 0.5) < 0.01
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: encoders may pad with any number of 0xFF fill bytes
+    before a marker. 0xFF 0xFF <marker> must parse as <marker>, not as a
+    bogus 0xFF segment whose 'length' skips arbitrary bytes."""
+    img = (np.arange(64).reshape(8, 8) * 2 + 50).astype(np.uint8)
+    data = encode_jpeg_gray(img, quant=ONES)
+    base = decode_jpeg(data)[3]
+    # inject fill bytes before the DQT marker and before EOI
+    padded = data.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    padded = padded[:-2] + b"\xff\xff" + padded[-2:]
+    w, h, c, arr = decode_jpeg(padded)
+    assert (w, h, c) == (8, 8, 1)
+    np.testing.assert_array_equal(arr, base)

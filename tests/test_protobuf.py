@@ -213,3 +213,38 @@ def test_protobuf_stream_source_shape(spark, tmp_path):
     )
     assert decoded.isStreaming
     assert decoded.schema["parsed"].dataType == EGV_SCHEMA
+
+def test_skip_unknown_truncated_raises():
+    """A corrupt/overlong unknown-field length must raise like the
+    known-field decoders do — not silently end the loop and NULL out
+    the remaining fields."""
+    from kafka_streams_dexcom_spark.functions.protobuf import _skip_unknown
+
+    # length-delimited (wire 2) claiming 100 bytes in a 3-byte buffer
+    buf = b"\x64ab"
+    with pytest.raises(ValueError, match="truncated"):
+        _skip_unknown(2, buf, 0)
+    # fixed 8/4-byte skips past the end
+    with pytest.raises(ValueError, match="truncated"):
+        _skip_unknown(1, b"\x01\x02", 0)
+    with pytest.raises(ValueError, match="truncated"):
+        _skip_unknown(5, b"\x01\x02", 0)
+    # in-bounds skips still land exactly past the field
+    assert _skip_unknown(2, b"\x02abXY", 0) == 3
+    assert _skip_unknown(5, b"abcdE", 0) == 4
+
+
+def test_truncated_unknown_field_fails_loudly(spark):
+    """End-to-end: the decode task must FAIL on the corrupt payload,
+    not decode it to a row of NULLs."""
+    # valid field 1 (int32=5), then unknown field 7 wire 2 with an
+    # overlong length
+    payload = b"\x08\x05" + b"\x3a\x7fonly-a-few-bytes"
+    df = spark.createDataFrame([(bytearray(payload),)], "w binary")
+    out = df.select(
+        from_protobuf_column(
+            F.col("w"), [("a", 1, "int32")], force_fallback=True
+        ).alias("r")
+    )
+    with pytest.raises(Exception, match="truncated unknown field"):
+        out.collect()
