@@ -84,3 +84,88 @@ def test_new_lineage_on_existing_view_fails_loudly(spark, tmp_path):
     )
     with pytest.raises(RuntimeError, match="lineage"):
         fresh(d.limit(5), 0)
+
+
+def test_two_racing_maintainers_serialize_and_lose_nothing(spark, tmp_path):
+    """Two maintainers race DISTINCT batches into one view. The commit
+    log must serialize them — exactly one winner per version, the loser
+    rebases and refolds — so the final labels equal the one-shot batch
+    result over the union, and no batch's edges are lost (the failure
+    mode of the old rename-swap publish)."""
+    import threading
+
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    d0 = d.filter(F.col("doc_id") % 2 == 0).localCheckpoint()
+    d1 = d.filter(F.col("doc_id") % 2 == 1).localCheckpoint()
+    view = str(tmp_path / "view")
+    # two writers of ONE logical lineage: distinct writer_ids give each
+    # its own replay counter (batch ids restart per foreachBatch query)
+    m_a = ClusterMapMaintainer(
+        spark, view, threshold=THRESHOLD, writer_id="a"
+    )
+    m_b = ClusterMapMaintainer(
+        spark, view, threshold=THRESHOLD, writer_id="b"
+    )
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def run(m, batch, bid):
+        try:
+            barrier.wait()
+            m(batch, bid)
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(m_a, d0, 0)),
+        threading.Thread(target=run, args=(m_b, d1, 1)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    # both commits landed (no lost update), serialized as v0 then v1
+    assert m_a.table.latest_version() == 1
+    got = {(r.node, r.component) for r in m_a.labels().collect()}
+    pairs = dd.minhash_lsh_dedup(d, threshold=THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    want = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want and got
+
+
+def test_writers_do_not_share_replay_counters(spark, tmp_path):
+    """Deterministic pin of the shared-high-water-mark bug: writer B
+    commits its batch 1 FIRST; writer A's batch 0 must still fold (a
+    shared counter would read 0 <= 1 and silently drop A's documents)."""
+    d = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    d0 = d.filter(F.col("doc_id") % 2 == 0)
+    d1 = d.filter(F.col("doc_id") % 2 == 1)
+    view = str(tmp_path / "view")
+    m_a = ClusterMapMaintainer(
+        spark, view, threshold=THRESHOLD, writer_id="a"
+    )
+    m_b = ClusterMapMaintainer(
+        spark, view, threshold=THRESHOLD, writer_id="b"
+    )
+    m_b(d1, 1)
+    m_a(d0, 0)
+    got = {(r.node, r.component) for r in m_a.labels().collect()}
+    pairs = dd.minhash_lsh_dedup(d, threshold=THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    want = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    assert got == want and got
+    # replays of each writer's own batch stay no-ops
+    before = sorted((r.node, r.component) for r in m_a.labels().collect())
+    m_a(d0, 0)
+    m_b(d1, 1)
+    after = sorted((r.node, r.component) for r in m_a.labels().collect())
+    assert before == after
