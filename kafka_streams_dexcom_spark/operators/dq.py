@@ -87,3 +87,62 @@ def orphan_violations(
         F.lit(rule).alias("rule"),
         F.count(F.lit(1)).cast("bigint").alias("violations"),
     )
+
+
+# Alarm when an epoch's quarantine rate exceeds FACTOR x the corpus-wide
+# rate AND at least MIN rows were quarantined (absolute floor so a
+# 1-in-10 epoch on a tiny corpus doesn't page anyone).
+QUARANTINE_ALARM_FACTOR = 3
+QUARANTINE_ALARM_MIN = 5
+
+
+def quarantine_rate_alarm(
+    df: DataFrame,
+    epoch_col: str = "epoch",
+    corrupt_col: str = "_corrupt_record",
+) -> DataFrame:
+    """Per-epoch quarantine *rate over time* with a burst alarm — the
+    corrupt-record twin of value_drift_psi: a quarantine spike means an
+    upstream FORMAT break (fix the producer), which per-epoch totals
+    alone don't surface once the corpus is large.
+
+    Input is the raw PERMISSIVE parse (one row per input record, the
+    corrupt column NULL on valid rows) carrying an epoch column — a
+    partition directory, an ingest batch id, a date. Output: one row
+    per epoch with row/quarantine counts, the rate in ppm, and
+    ``alarm`` = 1 when the epoch's rate exceeds
+    ``QUARANTINE_ALARM_FACTOR`` x the corpus-wide rate with at least
+    ``QUARANTINE_ALARM_MIN`` quarantined rows. The comparison is exact
+    integer cross-multiplication (n_q·g_rows > FACTOR·g_q·n_rows) — no
+    float thresholds to replay differently cross-engine.
+
+    Scale: one map-side-combined aggregate over the landing scan
+    (epoch-count cardinality output), plus a broadcast 1-row global —
+    the bounded-agg shape every DQ query here uses.
+    """
+    per = df.groupBy(epoch_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(corrupt_col).isNotNull().cast("long")).alias(
+            "n_quarantined"
+        ),
+    )
+    glob = per.agg(
+        F.sum("n_rows").alias("g_rows"),
+        F.sum("n_quarantined").alias("g_quarantined"),
+    )
+    alarm = (
+        (
+            F.col("n_quarantined") * F.col("g_rows")
+            > F.lit(QUARANTINE_ALARM_FACTOR)
+            * F.col("g_quarantined")
+            * F.col("n_rows")
+        )
+        & (F.col("n_quarantined") >= QUARANTINE_ALARM_MIN)
+    ).cast("int")
+    return per.crossJoin(F.broadcast(glob)).select(
+        epoch_col,
+        "n_rows",
+        "n_quarantined",
+        F.expr("n_quarantined * 1000000 div n_rows").alias("rate_ppm"),
+        alarm.alias("alarm"),
+    )

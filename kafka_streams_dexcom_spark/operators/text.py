@@ -578,6 +578,101 @@ def kneser_ney_lm(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def kneser_ney_trigram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Interpolated TRIGRAM Kneser-Ney (Chen & Goodman 1998, fixed
+    discount d = 0.75 at both levels) — the standard rung above the
+    bigram models: the trigram level backs off into a bigram model
+    built from CONTINUATION counts, not raw counts (the defining KN
+    move at interior levels):
+
+        p(w3|w1,w2) = (c(w1w2w3) − d)/c(w1w2·)
+                      + d·N1+(w1w2·)/c(w1w2·) · p_cont(w3|w2)
+
+        p_cont(w3|w2) = (N1+(·w2w3) − d)/N1+(·w2·)
+                        + d·N1+(w2·)/N1+(·w2·) · N1+(·w3)/N1+(··)
+
+    where N1+(·w2w3) counts distinct w1 preceding the bigram (w2,w3) —
+    on the trigram TYPE table that is simply the row count per (w2,w3),
+    and the distinct-(w2,w3) statistics (N1+(w2·), N1+(·w3), N1+(··))
+    fall out of a first-w1 row-number marker summed over the w2 / w3 /
+    global windows. Emitted for every OBSERVED trigram, so c − d > 0
+    and the max(·,0) clamp is vacuous.
+
+    Scale: the token-scale shuffle is the ONE (w1,w2,w3) type count;
+    everything else is window sums over the vocab-scale type table —
+    the (w2,w3) partitioning serves both the row-number marker and the
+    continuation count, then one exchange each for the (w1,w2), (w2)
+    and (w3) windows; the global type total joins as a broadcast 1-row
+    aggregate (never a single-partition global window)."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    trigrams = F.expr(
+        "transform(sequence(1, size(tk) - 2), "
+        "i -> struct(element_at(tk, i) AS w1, "
+        "element_at(tk, i + 1) AS w2, "
+        "element_at(tk, i + 2) AS w3))"
+    )
+    counts = (
+        fan_out_small(df)
+        .select(F.expr(toks_expr).alias("tk"))
+        .filter(F.size("tk") >= 3)
+        .select(F.explode(trigrams).alias("tg"))
+        .groupBy(
+            F.col("tg.w1").alias("w1"),
+            F.col("tg.w2").alias("w2"),
+            F.col("tg.w3").alias("w3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    bg_win = Window.partitionBy("w2", "w3")
+    ctx_win = Window.partitionBy("w1", "w2")
+    w2_win = Window.partitionBy("w2")
+    w3_win = Window.partitionBy("w3")
+    first_w1 = (
+        F.row_number().over(bg_win.orderBy("w1")) == 1
+    ).cast("long")
+    marked = (
+        counts.repartition("w2", "w3")
+        .withColumn("cc_bg", F.count(F.lit(1)).over(bg_win))
+        .withColumn("is_first", first_w1)
+    )
+    tot = marked.agg(
+        F.sum("is_first").alias("n_tot_bg")
+    )
+    stats = (
+        marked.withColumn("n_ctx", F.sum("n_tri").over(ctx_win))
+        .withColumn("n1p_ctx", F.count(F.lit(1)).over(ctx_win))
+        .withColumn("cc_mid", F.count(F.lit(1)).over(w2_win))
+        .withColumn("n1p_w2", F.sum("is_first").over(w2_win))
+        .withColumn("n1_w3", F.sum("is_first").over(w3_win))
+        .crossJoin(F.broadcast(tot))
+    )
+
+    def dbl(name: str):
+        return F.col(name).cast("double")
+
+    d = F.lit(KN_DISCOUNT)
+    p_bg = (dbl("cc_bg") - d) / dbl("cc_mid") + d * dbl("n1p_w2") / dbl(
+        "cc_mid"
+    ) * (dbl("n1_w3") / dbl("n_tot_bg"))
+    p_tri = (dbl("n_tri") - d) / dbl("n_ctx") + d * dbl("n1p_ctx") / dbl(
+        "n_ctx"
+    ) * p_bg
+    return stats.select(
+        "w1",
+        "w2",
+        "w3",
+        "n_tri",
+        "n_ctx",
+        "n1p_ctx",
+        "cc_bg",
+        "cc_mid",
+        "n1p_w2",
+        "n1_w3",
+        "n_tot_bg",
+        trunc6(p_tri).alias("p_kn3"),
+    )
+
+
 def doc_cross_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document cross-entropy under the corpus's OWN bigram LM —
     the KenLM-style fluency signal LLM pipelines use to filter

@@ -421,8 +421,68 @@ def q_format_matrix_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+N_EPOCHS = 8
+BURST_EPOCH = 5
+BURST_EXTRA = 24  # burst epoch gets 1 + 24 corrupt lines, others 1
+
+
+def _jsonl_epoch_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """An epoch-partitioned JSONL drop zone (epoch=K/ dirs, K = doc_id %
+    N_EPOCHS) with a baseline corrupt trickle (1 malformed line per
+    epoch — real feeds are never perfectly clean) and a planted corrupt
+    BURST in epoch BURST_EPOCH — the upstream-format-break incident the
+    rate alarm exists to catch."""
+    fp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+
+    def build() -> str:
+        out = os.path.join(
+            session_temp_dir("jsonl_epochs"), fp.replace(os.sep, "_")
+        )
+        (
+            load_table(spark, sf_dir, "documents")
+            .withColumn(
+                "epoch", (F.col("doc_id") % N_EPOCHS).cast("int")
+            )
+            .write.mode("overwrite")
+            .partitionBy("epoch")
+            .json(out)
+        )
+        for k in range(N_EPOCHS):
+            n_bad = 1 + (BURST_EXTRA if k == BURST_EPOCH else 0)
+            with open(
+                os.path.join(out, f"epoch={k}", "part-corrupt.json"), "w"
+            ) as f:
+                f.write('{"doc_id": "boom", "text": truncated\n' * n_bad)
+        return out
+
+    return session_value(
+        spark, "jsonl_epochs", (os.path.abspath(sf_dir), fp), build
+    )
+
+
+def q_quarantine_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine rate over time with burst alarm
+    (operators/dq.py:quarantine_rate_alarm): per-epoch quarantine
+    counts + ppm rate over the epoch-partitioned JSONL drop zone, alarm
+    firing exactly on the planted burst epoch. The corrupt-record twin
+    of value_drift_psi — a quarantine spike is an upstream format
+    break, distinct from value-rule rejections (the quality gate's
+    corrupt-vs-rejected distinction made queryable over time)."""
+    from kafka_streams_dexcom_spark.operators.dq import (
+        quarantine_rate_alarm,
+    )
+
+    path = _jsonl_epoch_fixture(spark, sf_dir)
+    raw = cs.read_jsonl(spark, path, DOCS_JSONL_SCHEMA)
+    # bronze-landing persist: the corrupt column may not be queried
+    # straight off the file scan (SPARK-26224) — same discipline as
+    # split_quarantine(materialize=True)
+    return quarantine_rate_alarm(raw.persist(), epoch_col="epoch")
+
+
 QUERIES = {
     "jsonl_corpus_stats": q_jsonl_corpus_stats,
+    "quarantine_rate": q_quarantine_rate,
     "csv_corpus_stats": q_csv_corpus_stats,
     "warc_corpus_stats": q_warc_corpus_stats,
     "warc_optout_filter": q_warc_optout_filter,
@@ -431,6 +491,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "quarantine_rate": f"""
+        WITH v AS (
+            SELECT CAST(doc_id % {N_EPOCHS} AS INTEGER) AS epoch,
+                   CAST(count(*) AS BIGINT) AS n_valid
+            FROM documents GROUP BY 1
+        ),
+        q AS (
+            SELECT CAST(e AS INTEGER) AS epoch,
+                   CAST(1 + CASE WHEN e = {BURST_EPOCH}
+                       THEN {BURST_EXTRA} ELSE 0 END AS BIGINT) AS n_q
+            FROM generate_series(0, {N_EPOCHS - 1}) t(e)
+        ),
+        per AS (
+            SELECT q.epoch,
+                   coalesce(v.n_valid, 0) + q.n_q AS n_rows,
+                   q.n_q AS n_quarantined
+            FROM q LEFT JOIN v ON v.epoch = q.epoch
+        ),
+        g AS (
+            SELECT CAST(sum(n_rows) AS BIGINT) AS g_rows,
+                   CAST(sum(n_quarantined) AS BIGINT) AS g_quarantined
+            FROM per
+        )
+        SELECT epoch, n_rows, n_quarantined,
+               n_quarantined * 1000000 // n_rows AS rate_ppm,
+               CAST(n_quarantined * g_rows >
+                        3 * g_quarantined * n_rows
+                    AND n_quarantined >= 5 AS INTEGER) AS alarm
+        FROM per, g
+    """,
     "jsonl_corpus_stats": f"""
         SELECT source, lang,
                count(*) AS n_docs,

@@ -548,6 +548,14 @@ def q_kneser_ney_modified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.kneser_ney_modified(load_table(spark, sf_dir, "documents"))
 
 
+def q_kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated trigram Kneser-Ney
+    (operators/text.py:kneser_ney_trigram) — the two-level backoff: the
+    trigram level interpolates into a bigram model built from
+    CONTINUATION counts, the defining KN move at interior levels."""
+    return tx.kneser_ney_trigram(load_table(spark, sf_dir, "documents"))
+
+
 def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule filter (operators/text.py:gopher_rules) — the
     published rule-based curation pass, one exact-integer flag per rule.
@@ -1070,6 +1078,7 @@ QUERIES = {
     "unimax_mix": q_unimax_mix,
     "kneser_ney_lm": q_kneser_ney_lm,
     "kneser_ney_modified": q_kneser_ney_modified,
+    "kneser_ney_trigram": q_kneser_ney_trigram,
     "perplexity_buckets": q_perplexity_buckets,
     "char_entropy": q_char_entropy,
     "pii_scan": q_pii_scan,
@@ -1856,6 +1865,67 @@ ORACLES = {
                           * (CAST(n1_w2 AS DOUBLE)
                              / CAST(n_tot AS DOUBLE))) * 1000000)
                    / 1000000.0 AS p_kn
+        FROM w
+    """,
+    "kneser_ney_trigram": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       x -> x != '') AS toks
+            FROM documents
+        ),
+        tg AS (
+            SELECT unnest(list_transform(range(1, len(toks) - 1),
+                       i -> struct_pack(w1 := toks[i],
+                                        w2 := toks[i + 1],
+                                        w3 := toks[i + 2]))) AS g
+            FROM t WHERE len(toks) >= 3
+        ),
+        c AS (
+            SELECT g.w1 AS w1, g.w2 AS w2, g.w3 AS w3,
+                   CAST(count(*) AS BIGINT) AS n_tri
+            FROM tg GROUP BY 1, 2, 3
+        ),
+        m AS (
+            SELECT *,
+                   CAST(count(*) OVER (PARTITION BY w2, w3) AS BIGINT)
+                       AS cc_bg,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY w2, w3 ORDER BY w1) = 1
+                        THEN 1 ELSE 0 END AS is_first
+            FROM c
+        ),
+        tot AS (
+            SELECT CAST(sum(is_first) AS BIGINT) AS n_tot_bg FROM m
+        ),
+        w AS (
+            SELECT m.*, tot.n_tot_bg,
+                   CAST(sum(n_tri) OVER (PARTITION BY w1, w2) AS BIGINT)
+                       AS n_ctx,
+                   CAST(count(*) OVER (PARTITION BY w1, w2) AS BIGINT)
+                       AS n1p_ctx,
+                   CAST(count(*) OVER (PARTITION BY w2) AS BIGINT)
+                       AS cc_mid,
+                   CAST(sum(is_first) OVER (PARTITION BY w2) AS BIGINT)
+                       AS n1p_w2,
+                   CAST(sum(is_first) OVER (PARTITION BY w3) AS BIGINT)
+                       AS n1_w3
+            FROM m, tot
+        )
+        SELECT w1, w2, w3, n_tri, n_ctx, n1p_ctx, cc_bg, cc_mid,
+               n1p_w2, n1_w3, n_tot_bg,
+               floor(((CAST(n_tri AS DOUBLE) - {tx.KN_DISCOUNT})
+                          / CAST(n_ctx AS DOUBLE)
+                      + {tx.KN_DISCOUNT} * CAST(n1p_ctx AS DOUBLE)
+                          / CAST(n_ctx AS DOUBLE)
+                          * ((CAST(cc_bg AS DOUBLE) - {tx.KN_DISCOUNT})
+                                 / CAST(cc_mid AS DOUBLE)
+                             + {tx.KN_DISCOUNT}
+                                 * CAST(n1p_w2 AS DOUBLE)
+                                 / CAST(cc_mid AS DOUBLE)
+                                 * (CAST(n1_w3 AS DOUBLE)
+                                    / CAST(n_tot_bg AS DOUBLE))))
+                     * 1000000) / 1000000.0 AS p_kn3
         FROM w
     """,
     "unimax_mix": f"""

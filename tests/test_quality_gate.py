@@ -81,3 +81,71 @@ def test_stream_gate_matches_batch_partition(spark, tmp_path):
     assert sorted(got_quar) == want_quar
     # accepted rows come back in the SOURCE schema (flags dropped)
     assert set(schemas) == {("doc_id", "text")}
+
+
+def test_quarantine_burst_fires_rate_alarm(spark, tmp_path):
+    """The gate's quarantine sink, accumulated per batch-epoch, must
+    trip operators/dq.quarantine_rate_alarm exactly on a planted
+    corrupt BURST epoch — a format break upstream — while epochs with
+    the baseline trickle stay quiet."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.operators.dq import (
+        quarantine_rate_alarm,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    good = _passing_text()
+    # 4 single-file epochs x 40 docs; epoch 2 is the incident: 10
+    # corrupt lines (producer format break) vs <=1 elsewhere
+    for epoch in range(4):
+        lines = [
+            json.dumps({"doc_id": epoch * 100 + i, "text": good})
+            for i in range(40)
+        ]
+        if epoch == 2:
+            lines += ["{broken" for _ in range(10)]
+        elif epoch == 0:
+            lines += ["{broken"]
+        (src / f"e{epoch}.jsonl").write_text("\n".join(lines) + "\n")
+
+    rows: list = []
+    sink = curation_gate_writer(
+        lambda df, bid: rows.extend(
+            {"epoch": bid, "corrupt": None} for _ in range(df.count())
+        ),
+        lambda df, bid: rows.extend(
+            {"epoch": bid, "corrupt": None} for _ in range(df.count())
+        ),
+        lambda df, bid: rows.extend(
+            {"epoch": bid, "corrupt": r.raw_line} for r in df.collect()
+        ),
+    )
+    q = (
+        cs.read_jsonl_stream(
+            spark, str(src), DOC_SCHEMA, max_files_per_trigger=1
+        )
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ledger = spark.createDataFrame(
+        [(r["epoch"], r["corrupt"]) for r in rows],
+        "epoch int, _corrupt_record string",
+    )
+    got = {
+        r.epoch: (r.n_rows, r.n_quarantined, r.alarm)
+        for r in quarantine_rate_alarm(ledger).collect()
+    }
+    assert len(got) == 4
+    burst_epochs = [e for e, (_n, _q, a) in got.items() if a == 1]
+    assert len(burst_epochs) == 1
+    n, nq, _ = got[burst_epochs[0]]
+    assert (n, nq) == (50, 10)
+    # the baseline-trickle epoch counted its line but stayed quiet
+    assert sorted(v[1] for v in got.values()) == [0, 0, 1, 10]
