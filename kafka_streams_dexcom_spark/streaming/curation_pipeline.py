@@ -1,0 +1,179 @@
+"""End-to-end streaming curation pipeline: ONE topology from a
+WebDataset shard drop zone to the two published corpus indexes.
+
+    shard drop zone (read_webdataset_stream, exactly-once file pickup)
+        │  txt members
+        ├─ corrupt member (bad key / invalid UTF-8) → quarantine ledger
+        ├─ parsed doc failing gopher_rules          → rejected ledger
+        └─ accepted doc ─┬─ ClusterMapMaintainer  (near-dup cluster map)
+                         └─ IvfPostingsMaintainer (ANN postings, frozen
+                            quantizer, deterministic text featurizer)
+
+The reference composes its five programs only through Kafka topics
+(P1 ingests, P3/P4/P5 transform, P6 sinks — StreamsFilterEgvs.java,
+ElasticSearchConsumer.java); this module is that composition as one
+Spark topology: a single foreachBatch epoch drives the three-way gate
+(streaming/quality_gate.py routing) and folds the accepted documents
+into BOTH maintained views, each published through the optimistic
+commit log.
+
+One lineage / replay story across the chain: the pipeline binds one
+``lineage_id`` to the source query; each maintainer records the applied
+batch watermark in its own commit manifest, so a crash ANYWHERE in the
+epoch — including between the two maintainer publishes — replays the
+batch and every already-committed leg no-ops while the interrupted leg
+applies. The ledgers are idempotent per-epoch overwrites (batch=N
+subdirs). The end-to-end pytest crashes the query mid-epoch between the
+cluster-map commit and the postings commit, restarts from the same
+checkpoint, and asserts both final views bit-equal the one-shot batch
+run — the strongest composition claim short of a real cluster.
+
+Scale: every epoch stage is the tested component's own shape — one
+task per shard at parse, scan-side gate flags, batch-∝ cluster fold,
+broadcast-assign postings append. Nothing here adds a join or a
+corpus rescan; composition is routing, not recomputation.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators.text import gopher_rules
+from kafka_streams_dexcom_spark.streaming.ann_ingest import (
+    IvfPostingsMaintainer,
+)
+from kafka_streams_dexcom_spark.streaming.cluster_map_stream import (
+    ClusterMapMaintainer,
+)
+
+FEATURE_DIM = 8
+
+
+def text_feature_vector(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    dim: int = FEATURE_DIM,
+) -> DataFrame:
+    """Deterministic hashed bag-of-words featurizer: dim j is the fold
+    of pmod(xxhash64(token, j), 997) over the tokens. A stand-in for a
+    real encoder with the properties the pipeline needs — pure JVM
+    expression (no UDF), byte-stable across engines and runs, nonzero
+    for any non-empty text — so streamed assignments can be asserted
+    EXACTLY equal to one-shot ones."""
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    vec = (
+        f"transform(sequence(0, {dim - 1}), "
+        f"j -> CAST(aggregate({toks}, 0L, "
+        "(acc, t) -> acc + pmod(xxhash64(t, j), 997)) AS FLOAT))"
+    )
+    return df.withColumn(out_col, F.expr(vec))
+
+
+def parse_txt_members(members: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(docs, quarantine) from WebDataset member rows: txt members with
+    a numeric key and valid UTF-8 payload become (doc_id, text); the
+    rest of the txt members are the quarantine leg (kept as raw member
+    coordinates (shard, key) + payload — a queryable incident dataset, the same
+    contract as split_quarantine). Non-txt members are ignored here
+    (image/audio legs have their own consumers)."""
+    txt = members.filter(F.col("ext") == "txt").select(
+        "shard",
+        "key",
+        F.col("payload"),
+        F.expr("try_cast(key AS LONG)").alias("doc_id"),
+        # CAST reinterprets the bytes without validating (decode() under
+        # ANSI RAISES on malformed input — a whole-task failure, not a
+        # quarantine); is_valid_utf8 then flags the bad rows
+        F.expr("CAST(payload AS STRING)").alias("text"),
+    )
+    corrupt = F.col("doc_id").isNull() | ~F.expr("is_valid_utf8(text)")
+    docs = txt.filter(~corrupt).select("doc_id", "text")
+    quarantine = txt.filter(corrupt).select("shard", "key", "payload")
+    return docs, quarantine
+
+
+class CurationPipeline:
+    """foreachBatch sink wiring gate + both maintainers over one epoch.
+
+    ``root`` holds the two commit-log views (``cluster_map/``,
+    ``ann_postings/``) and the two per-epoch ledgers (``quarantine/``,
+    ``rejected/``). ``centroids`` is the FROZEN quantizer frame
+    (cid, cvec). ``crash_after_cluster_commit`` injects a mid-epoch
+    failure between the two maintainer publishes for the given batch
+    id — test hook for the replay contract."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        centroids: DataFrame,
+        lineage_id: str,
+        threshold: float = 0.2,
+        crash_after_cluster_commit: int | None = None,
+    ) -> None:
+        self.spark = spark
+        self.root = root
+        self.cluster = ClusterMapMaintainer(
+            spark,
+            os.path.join(root, "cluster_map"),
+            lineage_id=lineage_id,
+            threshold=threshold,
+        )
+        self.index = IvfPostingsMaintainer(
+            spark,
+            os.path.join(root, "ann_postings"),
+            centroids,
+            lineage_id=lineage_id,
+        )
+        self.crash_after_cluster_commit = crash_after_cluster_commit
+
+    def _ledger(self, name: str, df: DataFrame, batch_id: int) -> None:
+        # idempotent per-epoch publish: a replayed batch overwrites its
+        # own subdir with identical content
+        df.write.mode("overwrite").parquet(
+            os.path.join(self.root, name, f"batch={batch_id}")
+        )
+
+    def ledger(self, name: str) -> DataFrame:
+        p = os.path.join(self.root, name)
+        return self.spark.read.parquet(p)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            docs, quarantine = parse_txt_members(batch_df)
+            self._ledger("quarantine", quarantine, batch_id)
+            flagged = gopher_rules(docs, carry_cols=("text",)).persist()
+            try:
+                self._ledger(
+                    "rejected",
+                    flagged.filter("keep = 0").select("doc_id", "text"),
+                    batch_id,
+                )
+                accepted = (
+                    flagged.filter("keep = 1")
+                    .select("doc_id", "text")
+                    .localCheckpoint()
+                )
+            finally:
+                flagged.unpersist()
+            # leg 1: near-dup cluster map (commit-log publish, replay
+            # no-op on its own manifest watermark)
+            self.cluster(accepted, batch_id)
+            if self.crash_after_cluster_commit == batch_id:
+                raise RuntimeError(
+                    f"injected crash after cluster commit, epoch {batch_id}"
+                )
+            # leg 2: ANN postings over the deterministic featurization
+            self.index(
+                text_feature_vector(accepted).select(
+                    F.col("doc_id").alias("vec_id"), "embedding"
+                ),
+                batch_id,
+            )
+        finally:
+            batch_df.unpersist()

@@ -1,0 +1,167 @@
+"""End-to-end streaming curation pipeline
+(streaming/curation_pipeline.py): WebDataset shard drop zone → corrupt
+quarantine → gopher gate → cluster map + ANN postings, published
+through the commit log with ONE lineage/replay story.
+
+The load-bearing test crashes the query MID-EPOCH (between the two
+maintainer commits), restarts from the same checkpoint, and asserts
+both published views are bit-equal to the one-shot batch run and the
+quarantine ledger holds each planted corrupt member exactly once."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators import dedup as dd
+from kafka_streams_dexcom_spark.operators.clustering import (
+    assign_to_centroids,
+)
+from kafka_streams_dexcom_spark.operators.dedup import with_embedding_norm
+from kafka_streams_dexcom_spark.operators.graph import connected_components
+from kafka_streams_dexcom_spark.operators.text import gopher_rules
+from kafka_streams_dexcom_spark.sources import corpus as cs
+from kafka_streams_dexcom_spark.sources.corpus import (
+    tar_end_bytes,
+    tar_member_bytes,
+    write_webdataset,
+)
+from kafka_streams_dexcom_spark.sources.files import load_table
+from kafka_streams_dexcom_spark.streaming.curation_pipeline import (
+    CurationPipeline,
+    parse_txt_members,
+    text_feature_vector,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+THRESHOLD = 0.2
+LINEAGE = "e2e-test"
+
+
+def _drop_zone(spark, tmp_path) -> str:
+    """4 WebDataset shards of the documents corpus plus one shard with
+    two corrupt txt members (non-numeric key, invalid UTF-8)."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    members = docs.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("txt").alias("ext"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    write_webdataset(members, str(drop), n_shards=4)
+    blob = (
+        tar_member_bytes("not-a-number.txt", b"parses as text fine")
+        + tar_member_bytes("999999.txt", b"\xff\xfe not utf8 \xff")
+        + tar_end_bytes()
+    )
+    (drop / "shard-corrupt.tar").write_bytes(blob)
+    return str(drop)
+
+
+def _centroids(spark):
+    """Frozen quantizer: 4 seed documents' feature vectors."""
+    seeds = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter("doc_id < 4")
+    )
+    feat = with_embedding_norm(
+        text_feature_vector(seeds).select("doc_id", "embedding"),
+        "embedding",
+    )
+    return feat.select(
+        F.col("doc_id").cast("int").alias("cid"), F.col("vec").alias("cvec")
+    ).localCheckpoint()
+
+
+def _run_stream(spark, drop, ckpt, pipe):
+    q = (
+        cs.read_webdataset_stream(spark, drop, max_files_per_trigger=2)
+        .writeStream.foreachBatch(pipe)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_end_to_end_crash_restart_bit_equal(spark, tmp_path):
+    drop = _drop_zone(spark, tmp_path)
+    cents = _centroids(spark)
+    root = str(tmp_path / "views")
+    ckpt = str(tmp_path / "ckpt")
+
+    # first run crashes mid-epoch 1: AFTER the cluster-map commit,
+    # BEFORE the postings commit — the replay contract's hardest spot
+    crashing = CurationPipeline(
+        spark,
+        root,
+        cents,
+        lineage_id=LINEAGE,
+        threshold=THRESHOLD,
+        crash_after_cluster_commit=1,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, drop, ckpt, crashing)
+
+    # restart from the same checkpoint: epoch 1 replays — the cluster
+    # map no-ops on its manifest watermark, the postings leg applies
+    clean = CurationPipeline(
+        spark, root, cents, lineage_id=LINEAGE, threshold=THRESHOLD
+    )
+    _run_stream(spark, drop, ckpt, clean)
+
+    # one-shot batch expectation over the same drop zone
+    members = cs.read_webdataset(spark, drop)
+    docs, quar = parse_txt_members(members)
+    flagged = gopher_rules(docs, carry_cols=("text",))
+    accepted = flagged.filter("keep = 1").select("doc_id", "text")
+    n_accept = accepted.count()
+    assert n_accept > 0, "degenerate: gate accepted nothing"
+    assert accepted.count() < docs.count(), "degenerate: gate rejects nothing"
+
+    # cluster map bit-equal to one-shot LSH + CC over accepted docs
+    pairs = dd.minhash_lsh_dedup(accepted, threshold=THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    want_labels = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    got_labels = {
+        (r.node, r.component) for r in clean.cluster.labels().collect()
+    }
+    assert got_labels == want_labels and got_labels
+
+    # postings bit-equal to one-shot frozen-quantizer assignment
+    base = with_embedding_norm(
+        text_feature_vector(accepted).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ),
+        "embedding",
+    ).select(F.col("vec_id").alias("vid"), "vec")
+    want_post = {
+        (r.vid, r.cid)
+        for r in assign_to_centroids(base, cents).collect()
+    }
+    got_post = {
+        (r.vec_id, r.cell) for r in clean.index.postings().collect()
+    }
+    assert got_post == want_post
+    assert len(got_post) == n_accept
+
+    # quarantine ledger: each planted corrupt member exactly once,
+    # despite the epoch replay
+    got_quar = [
+        (r.key, bytes(r.payload))
+        for r in clean.ledger("quarantine").collect()
+    ]
+    assert sorted(k for k, _p in got_quar) == ["999999", "not-a-number"]
+
+    # rejected ledger is the gate's keep=0 partition exactly
+    want_reject = {
+        r.doc_id for r in flagged.filter("keep = 0").collect()
+    }
+    got_reject = {r.doc_id for r in clean.ledger("rejected").collect()}
+    assert got_reject == want_reject
