@@ -1092,16 +1092,26 @@ ORACLES = {
             FROM lineitem
         ),
         m AS (
-            SELECT l_partkey,
-                   min(struct_pack(u := unit, sk := l_suppkey)) AS b
-            FROM u GROUP BY l_partkey
+            -- row_number argmin, NOT min(struct_pack(...)): DuckDB's
+            -- struct-min aggregate degrades pathologically past ~100k
+            -- groups (sf1 gate finding: minutes-vs-subsecond on 200k
+            -- parts), and a struct-field join key falls off the hash
+            -- join. Lexicographic (unit, sk) order is exactly Spark's
+            -- min(struct(u, sk)).
+            SELECT l_partkey, unit, l_suppkey
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY l_partkey ORDER BY unit, l_suppkey
+                ) AS rn
+                FROM u
+            ) WHERE rn = 1
         )
         SELECT p.p_partkey, p.p_name,
                s.s_name AS cheapest_supplier,
-               floor(m.b.u * 1000000) / 1000000.0 AS unit_price
+               floor(m.unit * 1000000) / 1000000.0 AS unit_price
         FROM m
         JOIN part p ON m.l_partkey = p.p_partkey
-        JOIN supplier s ON m.b.sk = s.s_suppkey
+        JOIN supplier s ON m.l_suppkey = s.s_suppkey
     """,
     "idle_customers": """
         SELECT n_name,
