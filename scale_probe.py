@@ -118,6 +118,12 @@ PROBE_QUERIES = [
     "webdataset_stats",
     "format_matrix_consistency",
     "time_in_range",
+    # round-7: kneser_ney_trigram folds on the trigram TYPE table —
+    # the self-union leaves the type vocabulary unchanged, so only the
+    # one token-scale count shuffle grows 10×; quarantine_rate is one
+    # bounded agg over the epoch-partitioned fixture.
+    "kneser_ney_trigram",
+    "quarantine_rate",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10
