@@ -43,8 +43,8 @@ REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 P_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
-P_ADJ = ["large", "hot", "blue", "red", "small", "green", "dim", "shiny"]
-P_NOUN = ["ring", "bolt", "gear", "cap", "rod", "pin", "cog", "nut"]
+P_ADJ = ["blue", "cold", "hot", "large", "new", "old", "red", "small"]
+P_NOUN = ["anvil", "bolt", "gear", "gizmo", "plate", "ring", "rod", "widget"]
 EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
 LANGS = ["en", "de", "fr", "es", "zh"]
 DAY_US = 86_400_000_000
@@ -97,7 +97,10 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
     _write(out, "part", pa.table({
         "p_partkey": pa.array(np.arange(n_part), pa.int64()),
         "p_name": [
-            f"{P_ADJ[i % 8]} {P_NOUN[(i // 8) % 8]}" for i in range(n_part)
+            f"{P_ADJ[a]} {P_NOUN[b]}"
+            for a, b in zip(
+                rng.integers(0, 8, n_part), rng.integers(0, 8, n_part)
+            )
         ],
         "p_brand": pa.array(
             [f"Brand#{int(b)}" for b in rng.integers(1, 26, n_part)]
@@ -137,8 +140,14 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         np.arange(n_li) - np.repeat(np.cumsum(lines_per) - lines_per,
                                     lines_per) + 1
     )
-    ship_lag_days = rng.integers(1, 122, n_li)
-    l_ship_us = np.repeat(o_date_us, lines_per) + ship_lag_days * DAY_US
+    # l_shipdate is INDEPENDENT of the order date (driver property:
+    # observed lag spans -2399..+2496 days, median ~47) — a lag-coupled
+    # shipdate would zero out the late-order query family (Q4 shapes
+    # filter on lag > 365 days)
+    s_base = np.datetime64("1995-01-02", "us").astype(np.int64)
+    s_span = np.datetime64("2001-11-04", "us").astype(np.int64) - s_base
+    l_ship_us = s_base + (rng.random(n_li) * s_span).astype(np.int64)
+    l_ship_us = (l_ship_us // DAY_US) * DAY_US
     qty = rng.integers(1, 51, n_li).astype(np.float64)
     price = np.round(
         qty * (900.0 + (rng.integers(0, n_part, n_li) % 1000) * 0.1 + 1)
