@@ -27,13 +27,19 @@ def vanilla_spark() -> SparkSession:
     Queries must work here — session hardening lives in load_table, not in
     get_spark() (round-1 lesson: 20/47 driver ERRs from exactly this skew).
     """
-    return (
+    b = (
         SparkSession.builder.appName("check_parity_vanilla")
         .master("local[8]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
-        .getOrCreate()
     )
+    # sf1+ runs need a bigger single JVM than the 1g local default (a
+    # real cluster's executors are tens of GB); unset = the driver's
+    # exact vanilla environment
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if mem:
+        b = b.config("spark.driver.memory", mem)
+    return b.getOrCreate()
 
 
 def main() -> int:
