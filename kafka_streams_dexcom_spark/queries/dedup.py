@@ -941,7 +941,13 @@ def _embedding_ivf_oracle() -> str:
     )
     ctes = kmeans_oracle_ctes()
     final = f"a{KMEANS_ITERS}"
-    ctes.append(f"""nn AS (
+    # MATERIALIZED: nn feeds BOTH join sides — plain-CTE inlining would
+    # replay the whole Lloyd chain once per side (the er_customer_golden
+    # lesson; bit at sf1, where the replay is minutes). The cosine fold
+    # is computed ONCE in a subquery and filtered outside — the
+    # SELECT+WHERE double fold was 2x the per-pair lambda cost at ~25M
+    # in-cell pairs.
+    ctes.append(f"""nn AS MATERIALIZED (
             SELECT vid, cid, vec,
                    sqrt({dot.format(a='vec', b='vec')}) AS norm
             FROM {final}
@@ -950,14 +956,14 @@ def _embedding_ivf_oracle() -> str:
         "WITH "
         + ",\n".join(ctes)
         + f"""
-        SELECT a.vid AS vec_a, b.vid AS vec_b,
-               round({dot.format(a='a.vec', b='b.vec')}
-                     / (a.norm * b.norm), 6) AS cos_sim
-        FROM nn a JOIN nn b
-          ON a.cid = b.cid AND a.vid < b.vid
-        WHERE a.norm > 0 AND b.norm > 0
-          AND round({dot.format(a='a.vec', b='b.vec')}
-                    / (a.norm * b.norm), 6) >= {COSINE_THRESHOLD}
+        SELECT vec_a, vec_b, cos_sim FROM (
+            SELECT a.vid AS vec_a, b.vid AS vec_b,
+                   round({dot.format(a='a.vec', b='b.vec')}
+                         / (a.norm * b.norm), 6) AS cos_sim
+            FROM nn a JOIN nn b
+              ON a.cid = b.cid AND a.vid < b.vid
+            WHERE a.norm > 0 AND b.norm > 0
+        ) WHERE cos_sim >= {COSINE_THRESHOLD}
     """
     )
 
@@ -1836,9 +1842,13 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _semdedup_oracle() -> str:
     """Replay: Lloyd rounds (kmeans_oracle_ctes) -> in-cell cosine
-    pairs (same fold as _embedding_ivf_oracle) -> recursive-CTE CC ->
-    per-dim centroid means (round 6) -> farthest-from-centroid
-    election with the same (d2, lowest-id) ordering."""
+    pairs (same fold as _embedding_ivf_oracle) -> hooking+doubling CC
+    (cc_doubling_sql; the recursive-CTE reachability this replaced
+    accumulates Σ size²·diameter rows — fatal at sf1, where semantic
+    clusters run to thousands of members) -> per-dim centroid means
+    (round 6) -> farthest-from-centroid election with the same
+    (d2, lowest-id) ordering. nn/sp/se are MATERIALIZED: nn feeds both
+    join sides and smember, se feeds every doubling layer."""
     from kafka_streams_dexcom_spark.queries.similarity import (
         KMEANS_ITERS,
         kmeans_oracle_ctes,
@@ -1854,36 +1864,29 @@ def _semdedup_oracle() -> str:
     )
     ctes = kmeans_oracle_ctes()
     final = f"a{KMEANS_ITERS}"
-    ctes.append(f"""nn AS (
+    ctes.append(f"""nn AS MATERIALIZED (
             SELECT vid, cid, vec,
                    sqrt({dot.format(a='vec', b='vec')}) AS norm
             FROM {final}
         )""")
-    ctes.append(f"""sp AS (
-            SELECT a.vid AS u, b.vid AS v
-            FROM nn a JOIN nn b
-              ON a.cid = b.cid AND a.vid < b.vid
-            WHERE a.norm > 0 AND b.norm > 0
-              AND round({dot.format(a='a.vec', b='b.vec')}
-                        / (a.norm * b.norm), 6) >= {SEMDEDUP_TAU}
+    ctes.append(f"""sp AS MATERIALIZED (
+            SELECT u, v FROM (
+                SELECT a.vid AS u, b.vid AS v,
+                       round({dot.format(a='a.vec', b='b.vec')}
+                             / (a.norm * b.norm), 6) AS cs
+                FROM nn a JOIN nn b
+                  ON a.cid = b.cid AND a.vid < b.vid
+                WHERE a.norm > 0 AND b.norm > 0
+            ) WHERE cs >= {SEMDEDUP_TAU}
         )""")
-    ctes.append("""se AS (
+    ctes.append("""se AS MATERIALIZED (
             SELECT u, v FROM sp UNION SELECT v, u FROM sp
         )""")
-    ctes.append("""sreach AS (
-            SELECT DISTINCT u AS node, u AS label FROM se
-            UNION
-            SELECT e.u AS node, r.label
-            FROM se e JOIN sreach r ON e.v = r.node
-        )""")
-    ctes.append("""scomp AS (
-            SELECT node, min(label) AS component
-            FROM sreach GROUP BY node
-        )""")
+    ctes.append(cc_doubling_sql(edges="se"))
     ctes.append(f"""smember AS (
             SELECT nn.vid, nn.cid,
-                   coalesce(scomp.component, nn.vid) AS sem_cluster
-            FROM nn LEFT JOIN scomp ON nn.vid = scomp.node
+                   coalesce(comp.component, nn.vid) AS sem_cluster
+            FROM nn LEFT JOIN comp ON nn.vid = comp.node
         )""")
     ctes.append(f"""scent AS (
             SELECT cid, pos, round(avg(x), 6) AS cx FROM (
@@ -1912,12 +1915,13 @@ def _semdedup_oracle() -> str:
             ) WHERE rk = 1
         )""")
     return (
-        "WITH RECURSIVE "
+        "WITH "
         + ",\n".join(ctes)
         + """
         SELECT m.vid AS vec_id, m.cid AS cell, m.sem_cluster,
                CAST(m.vid = k.keeper AS INT) AS keep
         FROM smember m JOIN skeep k USING (sem_cluster)
+        WHERE (SELECT n FROM cc_bad) = 0
     """
     )
 
