@@ -261,7 +261,16 @@ def main() -> None:
     # Python-worker startup, which amortize to zero at scale; min-of-reps
     # measures the steady-state plan cost the 100 TB design cares about.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # --names a,b,c: bench an explicit subset (sf10 spot-checks, where
+    # the fixed-cluster synthetic embeddings make pair-emitting queries
+    # quadratic in a way real 100x corpora are not)
     names = list(qs) if full else HEADLINE
+    for arg in sys.argv[1:]:
+        if arg.startswith("--names="):
+            names = [n for n in arg[8:].split(",") if n]
+            unknown = set(names) - set(qs)
+            if unknown:
+                raise SystemExit(f"unknown queries: {sorted(unknown)}")
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
@@ -281,7 +290,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
-    if not full:
+    if not full and names is HEADLINE:
         # Round-current counter-evidence for the two stale driver reds
         # (kmeans_cells r1 pre-oracle, pagerank_centrality r2 HUGEINT —
         # not re-sampled by the driver since): run their ACTUAL parity
