@@ -40,7 +40,10 @@ from kafka_streams_dexcom_spark.operators.clustering import (
     assign_to_centroids,
 )
 from kafka_streams_dexcom_spark.operators.dedup import with_embedding_norm
-from kafka_streams_dexcom_spark.streaming.commitlog import VersionedTable
+from kafka_streams_dexcom_spark.streaming.commitlog import (
+    CommitConflict,
+    VersionedTable,
+)
 
 _POSTINGS_SCHEMA = "vec_id long, cell int"
 
@@ -63,6 +66,8 @@ class IvfPostingsMaintainer:
         lineage_id: str | None = None,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
+        writer_id: str | None = None,
+        max_commit_attempts: int = 10,
     ) -> None:
         self.spark = spark
         self.table = VersionedTable(path)
@@ -72,15 +77,29 @@ class IvfPostingsMaintainer:
         self.lineage_id = lineage_id
         self.id_col = id_col
         self.vec_col = vec_col
+        # per-WRITER replay watermark (cluster_map_stream discipline):
+        # concurrent maintainers carry independent foreachBatch
+        # counters, so a shared high-water mark would mask one writer's
+        # batch 0 as a replay after the other committed batch 1
+        self.writer_id = writer_id if writer_id is not None else (
+            lineage_id or ""
+        )
+        self.max_commit_attempts = max_commit_attempts
 
     # -- read side -----------------------------------------------------
+    def _meta(self, version: int) -> dict:
+        if version < 0:
+            return {}
+        return self.table.read_manifest(version).get("meta", {})
+
     def _last_meta(self) -> dict:
-        v = self.table.latest_version()
-        if v < 0:
-            return {"batch_id": -1, "lineage": None}
-        return self.table.read_manifest(v).get(
-            "meta", {"batch_id": -1, "lineage": None}
+        meta = self._meta(self.table.latest_version())
+        applied = meta.get("applied", {})
+        # legacy single-counter manifests carried batch_id directly
+        last = applied.get(
+            self.writer_id, meta.get("batch_id", -1)
         )
+        return {"batch_id": last, "lineage": meta.get("lineage")}
 
     def postings(self, version: int | None = None) -> DataFrame:
         if self.table.latest_version() < 0 and version is None:
@@ -96,7 +115,7 @@ class IvfPostingsMaintainer:
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         meta = self._last_meta()
         last_id, last_lineage = meta.get("batch_id", -1), meta.get("lineage")
-        if self.lineage_id is not None and last_id >= 0:
+        if self.lineage_id is not None and self.table.latest_version() >= 0:
             if last_lineage != self.lineage_id:
                 raise RuntimeError(
                     f"IVF postings index at {self.table.root} belongs to "
@@ -109,22 +128,40 @@ class IvfPostingsMaintainer:
         base = with_embedding_norm(
             batch_df.select(self.id_col, self.vec_col), self.vec_col
         ).select(F.col(self.id_col).alias("vid"), "vec")
+        # the assignment depends only on the FROZEN quantizer, never on
+        # the stored postings — compute once, reuse across rebases
         assigned = assign_to_centroids(base, self.centroids).select(
             F.col("vid").alias("vec_id"),
             F.col("cid").cast("int").alias("cell"),
+        ).localCheckpoint()
+        for _ in range(self.max_commit_attempts):
+            # capture the base BEFORE reading: the commit must declare
+            # the version this merge derives from, so a concurrent
+            # maintainer landing in between surfaces as CommitConflict —
+            # passing the at-commit-time latest instead would silently
+            # absorb and lose the other writer's batch
+            base_version = self.table.latest_version()
+            applied = dict(self._meta(base_version).get("applied", {}))
+            if applied.get(self.writer_id, -1) >= batch_id:
+                return  # the race winner was a replay of THIS batch
+            applied[self.writer_id] = batch_id
+            merged = self.postings(
+                version=None if base_version < 0 else base_version
+            ).unionByName(assigned)
+            try:
+                self.table.write_commit(
+                    merged,
+                    base_version=base_version,
+                    meta={
+                        "applied": applied,
+                        "lineage": self.lineage_id,
+                    },
+                )
+            except CommitConflict:
+                continue  # rebase: re-merge against the winner's output
+            self.table.vacuum(keep_last=3)
+            return
+        raise CommitConflict(
+            f"IVF ingest batch {batch_id} gave up after "
+            f"{self.max_commit_attempts} conflicting commits"
         )
-        # capture the base BEFORE reading: the commit must declare the
-        # version this merge derives from, so a concurrent maintainer
-        # landing in between surfaces as CommitConflict — passing the
-        # at-commit-time latest instead would silently absorb and lose
-        # the other writer's batch
-        base_version = self.table.latest_version()
-        merged = self.postings(
-            version=None if base_version < 0 else base_version
-        ).unionByName(assigned)
-        self.table.write_commit(
-            merged,
-            base_version=base_version,
-            meta={"batch_id": batch_id, "lineage": self.lineage_id},
-        )
-        self.table.vacuum(keep_last=3)

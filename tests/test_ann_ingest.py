@@ -79,7 +79,7 @@ def test_versions_accumulate_per_batch(spark, tmp_path):
     n2 = m.postings(version=2).count()
     assert 0 < n0 < n2
     meta = m.table.read_manifest(2)["meta"]
-    assert meta["lineage"] == "q1" and meta["batch_id"] == 2
+    assert meta["lineage"] == "q1" and meta["applied"] == {"q1": 2}
 
 
 def test_replayed_batch_is_noop(spark, tmp_path):
@@ -108,3 +108,52 @@ def test_cell_counts_reconcile(spark, tmp_path):
     m, _ = _stream_embeddings(spark, tmp_path, cents)
     total = sum(r.n_vectors for r in m.cell_counts().collect())
     assert total == m.postings().count()
+
+
+def test_two_racing_writers_serialize_and_lose_nothing(spark, tmp_path):
+    """Two maintainers race DISTINCT embedding batches into one index:
+    the loser must rebase and re-merge (not crash, not silently drop) —
+    the final postings equal the one-shot assignment of the union, and
+    each writer's replay stays a no-op afterwards."""
+    import threading
+
+    e, cents = _frozen_centroids(spark)
+    e0 = e.filter(F.col("vec_id") % 2 == 0).localCheckpoint()
+    e1 = e.filter(F.col("vec_id") % 2 == 1).localCheckpoint()
+    idx = str(tmp_path / "index")
+    m_a = IvfPostingsMaintainer(spark, idx, cents, writer_id="a")
+    m_b = IvfPostingsMaintainer(spark, idx, cents, writer_id="b")
+    barrier = threading.Barrier(2)
+    errors = []
+
+    def run(m, batch, bid):
+        try:
+            barrier.wait()
+            m(batch, bid)
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=run, args=(m_a, e0, 0)),
+        threading.Thread(target=run, args=(m_b, e1, 1)),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert m_a.table.latest_version() == 1  # both landed, serialized
+    got = {(r.vec_id, r.cell) for r in m_a.postings().collect()}
+    base = with_embedding_norm(
+        e.select("vec_id", "embedding"), "embedding"
+    ).select(F.col("vec_id").alias("vid"), "vec")
+    want = {
+        (r.vid, r.cid)
+        for r in assign_to_centroids(base, cents).collect()
+    }
+    assert got == want and got
+    # per-writer replay guards hold after the race
+    m_a(e0, 0)
+    m_b(e1, 1)
+    assert m_a.table.latest_version() == 1
+    assert m_a.postings().count() == len(want)
