@@ -6,7 +6,7 @@ products."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.functions.hashing import MERSENNE_P, PERM_COEFFS
@@ -1779,6 +1779,26 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_cells_map,
     )
 
+    member, dist, keepers = _semdedup_frames(spark, sf_dir)
+    return member.join(keepers, "sem_cluster").select(
+        "vec_id",
+        "cell",
+        "sem_cluster",
+        (F.col("vec_id") == F.col("keeper")).cast("int").alias("keep"),
+    )
+
+
+def _semdedup_frames(spark: SparkSession, sf_dir: str):
+    """(member, dist, keepers) — the SemDeDup building blocks shared by
+    q_semdedup and the D4 diversification stage on top of it."""
+    from kafka_streams_dexcom_spark.operators.clustering import DIST2_TPL
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+    from kafka_streams_dexcom_spark.queries.similarity import (
+        kmeans_cells_map,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
     # the shared quantizer artifact is parquet-backed, so the FOUR
     # consumers below (pair blocking, membership, centroid stats,
@@ -1832,23 +1852,75 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keeper")
         )
     )
-    return member.join(keepers, "sem_cluster").select(
+    return member, dist, keepers
+
+
+# D4 prototypes stage: keep this fraction of each cell's SemDeDup
+# survivors, dropping the most cluster-prototypical first (exact
+# integer cross-multiplication — no float keep-rate can flip a row)
+D4_KEEP_NUM, D4_KEEP_DEN = 2, 3
+
+
+def q_d4_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4 (Tirumala et al. 2023, arXiv:2308.12284) — the published
+    dedup-then-diversify pipeline: after (Min)dedup and SemDeDup, the
+    SSL-prototypes stage prunes the most PROTOTYPICAL points (closest
+    to their cluster centroid) from each cluster, keeping the diverse
+    tail — duplicates removed by stage 2, dense redundant cores thinned
+    by stage 3. Here stage 2 is the registry's semdedup (one survivor
+    per semantic group, farthest-from-centroid election) and stage 3
+    ranks each cell's survivors by centroid distance DESC (ties on
+    lowest vec_id) and keeps rank·DEN <= n_cell·NUM — exactly the top
+    2/3 most-diverse survivors per cell.
+
+    Scale: everything rides the semdedup frames (shared quantizer
+    artifact, capped within-cell pair graph, K·dim centroid broadcast);
+    the added stage is one survivors-only window sort per cell —
+    bounded partitions under the learned quantizer, never a global
+    sort."""
+    member, dist, keepers = _semdedup_frames(spark, sf_dir)
+    surv = (
+        member.join(keepers, "sem_cluster")
+        .filter(F.col("vec_id") == F.col("keeper"))
+        .join(dist, "vec_id")
+    )
+    cell_win = Window.partitionBy("cell")
+    rk = F.row_number().over(
+        cell_win.orderBy(F.desc("d2"), F.asc("vec_id"))
+    ).cast("long")
+    out = surv.select(
         "vec_id",
         "cell",
         "sem_cluster",
-        (F.col("vec_id") == F.col("keeper")).cast("int").alias("keep"),
+        rk.alias("proto_rank"),
+        F.count(F.lit(1)).over(cell_win).alias("n_cell"),
+    )
+    selected = (
+        F.col("proto_rank") * F.lit(D4_KEEP_DEN)
+        <= F.col("n_cell") * F.lit(D4_KEEP_NUM)
+    ).cast("int")
+    return out.select(
+        "vec_id",
+        "cell",
+        "sem_cluster",
+        "proto_rank",
+        "n_cell",
+        selected.alias("selected"),
     )
 
 
-def _semdedup_oracle() -> str:
-    """Replay: Lloyd rounds (kmeans_oracle_ctes) -> in-cell cosine
+def _semdedup_ctes() -> list:
+    """Shared oracle CTE chain for semdedup and d4_selection.
+
+    Replay: Lloyd rounds (kmeans_oracle_ctes) -> in-cell cosine
     pairs (same fold as _embedding_ivf_oracle) -> hooking+doubling CC
     (cc_doubling_sql; the recursive-CTE reachability this replaced
     accumulates Σ size²·diameter rows — fatal at sf1, where semantic
     clusters run to thousands of members) -> per-dim centroid means
     (round 6) -> farthest-from-centroid election with the same
     (d2, lowest-id) ordering. nn/sp/se are MATERIALIZED: nn feeds both
-    join sides and smember, se feeds every doubling layer."""
+    join sides and smember, se feeds every doubling layer. Guarantees
+    smember, sdist, skeep, cc_bad."""
     from kafka_streams_dexcom_spark.queries.similarity import (
         KMEANS_ITERS,
         kmeans_oracle_ctes,
@@ -1914,9 +1986,13 @@ def _semdedup_oracle() -> str:
                 FROM smember m JOIN sdist d ON m.vid = d.vid
             ) WHERE rk = 1
         )""")
+    return ctes
+
+
+def _semdedup_oracle() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_semdedup_ctes())
         + """
         SELECT m.vid AS vec_id, m.cid AS cell, m.sem_cluster,
                CAST(m.vid = k.keeper AS INT) AS keep
@@ -1926,8 +2002,45 @@ def _semdedup_oracle() -> str:
     )
 
 
+def _d4_oracle() -> str:
+    """Mirrors q_d4_selection: the semdedup chain's survivors ranked
+    per cell by centroid distance DESC (ties lowest vid), selected by
+    the exact integer cross-multiplication keep rule."""
+    ctes = _semdedup_ctes()
+    ctes.append("""surv AS (
+            SELECT m.vid, m.cid, m.sem_cluster, d.d2
+            FROM smember m
+            JOIN skeep k USING (sem_cluster)
+            JOIN sdist d ON m.vid = d.vid
+            WHERE m.vid = k.keeper
+        )""")
+    ctes.append("""ranked AS (
+            SELECT vid, cid, sem_cluster,
+                   CAST(row_number() OVER (
+                       PARTITION BY cid ORDER BY d2 DESC, vid ASC
+                   ) AS BIGINT) AS proto_rank,
+                   CAST(count(*) OVER (PARTITION BY cid) AS BIGINT)
+                       AS n_cell
+            FROM surv
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT vid AS vec_id, cid AS cell, sem_cluster, proto_rank,
+               n_cell,
+               CAST(proto_rank * {D4_KEEP_DEN}
+                    <= n_cell * {D4_KEEP_NUM} AS INT) AS selected
+        FROM ranked
+        WHERE (SELECT n FROM cc_bad) = 0
+    """
+    )
+
+
 QUERIES["semdedup"] = q_semdedup
 ORACLES["semdedup"] = _semdedup_oracle()
+QUERIES["d4_selection"] = q_d4_selection
+ORACLES["d4_selection"] = _d4_oracle()
 
 
 def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
