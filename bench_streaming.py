@@ -283,6 +283,13 @@ def main() -> None:
             "n_batches": len(batch_secs),
             "labels": n_labels,
         }
+        # append-granular contract: the COMMIT leg (manifest link) must
+        # stay flat while the index grows; the fold/stage leg is ∝ batch
+        results["cluster_map_commit_sec"] = {
+            "first": maintainer.timings[0]["commit_sec"],
+            "last": maintainer.timings[-1]["commit_sec"],
+            "max": max(t["commit_sec"] for t in maintainer.timings),
+        } if maintainer.timings else None
 
         # Streaming ANN ingest: per-batch argmin assignment of new
         # embeddings to the frozen quantizer + a commit-log publish —
@@ -337,6 +344,11 @@ def main() -> None:
             "n_batches": len(ann_secs),
             "postings": ann.postings().count(),
         }
+        results["ann_commit_sec"] = {
+            "first": ann.timings[0]["commit_sec"],
+            "last": ann.timings[-1]["commit_sec"],
+            "max": max(t["commit_sec"] for t in ann.timings),
+        } if ann.timings else None
 
         # Streaming curation gate: JSONL landing -> PERMISSIVE parse ->
         # three-way corrupt/rejected/accepted routing with the gopher

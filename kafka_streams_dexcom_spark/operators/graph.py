@@ -372,6 +372,83 @@ def cc_incremental(
     return updated_old.unionByName(new_nodes)
 
 
+def cc_incremental_delta(
+    new_edges: DataFrame,
+    old_labels: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """The CHANGELOG form of cc_incremental: only the label rows the
+    batch creates or changes — new nodes, plus old nodes whose
+    component merged into a lower label. ``old_labels`` overlaid with
+    these rows (latest wins per node) equals cc_incremental's full
+    output exactly, which is what lets the streaming cluster-map
+    maintainer publish labels as an APPEND-ONLY changelog through the
+    file-granular commit log instead of rewriting the O(corpus) label
+    table per batch (Delta's change-data-feed shape; the compacted
+    read is one latest-per-node window — the KTable semantics of
+    operators/core.latest_per_key).
+
+    Cost ∝ batch on the WRITE side: the relabel map is batch-bounded
+    (components only merge through new edges), so changed-old rows are
+    one broadcast SEMI-style join over the label scan that emits only
+    affected members; nothing corpus-sized is shuffled or written."""
+    e = new_edges.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    lab = old_labels.select("node", "component")
+    mapped = (
+        e.join(
+            lab.select(
+                F.col("node").alias("u"), F.col("component").alias("cu")
+            ),
+            "u",
+            "left",
+        )
+        .join(
+            lab.select(
+                F.col("node").alias("v"), F.col("component").alias("cv")
+            ),
+            "v",
+            "left",
+        )
+        .localCheckpoint()
+    )
+    contracted = mapped.select(
+        F.coalesce(F.col("cu"), F.col("u")).alias("doc_a"),
+        F.coalesce(F.col("cv"), F.col("v")).alias("doc_b"),
+    ).filter(F.col("doc_a") != F.col("doc_b"))
+    involved_old = (
+        mapped.select(F.col("cu").alias("cid"))
+        .union(mapped.select(F.col("cv").alias("cid")))
+        .where(F.col("cid").isNotNull())
+        .distinct()
+    )
+    merged = connected_components(contracted)
+    # relabel map entries that actually change a label: old component
+    # ids mapped to a DIFFERENT (strictly lower — min-label CC) label
+    remap = merged.join(
+        F.broadcast(involved_old.select(F.col("cid").alias("node"))),
+        "node",
+        "left_semi",
+    ).filter(F.col("node") != F.col("component"))
+    changed_old = lab.join(
+        F.broadcast(
+            remap.select(
+                F.col("node").alias("component"),
+                F.col("component").alias("new_component"),
+            )
+        ),
+        "component",
+    ).select(
+        "node", F.col("new_component").alias("component")
+    )
+    new_nodes = merged.join(
+        F.broadcast(involved_old.select(F.col("cid").alias("node"))),
+        "node",
+        "left_anti",
+    ).select("node", "component")
+    return changed_old.unionByName(new_nodes)
+
+
 def cluster_representatives(components: DataFrame) -> DataFrame:
     """One surviving representative per cluster (the min id — consistent
     with the exact-dedup keep-min policy) plus the cluster size."""

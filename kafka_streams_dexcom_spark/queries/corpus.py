@@ -473,11 +473,18 @@ def q_quarantine_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = _jsonl_epoch_fixture(spark, sf_dir)
-    raw = cs.read_jsonl(spark, path, DOCS_JSONL_SCHEMA)
     # bronze-landing persist: the corrupt column may not be queried
     # straight off the file scan (SPARK-26224) — same discipline as
-    # split_quarantine(materialize=True)
-    return quarantine_rate_alarm(raw.persist(), epoch_col="epoch")
+    # split_quarantine(materialize=True). Persist ONCE per session via
+    # the session_value memo: re-persisting per invocation leaks a
+    # cached RDD per bench rep / parity run until LRU eviction.
+    raw = session_value(
+        spark,
+        "jsonl_epochs_persisted",
+        (path,),
+        lambda: cs.read_jsonl(spark, path, DOCS_JSONL_SCHEMA).persist(),
+    )
+    return quarantine_rate_alarm(raw, epoch_col="epoch")
 
 
 QUERIES = {

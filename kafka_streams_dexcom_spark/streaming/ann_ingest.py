@@ -16,22 +16,32 @@ Each micro-batch:
    the identical expression Lloyd training uses per round, so streamed
    assignments are bit-equal to a one-shot assignment by construction
    AND by test);
-2. appends (vec_id, cell) postings to the stored table;
-3. publishes through streaming/commitlog.VersionedTable — the
-   transactional commit the cluster-map maintainer's rename swap only
-   approximates: concurrent maintainers get exactly-one-winner
+2. stages the batch's (vec_id, cell) postings as parquet ONCE — the
+   assignment depends only on the frozen quantizer, so commit-race
+   rebases never recompute or rewrite it;
+3. publishes through streaming/commitlog.VersionedTable.commit_append —
+   the APPEND-GRANULAR commit: the manifest links the staged increment
+   onto the base version's file list, so per-batch commit cost is
+   O(batch) while the index grows without bound (the reference's ES
+   sink appends batches with stable ids and never rewrites the index —
+   ElasticSearchConsumer.java:42-55 — this is that contract on the
+   lake side). Concurrent maintainers get exactly-one-winner
    semantics, readers time-travel to any committed index version, and
-   the replay guard rides in the commit manifest's meta (batch_id +
-   lineage) instead of a side-car marker file, so index content and
-   applied-batch watermark can never disagree.
+   the replay guard rides in the commit manifest's meta (per-writer
+   applied map + lineage) so index content and watermark can never
+   disagree.
 
-Local stand-in note: each commit rewrites the postings parquet (the
-table is one data dir per version); a real table format appends a data
-file per batch and the manifest lists files — same protocol, cheaper
-append. vacuum(keep_last=k) bounds retained history either way.
+``compact_every=k`` folds the accumulated increment files back into
+one replace commit every k versions — the maintenance job a real table
+format schedules separately (Delta OPTIMIZE / Iceberg rewrite_data_files);
+until it runs, vacuum correctly collects nothing because every old file
+is still part of the live table.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,6 +78,7 @@ class IvfPostingsMaintainer:
         vec_col: str = "embedding",
         writer_id: str | None = None,
         max_commit_attempts: int = 10,
+        compact_every: int | None = 64,
     ) -> None:
         self.spark = spark
         self.table = VersionedTable(path)
@@ -85,6 +96,12 @@ class IvfPostingsMaintainer:
             lineage_id or ""
         )
         self.max_commit_attempts = max_commit_attempts
+        self.compact_every = compact_every
+        # per-batch cost breakdown for the scale bench: "stage" is the
+        # assignment + increment parquet write (O(batch)); "commit" is
+        # the manifest link (O(files), metadata-only). The append-
+        # granular contract is commit staying FLAT while the index grows.
+        self.timings: list[dict] = []
 
     # -- read side -----------------------------------------------------
     def _meta(self, version: int) -> dict:
@@ -92,26 +109,66 @@ class IvfPostingsMaintainer:
             return {}
         return self.table.read_manifest(version).get("meta", {})
 
+    def _applied(self, version: int) -> dict:
+        """writer_id -> last applied batch_id at ``version``. Legacy
+        single-counter manifests carried one shared ``batch_id``; its
+        writer was the default-keyed one (writer_id = lineage or ""),
+        so fold it in under THAT key — otherwise the first new-format
+        commit on an upgraded table would drop the old watermark and a
+        replayed batch would be re-applied, duplicating postings."""
+        meta = self._meta(version)
+        applied = dict(meta.get("applied", {}))
+        if "batch_id" in meta:
+            legacy_key = meta.get("lineage") or ""
+            if applied.get(legacy_key, -1) < meta["batch_id"]:
+                applied[legacy_key] = meta["batch_id"]
+        return applied
+
     def _last_meta(self) -> dict:
-        meta = self._meta(self.table.latest_version())
-        applied = meta.get("applied", {})
-        # legacy single-counter manifests carried batch_id directly
-        last = applied.get(
-            self.writer_id, meta.get("batch_id", -1)
-        )
-        return {"batch_id": last, "lineage": meta.get("lineage")}
+        version = self.table.latest_version()
+        return {
+            "batch_id": self._applied(version).get(self.writer_id, -1),
+            "lineage": self._meta(version).get("lineage"),
+        }
 
     def postings(self, version: int | None = None) -> DataFrame:
+        empty = self.spark.createDataFrame([], _POSTINGS_SCHEMA)
         if self.table.latest_version() < 0 and version is None:
-            return self.spark.createDataFrame([], _POSTINGS_SCHEMA)
-        return self.table.read(self.spark, version)
+            return empty
+        df = self.table.read(self.spark, version)
+        return empty if df is None else df
 
     def cell_counts(self) -> DataFrame:
         return self.postings().groupBy("cell").agg(
             F.count(F.lit(1)).alias("n_vectors")
         )
 
+    # -- maintenance -----------------------------------------------------
+    def compact(self) -> int | None:
+        """Fold the increment files into one replace commit (carrying
+        the meta forward — the watermarks describe the table's CONTENT,
+        which compaction preserves byte-for-byte). Returns the new
+        version, or None when a concurrent commit won the race — the
+        next cycle gets it; compaction is best-effort maintenance, not
+        correctness."""
+        base = self.table.latest_version()
+        if base < 0:
+            return None
+        try:
+            return self.table.write_commit(
+                self.table.read(self.spark, base),
+                base_version=base,
+                meta=self._meta(base),
+            )
+        except CommitConflict:
+            return None
+
     # -- the sink --------------------------------------------------------
+    def _stage(self, assigned: DataFrame) -> str:
+        staged = self.table.stage()
+        assigned.write.mode("overwrite").parquet(staged)
+        return staged
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         meta = self._last_meta()
         last_id, last_lineage = meta.get("batch_id", -1), meta.get("lineage")
@@ -129,28 +186,38 @@ class IvfPostingsMaintainer:
             batch_df.select(self.id_col, self.vec_col), self.vec_col
         ).select(F.col(self.id_col).alias("vid"), "vec")
         # the assignment depends only on the FROZEN quantizer, never on
-        # the stored postings — compute once, reuse across rebases
+        # the stored postings — compute AND STAGE once; rebases re-link
+        # the same staged files against the new base (pure metadata)
+        import time
+
+        t0 = time.time()
         assigned = assign_to_centroids(base, self.centroids).select(
             F.col("vid").alias("vec_id"),
             F.col("cid").cast("int").alias("cell"),
         ).localCheckpoint()
+        staged = self._stage(assigned)
+        stage_sec = time.time() - t0
+        t0 = time.time()
         for _ in range(self.max_commit_attempts):
-            # capture the base BEFORE reading: the commit must declare
-            # the version this merge derives from, so a concurrent
-            # maintainer landing in between surfaces as CommitConflict —
-            # passing the at-commit-time latest instead would silently
-            # absorb and lose the other writer's batch
+            # capture the base BEFORE building the meta: the commit must
+            # declare the version this increment lands on, so a
+            # concurrent maintainer landing in between surfaces as
+            # CommitConflict — passing the at-commit-time latest instead
+            # would silently absorb and lose the other writer's batch
             base_version = self.table.latest_version()
-            applied = dict(self._meta(base_version).get("applied", {}))
+            applied = self._applied(base_version)
             if applied.get(self.writer_id, -1) >= batch_id:
+                shutil.rmtree(staged, ignore_errors=True)
                 return  # the race winner was a replay of THIS batch
             applied[self.writer_id] = batch_id
-            merged = self.postings(
-                version=None if base_version < 0 else base_version
-            ).unionByName(assigned)
+            if not os.path.isdir(staged):
+                # a racing vacuum collected the withdrawn loser dir
+                # (only possible past the grace window) — re-stage from
+                # the checkpointed assignment, still never recomputed
+                staged = self._stage(assigned)
             try:
-                self.table.write_commit(
-                    merged,
+                version = self.table.commit_append(
+                    staged,
                     base_version=base_version,
                     meta={
                         "applied": applied,
@@ -158,9 +225,24 @@ class IvfPostingsMaintainer:
                     },
                 )
             except CommitConflict:
-                continue  # rebase: re-merge against the winner's output
+                continue  # rebase: re-link the increment on the winner
+            self.timings.append(
+                {
+                    "batch_id": batch_id,
+                    "stage_sec": round(stage_sec, 3),
+                    "commit_sec": round(time.time() - t0, 3),
+                    "version": version,
+                }
+            )
+            if (
+                self.compact_every is not None
+                and version > 0
+                and version % self.compact_every == 0
+            ):
+                self.compact()
             self.table.vacuum(keep_last=3)
             return
+        shutil.rmtree(staged, ignore_errors=True)
         raise CommitConflict(
             f"IVF ingest batch {batch_id} gave up after "
             f"{self.max_commit_attempts} conflicting commits"

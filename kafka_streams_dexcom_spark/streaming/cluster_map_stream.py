@@ -5,34 +5,49 @@ topology instead of a replayed batch query.
 Each micro-batch of new documents:
 
 1. builds the batch's OWN minhash artifacts (hashed shingle sets + LSH
-   band table) — cost ∝ batch;
+   band table) — cost ∝ batch, computed ONCE per batch outside the
+   commit-retry loop (they depend only on the batch, never on the base
+   version a rebase moves);
 2. generates candidates as batch×batch (within the micro-batch) plus
    batch×corpus against the STORED band index — the corpus is never
    re-shingled (the incremental_minhash_dedup contract, here actually
    incremental because the corpus artifacts persist between batches);
 3. verifies candidates with exact Jaccard over the hashed shingle sets;
 4. folds the verified edges into the stored labeling with
-   cc_incremental (contracted CC over the batch-sized graph, one
-   broadcast relabel join — never CC over the corpus);
-5. publishes labels + band index + shingle sets ATOMICALLY through the
-   optimistic commit log (streaming/commitlog.VersionedTable): all
-   three artifacts are one immutable versioned data dir, the batch
-   marker rides the commit manifest, and put-if-absent manifest
-   creation gives exactly-one-winner semantics when several
-   maintainers race the same view — the guarantee the old private
-   directory-rename swap could not provide.
+   cc_incremental_delta (contracted CC over the batch-sized graph, one
+   broadcast relabel join — never CC over the corpus), emitting ONLY
+   the created/changed label rows;
+5. publishes the increment through the APPEND-GRANULAR commit log
+   (streaming/commitlog.VersionedTable.commit_append): the batch's
+   band rows and shingle sets are appended by file reference, and the
+   label delta lands as a CHANGELOG row-set (node, component, seq) —
+   the stored labels are read back as latest-per-node (the KTable
+   compaction semantics of operators/core.latest_per_key, Delta's
+   change-data-feed shape). Per-batch commit cost is O(batch); the
+   old whole-view rewrite grew with the INDEX. All three legs land in
+   ONE commit, so labels can never disagree with their band index, and
+   put-if-absent manifest creation gives exactly-one-winner semantics
+   when several maintainers race the same view.
+
+``compact_every=k``: every k commits the maintainer folds the
+changelog into a resolved snapshot and the appended band/set increments
+into single files (one replace-legs commit carrying the meta forward) —
+the scheduled-maintenance job of a real table format (Delta OPTIMIZE),
+bounding read amplification without ever blocking the write path.
 
 Exactly-once effect: foreachBatch is at-least-once, so the manifest
-meta records the last applied (batch_id, lineage) and a replayed batch
-is a no-op — the same marker discipline as IncrementalCounts, including
-the loud failure when a NEW query lineage points at an EXISTING view
-(batch ids restart at 0 and would otherwise be silently skipped).
+meta records the per-WRITER applied batch_id map + lineage and a
+replayed batch is a no-op — the same marker discipline as
+IncrementalCounts, including the loud failure when a NEW query lineage
+points at an EXISTING view (batch ids restart at 0 and would otherwise
+be silently skipped).
 
 Concurrent writers: each batch folds against the version it read
-(base); a losing commit raises CommitConflict and the fold RERUNS
-against the winner's output (the serializable rebase contract) rather
-than blindly re-publishing stale bytes. tests/test_cluster_map_stream
-pins a two-maintainer race ending bit-equal to the sequential fold.
+(base); a losing commit raises CommitConflict and the FOLD reruns
+against the winner's output (the serializable rebase contract — the
+label delta is base-dependent) while the batch minhash artifacts are
+reused as-is. tests/test_cluster_map_stream pins a two-maintainer race
+ending bit-equal to the sequential fold.
 
 Equivalence contract (pinned by tests/test_cluster_map_stream.py): with
 the bucket cap disabled, the final labels after streaming the corpus in
@@ -40,24 +55,27 @@ any number of micro-batches are IDENTICAL to one-shot
 minhash_lsh_dedup + connected_components over the whole corpus — LSH
 banding is deterministic, a cross-batch pair (a earlier, b later) is
 found when b's batch probes the corpus index, and cc_incremental is
-exact by the contraction argument.
+exact by the contraction argument; overlaying the label changelog
+latest-wins reproduces cc_incremental's full output by construction.
 
 At 100 TB: the stored band index is the big artifact; bucket it by
 (band_idx, band_hash) (sources/bucketing.py) so the candidate join
 shuffles only the batch side. The commit protocol is already the
-table-format shape (put-if-absent manifests), so swapping the local
-VersionedTable for Delta/Iceberg is a call-site change. State grows
-with the corpus — this maintainer IS the corpus index builder, not a
-bounded-state operator.
+table-format shape (put-if-absent manifests over immutable file lists),
+so swapping the local VersionedTable for Delta/Iceberg is a call-site
+change. State grows with the corpus — this maintainer IS the corpus
+index builder, not a bounded-state operator.
 
 Reference anchor: generalizes the ES sink's effectively-once publish
 contract (ElasticSearchConsumer.java:45-55) from per-document ids to
-whole-artifact versions.
+whole-artifact versions, and its append-with-stable-ids shape
+(ElasticSearchConsumer.java:42-55) from documents to commit files.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -68,7 +86,7 @@ from kafka_streams_dexcom_spark.operators.dedup import (
     lsh_band_hashes,
     minhash_signature,
 )
-from kafka_streams_dexcom_spark.operators.graph import cc_incremental
+from kafka_streams_dexcom_spark.operators.graph import cc_incremental_delta
 from kafka_streams_dexcom_spark.streaming.commitlog import (
     CommitConflict,
     VersionedTable,
@@ -90,6 +108,7 @@ class ClusterMapMaintainer:
         text_col: str = "text",
         max_commit_attempts: int = 10,
         writer_id: str | None = None,
+        compact_every: int | None = 64,
     ) -> None:
         self.spark = spark
         self.path = path
@@ -100,6 +119,7 @@ class ClusterMapMaintainer:
         self.id_col = id_col
         self.text_col = text_col
         self.max_commit_attempts = max_commit_attempts
+        self.compact_every = compact_every
         # replay guards are PER WRITER: concurrent maintainers each
         # carry their own foreachBatch counter, so a shared high-water
         # mark would silently skip writer A's batch 0 after writer B
@@ -108,6 +128,10 @@ class ClusterMapMaintainer:
         self.writer_id = writer_id if writer_id is not None else (
             lineage_id or ""
         )
+        # per-batch cost breakdown for the scale bench: "stage" is the
+        # fold compute + increment parquet writes (∝ batch); "commit"
+        # is the manifest link (metadata-only under append granularity)
+        self.timings: list[dict] = []
 
     # -- marker ----------------------------------------------------------
     def _applied(self, version: int) -> dict:
@@ -132,14 +156,26 @@ class ClusterMapMaintainer:
     # -- stored artifacts ------------------------------------------------
     def _read(self, sub: str, schema: str, version: int) -> DataFrame:
         if version >= 0:
-            p = os.path.join(self.table.data_path(version), sub)
-            if os.path.exists(p):
-                return self.spark.read.parquet(p)
+            df = self.table.read(self.spark, version, sub=sub)
+            if df is not None:
+                return df
         return self.spark.createDataFrame([], schema)
 
+    def _label_log(self, version: int) -> DataFrame:
+        return self._read(
+            "labels", "node long, component long, seq long", version
+        )
+
     def labels(self, version: int | None = None) -> DataFrame:
+        """The resolved labeling at ``version``: latest-per-node over
+        the label changelog (one shuffle on node — the compacted
+        KTable read; compaction keeps the log short)."""
         v = self.table.latest_version() if version is None else version
-        return self._read("labels", "node long, component long", v)
+        return (
+            self._label_log(v)
+            .groupBy("node")
+            .agg(F.max_by("component", "seq").alias("component"))
+        )
 
     def _bands(self, version: int) -> DataFrame:
         return self._read(
@@ -153,27 +189,38 @@ class ClusterMapMaintainer:
             "sets", f"{self.id_col} long, sh_hashes array<long>", version
         )
 
+    # -- maintenance -------------------------------------------------------
+    def compact(self) -> int | None:
+        """Fold the label changelog into its resolved snapshot and the
+        appended band/set files into one file per leg — a replace-legs
+        commit carrying the meta forward (the table's CONTENT is
+        preserved, so the watermarks still describe it). Best-effort:
+        a lost race returns None and the next cycle compacts."""
+        base = self.table.latest_version()
+        if base < 0:
+            return None
+        staged = self.table.stage()
+        self.labels(base).withColumn(
+            "seq", F.lit(base).cast("long")
+        ).write.parquet(os.path.join(staged, "labels"))
+        self._bands(base).write.parquet(os.path.join(staged, "bands"))
+        self._sets(base).write.parquet(os.path.join(staged, "sets"))
+        meta = self.table.read_manifest(base).get("meta", {})
+        try:
+            return self.table.commit_append(
+                staged,
+                base,
+                meta=meta,
+                replace_subs=("labels", "bands", "sets"),
+            )
+        except CommitConflict:
+            shutil.rmtree(staged, ignore_errors=True)
+            return None
+
     # -- the sink --------------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        for _ in range(self.max_commit_attempts):
-            base = self.table.latest_version()
-            # False = lost the commit race: rebase against the winner's
-            # version and fold again (never re-publish stale bytes)
-            if self._fold_and_commit(batch_df, batch_id, base):
-                return
-        raise CommitConflict(
-            f"cluster-map batch {batch_id} gave up after "
-            f"{self.max_commit_attempts} conflicting commits"
-        )
-
-    def _fold_and_commit(
-        self, batch_df: DataFrame, batch_id: int, base: int
-    ) -> bool:
-        """Fold one micro-batch against version ``base`` and commit as
-        base+1. True on success or replay no-op; False on a lost race
-        (caller rebases)."""
-        last_id, last_lineage = self._read_marker(base)
-        if self.lineage_id is not None and base >= 0:
+        last_id, last_lineage = self._read_marker()
+        if self.lineage_id is not None and self.table.latest_version() >= 0:
             if last_lineage is None:
                 raise RuntimeError(
                     f"cluster-map view at {self.path} carries a commit "
@@ -191,11 +238,14 @@ class ClusterMapMaintainer:
                     "batches"
                 )
         if batch_id <= last_id:
-            return True  # replayed micro-batch: already folded in
+            return  # replayed micro-batch: already folded in
         idc = self.id_col
-        # batch artifacts (cost ∝ batch): shingle ONCE (the function is
-        # eagerly materialized), derive sets and bands from it; bands
-        # feed two joins so they get their own cut.
+        # batch artifacts (cost ∝ batch) — hoisted OUT of the retry
+        # loop: they depend only on the batch, so a commit-race rebase
+        # reuses the materialized frames instead of re-shingling.
+        # Shingle ONCE (the function is eagerly materialized), derive
+        # sets and bands from it; bands feed two joins so they get
+        # their own cut.
         hfull = hashed_shingle_corpus(
             batch_df.select(idc, self.text_col), idc, self.text_col
         )
@@ -205,6 +255,31 @@ class ClusterMapMaintainer:
             .select(idc, "band_idx", "band_hash")
             .localCheckpoint()
         )
+        for _ in range(self.max_commit_attempts):
+            base = self.table.latest_version()
+            # False = lost the commit race: rebase against the winner's
+            # version and fold again (never re-publish stale bytes)
+            if self._fold_and_commit(hn, bn, batch_id, base):
+                return
+        raise CommitConflict(
+            f"cluster-map batch {batch_id} gave up after "
+            f"{self.max_commit_attempts} conflicting commits"
+        )
+
+    def _fold_and_commit(
+        self, hn: DataFrame, bn: DataFrame, batch_id: int, base: int
+    ) -> bool:
+        """Fold one micro-batch's prebuilt minhash artifacts against
+        version ``base`` and commit the increment as base+1. True on
+        success or replay no-op; False on a lost race (caller
+        rebases)."""
+        import time
+
+        applied = dict(self._applied(base))
+        if applied.get(self.writer_id, -1) >= batch_id:
+            return True  # the race winner was a replay of THIS batch
+        t0 = time.time()
+        idc = self.id_col
         bc = self._bands(base)
         bn_probe, bc_probe = bn, bc
         if self.max_bucket is not None:
@@ -249,31 +324,45 @@ class ClusterMapMaintainer:
                 F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
             )
         )
-        new_labels = cc_incremental(edges, self.labels(base)).select(
-            "node", "component"
+        # the label CHANGELOG increment: only created/changed rows,
+        # stamped with the target version as the latest-wins sequence
+        label_delta = cc_incremental_delta(edges, self.labels(base)).select(
+            "node", "component", F.lit(base + 1).cast("long").alias("seq")
         )
-        # atomic publish: ALL artifacts land in one immutable versioned
-        # data dir, the marker rides the manifest — labels can never
-        # disagree with their index, and two racing maintainers get
-        # exactly one winner (the loser rebases in __call__)
+        # append-granular publish: the staged dir holds ONLY this
+        # batch's increment for each leg; commit_append links it onto
+        # the base's file list — O(batch) commit, and all three legs
+        # move in one atomic manifest so labels can never disagree with
+        # their band index
         staged = self.table.stage()
-        new_labels.write.parquet(os.path.join(staged, "labels"))
-        self._bands(base).union(bn).write.parquet(
-            os.path.join(staged, "bands")
-        )
-        all_sets.write.parquet(os.path.join(staged, "sets"))
-        applied = dict(self._applied(base))
+        label_delta.write.parquet(os.path.join(staged, "labels"))
+        bn.write.parquet(os.path.join(staged, "bands"))
+        hn.write.parquet(os.path.join(staged, "sets"))
         applied[self.writer_id] = batch_id
+        stage_sec = time.time() - t0
+        t0 = time.time()
         try:
-            self.table.commit(
+            version = self.table.commit_append(
                 staged,
                 base,
                 meta={"applied": applied, "lineage": self.lineage_id or ""},
             )
         except CommitConflict:
-            import shutil
-
             shutil.rmtree(staged, ignore_errors=True)
             return False
+        self.timings.append(
+            {
+                "batch_id": batch_id,
+                "stage_sec": round(stage_sec, 3),
+                "commit_sec": round(time.time() - t0, 3),
+                "version": version,
+            }
+        )
+        if (
+            self.compact_every is not None
+            and version > 0
+            and version % self.compact_every == 0
+        ):
+            self.compact()
         self.table.vacuum(keep_last=3)
         return True

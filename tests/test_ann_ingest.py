@@ -157,3 +157,84 @@ def test_two_racing_writers_serialize_and_lose_nothing(spark, tmp_path):
     m_b(e1, 1)
     assert m_a.table.latest_version() == 1
     assert m_a.postings().count() == len(want)
+
+
+def test_append_granular_commit_is_o_batch(spark, tmp_path):
+    """Each commit's own data dir holds ONLY the batch increment — the
+    manifest links prior files by reference (O(batch) commit cost), and
+    under pure append vacuum correctly collects nothing."""
+    import os
+
+    _, cents = _frozen_centroids(spark)
+    m, _ = _stream_embeddings(spark, tmp_path, cents, chunks=3)
+    t = m.table
+    total = m.postings().count()
+    per_version_incr = []
+    for v in range(3):
+        manifest = t.read_manifest(v)
+        assert "files" in manifest and "data_dir" not in manifest
+        own_dir_files = [
+            f for f in t.files(v)
+            if f"v{v:08d}-" in os.path.basename(os.path.dirname(f))
+        ]
+        per_version_incr.append(
+            spark.read.parquet(*own_dir_files).count()
+        )
+    assert sum(per_version_incr) == total
+    assert all(n < total for n in per_version_incr)
+    assert t.vacuum(keep_last=1, grace_seconds=0) == []
+
+
+def test_compact_preserves_postings_and_frees_increments(spark, tmp_path):
+    import os
+
+    _, cents = _frozen_centroids(spark)
+    m, _ = _stream_embeddings(spark, tmp_path, cents, chunks=3)
+    before = {(r.vec_id, r.cell) for r in m.postings().collect()}
+    meta_before = m._meta(m.table.latest_version())
+    v = m.compact()
+    assert v == 3
+    assert {(r.vec_id, r.cell) for r in m.postings().collect()} == before
+    # watermarks ride through compaction — a replayed batch is still a no-op
+    assert m._meta(v) == meta_before
+    # increments age out once past retention
+    s = m.table.stage()
+    m.postings().limit(0).write.mode("overwrite").parquet(s)
+    m.table.commit_append(s, 3)
+    removed = m.table.vacuum(keep_last=1, grace_seconds=0)
+    assert len(removed) == 3
+    assert {(r.vec_id, r.cell) for r in m.postings().collect()} == before
+
+
+def test_legacy_batch_id_manifest_seeds_applied_watermark(spark, tmp_path):
+    """ADVICE r7: a legacy single-counter manifest's batch_id must
+    survive the format upgrade under the default writer key, so a
+    replayed batch against an upgraded table stays a no-op."""
+    import json
+    import os
+
+    _, cents = _frozen_centroids(spark)
+    m, e = _stream_embeddings(spark, tmp_path, cents, chunks=3, lineage="q1")
+    # rewrite the latest manifest into the legacy shape
+    t = m.table
+    v = t.latest_version()
+    mp = t._manifest_path(v)
+    with open(mp) as f:
+        manifest = json.load(f)
+    manifest["meta"] = {"batch_id": 2, "lineage": "q1"}
+    os.unlink(mp)
+    with open(mp, "w") as f:
+        json.dump(manifest, f)
+    n_before = m.postings().count()
+    fresh = IvfPostingsMaintainer(
+        spark, str(tmp_path / "index"), cents, lineage_id="q1"
+    )
+    assert fresh._last_meta()["batch_id"] == 2
+    # replay batch 1: must be a no-op, not a duplicate append
+    batch = e.select("vec_id", "embedding").limit(50)
+    fresh(batch, 1)
+    assert m.postings().count() == n_before
+    # a genuinely new batch still lands and folds the legacy watermark
+    fresh(batch.withColumn("vec_id", F.col("vec_id") + 10_000_000), 3)
+    assert m.postings().count() == n_before + 50
+    assert fresh._applied(t.latest_version())["q1"] == 3

@@ -169,3 +169,43 @@ def test_writers_do_not_share_replay_counters(spark, tmp_path):
     m_b(d1, 1)
     after = sorted((r.node, r.component) for r in m_a.labels().collect())
     assert before == after
+
+
+def test_label_changelog_append_granular_and_compaction(spark, tmp_path):
+    """The labels leg is a changelog (latest-per-node read); each commit
+    dir holds only the batch's increment, and compact() folds all three
+    legs into a snapshot with identical resolved content."""
+    import os
+
+    m, d = _stream_corpus(spark, tmp_path)
+    t = m.table
+    # every commit is an append manifest whose own dir holds only the
+    # increment: the labels leg accumulates MORE rows than distinct
+    # nodes exactly when some batch changed an earlier label
+    for v in range(t.latest_version() + 1):
+        assert "files" in t.read_manifest(v)
+    log_rows = m._label_log(t.latest_version()).count()
+    resolved = {(r.node, r.component) for r in m.labels().collect()}
+    assert log_rows >= len(resolved)
+    bands_before = m._bands(t.latest_version()).count()
+    sets_before = m._sets(t.latest_version()).count()
+    # under pure append nothing is collectable
+    assert t.vacuum(keep_last=1, grace_seconds=0) == []
+    # compaction preserves all three legs' content byte-for-byte
+    meta_before = t.read_manifest(t.latest_version()).get("meta", {})
+    v = m.compact()
+    assert v == t.latest_version()
+    assert {(r.node, r.component) for r in m.labels().collect()} == resolved
+    assert m._label_log(v).count() == len(resolved)  # log folded
+    assert m._bands(v).count() == bands_before
+    assert m._sets(v).count() == sets_before
+    assert t.read_manifest(v).get("meta", {}) == meta_before
+    # replay is still a no-op after compaction
+    n = m._label_log(v).count()
+    m(d.limit(5), 0)
+    assert m._label_log(t.latest_version()).count() == n
+    # old increment dirs age out of retention after one more commit
+    m(d.limit(0), 99)
+    removed = t.vacuum(keep_last=1, grace_seconds=0)
+    assert removed, "pre-compaction increments should be collectable"
+    assert {(r.node, r.component) for r in m.labels().collect()} == resolved

@@ -292,3 +292,158 @@ def test_spark_write_commit_roundtrip(spark, tmp_path):
     assert t.read(spark).count() == 50
     assert t.read(spark, version=0).count() == 100
     assert t.read_manifest(1)["meta"] == {"op": "halve"}
+
+
+# -- append-granular commits (file-list manifests) -----------------------
+
+
+def _touch_parquet(staged: str, names: list[str]) -> None:
+    for n in names:
+        p = os.path.join(staged, n)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w") as f:
+            f.write(n)
+
+
+def test_commit_append_links_base_files(tmp_path):
+    """An append commit's manifest lists the base's files PLUS the
+    staged increment — the increment dir holds only the batch."""
+    t = VersionedTable(str(tmp_path / "t"))
+    s0 = t.stage()
+    _touch_parquet(s0, ["a.parquet"])
+    t.commit(s0, -1)
+    s1 = t.stage()
+    _touch_parquet(s1, ["b.parquet"])
+    t.commit_append(s1, 0)
+    s2 = t.stage()
+    _touch_parquet(s2, ["c.parquet"])
+    t.commit_append(s2, 1)
+    names = sorted(os.path.basename(f) for f in t.files())
+    assert names == ["a.parquet", "b.parquet", "c.parquet"]
+    # each version dir holds ONLY its increment (O(batch) data motion)
+    dirs = {os.path.basename(os.path.dirname(f)) for f in t.files()}
+    assert len(dirs) == 3
+    # time travel still resolves per-version file lists
+    assert [os.path.basename(f) for f in t.files(0)] == ["a.parquet"]
+    assert len(t.files(1)) == 2
+
+
+def test_commit_append_stale_base_conflicts_and_preserves_staged(tmp_path):
+    t = VersionedTable(str(tmp_path / "t"))
+    s0 = t.stage()
+    _touch_parquet(s0, ["a.parquet"])
+    t.commit(s0, -1)
+    s1 = t.stage()
+    _touch_parquet(s1, ["b.parquet"])
+    t.commit_append(s1, 0)
+    # a writer that read version 0 loses — and its staged increment
+    # survives the conflict for re-submission against the new base
+    s2 = t.stage()
+    _touch_parquet(s2, ["c.parquet"])
+    with pytest.raises(CommitConflict):
+        t.commit_append(s2, 0)
+    assert os.path.isdir(s2)
+    t.commit_append(s2, 1)
+    assert len(t.files()) == 3
+
+
+def test_commit_append_on_legacy_data_dir_manifest(tmp_path):
+    """A pre-files manifest (data_dir only) folds its parquet scan into
+    the first append on top — the format-upgrade path."""
+    t = VersionedTable(str(tmp_path / "t"))
+    s0 = t.stage()
+    _touch_parquet(s0, ["old.parquet"])
+    v0 = t.commit(s0, -1)
+    # strip the files key to simulate a legacy manifest
+    mp = t._manifest_path(v0)
+    with open(mp) as f:
+        m = json.load(f)
+    del m["files"]
+    os.unlink(mp)
+    with open(mp, "w") as f:
+        json.dump(m, f)
+    s1 = t.stage()
+    _touch_parquet(s1, ["new.parquet"])
+    t.commit_append(s1, 0)
+    names = sorted(os.path.basename(f) for f in t.files())
+    assert names == ["new.parquet", "old.parquet"]
+
+
+def test_replace_subs_compacts_one_leg(tmp_path):
+    """replace_subs drops the base's files for named legs while other
+    legs ride along — the per-leg compaction primitive."""
+    t = VersionedTable(str(tmp_path / "t"))
+    s0 = t.stage()
+    _touch_parquet(s0, ["labels/l0.parquet", "bands/b0.parquet"])
+    t.commit(s0, -1)
+    s1 = t.stage()
+    _touch_parquet(s1, ["labels/l1.parquet", "bands/b1.parquet"])
+    t.commit_append(s1, 0)
+    s2 = t.stage()
+    _touch_parquet(s2, ["labels/snapshot.parquet"])
+    t.commit_append(s2, 1, replace_subs=("labels",))
+    labels = sorted(os.path.basename(f) for f in t.files(sub="labels"))
+    bands = sorted(os.path.basename(f) for f in t.files(sub="bands"))
+    assert labels == ["snapshot.parquet"]
+    assert bands == ["b0.parquet", "b1.parquet"]
+
+
+def test_vacuum_append_only_keeps_everything_then_compaction_frees(tmp_path):
+    """Under pure append every old dir stays referenced (its files ARE
+    the live table) — vacuum removes nothing. A compacting replace
+    commit ages them out once past the retention window."""
+    t = VersionedTable(str(tmp_path / "t"))
+    s0 = t.stage()
+    _touch_parquet(s0, ["a.parquet"])
+    t.commit(s0, -1)
+    for i in range(3):
+        s = t.stage()
+        _touch_parquet(s, [f"inc{i}.parquet"])
+        t.commit_append(s, i)
+    assert t.vacuum(keep_last=2, grace_seconds=0) == []
+    assert len(t.files()) == 4
+    # compact: full rewrite into one dir
+    sc = t.stage()
+    _touch_parquet(sc, ["compacted.parquet"])
+    t.commit(sc, 3)
+    # one more append so the pre-compaction versions age out of keep_last=1
+    s = t.stage()
+    _touch_parquet(s, ["tail.parquet"])
+    t.commit_append(s, 4)
+    removed = t.vacuum(keep_last=1, grace_seconds=0)
+    assert len(removed) == 4  # the four pre-compaction increment dirs
+    assert sorted(os.path.basename(f) for f in t.files()) == [
+        "compacted.parquet",
+        "tail.parquet",
+    ]
+
+
+def test_vacuum_never_collects_dir_at_latest_version(tmp_path):
+    """A losing commit's withdrawn dir briefly sits at v{latest}; the
+    >= latest in-flight rule protects it even past the grace window."""
+    t = VersionedTable(str(tmp_path / "t"))
+    s0 = t.stage()
+    _touch_parquet(s0, ["a.parquet"])
+    t.commit(s0, -1)
+    # fabricate an aged dir at exactly the latest version number
+    loser = os.path.join(t.root, "v00000000-deadbeef")
+    os.makedirs(loser)
+    os.utime(loser, (0, 0))
+    assert "v00000000-deadbeef" not in t.vacuum(keep_last=1, grace_seconds=0)
+    assert os.path.isdir(loser)
+
+
+def test_spark_append_read_union(spark, tmp_path):
+    """Spark-side: appended increments read back as the union, per-leg
+    selection works, and time travel sees each prefix."""
+    t = VersionedTable(str(tmp_path / "t"))
+    s0 = t.stage()
+    spark.range(10).write.parquet(os.path.join(s0, "data"))
+    t.commit(s0, -1)
+    s1 = t.stage()
+    spark.range(10, 25).write.parquet(os.path.join(s1, "data"))
+    t.commit_append(s1, 0)
+    assert t.read(spark).count() == 25
+    assert t.read(spark, version=0).count() == 10
+    assert t.read(spark, sub="data").count() == 25
+    assert t.read(spark, sub="nosuch") is None
