@@ -136,6 +136,10 @@ HEADLINE = [
     "value_drift_psi",           # week-over-week PSI drift alarm
     "quality_quantile_norm",     # within-source percentile calibration
     "dedup_cluster_stats",       # per-cluster precision audit
+    # round-7 additions, all sub-4s at sf0.1
+    "kneser_ney_trigram",        # two-level backoff trigram KN
+    "quarantine_rate",           # per-epoch quarantine burst alarm
+    "d4_selection",              # semantic dedup-then-diversify prototypes
 ]
 
 
