@@ -638,6 +638,69 @@ def contamination_report(
     )
 
 
+def eval_fingerprints(
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """The broadcastable screen-side artifact of the ingest-time
+    contamination gate: every eval document exploded to (e_id, esz, sh)
+    shingle-hash rows. Built ONCE per eval suite (eval sets are small
+    and static — thousands of documents, not the corpus), then
+    broadcast against every ingest batch by contamination_flags."""
+    ec = hashed_shingle_corpus(eval_docs, id_col, text_col, n)
+    return ec.select(
+        F.col(id_col).alias("e_id"),
+        F.size("sh_hashes").alias("esz"),
+        F.explode("sh_hashes").alias("sh"),
+    )
+
+
+def contamination_flags(
+    docs: DataFrame,
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Ingest-side benchmark-contamination screen: per incoming doc,
+    the eval documents it CONTAINS — containment C(e,d) =
+    |shingles(e) ∩ shingles(d)| / |shingles(e)| ≥ num/den, compared by
+    integer cross-multiplication (gopher_rules discipline: no float
+    boundary rows). The transpose of contamination_report: there the
+    corpus screens a fixed eval set offline; here a broadcast eval
+    fingerprint set screens every INGEST batch before it reaches the
+    training indexes — the production direction (eval sets are tiny
+    and frozen, ingest is unbounded).
+
+    Returns (id_col, eval_doc, inter, esz) — one row per contaminated
+    (doc, eval) pair; dedup to ids for routing, keep pairs for the
+    incident ledger. Shape: one O(batch) shingle pass, a broadcast
+    hash join on the shingle hash, one partial-aggregated count —
+    nothing corpus- or eval-suite-shuffled."""
+    dc = hashed_shingle_corpus(docs, id_col, text_col, n)
+    dinv = dc.select(
+        F.col(id_col), F.explode("sh_hashes").alias("sh")
+    )
+    hits = (
+        dinv.join(F.broadcast(fingerprints), "sh")
+        .groupBy(id_col, "e_id", "esz")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(
+            F.col("inter") * threshold_den >= F.col("esz") * threshold_num
+        )
+    )
+    return hits.select(
+        id_col,
+        F.col("e_id").alias("eval_doc"),
+        "inter",
+        "esz",
+    )
+
+
 # --- embedding cosine near-dup --------------------------------------------
 
 DOT_EXPR_TPL = (

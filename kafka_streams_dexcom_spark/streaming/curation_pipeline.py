@@ -5,9 +5,12 @@ WebDataset shard drop zone to the two published corpus indexes.
         │  txt members
         ├─ corrupt member (bad key / invalid UTF-8) → quarantine ledger
         ├─ parsed doc failing gopher_rules          → rejected ledger
-        └─ accepted doc ─┬─ ClusterMapMaintainer  (near-dup cluster map)
-                         └─ IvfPostingsMaintainer (ANN postings, frozen
-                            quantizer, deterministic text featurizer)
+        ├─ accepted doc containing an eval item     → contaminated ledger
+        │    (broadcast eval n-gram fingerprints, integer-exact
+        │     containment ≥ τ — operators/dedup.contamination_flags)
+        └─ clean doc ─┬─ ClusterMapMaintainer  (near-dup cluster map)
+                      └─ IvfPostingsMaintainer (ANN postings, frozen
+                         quantizer, deterministic text featurizer)
 
 The reference composes its five programs only through Kafka topics
 (P1 ingests, P3/P4/P5 transform, P6 sinks — StreamsFilterEgvs.java,
@@ -41,6 +44,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_streams_dexcom_spark.operators.dedup import (
+    contamination_flags,
+    eval_fingerprints,
+)
 from kafka_streams_dexcom_spark.operators.text import gopher_rules
 from kafka_streams_dexcom_spark.streaming.ann_ingest import (
     IvfPostingsMaintainer,
@@ -113,6 +120,8 @@ class CurationPipeline:
         centroids: DataFrame,
         lineage_id: str,
         threshold: float = 0.2,
+        eval_docs: DataFrame | None = None,
+        contamination_threshold: tuple[int, int] = (4, 5),
         crash_after_cluster_commit: int | None = None,
     ) -> None:
         self.spark = spark
@@ -129,6 +138,15 @@ class CurationPipeline:
             centroids,
             lineage_id=lineage_id,
         )
+        # the contamination screen's broadcast side: eval suites are
+        # tiny and FROZEN (like the quantizer), so fingerprint once at
+        # construction — per batch it's one broadcast hash join
+        self.eval_fp = (
+            eval_fingerprints(eval_docs).localCheckpoint()
+            if eval_docs is not None
+            else None
+        )
+        self.contamination_threshold = contamination_threshold
         self.crash_after_cluster_commit = crash_after_cluster_commit
 
     def _ledger(self, name: str, df: DataFrame, batch_id: int) -> None:
@@ -161,6 +179,24 @@ class CurationPipeline:
                 )
             finally:
                 flagged.unpersist()
+            # contamination gate: an accepted doc CONTAINING an eval
+            # item routes to the contaminated ledger and never reaches
+            # either training index — screened at ingest, the one place
+            # every document passes exactly once
+            if self.eval_fp is not None:
+                num, den = self.contamination_threshold
+                hits = contamination_flags(
+                    accepted,
+                    self.eval_fp,
+                    threshold_num=num,
+                    threshold_den=den,
+                ).localCheckpoint()
+                self._ledger("contaminated", hits, batch_id)
+                accepted = accepted.join(
+                    F.broadcast(hits.select("doc_id").distinct()),
+                    "doc_id",
+                    "left_anti",
+                ).localCheckpoint()
             # leg 1: near-dup cluster map (commit-log publish, replay
             # no-op on its own manifest watermark)
             self.cluster(accepted, batch_id)

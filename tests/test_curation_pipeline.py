@@ -165,3 +165,108 @@ def test_end_to_end_crash_restart_bit_equal(spark, tmp_path):
     }
     got_reject = {r.doc_id for r in clean.ledger("rejected").collect()}
     assert got_reject == want_reject
+
+
+def test_contamination_gate_routes_planted_eval_dupes(spark, tmp_path):
+    """Plant two gate-passing docs that CONTAIN an eval item into a
+    dropped shard: they must route to the contaminated ledger and reach
+    NEITHER training index, and the surviving views must bit-equal the
+    one-shot batch computation over the screened corpus."""
+    drop = _drop_zone(spark, tmp_path)
+    cents = _centroids(spark)
+
+    # eval suite: nonsense-token items whose trigram shingles cannot
+    # occur in the corpus — only the planted docs contain them
+    eval_rows = [
+        (1, " ".join(f"zxq{i}veil" for i in range(12))),
+        (2, " ".join(f"wqj{i}morn" for i in range(12))),
+    ]
+    eval_docs = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    # hosts: two long accepted docs — appending a 12-token eval item
+    # must not flip the gopher gate
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    hosts = [
+        r.text
+        for r in gopher_rules(docs, carry_cols=("text",))
+        .filter("keep = 1")
+        .orderBy(F.length("text").desc())
+        .limit(2)
+        .collect()
+    ]
+    planted = spark.createDataFrame(
+        [
+            (str(900001), "txt", (hosts[0] + " " + eval_rows[0][1]).encode()),
+            (str(900002), "txt", (hosts[1] + " " + eval_rows[1][1]).encode()),
+        ],
+        "key string, ext string, payload binary",
+    )
+    import os
+
+    blob = b"".join(
+        tar_member_bytes(f"{r.key}.txt", bytes(r.payload))
+        for r in planted.collect()
+    ) + tar_end_bytes()
+    with open(os.path.join(drop, "shard-planted.tar"), "wb") as f:
+        f.write(blob)
+
+    root = str(tmp_path / "views")
+    pipe = CurationPipeline(
+        spark,
+        root,
+        cents,
+        lineage_id=LINEAGE,
+        threshold=THRESHOLD,
+        eval_docs=eval_docs,
+    )
+    _run_stream(spark, drop, str(tmp_path / "ckpt"), pipe)
+
+    # the planted docs (and only they) hit the contaminated ledger,
+    # each naming its eval item at full containment
+    got = {
+        (r.doc_id, r.eval_doc, r.inter == r.esz)
+        for r in pipe.ledger("contaminated").collect()
+    }
+    assert got == {(900001, 1, True), (900002, 2, True)}
+
+    # neither index saw them
+    assert pipe.cluster.labels().filter("node >= 900000").count() == 0
+    assert pipe.index.postings().filter("vec_id >= 900000").count() == 0
+
+    # batch≡stream over the SCREENED corpus
+    members = cs.read_webdataset(spark, drop)
+    docs_all, _ = parse_txt_members(members)
+    accepted = (
+        gopher_rules(docs_all, carry_cols=("text",))
+        .filter("keep = 1")
+        .select("doc_id", "text")
+    )
+    hits = dd.contamination_flags(accepted, dd.eval_fingerprints(eval_docs))
+    clean_docs = accepted.join(
+        hits.select("doc_id").distinct(), "doc_id", "left_anti"
+    )
+    assert accepted.count() == clean_docs.count() + 2  # gate passed, then screened
+    pairs = dd.minhash_lsh_dedup(clean_docs, threshold=THRESHOLD).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    want_labels = {
+        (r.node, r.component)
+        for r in connected_components(pairs).collect()
+    }
+    got_labels = {
+        (r.node, r.component) for r in pipe.cluster.labels().collect()
+    }
+    assert got_labels == want_labels and got_labels
+    base = with_embedding_norm(
+        text_feature_vector(clean_docs).select(
+            F.col("doc_id").alias("vec_id"), "embedding"
+        ),
+        "embedding",
+    ).select(F.col("vec_id").alias("vid"), "vec")
+    want_post = {
+        (r.vid, r.cid) for r in assign_to_centroids(base, cents).collect()
+    }
+    got_post = {
+        (r.vec_id, r.cell) for r in pipe.index.postings().collect()
+    }
+    assert got_post == want_post and got_post
