@@ -50,14 +50,21 @@ def assign_to_centroids(base: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_assign(
+def kmeans_train(
     emb: DataFrame,
     k: int = 8,
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
-    """(vec_id, cell) assignment after ``iterations`` Lloyd rounds."""
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignment) after ``iterations`` Lloyd rounds —
+    centroids as (cid, cvec), assignment as (vec_id, cell). The
+    centroid frame IS the frozen quantizer the streaming maintainers
+    (ann_ingest, semdedup_stream) assign against: because the final
+    assignment is assign_to_centroids(·, centroids), re-assigning ANY
+    subset against the returned centroids is bit-equal to its rows
+    here — the invariant that makes streamed index state provably
+    equal to the one-shot batch artifact."""
     base = with_embedding_norm(emb.select(id_col, vec_col), vec_col).select(
         F.col(id_col).alias("vid"), "vec"
     )
@@ -89,4 +96,17 @@ def kmeans_assign(
             .localCheckpoint()
         )
         assigned = assign(cents)
-    return assigned.select(F.col("vid").alias("vec_id"), F.col("cid").alias("cell"))
+    return cents, assigned.select(
+        F.col("vid").alias("vec_id"), F.col("cid").alias("cell")
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cell) assignment after ``iterations`` Lloyd rounds."""
+    return kmeans_train(emb, k, iterations, id_col, vec_col)[1]

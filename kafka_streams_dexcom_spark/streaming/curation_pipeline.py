@@ -9,8 +9,11 @@ WebDataset shard drop zone to the two published corpus indexes.
         │    (broadcast eval n-gram fingerprints, integer-exact
         │     containment ≥ τ — operators/dedup.contamination_flags)
         └─ clean doc ─┬─ ClusterMapMaintainer  (near-dup cluster map)
-                      └─ IvfPostingsMaintainer (ANN postings, frozen
-                         quantizer, deterministic text featurizer)
+                      ├─ IvfPostingsMaintainer (ANN postings, frozen
+                      │    quantizer, deterministic text featurizer)
+                      └─ SemClusterMaintainer  (optional semantic-dedup
+                           leg: incremental SemDeDup clusters on the
+                           same frozen quantizer — semantic_tau=...)
 
 The reference composes its five programs only through Kafka topics
 (P1 ingests, P3/P4/P5 transform, P6 sinks — StreamsFilterEgvs.java,
@@ -54,6 +57,9 @@ from kafka_streams_dexcom_spark.streaming.ann_ingest import (
 )
 from kafka_streams_dexcom_spark.streaming.cluster_map_stream import (
     ClusterMapMaintainer,
+)
+from kafka_streams_dexcom_spark.streaming.semdedup_stream import (
+    SemClusterMaintainer,
 )
 
 FEATURE_DIM = 8
@@ -122,6 +128,7 @@ class CurationPipeline:
         threshold: float = 0.2,
         eval_docs: DataFrame | None = None,
         contamination_threshold: tuple[int, int] = (4, 5),
+        semantic_tau: float | None = None,
         crash_after_cluster_commit: int | None = None,
     ) -> None:
         self.spark = spark
@@ -137,6 +144,19 @@ class CurationPipeline:
             os.path.join(root, "ann_postings"),
             centroids,
             lineage_id=lineage_id,
+        )
+        # optional semantic-dedup leg: incremental SemDeDup clusters on
+        # the SAME frozen quantizer the postings index assigns against
+        self.sem = (
+            SemClusterMaintainer(
+                spark,
+                os.path.join(root, "sem_clusters"),
+                centroids,
+                lineage_id=lineage_id,
+                tau=semantic_tau,
+            )
+            if semantic_tau is not None
+            else None
         )
         # the contamination screen's broadcast side: eval suites are
         # tiny and FROZEN (like the quantizer), so fingerprint once at
@@ -205,11 +225,14 @@ class CurationPipeline:
                     f"injected crash after cluster commit, epoch {batch_id}"
                 )
             # leg 2: ANN postings over the deterministic featurization
-            self.index(
-                text_feature_vector(accepted).select(
-                    F.col("doc_id").alias("vec_id"), "embedding"
-                ),
-                batch_id,
+            featurized = text_feature_vector(accepted).select(
+                F.col("doc_id").alias("vec_id"), "embedding"
             )
+            self.index(featurized, batch_id)
+            # leg 3 (optional): incremental semantic-dedup clusters —
+            # same featurization, same frozen quantizer, own replay
+            # watermark in its own commit manifest
+            if self.sem is not None:
+                self.sem(featurized, batch_id)
         finally:
             batch_df.unpersist()

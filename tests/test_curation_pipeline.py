@@ -218,6 +218,7 @@ def test_contamination_gate_routes_planted_eval_dupes(spark, tmp_path):
         lineage_id=LINEAGE,
         threshold=THRESHOLD,
         eval_docs=eval_docs,
+        semantic_tau=0.9,
     )
     _run_stream(spark, drop, str(tmp_path / "ckpt"), pipe)
 
@@ -270,3 +271,42 @@ def test_contamination_gate_routes_planted_eval_dupes(spark, tmp_path):
         (r.vec_id, r.cell) for r in pipe.index.postings().collect()
     }
     assert got_post == want_post and got_post
+
+    # semantic leg: the maintained SemDeDup membership bit-equals the
+    # one-shot cells→pairs→CC pipeline over the same clean corpus, and
+    # the contaminated docs never reached it
+    clean_feat = text_feature_vector(clean_docs).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    cells = assign_to_centroids(
+        with_embedding_norm(clean_feat, "embedding").select(
+            F.col("vec_id").alias("vid"), "vec"
+        ),
+        cents,
+    ).select(
+        F.col("vid").alias("vec_id"), F.col("cid").cast("int").alias("cell")
+    )
+    sem_pairs = dd.embedding_cosine_pairs(
+        clean_feat.join(cells, "vec_id"), block_col="cell", threshold=0.9
+    )
+    comp = connected_components(
+        sem_pairs, a_col="vec_id_a", b_col="vec_id_b"
+    )
+    want_member = {
+        (r.vec_id, r.cell, r.sem_cluster)
+        for r in cells.join(
+            comp, cells.vec_id == comp.node, "left"
+        )
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("component", "vec_id").alias("sem_cluster"),
+        )
+        .collect()
+    }
+    got_member = {
+        (r.vec_id, r.cell, r.sem_cluster)
+        for r in pipe.sem.membership().collect()
+    }
+    assert got_member == want_member and got_member
+    assert pipe.sem.vectors().filter("vec_id >= 900000").count() == 0
