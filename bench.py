@@ -140,6 +140,9 @@ HEADLINE = [
     "kneser_ney_trigram",        # two-level backoff trigram KN
     "quarantine_rate",           # per-epoch quarantine burst alarm
     "d4_selection",              # semantic dedup-then-diversify prototypes
+    # round-8 additions
+    "unigram_train",             # Kudo EM unigram-LM tokenizer training
+    "unigram_encode",            # tokenize under the frozen unigram vocab
 ]
 
 

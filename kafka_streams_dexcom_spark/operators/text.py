@@ -1987,3 +1987,283 @@ def source_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def _word_table(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
+    """Distinct-word table (w, wc, L) for the unigram-LM family — the
+    single token-scale shuffle every downstream stage amortizes (same
+    contract as _bpe_loop's initial word count)."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    return (
+        fan_out_small(df)
+        .select(F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .withColumn("L", F.length("w"))
+        .localCheckpoint()
+    )
+
+
+def _unigram_pieces_expr(max_piece_len: int) -> Column:
+    """All (start, length, substring) candidate pieces of a word — a
+    scan-side array expression over the distinct-word vocabulary."""
+    return F.expr(
+        f"flatten(transform(sequence(1, L), st -> "
+        f"transform(sequence(1, least({max_piece_len}, L - st + 1)), "
+        f"ln -> struct(st AS st, ln AS ln, substring(w, st, ln) AS pc))))"
+    )
+
+
+# Viterbi over one word: left fold across character positions; acc[j+1]
+# holds the best (probability product, chosen pieces) ending at position
+# j. Pure +,*,/ IEEE doubles in a FIXED evaluation order, so Spark and
+# the DuckDB oracle produce bit-identical scores and therefore identical
+# argmax decisions — the reason the DP maximizes the raw probability
+# PRODUCT instead of a log-space sum (ln is not exactly specified by
+# IEEE 754 and could flip a tie across engines). Ties break to the
+# longer final piece; (score, piece length) totally orders candidates at
+# a position, so the segmentation is exactly replayable.
+_UNIGRAM_DP = """
+element_at(aggregate(
+  sequence(1, length(w)),
+  array(struct(CAST(1.0 AS DOUBLE) AS sc, CAST(array() AS array<string>) AS toks)),
+  (acc, j) -> concat(acc, array(
+    aggregate(
+      filter(pcs, c -> c.st + c.ln - 1 = j),
+      CAST(NULL AS struct<sc:double, toks:array<string>>),
+      (b, c) -> CASE WHEN b IS NULL
+                      OR element_at(acc, c.st).sc * c.p > b.sc
+                      OR (element_at(acc, c.st).sc * c.p = b.sc
+                          AND c.ln > length(element_at(b.toks, -1)))
+                 THEN struct(element_at(acc, c.st).sc * c.p AS sc,
+                             concat(element_at(acc, c.st).toks, array(c.pc)) AS toks)
+                 ELSE b END)))), -1).toks
+"""
+
+
+def _viterbi_segment(
+    short_words: DataFrame, vocab: DataFrame, max_piece_len: int
+) -> DataFrame:
+    """Viterbi-segment each distinct word under the current piece
+    probabilities: candidate substrings join the (broadcast,
+    vocab-scale) piece table, collect per word, then the scan-side DP
+    fold picks the max-probability segmentation. collect_list order is
+    nondeterministic but irrelevant — the DP argmax is a total order
+    over (score, piece length), so any candidate order folds to the
+    same answer."""
+    cands = (
+        short_words.select(
+            "w", "wc", F.explode(_unigram_pieces_expr(max_piece_len)).alias("c")
+        )
+        .select("w", "wc", "c.st", "c.ln", "c.pc")
+        .join(F.broadcast(vocab.select("pc", "p")), "pc")
+        .groupBy("w", "wc")
+        .agg(F.collect_list(F.struct("st", "ln", "pc", "p")).alias("pcs"))
+    )
+    return cands.select("w", "wc", F.expr(_UNIGRAM_DP).alias("toks"))
+
+
+def _unigram_em_loop(
+    df: DataFrame,
+    text_col: str,
+    n_rounds: int,
+    seed_k: int,
+    max_piece_len: int,
+    max_word_len: int,
+) -> DataFrame:
+    """Unigram-LM tokenizer training (Kudo 2018, SentencePiece's unigram
+    model) as a fixed-round unrolled EM over the distinct-word
+    vocabulary. Returns the final piece table (pc, cnt, p).
+
+    Seed: every substring up to ``max_piece_len`` chars, counted with
+    word frequency; the vocabulary keeps ALL single characters (coverage
+    guarantee — the DP is always feasible) plus the top ``seed_k``
+    multi-char pieces by (count desc, piece asc). Each EM round
+    Viterbi-segments every distinct word under the current
+    probabilities (E), recounts pieces from the chosen segmentations
+    with add-one smoothing on single chars (M), and prunes multi-char
+    pieces that won no occurrences — Kudo's EM + prune loop with the
+    prune schedule fixed so the oracle can replay it.
+
+    Words longer than ``max_word_len`` fall back to single-character
+    segmentation (SentencePiece's own long-token escape hatch); this
+    bounds the DP fold and the oracle's unrolled relational DP alike.
+
+    Scale: ONE token-scale shuffle (the word count); seeding, every EM
+    round, and the DP itself run on the DISTINCT-WORD vocabulary —
+    corpus-size-independent, the _bpe_loop argument. The piece table is
+    broadcast (|chars| + seed_k rows); totals are broadcast 1-row
+    aggregates; localCheckpoint per round is the iterative-lineage
+    hygiene shared with kmeans/pagerank/bpe. Probability-space products
+    stay normal down to ~1e-308 — fine for any real corpus's ≤16-char
+    words (min piece prob 1e-12 → ≥ 1e-192); a log-space variant would
+    trade that bound for cross-engine replayability, the wrong trade
+    here."""
+    words = _word_table(df, text_col, max_word_len)
+    short = words.filter(F.col("L") <= max_word_len)
+    long_ = words.filter(F.col("L") > max_word_len)
+    sub_expr = F.expr(
+        f"flatten(transform(sequence(1, L), st -> "
+        f"transform(sequence(1, least({max_piece_len}, L - st + 1)), "
+        f"ln -> substring(w, st, ln))))"
+    )
+    long_chars = long_.select(
+        "wc", F.explode(F.expr("split(w, '')")).alias("pc")
+    )
+    seed_counts = (
+        short.select("wc", F.explode(sub_expr).alias("pc"))
+        .unionByName(long_chars)
+        .groupBy("pc")
+        .agg(F.sum("wc").alias("cnt"))
+    )
+    chars = seed_counts.filter(F.length("pc") == 1)
+    multis = (
+        seed_counts.filter(F.length("pc") >= 2)
+        .orderBy(F.col("cnt").desc(), F.col("pc").asc())
+        .limit(seed_k)
+    )
+    vocab = chars.unionByName(multis)
+    tot = vocab.agg(F.sum("cnt").alias("tot"))
+    vocab = (
+        vocab.crossJoin(F.broadcast(tot))
+        .select(
+            "pc",
+            "cnt",
+            (
+                F.col("cnt").cast("double") / F.col("tot").cast("double")
+            ).alias("p"),
+        )
+        .localCheckpoint()
+    )
+    for _rnd in range(1, n_rounds + 1):
+        seg = _viterbi_segment(short, vocab, max_piece_len)
+        counts = (
+            seg.select("wc", F.explode("toks").alias("pc"))
+            .unionByName(long_chars)
+            .groupBy("pc")
+            .agg(F.sum("wc").alias("c"))
+        )
+        c2 = (
+            vocab.select("pc")
+            .join(counts, "pc", "left")
+            .select("pc", F.coalesce("c", F.lit(0)).alias("c"))
+            .select(
+                "pc",
+                (
+                    F.col("c")
+                    + F.when(F.length("pc") == 1, 1).otherwise(0)
+                ).alias("cnt"),
+                "c",
+            )
+            .filter((F.length("pc") == 1) | (F.col("c") > 0))
+        )
+        tot = c2.agg(F.sum("cnt").alias("tot"))
+        vocab = (
+            c2.crossJoin(F.broadcast(tot))
+            .select(
+                "pc",
+                "cnt",
+                (
+                    F.col("cnt").cast("double") / F.col("tot").cast("double")
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    return vocab
+
+
+def unigram_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_rounds: int = 2,
+    seed_k: int = 80,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Train the unigram-LM tokenizer and return the published vocab
+    artifact: (piece, piece_len, cnt, prob) — counts exact integers,
+    prob floor-truncated to 6 decimals so both engines compare equal.
+    See :func:`_unigram_em_loop` for semantics and scale."""
+    vocab = _unigram_em_loop(
+        df, text_col, n_rounds, seed_k, max_piece_len, max_word_len
+    )
+    return vocab.select(
+        F.col("pc").alias("piece"),
+        F.length("pc").alias("piece_len"),
+        "cnt",
+        trunc6(F.col("p")).alias("prob"),
+    )
+
+
+def unigram_encode_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab: DataFrame | None = None,
+    n_rounds: int = 2,
+    seed_k: int = 80,
+    max_piece_len: int = 4,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Tokenize the corpus under the LEARNED unigram-LM vocabulary — the
+    apply side (the bpe_encode_counts twin for the other production
+    tokenizer family): per doc, word / unigram-token / char counts and
+    the chars-per-token compression. Long words (> ``max_word_len``)
+    count one token per char (the training-side fallback, applied
+    consistently). Pass a pre-trained ``vocab`` (pc, cnt, p — the
+    shared ``unigram_artifacts`` table) to skip in-query training; the
+    production shape, where the tokenizer is a frozen published
+    artifact and encoding is pure apply.
+
+    Scale: the Viterbi apply runs on the DISTINCT-WORD vocabulary
+    against the broadcast piece table; documents then join word →
+    token-length through one (doc, word)-keyed aggregation — exactly
+    bpe_encode_counts' shuffle shape. Docs with no words survive the
+    left join with zero counts."""
+    if vocab is None:
+        vocab = _unigram_em_loop(
+            df, text_col, n_rounds, seed_k, max_piece_len, max_word_len
+        )
+    words = _word_table(df, text_col, max_word_len)
+    short = words.filter(F.col("L") <= max_word_len)
+    long_ = words.filter(F.col("L") > max_word_len)
+    seg = _viterbi_segment(short, vocab, max_piece_len)
+    enc = seg.select(
+        "w", F.size("toks").alias("wtok"), F.length("w").alias("wlen")
+    ).unionByName(
+        long_.select("w", F.col("L").alias("wtok"), F.col("L").alias("wlen"))
+    )
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    wc = (
+        df.select(F.col(id_col), F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = (
+        wc.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("wtok")).alias("n_tokens"),
+            F.sum(F.col("n") * F.col("wlen")).alias("n_chars"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.floor(
+                    F.col("n_chars")
+                    * F.lit(1_000_000).cast("double")
+                    / F.col("n_tokens")
+                )
+                / F.lit(1_000_000.0),
+            ).alias("compression"),
+        )
+    )

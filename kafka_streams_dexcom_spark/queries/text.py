@@ -1061,6 +1061,255 @@ def _bpe_encode_oracle(n_merges: int = 5) -> str:
 
 
 
+# Unigram-LM (SentencePiece) tokenizer hyperparameters — fixed so the
+# EM loop unrolls to a deterministic oracle, same discipline as
+# BPE_MERGES. max-word-len 16 bounds BOTH the Spark DP fold and the
+# oracle's unrolled relational DP (longer words fall back to chars —
+# SentencePiece's own long-token escape hatch).
+UNIGRAM_ROUNDS = 2
+UNIGRAM_SEED_K = 80
+UNIGRAM_MAX_PIECE = 4
+UNIGRAM_MAX_WORD = 16
+
+
+def unigram_artifacts(
+    spark: SparkSession, sf_dir: str, n_rounds: int = UNIGRAM_ROUNDS
+) -> DataFrame:
+    """The trained unigram-LM piece table (pc, cnt, p), trained ONCE per
+    (Spark application, corpus) and shared by unigram_train and
+    unigram_encode — the second production tokenizer family's
+    publish-once artifact, exactly bpe_artifacts' contract (a frozen
+    tokenizer is read by every downstream job, never retrained per
+    query)."""
+    import os
+
+    from kafka_streams_dexcom_spark.operators.text import _unigram_em_loop
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    key = (
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        n_rounds,
+    )
+
+    def _build() -> DataFrame:
+        return _unigram_em_loop(
+            load_table(spark, sf_dir, "documents"),
+            "text",
+            n_rounds,
+            UNIGRAM_SEED_K,
+            UNIGRAM_MAX_PIECE,
+            UNIGRAM_MAX_WORD,
+        )
+
+    return session_artifact(spark, "unigram_vocab", key, _build)
+
+
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/text.py:_unigram_em_loop
+    — Kudo 2018's EM + prune, 2 unrolled rounds over the substring seed
+    vocabulary): the final published piece table. Served from the shared
+    trained artifact (``unigram_artifacts``)."""
+    from pyspark.sql import functions as F
+
+    vocab = unigram_artifacts(spark, sf_dir)
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+
+    return vocab.select(
+        F.col("pc").alias("piece"),
+        F.length("pc").alias("piece_len"),
+        "cnt",
+        trunc6(F.col("p")).alias("prob"),
+    )
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the learned unigram-LM vocabulary
+    (operators/text.py:unigram_encode_counts): per-doc word / token /
+    char counts + compression — pure apply against the shared frozen
+    artifact, the bpe_encode twin for the other tokenizer family."""
+    vocab = unigram_artifacts(spark, sf_dir)
+    return tx.unigram_encode_counts(
+        load_table(spark, sf_dir, "documents"), vocab=vocab
+    )
+
+
+def _unigram_dp_pass(tag: str, vocab_cte: str) -> str:
+    """One unrolled relational Viterbi pass for the unigram oracle:
+    candidate substrings joined to the pass's piece table, then
+    UNIGRAM_MAX_WORD DP position steps — each step keeps, per word, the
+    argmax (score desc, piece-len desc) extension ending at that
+    position. Every CTE is MATERIALIZED: dp steps are referenced twice
+    (pass-through union + join), and plain-CTE inlining would blow up
+    exponentially (the sf1 Lloyd-replay lesson). Scores are the same
+    incremental double products as the Spark fold — bit-identical by
+    IEEE, so both engines replay the same segmentation."""
+    parts = [f"""
+        cand{tag} AS MATERIALIZED (
+            SELECT sw.w, sw.wc, u.c.st AS st, u.c.ln AS ln,
+                   substring(sw.w, u.c.st, u.c.ln) AS pc, v.p
+            FROM short_words sw,
+                 UNNEST(flatten(list_transform(range(1, sw.L + 1), st ->
+                   list_transform(range(1, least({UNIGRAM_MAX_PIECE},
+                                                 sw.L - st + 1) + 1),
+                                  ln -> {{'st': st, 'ln': ln}})))) AS u(c)
+            JOIN {vocab_cte} v
+              ON v.pc = substring(sw.w, u.c.st, u.c.ln)
+        ),
+        dp{tag}_0 AS MATERIALIZED (
+            SELECT w, wc, 0 AS pos, CAST(1.0 AS DOUBLE) AS sc,
+                   CAST([] AS VARCHAR[]) AS toks
+            FROM short_words
+        )"""]
+    for j in range(1, UNIGRAM_MAX_WORD + 1):
+        parts.append(f"""
+        dp{tag}_{j} AS MATERIALIZED (
+            SELECT w, wc, pos, sc, toks FROM dp{tag}_{j - 1}
+            UNION ALL
+            SELECT w, wc, pos, sc, toks FROM (
+                SELECT c.w, d.wc, {j} AS pos, d.sc * c.p AS sc,
+                       list_append(d.toks, c.pc) AS toks,
+                       row_number() OVER (PARTITION BY c.w
+                           ORDER BY d.sc * c.p DESC, c.ln DESC) AS rn
+                FROM cand{tag} c
+                JOIN dp{tag}_{j - 1} d ON d.w = c.w AND d.pos = c.st - 1
+                WHERE c.st + c.ln - 1 = {j}
+            ) WHERE rn = 1
+        )""")
+    parts.append(f"""
+        seg{tag} AS MATERIALIZED (
+            SELECT d.w, d.wc, d.toks
+            FROM dp{tag}_{UNIGRAM_MAX_WORD} d
+            JOIN short_words sw ON sw.w = d.w AND d.pos = sw.L
+        )""")
+    return ",".join(parts)
+
+
+def _unigram_cte_chain(n_rounds: int = UNIGRAM_ROUNDS) -> str:
+    """Shared CTE chain replaying _unigram_em_loop: word table, substring
+    seed (top-K multi-char + all chars), then ``n_rounds`` unrolled
+    (Viterbi pass, recount, add-one-smooth chars, prune, renormalize)
+    rounds, ending at piece table v{n_rounds}."""
+    seed_sel = f"""
+            SELECT pc, cnt FROM seed_counts WHERE length(pc) = 1
+            UNION ALL
+            SELECT pc, cnt FROM (
+                SELECT pc, cnt FROM seed_counts WHERE length(pc) >= 2
+                ORDER BY cnt DESC, pc ASC LIMIT {UNIGRAM_SEED_K})"""
+    ctes = [f"""
+        words AS MATERIALIZED (
+            SELECT t AS w, count(*) AS wc, length(t) AS L
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS u(t)
+            GROUP BY t
+        ),
+        short_words AS MATERIALIZED (
+            SELECT * FROM words WHERE L <= {UNIGRAM_MAX_WORD}
+        ),
+        long_words AS MATERIALIZED (
+            SELECT * FROM words WHERE L > {UNIGRAM_MAX_WORD}
+        ),
+        seed_occ AS (
+            SELECT substring(w, u.c.st, u.c.ln) AS pc, wc
+            FROM short_words,
+                 UNNEST(flatten(list_transform(range(1, L + 1), st ->
+                   list_transform(range(1, least({UNIGRAM_MAX_PIECE},
+                                                 L - st + 1) + 1),
+                                  ln -> {{'st': st, 'ln': ln}})))) AS u(c)
+            UNION ALL
+            SELECT w[i:i] AS pc, wc
+            FROM long_words, UNNEST(range(1, L + 1)) AS r(i)
+        ),
+        seed_counts AS MATERIALIZED (
+            SELECT pc, CAST(sum(wc) AS BIGINT) AS cnt
+            FROM seed_occ GROUP BY pc
+        ),
+        v0 AS MATERIALIZED (
+            SELECT pc, cnt,
+                   CAST(cnt AS DOUBLE) / CAST((SELECT sum(cnt) FROM ({seed_sel}
+                   )) AS DOUBLE) AS p
+            FROM ({seed_sel})
+        )"""]
+    for r in range(1, n_rounds + 1):
+        ctes.append(_unigram_dp_pass(f"r{r}", f"v{r - 1}"))
+        ctes.append(f"""
+        rc{r} AS MATERIALIZED (
+            SELECT pc, CAST(sum(wc) AS BIGINT) AS c FROM (
+                SELECT u.pc AS pc, wc FROM segr{r}, UNNEST(toks) AS u(pc)
+                UNION ALL
+                SELECT w[i:i] AS pc, wc
+                FROM long_words, UNNEST(range(1, L + 1)) AS r(i)
+            ) GROUP BY pc
+        ),
+        cpr{r} AS MATERIALIZED (
+            SELECT v.pc, coalesce(rc.c, 0) AS c,
+                   coalesce(rc.c, 0)
+                   + CASE WHEN length(v.pc) = 1 THEN 1 ELSE 0 END AS cnt
+            FROM v{r - 1} v LEFT JOIN rc{r} rc ON rc.pc = v.pc
+            WHERE length(v.pc) = 1 OR coalesce(rc.c, 0) > 0
+        ),
+        v{r} AS MATERIALIZED (
+            SELECT pc, cnt,
+                   CAST(cnt AS DOUBLE)
+                   / CAST((SELECT sum(cnt) FROM cpr{r}) AS DOUBLE) AS p
+            FROM cpr{r}
+        )""")
+    return ",".join(ctes)
+
+
+def _unigram_train_oracle(n_rounds: int = UNIGRAM_ROUNDS) -> str:
+    """Unrolled replay of _unigram_em_loop (see _unigram_cte_chain)."""
+    return (
+        "WITH " + _unigram_cte_chain(n_rounds) + f"""
+        SELECT pc AS piece, CAST(length(pc) AS INTEGER) AS piece_len, cnt,
+               floor(p * 1000000.0) / 1000000.0 AS prob
+        FROM v{n_rounds}"""
+    )
+
+
+def _unigram_encode_oracle(n_rounds: int = UNIGRAM_ROUNDS) -> str:
+    """Replay of unigram_encode_counts: one more Viterbi pass under the
+    FINAL piece table, long words one-token-per-char, then the per-doc
+    (doc, word)-keyed aggregation — bpe_encode's oracle shape."""
+    return (
+        "WITH " + _unigram_cte_chain(n_rounds) + ","
+        + _unigram_dp_pass("e", f"v{n_rounds}") + f""",
+        enc AS (
+            SELECT w, len(toks) AS wtok, length(w) AS wlen FROM sege
+            UNION ALL
+            SELECT w, L AS wtok, L AS wlen FROM long_words
+        ),
+        wcnt AS (
+            SELECT doc_id, t AS w, count(*) AS n
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS u(t)
+            GROUP BY doc_id, t
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_words,
+                   CAST(sum(n * wtok) AS BIGINT) AS n_tokens,
+                   CAST(sum(n * wlen) AS BIGINT) AS n_chars
+            FROM wcnt JOIN enc USING (w)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_words, 0) AS n_words,
+               coalesce(per.n_tokens, 0) AS n_tokens,
+               coalesce(per.n_chars, 0) AS n_chars,
+               CASE WHEN coalesce(per.n_tokens, 0) > 0
+                    THEN floor(per.n_chars * 1000000.0 / per.n_tokens)
+                         / 1000000.0
+               END AS compression
+        FROM documents d LEFT JOIN per USING (doc_id)"""
+    )
+
+
 QUERIES = {
     "zipf_slope": q_zipf_slope,
     "sequence_packing": q_sequence_packing,
@@ -1099,6 +1348,8 @@ QUERIES = {
     "bpe_pair_stats": q_bpe_pair_stats,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "unigram_train": q_unigram_train,
+    "unigram_encode": q_unigram_encode,
     "doc_chunks_udtf": q_doc_chunks_udtf,
     "bm25_rerank": q_bm25_rerank,
 }
@@ -1300,6 +1551,8 @@ def _bm25_freetext_oracle() -> str:
 ORACLES = {
     "bpe_train": _bpe_train_oracle(BPE_MERGES),
     "bpe_encode": _bpe_encode_oracle(BPE_MERGES),
+    "unigram_train": _unigram_train_oracle(UNIGRAM_ROUNDS),
+    "unigram_encode": _unigram_encode_oracle(UNIGRAM_ROUNDS),
     "bpe_pair_stats": """
         WITH words AS (
             SELECT t AS w, count(*) AS wc

@@ -124,6 +124,13 @@ PROBE_QUERIES = [
     # bounded agg over the epoch-partitioned fixture.
     "kneser_ney_trigram",
     "quarantine_rate",
+    # round-8: the unigram-LM family is vocab-bounded like bpe — the
+    # self-union leaves the DISTINCT-word table unchanged, so seeding,
+    # every EM round, and the Viterbi folds cost the same; only the
+    # word-count shuffle (train) and the (doc, word) join (encode)
+    # grow 10×.
+    "unigram_train",
+    "unigram_encode",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10

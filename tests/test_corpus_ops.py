@@ -773,3 +773,45 @@ def test_time_in_range_duration_crediting(spark):
     tot = low.dur_us + inr.dur_us + high.dur_us
     assert low.pct_milli == low.dur_us * 100000 // tot
     assert sum(r.pct_milli for r in out.values()) <= 100000
+
+
+def test_unigram_encode_hand_case(spark):
+    """Unigram-LM apply on a hand-checkable corpus: 'xyz' (the dominant
+    word) trains to a single piece, so it encodes 1 token; a 17-char
+    word takes the long-word char fallback; an empty doc keeps zero
+    counts and a NULL compression."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        unigram_encode_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "xyz xyz"), (2, "q"), (3, "   "), (4, "a" * 17)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.n_chars, r.compression)
+        for r in unigram_encode_counts(df).collect()
+    }
+    assert got[1] == (2, 2, 6, 3.0)
+    assert got[2] == (1, 1, 1, 1.0)
+    assert got[3] == (0, 0, 0, None)
+    assert got[4] == (1, 17, 17, 1.0)
+
+
+def test_unigram_train_prunes_and_keeps_chars(spark):
+    """EM pruning drops multi-char pieces that win no Viterbi
+    occurrences (xy/yz lose to the whole-word piece xyz) while every
+    single character survives with the add-one floor — the coverage
+    guarantee that keeps the DP feasible on any future word."""
+    from kafka_streams_dexcom_spark.operators.text import unigram_train
+
+    df = spark.createDataFrame(
+        [(1, "xyz xyz"), (2, "q"), (3, "   "), (4, "a" * 17)],
+        "doc_id long, text string",
+    )
+    pieces = {r.piece: r for r in unigram_train(df).collect()}
+    assert "xyz" in pieces and pieces["xyz"].cnt == 2
+    assert "xy" not in pieces and "yz" not in pieces
+    assert {"x", "y", "z", "q", "a"} <= set(pieces)
+    assert all(r.cnt >= 1 for r in pieces.values())
+    assert abs(sum(r.prob for r in pieces.values()) - 1.0) < 1e-4

@@ -47,6 +47,9 @@ EAGER = {
     # round-6: bpe_encode/bpe_fertility share bpe_train's eager loop
     "bpe_encode",
     "bpe_fertility",
+    # round-8: the unigram-LM EM loop localCheckpoints per round
+    "unigram_train",
+    "unigram_encode",
 }
 
 
