@@ -143,6 +143,7 @@ HEADLINE = [
     # round-8 additions
     "unigram_train",             # Kudo EM unigram-LM tokenizer training
     "unigram_encode",            # tokenize under the frozen unigram vocab
+    "unigram_fertility",         # tokens-per-word eval, unigram family
 ]
 
 

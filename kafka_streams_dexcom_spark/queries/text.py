@@ -3307,3 +3307,83 @@ def _bpe_fertility_oracle(n_merges: int = 5) -> str:
 
 QUERIES["bpe_fertility"] = q_bpe_fertility
 ORACLES["bpe_fertility"] = _bpe_fertility_oracle(5)
+
+
+def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language under the learned UNIGRAM-LM
+    vocabulary — bpe_fertility's twin for the other tokenizer family,
+    and the table a tokenizer bake-off actually compares (same corpus,
+    same languages, two vocabularies). Word → token length comes from
+    the frozen ``unigram_artifacts`` Viterbi apply (long words → chars,
+    the training-side fallback); documents contribute per-language word
+    counts; one join + one |langs|-bounded aggregate."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        _viterbi_segment,
+        _word_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = unigram_artifacts(spark, sf_dir)
+    words = _word_table(docs, "text", UNIGRAM_MAX_WORD)
+    short = words.filter(F.col("L") <= UNIGRAM_MAX_WORD)
+    long_ = words.filter(F.col("L") > UNIGRAM_MAX_WORD)
+    enc = (
+        _viterbi_segment(short, vocab, UNIGRAM_MAX_PIECE)
+        .select("w", F.size("toks").alias("wtok"))
+        .unionByName(long_.select("w", F.col("L").alias("wtok")))
+    )
+    toks_expr = "filter(split(text, '\\\\s+'), t -> t != '')"
+    wc = (
+        docs.select("lang", F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = (
+        wc.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("wtok")).alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        (
+            F.floor(
+                F.col("n_tokens") * F.lit(1_000_000.0) / F.col("n_words")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("fertility"),
+    )
+
+
+def _unigram_fertility_oracle(n_rounds: int = UNIGRAM_ROUNDS) -> str:
+    """Replay: the same unrolled EM chain + final Viterbi pass as
+    _unigram_encode_oracle, aggregated per language."""
+    base = _unigram_encode_oracle(n_rounds)
+    head = base.split("        wcnt AS (")[0]
+    return (
+        head
+        + f"""
+        wcnt AS (
+            SELECT lang, t AS w, count(*) AS n
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS u(t)
+            GROUP BY lang, t
+        )
+        SELECT lang,
+               CAST(sum(n) AS BIGINT) AS n_words,
+               CAST(sum(n * wtok) AS BIGINT) AS n_tokens,
+               floor(sum(n * wtok) * 1000000.0 / sum(n)) / 1000000.0
+                   AS fertility
+        FROM wcnt JOIN enc USING (w)
+        GROUP BY lang
+    """
+    )
+
+
+QUERIES["unigram_fertility"] = q_unigram_fertility
+ORACLES["unigram_fertility"] = _unigram_fertility_oracle(UNIGRAM_ROUNDS)

@@ -131,6 +131,7 @@ PROBE_QUERIES = [
     # grow 10×.
     "unigram_train",
     "unigram_encode",
+    "unigram_fertility",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10

@@ -102,3 +102,23 @@ def test_bpe_encode_totals_agree_with_fertility(spark):
     fert = _rows(spark, "bpe_fertility")
     assert sum(r.n_words for r in enc) == sum(r.n_words for r in fert)
     assert sum(r.n_tokens for r in enc) == sum(r.n_tokens for r in fert)
+
+
+def test_unigram_encode_totals_agree_with_fertility(spark):
+    """unigram_fertility is the per-language rollup of unigram_encode's
+    per-doc counts — grand totals must match exactly (both apply the
+    same frozen Viterbi segmentation)."""
+    enc = _rows(spark, "unigram_encode")
+    fert = _rows(spark, "unigram_fertility")
+    assert sum(r.n_words for r in enc) == sum(r.n_words for r in fert)
+    assert sum(r.n_tokens for r in enc) == sum(r.n_tokens for r in fert)
+
+
+def test_unigram_never_beats_chars_and_bpe_sanity(spark):
+    """Tokenizer-family sanity: for every doc, unigram token count is
+    between the word count (each word ≥ 1 token) and the char count
+    (worst case segments to chars) — the bounds a correct Viterbi can
+    never escape."""
+    enc = _rows(spark, "unigram_encode")
+    for r in enc:
+        assert r.n_words <= r.n_tokens <= max(r.n_chars, r.n_words), r

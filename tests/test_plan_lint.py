@@ -50,6 +50,7 @@ EAGER = {
     # round-8: the unigram-LM EM loop localCheckpoints per round
     "unigram_train",
     "unigram_encode",
+    "unigram_fertility",
 }
 
 
