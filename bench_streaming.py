@@ -350,6 +350,55 @@ def main() -> None:
             "max": max(t["commit_sec"] for t in ann.timings),
         } if ann.timings else None
 
+        # Streaming SemDeDup maintainer: per-batch frozen-quantizer cell
+        # assignment + within-cell cosine candidates vs batch+stored
+        # members, labels folded through cc_incremental_delta, commit-log
+        # published (streaming/semdedup_stream.py). stage vs commit legs
+        # reported separately — the append-granular manifest's contract
+        # is commit cost flat vs index size.
+        from kafka_streams_dexcom_spark.queries.dedup import SEMDEDUP_TAU
+        from kafka_streams_dexcom_spark.streaming.semdedup_stream import (
+            SemClusterMaintainer,
+        )
+
+        sem = SemClusterMaintainer(
+            spark,
+            f"{work}/sem_index",
+            cents,
+            lineage_id="bench",
+            tau=SEMDEDUP_TAU,
+        )
+        sem_secs: list[float] = []
+
+        def timed_sem(batch_df: DataFrame, batch_id: int) -> None:
+            b0 = time.time()
+            sem(batch_df, batch_id)
+            sem_secs.append(round(time.time() - b0, 2))
+
+        stream = _stream(spark, emb_in, emb_schema)
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(timed_sem)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt_sem")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results["semdedup_stream"] = round(n_vecs / (time.time() - t0), 1)
+        results["semdedup_batch_sec"] = {
+            "first": sem_secs[0] if sem_secs else None,
+            "last": sem_secs[-1] if sem_secs else None,
+            "max": max(sem_secs) if sem_secs else None,
+            "n_batches": len(sem_secs),
+            "clusters": sem.labels().select("component").distinct().count(),
+        }
+        results["semdedup_commit_sec"] = {
+            "first": sem.timings[0]["commit_sec"],
+            "last": sem.timings[-1]["commit_sec"],
+            "max": max(t["commit_sec"] for t in sem.timings),
+        } if sem.timings else None
+
         # Streaming curation gate: JSONL landing -> PERMISSIVE parse ->
         # three-way corrupt/rejected/accepted routing with the gopher
         # flags riding the landing scan (streaming/quality_gate.py).

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""The 100x parity gate: every registered query whose shape survives the
+synthetic sf10 corpus runs against its DuckDB oracle at 100x the
+driver's bench scale (60M lineitem / 10M events / 500k docs / 200k
+embeddings), extending r7's 12-query spot check to the full fact-bound
+registry.
+
+Exclusions are DATA-shape, not engine-shape: gen_testdata packs 100x
+documents/vectors into the SAME 10 clusters and the same 30-word vocab,
+so within-cluster pair volume grows ~10,000x — a growth profile no real
+100x corpus has (real growth adds clusters; BASELINE.md r7 records the
+same boundary for the sf10 bench subset). The pair-graph family is
+instead gated end-to-end at sf1 (171/171, r7) where the planted
+structure stays realistic.
+
+Results append to SF10_PARITY.jsonl as they land (a crash preserves
+progress; pass remaining names as argv to resume) and aggregate into
+SF10_PARITY.json. Usage:
+
+    SPARK_GRAFT_DRIVER_MEM=48g python sf10_gate.py [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from check_parity import vanilla_spark  # noqa: E402
+from tests.compare import compare, duckdb_con  # noqa: E402
+
+SF10 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "testdata", "sf10")
+JSONL = "SF10_PARITY.jsonl"
+OUT = "SF10_PARITY.json"
+
+_PAIR = (
+    "pair-graph shape: the synthetic sf10 corpus packs 100x docs/vectors "
+    "into the SAME 10 clusters / 30-word vocab, so within-cluster pair "
+    "volume grows ~10,000x — a profile real 100x corpora don't have; "
+    "gated at sf1 (171/171) where the planted structure is realistic"
+)
+EXCLUDED: dict[str, str] = dict.fromkeys(
+    [
+        # near-dup / semantic pair generators and their consumers
+        "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+        "dedup_ngram_jaccard", "dedup_clusters", "dedup_survivors",
+        "dedup_best_survivors", "dedup_embedding", "dedup_embedding_ivf",
+        "semdedup", "d4_selection", "dedup_cross_source",
+        "cluster_size_histogram", "dedup_cluster_stats",
+        "survivor_token_savings", "leakage_safe_split",
+        "cc_incremental_replay", "dedup_incremental",
+        "source_minhash_jaccard", "dedup_rate_by_source",
+        "dedup_threshold_curve", "curation_manifest",
+        "contamination_check",
+        # dense-graph family: same-10-clusters edge blowup
+        "triangle_count", "triangle_count_capped", "pagerank_centrality",
+        # ER: 10 copies of every name per pigeonhole bucket -> dist-0 pairs
+        "er_fuzzy_customers", "er_customer_golden",
+    ],
+    _PAIR,
+)
+EXCLUDED["doc_chunks_udtf"] = (
+    "deliberate row-at-a-time Python slow-path twin (API-surface "
+    "demonstrator); the codegen doc_chunks IS gated here"
+)
+
+
+def main() -> int:
+    only = sys.argv[1:]
+    qs, oracles = queries(), oracle_sql()
+    names = [n for n in qs if n not in EXCLUDED]
+    if only:
+        names = [n for n in names if n in only]
+    print(f"{len(names)} queries to gate at sf10 "
+          f"({len(EXCLUDED)} excluded by data shape)")
+    spark = vanilla_spark()
+    con = duckdb_con(SF10)
+    failed = []
+    with open(JSONL, "a") as log:
+        for i, name in enumerate(names, 1):
+            t0 = time.time()
+            try:
+                if name in oracles:
+                    res = compare(qs[name](spark, SF10), con, oracles[name])
+                    ok = res["values_match"] and res["types_match"]
+                    row = {"name": name, "ok": ok,
+                           "rows": res["spark_rows"],
+                           "secs": round(time.time() - t0, 2)}
+                    if not ok:
+                        row["detail"] = {
+                            k: v for k, v in res.items()
+                            if k != "first_mismatches"
+                        }
+                else:
+                    n = qs[name](spark, SF10).count()
+                    ok = n > 0
+                    row = {"name": name, "ok": ok, "rows": n,
+                           "rows_only": True,
+                           "secs": round(time.time() - t0, 2)}
+            except Exception as exc:  # noqa: BLE001
+                ok = False
+                row = {"name": name, "ok": False,
+                       "error": f"{type(exc).__name__}: {exc}"[:500],
+                       "secs": round(time.time() - t0, 2)}
+            log.write(json.dumps(row) + "\n")
+            log.flush()
+            print(f"[{i}/{len(names)}] {'PASS' if ok else 'FAIL'} "
+                  f"{name:32s} {row['secs']:8.2f}s", flush=True)
+            if not ok:
+                failed.append(name)
+    # aggregate every jsonl row (incl. prior resumed runs; last wins)
+    rows: dict[str, dict] = {}
+    with open(JSONL) as f:
+        for line in f:
+            r = json.loads(line)
+            rows[r["name"]] = r
+    summary = {
+        "sf_dir": SF10,
+        "gated": len(rows),
+        "pass": sum(1 for r in rows.values() if r["ok"]),
+        "excluded": EXCLUDED,
+        "results": rows,
+    }
+    with open(OUT, "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(f"\n{summary['pass']}/{summary['gated']} pass -> {OUT}")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
