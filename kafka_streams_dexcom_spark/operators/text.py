@@ -1989,10 +1989,11 @@ def source_divergence(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _word_table(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
+def _word_table(df: DataFrame, text_col: str) -> DataFrame:
     """Distinct-word table (w, wc, L) for the unigram-LM family — the
     single token-scale shuffle every downstream stage amortizes (same
-    contract as _bpe_loop's initial word count)."""
+    contract as _bpe_loop's initial word count). Callers derive their
+    own short/long split from L."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     return (
         fan_out_small(df)
@@ -2063,6 +2064,60 @@ def _viterbi_segment(
     return cands.select("w", "wc", F.expr(_UNIGRAM_DP).alias("toks"))
 
 
+def _unigram_word_tokens(
+    words: DataFrame, vocab: DataFrame, max_piece_len: int, max_word_len: int
+) -> DataFrame:
+    """Word → (token count, char count) under a unigram-LM piece table:
+    the TOTAL apply map (w, wtok, wlen) shared by encode and fertility.
+
+    Routing: long words (> ``max_word_len``) AND words containing any
+    character absent from the vocabulary's single-char pieces take the
+    one-token-per-char fallback; everything else Viterbi-segments under
+    the broadcast piece table. The out-of-vocabulary leg is what makes
+    the frozen-artifact apply path (production: tokenizer trained once,
+    applied to NEW corpora) total and deterministic — an uncovered
+    character makes the DP infeasible (NULL-score structs whose fold
+    outcome depends on collect_list order) and previously dropped the
+    word from the candidate join entirely, silently undercounting
+    n_words / n_tokens. On the training corpus the single-char coverage
+    guarantee makes the OOV set empty, so training-side semantics are
+    unchanged.
+
+    Scale: coverage is ONE distinct-word-scale aggregation over exploded
+    chars against the broadcast single-char piece set; the Viterbi apply
+    stays on the covered distinct words. A residual NULL-toks guard
+    coalesces to per-char as belt-and-braces."""
+    chars = (
+        vocab.filter(F.length("pc") == 1)
+        .select(F.col("pc").alias("ch"), F.lit(1).alias("in_vocab"))
+    )
+    short = words.filter(F.col("L") <= max_word_len)
+    cov = (
+        short.select(
+            "w", "wc", "L", F.explode(F.expr("split(w, '')")).alias("ch")
+        )
+        .join(F.broadcast(chars), "ch", "left")
+        .groupBy("w", "wc", "L")
+        .agg(F.min(F.coalesce("in_vocab", F.lit(0))).alias("cov"))
+    )
+    covered = cov.filter(F.col("cov") == 1).select("w", "wc", "L")
+    fallback = (
+        words.filter(F.col("L") > max_word_len)
+        .select("w", "L")
+        .unionByName(cov.filter(F.col("cov") == 0).select("w", "L"))
+    )
+    seg = _viterbi_segment(covered, vocab, max_piece_len)
+    return seg.select(
+        "w",
+        F.coalesce(F.size("toks"), F.length("w")).alias("wtok"),
+        F.length("w").alias("wlen"),
+    ).unionByName(
+        fallback.select(
+            "w", F.col("L").alias("wtok"), F.col("L").alias("wlen")
+        )
+    )
+
+
 def _unigram_em_loop(
     df: DataFrame,
     text_col: str,
@@ -2099,7 +2154,7 @@ def _unigram_em_loop(
     words (min piece prob 1e-12 → ≥ 1e-192); a log-space variant would
     trade that bound for cross-engine replayability, the wrong trade
     here."""
-    words = _word_table(df, text_col, max_word_len)
+    words = _word_table(df, text_col)
     short = words.filter(F.col("L") <= max_word_len)
     long_ = words.filter(F.col("L") > max_word_len)
     sub_expr = F.expr(
@@ -2209,9 +2264,11 @@ def unigram_encode_counts(
     apply side (the bpe_encode_counts twin for the other production
     tokenizer family): per doc, word / unigram-token / char counts and
     the chars-per-token compression. Long words (> ``max_word_len``)
-    count one token per char (the training-side fallback, applied
-    consistently). Pass a pre-trained ``vocab`` (pc, cnt, p — the
-    shared ``unigram_artifacts`` table) to skip in-query training; the
+    AND words with characters outside the vocabulary count one token
+    per char (see :func:`_unigram_word_tokens` — the OOV leg keeps the
+    frozen-artifact apply path total on corpora the tokenizer was not
+    trained on). Pass a pre-trained ``vocab`` (pc, cnt, p — the shared
+    ``unigram_artifacts`` table) to skip in-query training; the
     production shape, where the tokenizer is a frozen published
     artifact and encoding is pure apply.
 
@@ -2224,15 +2281,8 @@ def unigram_encode_counts(
         vocab = _unigram_em_loop(
             df, text_col, n_rounds, seed_k, max_piece_len, max_word_len
         )
-    words = _word_table(df, text_col, max_word_len)
-    short = words.filter(F.col("L") <= max_word_len)
-    long_ = words.filter(F.col("L") > max_word_len)
-    seg = _viterbi_segment(short, vocab, max_piece_len)
-    enc = seg.select(
-        "w", F.size("toks").alias("wtok"), F.length("w").alias("wlen")
-    ).unionByName(
-        long_.select("w", F.col("L").alias("wtok"), F.col("L").alias("wlen"))
-    )
+    words = _word_table(df, text_col)
+    enc = _unigram_word_tokens(words, vocab, max_piece_len, max_word_len)
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     wc = (
         df.select(F.col(id_col), F.explode(F.expr(toks_expr)).alias("w"))

@@ -983,11 +983,14 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_oracle(n_merges: int = 5) -> str:
-    """Replay of bpe_encode_counts: the same unrolled merge rounds as
-    _bpe_train_oracle but carrying the word key and folding ALL
-    ``n_merges`` merges into the vocabulary, then the per-doc word join
-    and exact integer count aggregation."""
+def _bpe_enc_head(n_merges: int) -> str:
+    """Shared oracle head for the BPE apply family: the unrolled merge
+    rounds carrying the word key, ending at ``enc`` (w, wtok, wlen) —
+    the word → token-length map. _bpe_encode_oracle and
+    _bpe_fertility_oracle append their own word-count tail (per-doc vs
+    per-language) to this one chain instead of string-splitting each
+    other's SQL (ADVICE r8: the splice broke silently on whitespace
+    edits)."""
     parts = ["""
         v0 AS (
             SELECT w, wc,
@@ -1031,7 +1034,16 @@ def _bpe_encode_oracle(n_merges: int = 5) -> str:
         enc AS (
             SELECT w, len(syms) AS wtok, length(w) AS wlen
             FROM v{n_merges}
-        ),
+        )"""
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 5) -> str:
+    """Replay of bpe_encode_counts: the shared merged vocabulary
+    (_bpe_enc_head), then the per-doc word join and exact integer count
+    aggregation."""
+    return (
+        _bpe_enc_head(n_merges) + """,
         wcnt AS (
             SELECT doc_id, t AS w, count(*) AS n
             FROM documents,
@@ -1271,18 +1283,32 @@ def _unigram_train_oracle(n_rounds: int = UNIGRAM_ROUNDS) -> str:
     )
 
 
-def _unigram_encode_oracle(n_rounds: int = UNIGRAM_ROUNDS) -> str:
-    """Replay of unigram_encode_counts: one more Viterbi pass under the
-    FINAL piece table, long words one-token-per-char, then the per-doc
-    (doc, word)-keyed aggregation — bpe_encode's oracle shape."""
+def _unigram_enc_head(n_rounds: int) -> str:
+    """Shared oracle head for the unigram apply family: the unrolled EM
+    chain, one more Viterbi pass under the FINAL piece table, long
+    words one-token-per-char, ending at ``enc`` (w, wtok, wlen).
+    _unigram_encode_oracle and _unigram_fertility_oracle append their
+    own word-count tail to this one chain — same de-splice refactor as
+    _bpe_enc_head (ADVICE r8). The OOV fallback leg the Spark apply
+    path carries has no oracle counterpart by construction: the oracle
+    trains and applies on the same corpus, where single-char coverage
+    makes the OOV set empty."""
     return (
         "WITH " + _unigram_cte_chain(n_rounds) + ","
-        + _unigram_dp_pass("e", f"v{n_rounds}") + f""",
+        + _unigram_dp_pass("e", f"v{n_rounds}") + """,
         enc AS (
             SELECT w, len(toks) AS wtok, length(w) AS wlen FROM sege
             UNION ALL
             SELECT w, L AS wtok, L AS wlen FROM long_words
-        ),
+        )"""
+    )
+
+
+def _unigram_encode_oracle(n_rounds: int = UNIGRAM_ROUNDS) -> str:
+    """Replay of unigram_encode_counts (see _unigram_enc_head), then the
+    per-doc (doc, word)-keyed aggregation — bpe_encode's oracle shape."""
+    return (
+        _unigram_enc_head(n_rounds) + """,
         wcnt AS (
             SELECT doc_id, t AS w, count(*) AS n
             FROM documents,
@@ -3278,15 +3304,11 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_fertility_oracle(n_merges: int = 5) -> str:
-    """Replay: the same unrolled merged vocabulary as
-    _bpe_encode_oracle, aggregated per language."""
-    base = _bpe_encode_oracle(n_merges)
-    # reuse the shared CTE chain up to `enc`, then swap the per-doc tail
-    # for the per-language aggregate
-    head = base.split("        wcnt AS (")[0]
+    """Replay: the shared merged vocabulary (_bpe_enc_head), aggregated
+    per language."""
     return (
-        head
-        + f"""
+        _bpe_enc_head(n_merges)
+        + """,
         wcnt AS (
             SELECT lang, t AS w, count(*) AS n
             FROM documents,
@@ -3314,24 +3336,21 @@ def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary — bpe_fertility's twin for the other tokenizer family,
     and the table a tokenizer bake-off actually compares (same corpus,
     same languages, two vocabularies). Word → token length comes from
-    the frozen ``unigram_artifacts`` Viterbi apply (long words → chars,
-    the training-side fallback); documents contribute per-language word
-    counts; one join + one |langs|-bounded aggregate."""
+    the frozen ``unigram_artifacts`` Viterbi apply (long and
+    out-of-vocabulary words → chars, the shared total-apply fallback);
+    documents contribute per-language word counts; one join + one
+    |langs|-bounded aggregate."""
     from kafka_streams_dexcom_spark.operators.text import (
-        _viterbi_segment,
+        _unigram_word_tokens,
         _word_table,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     vocab = unigram_artifacts(spark, sf_dir)
-    words = _word_table(docs, "text", UNIGRAM_MAX_WORD)
-    short = words.filter(F.col("L") <= UNIGRAM_MAX_WORD)
-    long_ = words.filter(F.col("L") > UNIGRAM_MAX_WORD)
-    enc = (
-        _viterbi_segment(short, vocab, UNIGRAM_MAX_PIECE)
-        .select("w", F.size("toks").alias("wtok"))
-        .unionByName(long_.select("w", F.col("L").alias("wtok")))
-    )
+    words = _word_table(docs, "text")
+    enc = _unigram_word_tokens(
+        words, vocab, UNIGRAM_MAX_PIECE, UNIGRAM_MAX_WORD
+    ).select("w", "wtok")
     toks_expr = "filter(split(text, '\\\\s+'), t -> t != '')"
     wc = (
         docs.select("lang", F.explode(F.expr(toks_expr)).alias("w"))
@@ -3360,13 +3379,11 @@ def q_unigram_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _unigram_fertility_oracle(n_rounds: int = UNIGRAM_ROUNDS) -> str:
-    """Replay: the same unrolled EM chain + final Viterbi pass as
-    _unigram_encode_oracle, aggregated per language."""
-    base = _unigram_encode_oracle(n_rounds)
-    head = base.split("        wcnt AS (")[0]
+    """Replay: the shared EM chain + final Viterbi pass
+    (_unigram_enc_head), aggregated per language."""
     return (
-        head
-        + f"""
+        _unigram_enc_head(n_rounds)
+        + """,
         wcnt AS (
             SELECT lang, t AS w, count(*) AS n
             FROM documents,

@@ -38,9 +38,20 @@ the IVF index).
 Scale: within-cell candidate generation inherits the learned-partition
 Σcell² bound of dedup_embedding_ivf, with the batch on the build side;
 stored vectors are read per batch but only JOINED on the batch's cells
-(cell-partitioned storage prunes the rest at the scan). State grows
-with the corpus — this maintainer is the corpus index builder, like
-the cluster-map maintainer, not a bounded-state operator.
+(cell-partitioned storage prunes the rest at the scan). A HOT cell (a
+stale quantizer packing too much of the corpus into one cell) would
+still grow the per-batch fold without bound, so the stored-side probe
+is capped at ``max_cell_probe`` members per cell — the lowest-vec_id
+members act as stable cell representatives (deterministic: vec_ids are
+stable, so the probe set does not depend on arrival order). When the
+cap binds, an edge to a non-representative stored member can be missed
+(bounded-cost/degraded-recall, the LSH_MAX_BUCKET trade in
+operators/dedup.py:55 — and CC transitivity still routes most matches
+through a representative); when it does not bind — the default is far
+above any bench SF's cell size — the fold is exact and batch≡stream
+equality holds (pinned by test). State grows with the corpus — this
+maintainer is the corpus index builder, like the cluster-map
+maintainer, not a bounded-state operator.
 
 Reference anchor: the composition generalizes the ES sink's
 append-with-stable-ids contract (ElasticSearchConsumer.java:42-55) to
@@ -53,7 +64,7 @@ import os
 import shutil
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators.clustering import (
@@ -73,6 +84,13 @@ from kafka_streams_dexcom_spark.streaming.commitlog import (
 _VEC_SCHEMA = "vec_id long, cell int, vec array<double>, norm double"
 _LABEL_SCHEMA = "node long, component long, seq long"
 
+# Per-cell stored-side probe cap: a batch vector is compared against at
+# most this many stored members of its cell (the lowest-vec_id
+# representatives). Far above any bench SF's cell size — results there
+# are exact — while bounding the worst hot cell's per-batch fold to
+# |batch|·cap pairs at 100 TB (LSH_MAX_BUCKET's discipline).
+SEM_MAX_CELL_PROBE = 100_000
+
 
 class SemClusterMaintainer:
     """foreachBatch sink maintaining (member vectors, semantic cluster
@@ -91,6 +109,7 @@ class SemClusterMaintainer:
         writer_id: str | None = None,
         max_commit_attempts: int = 10,
         compact_every: int | None = 64,
+        max_cell_probe: int | None = SEM_MAX_CELL_PROBE,
     ) -> None:
         self.spark = spark
         self.table = VersionedTable(path)
@@ -106,6 +125,7 @@ class SemClusterMaintainer:
         )
         self.max_commit_attempts = max_commit_attempts
         self.compact_every = compact_every
+        self.max_cell_probe = max_cell_probe
         self.timings: list[dict] = []
 
     # -- marker (cluster_map_stream discipline) ---------------------------
@@ -357,6 +377,20 @@ class SemClusterMaintainer:
             return True  # the race winner was a replay of THIS batch
         t0 = time.time()
         stored = self.vectors(base)
+        if self.max_cell_probe is not None:
+            # hot-cell bound: probe only the cap-many lowest-vec_id
+            # stored members per cell (stable representatives — see
+            # module docstring). row_number rides the same cell key the
+            # candidate join shuffles on; linear, no extra pass over
+            # the index beyond the per-batch read it already pays.
+            rep_win = Window.partitionBy("cell").orderBy(
+                F.col(self.id_col).asc()
+            )
+            stored = (
+                stored.withColumn("_rep", F.row_number().over(rep_win))
+                .filter(F.col("_rep") <= self.max_cell_probe)
+                .drop("_rep")
+            )
         edges = self._pairs(bn, stored, ordered=False).union(
             self._pairs(bn, bn, ordered=True)
         ).select(

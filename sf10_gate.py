@@ -69,12 +69,34 @@ EXCLUDED["doc_chunks_udtf"] = (
     "demonstrator); the codegen doc_chunks IS gated here"
 )
 
+# Oracle-less queries that LEGITIMATELY return zero rows at sf10 (the
+# rows-only smoke check would otherwise flag them): name -> reason.
+# Currently empty — every registered query has an oracle — but the
+# annotation exists so a future zero-row smoke query is declared, not
+# special-cased (ADVICE r8).
+EXPECTED_EMPTY: dict[str, str] = {}
+
 
 def main() -> int:
     only = sys.argv[1:]
     qs, oracles = queries(), oracle_sql()
+    # Reconciliation (r8 lesson: warc_optout_filter silently ungated):
+    # every exclusion must name a live query, and eligible + excluded
+    # must account for the whole registry — fail loudly on drift.
+    stale = sorted(n for n in EXCLUDED if n not in qs)
+    if stale:
+        print(f"EXCLUDED names not in the registry: {stale}")
+        return 2
     names = [n for n in qs if n not in EXCLUDED]
+    assert len(names) + len(EXCLUDED) == len(qs), (
+        f"gate accounting drift: {len(names)} eligible + "
+        f"{len(EXCLUDED)} excluded != {len(qs)} registered"
+    )
     if only:
+        unknown = sorted(set(only) - set(names))
+        if unknown:
+            print(f"argv names not gate-eligible: {unknown}")
+            return 2
         names = [n for n in names if n in only]
     print(f"{len(names)} queries to gate at sf10 "
           f"({len(EXCLUDED)} excluded by data shape)")
@@ -98,10 +120,12 @@ def main() -> int:
                         }
                 else:
                     n = qs[name](spark, SF10).count()
-                    ok = n > 0
+                    ok = n > 0 or name in EXPECTED_EMPTY
                     row = {"name": name, "ok": ok, "rows": n,
                            "rows_only": True,
                            "secs": round(time.time() - t0, 2)}
+                    if name in EXPECTED_EMPTY:
+                        row["expected_empty"] = EXPECTED_EMPTY[name]
             except Exception as exc:  # noqa: BLE001
                 ok = False
                 row = {"name": name, "ok": False,
@@ -119,17 +143,39 @@ def main() -> int:
         for line in f:
             r = json.loads(line)
             rows[r["name"]] = r
+    eligible = [n for n in qs if n not in EXCLUDED]
+    missing = sorted(set(eligible) - set(rows))
+    parity = [r for r in rows.values() if not r.get("rows_only")]
+    smoke = [r for r in rows.values() if r.get("rows_only")]
     summary = {
         "sf_dir": SF10,
+        "registered": len(qs),
+        "eligible": len(eligible),
         "gated": len(rows),
+        # value-parity (oracle compare) vs rows-only smoke reported
+        # SEPARATELY — the two checks are not equivalent (ADVICE r8)
+        "parity_pass": sum(1 for r in parity if r["ok"]),
+        "parity_gated": len(parity),
+        "smoke_pass": sum(1 for r in smoke if r["ok"]),
+        "smoke_gated": len(smoke),
         "pass": sum(1 for r in rows.values() if r["ok"]),
+        # eligible queries with NO recorded row: a non-empty list means
+        # the gate is INCOMPLETE and the top-line claim must say so
+        "missing": missing,
         "excluded": EXCLUDED,
         "results": rows,
     }
     with open(OUT, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
-    print(f"\n{summary['pass']}/{summary['gated']} pass -> {OUT}")
-    return 1 if failed else 0
+    print(
+        f"\n{summary['parity_pass']}/{summary['parity_gated']} parity + "
+        f"{summary['smoke_pass']}/{summary['smoke_gated']} rows-only pass "
+        f"of {summary['eligible']} eligible -> {OUT}"
+    )
+    if missing:
+        print(f"INCOMPLETE: {len(missing)} eligible queries ungated: "
+              f"{missing}")
+    return 1 if failed or missing else 0
 
 
 if __name__ == "__main__":

@@ -798,6 +798,72 @@ def test_unigram_encode_hand_case(spark):
     assert got[4] == (1, 17, 17, 1.0)
 
 
+def test_unigram_encode_oov_fallback(spark):
+    """The frozen-artifact apply path is TOTAL on corpora the tokenizer
+    was never trained on (ADVICE r8): words containing characters
+    outside the vocabulary take the one-token-per-char fallback instead
+    of corrupting counts through an infeasible DP (NULL toks → NULL
+    n_tokens) or dropping out of the candidate join (undercounted
+    n_words). Covered words still Viterbi-segment normally."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        unigram_encode_counts,
+        unigram_train,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "xyz xyz ab ab")], "doc_id long, text string"
+    )
+    vocab = (
+        unigram_train(train)
+        .select(
+            F.col("piece").alias("pc"),
+            "cnt",
+            F.col("prob").alias("p"),
+        )
+    )
+    # apply corpus: 'ab' covered (segments under the vocab), 'aQb' has
+    # the OOV char Q mid-word, 'QQ' is fully OOV (zero candidate
+    # matches — the old dropout case)
+    apply_df = spark.createDataFrame(
+        [(10, "ab aQb QQ"), (11, "xyz")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens, r.n_chars)
+        for r in unigram_encode_counts(apply_df, vocab=vocab).collect()
+    }
+    # every whitespace word is counted: 3 words, none dropped, no NULLs
+    # 'ab' -> 1 token (trained piece), 'aQb' -> 3 (per-char fallback),
+    # 'QQ' -> 2 (per-char fallback)
+    assert got[10] == (3, 1 + 3 + 2, 2 + 3 + 2)
+    assert got[11] == (1, 1, 3)
+
+
+def test_unigram_encode_pretrained_matches_inquery(spark):
+    """On the training corpus (full coverage) the frozen-artifact apply
+    path and the in-query-training path are exactly equal — the OOV
+    routing is a no-op when the coverage guarantee holds. The vocab is
+    the raw EM output (full-precision p), exactly what the shared
+    unigram_artifacts table stores."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        _unigram_em_loop,
+        unigram_encode_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "xyz xyz"), (2, "q"), (3, "   "), (4, "a" * 17)],
+        "doc_id long, text string",
+    )
+    vocab = _unigram_em_loop(df, "text", 2, 80, 4, 16)
+    a = sorted(
+        unigram_encode_counts(df).collect(), key=lambda r: r.doc_id
+    )
+    b = sorted(
+        unigram_encode_counts(df, vocab=vocab).collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert a == b
+
+
 def test_unigram_train_prunes_and_keeps_chars(spark):
     """EM pruning drops multi-char pieces that win no Viterbi
     occurrences (xy/yz lose to the whole-word piece xyz) while every

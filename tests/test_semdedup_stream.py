@@ -105,6 +105,61 @@ def test_stream_equals_registered_semdedup_and_d4(spark, tmp_path):
     assert any(r[5] == 0 for r in got_d4), "degenerate: D4 prunes nothing"
 
 
+def _planted_hot_cell(spark, tmp_path, sub, max_cell_probe):
+    """One centroid (everything lands in cell 0); stored batch at
+    angles 0/20/40/60 degrees (pairwise cosine <= cos20 ~ 0.94, below
+    tau=0.99 — all singletons); probe batch id 100 EQUAL to id 4's
+    direction (cosine 1.0). With cap=3 the probe set is the lowest-id
+    representatives {1,2,3} and the (4,100) edge is out of reach; with
+    a non-binding cap it is found."""
+    import math
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "cid int, cvec array<double>"
+    )
+    ang = lambda d: [math.cos(math.radians(d)), math.sin(math.radians(d))]  # noqa: E731
+    m = SemClusterMaintainer(
+        spark,
+        str(tmp_path / sub),
+        cents,
+        tau=0.99,
+        max_cell_probe=max_cell_probe,
+        compact_every=None,
+    )
+    stored = spark.createDataFrame(
+        [(i + 1, ang(20 * i)) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    probe = spark.createDataFrame(
+        [(100, ang(60))], "vec_id long, embedding array<double>"
+    )
+    m(stored, 1)
+    m(probe, 2)
+    return {
+        (r.vec_id, r.sem_cluster) for r in m.membership().collect()
+    }
+
+
+def test_hot_cell_probe_cap_bounds_fold(spark, tmp_path):
+    """The stored-side probe cap (SEM_MAX_CELL_PROBE's knob) bounds a
+    hot cell's per-batch fold: with cap=3 only representatives {1,2,3}
+    are probed, so the edge to non-representative id 4 is deliberately
+    out of reach (bounded-cost/degraded-recall, the LSH_MAX_BUCKET
+    trade); with any non-binding cap the fold is exact and equals the
+    uncapped maintainer."""
+    capped = _planted_hot_cell(spark, tmp_path, "capped", 3)
+    assert (100, 100) in capped  # singleton: (4,100) edge not probed
+    assert (4, 4) in capped
+
+    loose = _planted_hot_cell(spark, tmp_path, "loose", 10)
+    uncapped = _planted_hot_cell(spark, tmp_path, "uncapped", None)
+    assert loose == uncapped  # non-binding cap: exact
+    assert (100, 4) in uncapped and (4, 4) in uncapped
+    # and everything else stayed singleton in all three runs
+    for got in (capped, loose, uncapped):
+        assert {(1, 1), (2, 2), (3, 3)} <= got
+
+
 def test_replay_is_noop_and_commits_are_append_granular(spark, tmp_path):
     cents, _ = _trained_quantizer(spark)
     m = _stream_embeddings(spark, tmp_path, cents)
