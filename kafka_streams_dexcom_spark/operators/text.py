@@ -1830,6 +1830,110 @@ def span_dedup_rewrite(
     )
 
 
+# Hot-gram cap for maximal_dup_spans' seed pairing: a k-gram occurring
+# m times seeds m(m-1)/2 occurrence pairs, so ubiquitous boilerplate
+# grams are dropped before pairing (no near-dup signal, the
+# LSH_MAX_BUCKET trade — operators/dedup.py:55). Far above any bench
+# SF's gram frequency, so results there are exact.
+SPAN_MAX_OCC = 1_000
+
+
+def maximal_dup_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    max_occ: int | None = SPAN_MAX_OCC,
+) -> DataFrame:
+    """MAXIMAL duplicated token spans — the seed-and-extend
+    ExactSubstr method (Lee et al. 2022, arXiv:2107.06499) that
+    generalizes :func:`span_dedup_rewrite`'s fixed k-gram coverage:
+    instead of reporting k-token windows, each pair of matching k-gram
+    occurrences extends token-by-token for as long as the two documents
+    keep agreeing, yielding the maximal shared span (their suffix-array
+    construction finds the same spans; the relational equivalent seeds
+    on hashed k-grams and merges runs).
+
+    Relational seed-and-extend: two occurrences of the same k-gram at
+    (doc_a, i_a) and (doc_b, i_b) belong to the same pairwise alignment
+    DIAGONAL (doc_a, doc_b, i_b - i_a); along a diagonal, consecutive
+    seed positions i_a, i_a+1, ... witness that the aligned tokens keep
+    matching, so a maximal RUN of consecutive seeds [s, e] is exactly a
+    maximal shared span of e - s + k tokens (gaps-and-islands grouping:
+    i_a - row_number() is constant within a run). Same-document repeats
+    (doc_a = doc_b, i_a < i_b) are kept — ExactSubstr dedups
+    within-document repetition too; a periodic string's self-overlap
+    sits on one diagonal and merges into one maximal run.
+
+    Output: one row per maximal pairwise match — (doc_a, a_start,
+    doc_b, b_start, len_tokens), 1-based token positions, canonical
+    order (doc_a, a_start) < (doc_b, b_start). Deterministic: the match
+    set is fully determined by the corpus (min/max aggregates per
+    diagonal run; no tie-breaks), so the DuckDB oracle replays it
+    exactly. Gram identity is the 60-bit portable hash — a collision
+    could fuse a spurious seed, the same accepted trade (and the same
+    hash) as span_dedup_rewrite.
+
+    Scale: one token-scale shuffle to (doc, position, gram-hash) rows;
+    gram frequency rides a sort-only window on the gram key
+    (dup_span_fraction's repartition idiom) and drops singleton grams
+    (no pair) and hot grams above ``max_occ`` (the cap that bounds the
+    worst boilerplate gram to cap² pairs); the self-join pairs
+    occurrences on the SAME gram partitioning; the islands pass is one
+    pair-scale shuffle on (doc_a, doc_b, diagonal). Nothing is ever
+    all-pairs across documents."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    gram_hash = HASH60_TPL.format(x=f"array_join(slice(tk, i, {k}), ' ')")
+    occ = (
+        fan_out_small(df)
+        .select("doc_id", F.expr(toks_expr).alias("tk"))
+        .filter(F.expr(f"size(tk) >= {k}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {k - 1}), "
+                    f"i -> struct(i AS i, {gram_hash} AS gk))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gk").alias("gk"))
+        .repartition("gk")
+    )
+    nocc = F.count(F.lit(1)).over(Window.partitionBy("gk"))
+    cond = F.col("m") >= 2  # singleton grams seed no pair
+    if max_occ is not None:
+        cond = cond & (F.col("m") <= max_occ)
+    seeds = occ.select("doc_id", "i", "gk", nocc.alias("m")).filter(cond)
+    a = seeds.select(
+        F.col("doc_id").alias("doc_a"), F.col("i").alias("ia"), "gk"
+    )
+    b = seeds.select(
+        F.col("doc_id").alias("doc_b"), F.col("i").alias("ib"), "gk"
+    )
+    pairs = a.join(b, "gk").filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        | ((F.col("doc_a") == F.col("doc_b")) & (F.col("ia") < F.col("ib")))
+    )
+    diag = (F.col("ib") - F.col("ia")).alias("diag")
+    run_win = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("ia")
+    runs = pairs.select("doc_a", "doc_b", diag, "ia").withColumn(
+        "grp", F.col("ia") - F.row_number().over(run_win)
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.min("ia").alias("s"), F.max("ia").alias("e"))
+        .select(
+            "doc_a",
+            F.col("s").cast("bigint").alias("a_start"),
+            "doc_b",
+            (F.col("s") + F.col("diag")).cast("bigint").alias("b_start"),
+            (F.col("e") - F.col("s") + k).cast("bigint").alias(
+                "len_tokens"
+            ),
+        )
+    )
+
+
 def heavy_hitters(
     df: DataFrame, text_col: str = "text", m: int = 1024
 ) -> DataFrame:

@@ -2504,6 +2504,19 @@ def q_span_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_span_dedup_maximal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMAL duplicated spans, seed-and-extend (ExactSubstr, Lee et
+    al. 2022, arXiv:2107.06499): every maximal pairwise shared token
+    span of >= 8 tokens — seeds on hashed 8-grams, extends along each
+    (doc_a, doc_b, diagonal) alignment by merging runs of consecutive
+    seeds. The span-level generalization of span_dedup_rewrite's fixed
+    8-gram coverage. See operators/text.py:maximal_dup_spans for the
+    plan shape and the hot-gram cap."""
+    return tx.maximal_dup_spans(
+        load_table(spark, sf_dir, "documents"), k=SPAN_K
+    )
+
+
 HH_M = 1024
 
 
@@ -2563,6 +2576,7 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES.update(
     {
         "span_dedup_rewrite": q_span_dedup_rewrite,
+        "span_dedup_maximal": q_span_dedup_maximal,
         "heavy_hitters": q_heavy_hitters,
         "source_divergence": q_source_divergence,
         "mix_temperature": q_mix_temperature,
@@ -2618,6 +2632,45 @@ ORACLES["span_dedup_rewrite"] = f"""
                AS n_removed,
            coalesce(kc.txt, '') AS clean_text
     FROM toks LEFT JOIN kc USING (doc_id)
+"""
+
+ORACLES["span_dedup_maximal"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t != '') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i, {_SPAN_GK} AS gk
+        FROM toks, UNNEST(range(1, len(tk) - {SPAN_K - 2})) r(i)
+        WHERE len(tk) >= {SPAN_K}
+    ),
+    cnt AS (SELECT gk, count(*) AS m FROM g GROUP BY gk),
+    seeds AS (
+        SELECT g.doc_id, g.i, g.gk FROM g JOIN cnt USING (gk)
+        WHERE cnt.m BETWEEN 2 AND {tx.SPAN_MAX_OCC}
+    ),
+    p AS (
+        SELECT a.doc_id AS doc_a, a.i AS ia,
+               b.doc_id AS doc_b, b.i AS ib
+        FROM seeds a JOIN seeds b USING (gk)
+        WHERE a.doc_id < b.doc_id
+           OR (a.doc_id = b.doc_id AND a.i < b.i)
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, ib - ia AS diag, ia,
+               ia - row_number() OVER (
+                   PARTITION BY doc_a, doc_b, ib - ia ORDER BY ia
+               ) AS grp
+        FROM p
+    )
+    SELECT doc_a,
+           CAST(min(ia) AS BIGINT) AS a_start,
+           doc_b,
+           CAST(min(ia) + diag AS BIGINT) AS b_start,
+           CAST(max(ia) - min(ia) + {SPAN_K} AS BIGINT) AS len_tokens
+    FROM runs GROUP BY doc_a, doc_b, diag, grp
 """
 
 ORACLES["heavy_hitters"] = f"""

@@ -148,3 +148,49 @@ def test_pigeonhole_lossless_random_batch(spark):
     }
     assert pigeon == naive
     assert len(naive) > 100  # the fixture actually exercises matches
+
+
+def test_maximal_dup_spans_seed_and_extend(spark):
+    """ExactSubstr seed-and-extend (operators/text.py:
+    maximal_dup_spans): a 10-token shared run reports as ONE maximal
+    span (not 8 fixed windows), offsets are exact under different
+    start positions, and a within-document repeat is found on its own
+    diagonal."""
+    from kafka_streams_dexcom_spark.operators.text import maximal_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j"),
+            (2, "x1 x2 a b c d e f g h i j y1 y2"),
+            (3, "p q r s t u p q r s t u"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {tuple(r) for r in maximal_dup_spans(df, k=3).collect()}
+    assert got == {
+        (1, 1, 2, 3, 10),  # the full shared run, merged and maximal
+        (3, 1, 3, 7, 6),   # self-repeat: one diagonal-6 run
+    }
+
+
+def test_maximal_dup_spans_hot_gram_cap(spark):
+    """The hot-gram cap drops seeds from grams above max_occ (bounded
+    pair volume, the LSH_MAX_BUCKET trade); a non-binding cap is
+    exact."""
+    from kafka_streams_dexcom_spark.operators.text import maximal_dup_spans
+
+    df = spark.createDataFrame(
+        [
+            (4, "m n o k4a k4b"),
+            (5, "m n o k5a k5b"),
+            (6, "m n o k6a k6b"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'm n o' occurs 3 times: capped at 2 -> no seeds survive
+    assert maximal_dup_spans(df, k=3, max_occ=2).count() == 0
+    want = {(4, 1, 5, 1, 3), (4, 1, 6, 1, 3), (5, 1, 6, 1, 3)}
+    got = {tuple(r) for r in maximal_dup_spans(df, k=3, max_occ=None).collect()}
+    assert got == want
+    got3 = {tuple(r) for r in maximal_dup_spans(df, k=3, max_occ=3).collect()}
+    assert got3 == want
