@@ -787,10 +787,7 @@ def _ngram_jaccard_oracle(threshold: float = NGRAM_THRESHOLD) -> str:
 
 
 def _embedding_oracle() -> str:
-    dot = (
-        "list_reduce(list_transform(range(1, len({a}) + 1), "
-        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
-    )
+    dot = "list_inner_product({a}, {b})"  # = the sequential fold, bit-identical (see queries/similarity._DOT)
     return f"""
         WITH v AS (
             SELECT vec_id, label,
@@ -871,10 +868,7 @@ def _pagerank_oracle() -> str:
     """Unrolled fixed-point PageRank over the embedding pair graph —
     identical integer arithmetic to operators/graph.py:pagerank, so the
     match is exact (no float tolerance anywhere)."""
-    dot = (
-        "list_reduce(list_transform(range(1, len({a}) + 1), "
-        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
-    )
+    dot = "list_inner_product({a}, {b})"  # = the sequential fold, bit-identical (see queries/similarity._DOT)
     unit, dn, dd_ = 1_000_000_000_000, 85, 100
     base = f"(({unit} * {dd_ - dn}) // {dd_}) // n_nodes"
     rounds_sql = []
@@ -935,10 +929,7 @@ def _embedding_ivf_oracle() -> str:
         kmeans_oracle_ctes,
     )
 
-    dot = (
-        "list_reduce(list_transform(range(1, len({a}) + 1), "
-        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
-    )
+    dot = "list_inner_product({a}, {b})"  # = the sequential fold, bit-identical (see queries/similarity._DOT)
     ctes = kmeans_oracle_ctes()
     final = f"a{KMEANS_ITERS}"
     # MATERIALIZED: nn feeds BOTH join sides — plain-CTE inlining would
@@ -969,10 +960,7 @@ def _embedding_ivf_oracle() -> str:
 
 
 def _triangle_oracle(max_degree: int | None = None) -> str:
-    dot = (
-        "list_reduce(list_transform(range(1, len({a}) + 1), "
-        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
-    )
+    dot = "list_inner_product({a}, {b})"  # = the sequential fold, bit-identical (see queries/similarity._DOT)
     if max_degree is None:
         cap_ctes = "e AS (SELECT a, b FROM e0),"
     else:
@@ -1926,10 +1914,7 @@ def _semdedup_ctes() -> list:
         kmeans_oracle_ctes,
     )
 
-    dot = (
-        "list_reduce(list_transform(range(1, len({a}) + 1), "
-        "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
-    )
+    dot = "list_inner_product({a}, {b})"  # = the sequential fold, bit-identical (see queries/similarity._DOT)
     dist2 = (
         "list_reduce(list_transform(range(1, len({a}) + 1), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"

@@ -13,10 +13,14 @@ from kafka_streams_dexcom_spark.sources.files import load_table
 QUERY_IDS = (0, 1, 2, 3, 4)
 TOP_K = 10
 
-_DOT = (
-    "list_reduce(list_transform(range(1, len({a}) + 1), "
-    "i -> {a}[i] * {b}[i]), (x, y) -> x + y)"
-)
+# Native list_inner_product IS the sequential index-order fold the
+# Spark side computes (verified bit-identical to the explicit
+# list_reduce fold over 700k random float32->double 64-dim pairs, zero
+# mismatches) — and ~7x faster interpreted, which is what makes the
+# sf10 LSH oracles re-runnable in minutes instead of ~45 each (r8
+# verdict #4). The distance folds (a[i]-b[i])^2 keep the explicit
+# list_reduce: no native twin computes them in the same op order.
+_DOT = "list_inner_product({a}, {b})"
 
 _BASE_CTES = f"""
     v AS (
