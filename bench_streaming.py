@@ -456,6 +456,85 @@ def main() -> None:
             n_gate / (time.time() - t0), 1
         )
         results["curation_gate_routed"] = dict(routed)
+
+        # Quarantine-burst alarm, end-to-end: the same gate topology fed
+        # an input with a PLANTED format break (BURST invalid JSON lines
+        # appended to one landing file -> one hot micro-batch), per-epoch
+        # (rows, quarantined) counts folded from the three sinks'
+        # bookkeeping (O(1) driver data per batch), and the shared alarm
+        # tail (operators/dq.py:quarantine_alarm_from_counts) run over
+        # the resulting ledger. The ops contract under test: exactly the
+        # burst epoch alarms, every clean epoch stays quiet.
+        from kafka_streams_dexcom_spark.operators.dq import (
+            quarantine_alarm_from_counts,
+        )
+
+        BURST = 200
+        burst_in = f"{work}/gate_burst_in"
+        docs_full.repartition(NUM_CHUNKS).write.mode("overwrite").json(
+            burst_in
+        )
+        # the incident: a producer lands one more file in the drop zone
+        # with a broken format — its micro-batch is the hot epoch.
+        # (A new file, not an append: the local FS keeps CRC sidecars
+        # for Spark-written files, and a real landing zone receives
+        # whole files anyway.)
+        with open(os.path.join(burst_in, "part-zz-burst.json"), "w") as fh:
+            fh.write('{"doc_id": -1, "text": "ok", "lang": "en", '
+                     '"source": "s"}\n')
+            for i in range(BURST):
+                fh.write('{"doc_id": broken line %d\n' % i)
+
+        per_epoch: dict[int, dict[str, int]] = {}
+
+        def routed_counted(name: str):
+            def w(df: DataFrame, batch_id: int) -> None:
+                c = per_epoch.setdefault(
+                    batch_id, {"accept": 0, "reject": 0, "quarantine": 0}
+                )
+                c[name] += df.count()
+
+            return w
+
+        gate_b = curation_gate_writer(
+            routed_counted("accept"),
+            routed_counted("reject"),
+            routed_counted("quarantine"),
+        )
+        stream_b = read_jsonl_stream(
+            spark, burst_in, gate_schema, max_files_per_trigger=1
+        )
+        t0 = time.time()
+        q = (
+            stream_b.writeStream.foreachBatch(gate_b)
+            .option("checkpointLocation", f"{work}/ckpt_gate_burst")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        burst_wall = time.time() - t0
+        ledger = spark.createDataFrame(
+            [
+                (e, sum(c.values()), c["quarantine"])
+                for e, c in sorted(per_epoch.items())
+            ],
+            "epoch bigint, n_rows bigint, n_quarantined bigint",
+        )
+        alarms = {
+            r["epoch"]: r
+            for r in quarantine_alarm_from_counts(ledger).collect()
+            if r["alarm"] == 1
+        }
+        assert len(alarms) == 1, f"expected 1 alarm epoch: {alarms}"
+        (hot,) = alarms.values()
+        assert hot["n_quarantined"] == BURST, hot
+        results["quarantine_alarm"] = {
+            "rows_per_sec": round((n_gate + BURST + 1) / burst_wall, 1),
+            "burst_rows": BURST,
+            "alarm_epochs": 1,
+            "alarm_rate_ppm": hot["rate_ppm"],
+            "n_epochs": len(per_epoch),
+        }
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

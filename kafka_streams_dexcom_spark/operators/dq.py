@@ -126,6 +126,22 @@ def quarantine_rate_alarm(
             "n_quarantined"
         ),
     )
+    return quarantine_alarm_from_counts(per, epoch_col=epoch_col)
+
+
+def quarantine_alarm_from_counts(
+    per: DataFrame, epoch_col: str = "epoch"
+) -> DataFrame:
+    """The alarm tail of :func:`quarantine_rate_alarm` over
+    PRE-AGGREGATED per-epoch counts ``(epoch, n_rows, n_quarantined)``.
+
+    This is the streaming-ledger entry point: a micro-batch pipeline
+    that routes corrupt rows per epoch already holds one count pair per
+    batch (the quarantine sink's bookkeeping), so re-scanning raw rows
+    to re-derive them would be a second pass over the landing. Both
+    entry points share this tail, so the alarm rule (exact integer
+    cross-multiplication, absolute floor) can't drift between the
+    batch query and the streaming monitor."""
     glob = per.agg(
         F.sum("n_rows").alias("g_rows"),
         F.sum("n_quarantined").alias("g_quarantined"),

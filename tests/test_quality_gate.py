@@ -149,3 +149,31 @@ def test_quarantine_burst_fires_rate_alarm(spark, tmp_path):
     assert (n, nq) == (50, 10)
     # the baseline-trickle epoch counted its line but stayed quiet
     assert sorted(v[1] for v in got.values()) == [0, 0, 1, 10]
+
+
+def test_quarantine_alarm_from_counts_matches_raw_path(spark):
+    """quarantine_alarm_from_counts over pre-aggregated per-epoch
+    counts must reproduce quarantine_rate_alarm over the raw rows
+    row-for-row — the streaming monitor and the batch query share one
+    alarm rule by construction."""
+    from kafka_streams_dexcom_spark.operators.dq import (
+        quarantine_alarm_from_counts,
+        quarantine_rate_alarm,
+    )
+
+    raw_rows = []
+    counts = []
+    for epoch, (n, nq) in enumerate([(40, 1), (40, 0), (50, 10), (40, 0)]):
+        raw_rows += [(epoch, "bad") for _ in range(nq)]
+        raw_rows += [(epoch, None) for _ in range(n - nq)]
+        counts.append((epoch, n, nq))
+    raw = spark.createDataFrame(
+        raw_rows, "epoch int, _corrupt_record string"
+    )
+    per = spark.createDataFrame(
+        counts, "epoch int, n_rows bigint, n_quarantined bigint"
+    )
+    want = sorted(map(tuple, quarantine_rate_alarm(raw).collect()))
+    got = sorted(map(tuple, quarantine_alarm_from_counts(per).collect()))
+    assert got == want
+    assert [r[4] for r in got] == [0, 0, 1, 0]
