@@ -144,6 +144,9 @@ HEADLINE = [
     "unigram_train",             # Kudo EM unigram-LM tokenizer training
     "unigram_encode",            # tokenize under the frozen unigram vocab
     "unigram_fertility",         # tokens-per-word eval, unigram family
+    "wordpiece_train",           # likelihood-scored merge training (BERT)
+    "wordpiece_encode",          # greedy longest-match + [UNK] apply
+    "wordpiece_fertility",       # tokens-per-word + UNK rate, 3rd family
 ]
 
 

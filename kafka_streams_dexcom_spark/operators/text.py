@@ -2421,3 +2421,279 @@ def unigram_encode_counts(
             ).alias("compression"),
         )
     )
+
+
+# WordPiece (Schuster & Nakajima 2012; the BERT tokenizer). Training is
+# BPE-shaped but the merge objective is the LIKELIHOOD gain
+# score(a, b) = count(ab) / (count(a) * count(b)) instead of raw pair
+# frequency; encoding is greedy longest-match-first with '##'
+# continuation pieces and a whole-word [UNK] on any match failure —
+# both exactly the published algorithm (HuggingFace's WordPiece
+# training/encoding description follows the same two rules).
+# Determinism: counts are exact integers; the score is ONE double
+# division of two exact products (< 2^53), and IEEE 754 specifies
+# *,/ exactly, so Spark and DuckDB rank candidate merges identically;
+# ties break (s1 asc, s2 asc) — a total order, replayable.
+WORDPIECE_MAX_WORD = 16  # longer words -> [UNK], BERT's
+# max_input_chars_per_word escape hatch (100 in BERT; 16 here so the
+# oracle's unrolled greedy walk stays bounded, same discipline as
+# UNIGRAM_MAX_WORD)
+
+
+def _wordpiece_syms_expr(word_col: str = "w"):
+    """Initial WordPiece symbol array: first char bare, every
+    continuation char '##'-prefixed — the convention that lets one
+    vocabulary distinguish word-initial from word-internal pieces."""
+    return F.expr(
+        f"transform(sequence(1, length({word_col})), i -> "
+        f"IF(i = 1, substring({word_col}, i, 1), "
+        f"'##' || substring({word_col}, i, 1)))"
+    )
+
+
+def _wordpiece_loop(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared WordPiece merge loop → (merge table, final symbol table).
+
+    Per round: symbol counts and adjacent-pair counts are both
+    word-frequency-weighted aggregates over the DISTINCT-WORD
+    vocabulary (corpus-size-independent after the single token-scale
+    shuffle, the _bpe_loop contract); the argmax by
+    (n_ab / (n_a * n_b) desc, s1 asc, s2 asc) is a 1-row broadcast; the
+    vocabulary rewrite is the same greedy left-to-right scan-side fold
+    as BPE with the merged symbol ``s1 || strip_##(s2)`` (continuation
+    marking survives on s1's side only — '##wo' + '##rd' → '##word',
+    'wo' + '##rd' → 'word')."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    vocab = (
+        fan_out_small(df)
+        .select(F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .select("w", "wc", _wordpiece_syms_expr("w").alias("syms"))
+        .localCheckpoint()
+    )
+    merges = None
+    pair_expr = F.expr(
+        "transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS s1, "
+        "element_at(syms, i + 1) AS s2))"
+    )
+    for rnd in range(1, n_merges + 1):
+        sym_counts = (
+            vocab.select("wc", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("wc").alias("cnt"))
+        )
+        pairs = (
+            vocab.filter(F.size("syms") >= 2)
+            .select("wc", F.explode(pair_expr).alias("p"))
+            .groupBy(F.col("p.s1").alias("bp1"), F.col("p.s2").alias("bp2"))
+            .agg(F.sum("wc").alias("n_occurrences"))
+        )
+        best = (
+            pairs.join(
+                F.broadcast(
+                    sym_counts.select(
+                        F.col("s").alias("bp1"), F.col("cnt").alias("c1")
+                    )
+                ),
+                "bp1",
+            )
+            .join(
+                F.broadcast(
+                    sym_counts.select(
+                        F.col("s").alias("bp2"), F.col("cnt").alias("c2")
+                    )
+                ),
+                "bp2",
+            )
+            .select(
+                "bp1",
+                "bp2",
+                "n_occurrences",
+                (
+                    F.col("n_occurrences").cast("double")
+                    / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+                ).alias("score"),
+            )
+            .orderBy(
+                F.col("score").desc(),
+                F.col("bp1").asc(),
+                F.col("bp2").asc(),
+            )
+            .limit(1)
+            .localCheckpoint()
+        )
+        row = best.select(
+            F.lit(rnd).alias("round"),
+            F.concat(F.col("bp1"), F.lit("+"), F.col("bp2")).alias("pair"),
+            "n_occurrences",
+            trunc6(F.col("score")).alias("score"),
+        )
+        merges = row if merges is None else merges.union(row)
+        merge_fold = F.expr(
+            "CASE WHEN size(syms) <= 1 THEN syms ELSE "
+            "aggregate(syms, CAST(array() AS array<string>), (acc, s) -> "
+            "IF(size(acc) > 0 AND element_at(acc, -1) = bp1 AND s = bp2, "
+            "concat(slice(acc, 1, size(acc) - 1), array(concat(bp1, "
+            "IF(substring(bp2, 1, 2) = '##', substring(bp2, 3), bp2)))), "
+            "concat(acc, array(s)))) END"
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("bp1", "bp2")))
+            .select("w", "wc", merge_fold.alias("syms"))
+            .localCheckpoint()
+        )
+    return merges, vocab
+
+
+def wordpiece_train(
+    df: DataFrame, text_col: str = "text", n_merges: int = 5
+) -> DataFrame:
+    """Train the WordPiece tokenizer: the merge table
+    (round, pair, n_occurrences, score) — the likelihood-scored merge
+    sequence the trainer publishes. See :func:`_wordpiece_loop`."""
+    merges, _vocab = _wordpiece_loop(df, text_col, n_merges)
+    return merges
+
+
+# Greedy longest-match-first over one word: fold across character
+# positions; acc tracks (next unconsumed position, tokens so far, still
+# feasible). At the position the cursor sits on, consume THE longest
+# vocabulary piece starting there (pure integer max — no float state);
+# no match → the whole word is [UNK]. Positions the cursor has jumped
+# over pass through untouched, so the fold is exactly BERT's
+# while-loop walk.
+_WORDPIECE_GREEDY = """
+aggregate(
+  sequence(1, length(w)),
+  struct(CAST(1 AS INT) AS cur, CAST(0 AS INT) AS n, true AS ok),
+  (acc, j) -> CASE WHEN NOT acc.ok OR acc.cur != j THEN acc ELSE
+    CASE WHEN aggregate(filter(pcs, c -> c.st = j), 0,
+                        (m, c) -> IF(c.ln > m, c.ln, m)) = 0
+         THEN struct(acc.cur AS cur, acc.n AS n, false AS ok)
+         ELSE struct(
+           acc.cur + aggregate(filter(pcs, c -> c.st = j), 0,
+                               (m, c) -> IF(c.ln > m, c.ln, m)) AS cur,
+           acc.n + 1 AS n, true AS ok) END END)
+"""
+
+
+def _wordpiece_word_tokens(
+    words: DataFrame, pieces: DataFrame, max_word_len: int
+) -> DataFrame:
+    """Word → (token count, char count, is_unk) under a frozen WordPiece
+    vocabulary — the TOTAL apply map shared by encode and fertility.
+
+    Candidate substrings of each short word join the broadcast piece
+    set on the position-aware key (bare at start, '##'-prefixed
+    inside); the greedy fold walks the word. [UNK] legs: words longer
+    than ``max_word_len``, words with no candidate match at all (OOV
+    characters never reach the fold — the anti-joined remainder), and
+    words whose greedy walk dead-ends. All three count ONE token — the
+    published semantics, and what keeps the frozen-artifact apply path
+    total on unseen corpora."""
+    short = words.filter(F.col("L") <= max_word_len)
+    cand_expr = F.expr(
+        f"flatten(transform(sequence(1, L), st -> "
+        f"transform(sequence(1, L - st + 1), "
+        f"ln -> struct(st AS st, ln AS ln, "
+        f"IF(st = 1, substring(w, st, ln), "
+        f"'##' || substring(w, st, ln)) AS key))))"
+    )
+    cands = (
+        short.select("w", "L", F.explode(cand_expr).alias("c"))
+        .select("w", "L", "c.st", "c.ln", "c.key")
+        .join(F.broadcast(pieces.select(F.col("s").alias("key"))), "key")
+        .groupBy("w", "L")
+        .agg(F.collect_list(F.struct("st", "ln")).alias("pcs"))
+    )
+    walked = cands.select(
+        "w",
+        "L",
+        F.expr(_WORDPIECE_GREEDY).alias("g"),
+    ).select(
+        "w",
+        F.when(F.col("g.ok"), F.col("g.n")).otherwise(F.lit(1)).alias(
+            "wtok"
+        ),
+        F.col("L").alias("wlen"),
+        (~F.col("g.ok")).cast("int").alias("is_unk"),
+    )
+    unked = (
+        words.join(cands.select("w"), "w", "left_anti")
+        .select(
+            "w",
+            F.lit(1).alias("wtok"),
+            F.col("L").alias("wlen"),
+            F.lit(1).alias("is_unk"),
+        )
+    )
+    return walked.unionByName(unked)
+
+
+def wordpiece_encode_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pieces: DataFrame | None = None,
+    n_merges: int = 5,
+    max_word_len: int = WORDPIECE_MAX_WORD,
+) -> DataFrame:
+    """Tokenize the corpus under a learned WordPiece vocabulary: per
+    doc, word / token / char counts, the [UNK]-word count, and the
+    chars-per-token compression — the apply side for the THIRD
+    production tokenizer family (bpe_encode_counts / 
+    unigram_encode_counts twins). ``pieces`` is the frozen piece set
+    (column ``s``); omitted, the in-query trainer runs first.
+
+    Scale: greedy matching runs on the DISTINCT-WORD vocabulary against
+    the broadcast piece set; documents join word → token-length through
+    one (doc, word)-keyed aggregation — the family's single shuffle
+    shape. [UNK] chars count toward n_chars (the word was read) but the
+    token count is 1 — the real sequence-length cost of an [UNK]."""
+    if pieces is None:
+        _m, vocab = _wordpiece_loop(df, text_col, n_merges)
+        pieces = (
+            vocab.select(F.explode("syms").alias("s")).distinct()
+        )
+    words = _word_table(df, text_col)
+    enc = _wordpiece_word_tokens(words, pieces, max_word_len)
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    wc = (
+        df.select(F.col(id_col), F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_doc = (
+        wc.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("wtok")).alias("n_tokens"),
+            F.sum(F.col("n") * F.col("wlen")).alias("n_chars"),
+            F.sum(F.col("n") * F.col("is_unk")).alias("n_unk_words"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("n_unk_words", F.lit(0)).alias("n_unk_words"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.floor(
+                    F.col("n_chars")
+                    * F.lit(1_000_000).cast("double")
+                    / F.col("n_tokens")
+                )
+                / F.lit(1_000_000.0),
+            ).alias("compression"),
+        )
+    )

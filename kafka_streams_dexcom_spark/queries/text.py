@@ -3457,3 +3457,352 @@ def _unigram_fertility_oracle(n_rounds: int = UNIGRAM_ROUNDS) -> str:
 
 QUERIES["unigram_fertility"] = q_unigram_fertility
 ORACLES["unigram_fertility"] = _unigram_fertility_oracle(UNIGRAM_ROUNDS)
+
+
+# WordPiece (BERT) tokenizer family — the third production tokenizer.
+# Same fixed-hyperparameter discipline as BPE_MERGES/UNIGRAM_*: the
+# merge count is pinned so the oracle unrolls to a deterministic replay.
+WORDPIECE_MERGES = 5
+
+
+def wordpiece_artifacts(
+    spark: SparkSession, sf_dir: str, n_merges: int = WORDPIECE_MERGES
+) -> tuple[DataFrame, DataFrame]:
+    """The learned WordPiece tokenizer's (merge table, piece set),
+    trained ONCE per (Spark application, corpus) and shared by
+    wordpiece_train / wordpiece_encode / wordpiece_fertility — the
+    bpe_artifacts publish-once contract for the third family. The piece
+    set is the distinct symbols of the fully-merged vocabulary
+    (word-initial bare, continuations '##'-prefixed)."""
+    import os
+
+    from kafka_streams_dexcom_spark.operators.text import _wordpiece_loop
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    key = (
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        n_merges,
+    )
+    trained: dict[str, DataFrame] = {}
+
+    def _train() -> None:
+        if not trained:
+            merges, vocab = _wordpiece_loop(
+                load_table(spark, sf_dir, "documents"), "text", n_merges
+            )
+            trained["merges"] = merges
+            trained["pieces"] = (
+                vocab.select(F.explode("syms").alias("s")).distinct()
+            )
+
+    def _build(which: str):
+        def build() -> DataFrame:
+            _train()
+            return trained[which]
+
+        return build
+
+    merges = session_artifact(
+        spark, "wordpiece_merges", key, _build("merges")
+    )
+    pieces = session_artifact(
+        spark, "wordpiece_pieces", key, _build("pieces")
+    )
+    return merges, pieces
+
+
+def q_wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training (operators/text.py:_wordpiece_loop —
+    Schuster & Nakajima 2012 / BERT): 5 merge rounds picked by the
+    likelihood gain count(ab)/(count(a)·count(b)) instead of BPE's raw
+    pair frequency; returns the scored merge table. Served from the
+    shared trained artifact (``wordpiece_artifacts``)."""
+    merges, _pieces = wordpiece_artifacts(spark, sf_dir)
+    return merges
+
+
+def q_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the learned WordPiece vocabulary
+    (operators/text.py:wordpiece_encode_counts): greedy
+    longest-match-first with '##' continuation pieces and whole-word
+    [UNK] on match failure — per-doc word / token / char / [UNK]
+    counts + compression, pure apply against the frozen piece set."""
+    _merges, pieces = wordpiece_artifacts(spark, sf_dir)
+    return tx.wordpiece_encode_counts(
+        load_table(spark, sf_dir, "documents"), pieces=pieces
+    )
+
+
+def _wordpiece_cte_chain(n_merges: int = WORDPIECE_MERGES) -> str:
+    """Shared CTE chain replaying _wordpiece_loop: '##'-marked initial
+    symbols, then per round the symbol counts, the likelihood-scored
+    argmax pair (the ONE double division — IEEE-exact both engines),
+    and the greedy left-to-right merge fold with '##' stripped from the
+    absorbed right symbol."""
+    parts = ["""
+        v0 AS (
+            SELECT w, wc,
+                   list_transform(range(1, length(w) + 1),
+                                  i -> CASE WHEN i = 1 THEN w[i:i]
+                                            ELSE '##' || w[i:i] END) AS syms
+            FROM (
+                SELECT t AS w, count(*) AS wc
+                FROM documents,
+                     UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS u(t)
+                GROUP BY t
+            )
+        )"""]
+    for r in range(1, n_merges + 1):
+        parts.append(f"""
+        s{r} AS (
+            SELECT s, CAST(sum(wc) AS BIGINT) AS cnt
+            FROM v{r - 1}, UNNEST(syms) AS u(s)
+            GROUP BY s
+        ),
+        p{r} AS (
+            SELECT syms[i] AS s1, syms[i + 1] AS s2,
+                   CAST(sum(wc) AS BIGINT) AS n
+            FROM v{r - 1}, UNNEST(range(1, len(syms))) AS rr(i)
+            WHERE len(syms) >= 2
+            GROUP BY 1, 2
+        ),
+        b{r} AS (
+            SELECT p.s1 AS bp1, p.s2 AS bp2, p.n,
+                   CAST(p.n AS DOUBLE)
+                       / (CAST(c1.cnt AS DOUBLE) * CAST(c2.cnt AS DOUBLE))
+                       AS score
+            FROM p{r} p
+            JOIN s{r} c1 ON c1.s = p.s1
+            JOIN s{r} c2 ON c2.s = p.s2
+            ORDER BY score DESC, p.s1 ASC, p.s2 ASC LIMIT 1
+        ),
+        v{r} AS (
+            SELECT w, wc,
+                   CASE WHEN len(syms) <= 1 THEN syms ELSE
+                     list_reduce(list_transform(syms, x -> [x]),
+                       (acc, el) ->
+                         CASE WHEN acc[-1] = bp1 AND el[1] = bp2
+                              THEN list_concat(acc[1:len(acc) - 1],
+                                   [bp1 || CASE WHEN bp2[1:2] = '##'
+                                                THEN bp2[3:]
+                                                ELSE bp2 END])
+                              ELSE list_concat(acc, el) END)
+                   END AS syms
+            FROM v{r - 1} CROSS JOIN b{r}
+        )""")
+    return ",".join(parts)
+
+
+def _wordpiece_train_oracle(n_merges: int = WORDPIECE_MERGES) -> str:
+    """Unrolled replay of wordpiece_train (see _wordpiece_cte_chain)."""
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6_sql
+
+    selects = [
+        f"SELECT CAST({r} AS INTEGER) AS round, bp1 || '+' || bp2 AS pair,"
+        f" n AS n_occurrences, {trunc6_sql('score')} AS score FROM b{r}"
+        for r in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH " + _wordpiece_cte_chain(n_merges) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+def _wordpiece_enc_head(n_merges: int = WORDPIECE_MERGES) -> str:
+    """Shared oracle head for the WordPiece apply family: the unrolled
+    merge chain, the distinct piece set, the per-(word, start) LONGEST
+    vocabulary match, then WORDPIECE_MAX_WORD unrolled greedy steps —
+    each advances the cursor by the longest piece at its position or
+    dead-ends the word. Ends at ``enc`` (w, wtok, wlen, is_unk): the
+    total word → token-length map with every [UNK] leg (long word, OOV
+    char, dead-ended walk) folded in — exactly the Spark apply's
+    _wordpiece_word_tokens routing."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        WORDPIECE_MAX_WORD,
+    )
+
+    mw = WORDPIECE_MAX_WORD
+    parts = [
+        _wordpiece_cte_chain(n_merges),
+        f"""
+        wpv AS MATERIALIZED (
+            SELECT DISTINCT s FROM v{n_merges}, UNNEST(syms) AS u(s)
+        ),
+        words AS MATERIALIZED (
+            SELECT t AS w, length(t) AS L
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS u(t)
+            GROUP BY t
+        ),
+        wp_short AS (SELECT w, L FROM words WHERE L <= {mw}),
+        wp_cand AS MATERIALIZED (
+            SELECT sw.w, u.c.st AS st, max(u.c.ln) AS ml
+            FROM wp_short sw,
+                 UNNEST(flatten(list_transform(range(1, sw.L + 1), st ->
+                   list_transform(range(1, sw.L - st + 2),
+                                  ln -> {{'st': st, 'ln': ln}})))) AS u(c)
+            JOIN wpv v
+              ON v.s = CASE WHEN u.c.st = 1
+                            THEN substring(sw.w, u.c.st, u.c.ln)
+                            ELSE '##' || substring(sw.w, u.c.st, u.c.ln)
+                       END
+            GROUP BY sw.w, u.c.st
+        ),
+        wp_g0 AS (
+            SELECT w, L, 1 AS cur, 0 AS n, true AS ok FROM wp_short
+        )""",
+    ]
+    for k in range(1, mw + 1):
+        parts.append(f"""
+        wp_g{k} AS MATERIALIZED (
+            SELECT g.w, g.L,
+                   CASE WHEN NOT g.ok OR g.cur > g.L THEN g.cur
+                        ELSE g.cur + coalesce(c.ml, 0) END AS cur,
+                   CASE WHEN NOT g.ok OR g.cur > g.L OR c.ml IS NULL
+                        THEN g.n ELSE g.n + 1 END AS n,
+                   CASE WHEN NOT g.ok THEN false
+                        WHEN g.cur > g.L THEN g.ok
+                        ELSE c.ml IS NOT NULL END AS ok
+            FROM wp_g{k - 1} g
+            LEFT JOIN wp_cand c ON c.w = g.w AND c.st = g.cur
+        )""")
+    parts.append(f"""
+        enc AS MATERIALIZED (
+            SELECT w,
+                   CASE WHEN ok AND cur = L + 1 THEN n ELSE 1 END AS wtok,
+                   L AS wlen,
+                   CASE WHEN ok AND cur = L + 1 THEN 0 ELSE 1 END AS is_unk
+            FROM wp_g{mw}
+            UNION ALL
+            SELECT w, 1 AS wtok, L AS wlen, 1 AS is_unk
+            FROM words WHERE L > {mw}
+        )""")
+    return "WITH " + ",".join(parts)
+
+
+def _wordpiece_encode_oracle(n_merges: int = WORDPIECE_MERGES) -> str:
+    """Replay of wordpiece_encode_counts: the shared greedy-walk head,
+    then the per-doc word join and exact integer count aggregation."""
+    return (
+        _wordpiece_enc_head(n_merges) + """,
+        wcnt AS (
+            SELECT doc_id, t AS w, count(*) AS n
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS u(t)
+            GROUP BY doc_id, t
+        ),
+        per AS (
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_words,
+                   CAST(sum(n * wtok) AS BIGINT) AS n_tokens,
+                   CAST(sum(n * wlen) AS BIGINT) AS n_chars,
+                   CAST(sum(n * is_unk) AS BIGINT) AS n_unk_words
+            FROM wcnt JOIN enc USING (w)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_words, 0) AS n_words,
+               coalesce(per.n_tokens, 0) AS n_tokens,
+               coalesce(per.n_chars, 0) AS n_chars,
+               coalesce(per.n_unk_words, 0) AS n_unk_words,
+               CASE WHEN coalesce(per.n_tokens, 0) > 0
+                    THEN floor(per.n_chars * 1000000.0 / per.n_tokens)
+                         / 1000000.0
+               END AS compression
+        FROM documents d LEFT JOIN per USING (doc_id)
+    """
+    )
+
+
+QUERIES["wordpiece_train"] = q_wordpiece_train
+ORACLES["wordpiece_train"] = _wordpiece_train_oracle(WORDPIECE_MERGES)
+QUERIES["wordpiece_encode"] = q_wordpiece_encode
+ORACLES["wordpiece_encode"] = _wordpiece_encode_oracle(WORDPIECE_MERGES)
+
+
+def q_wordpiece_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language under the learned WORDPIECE
+    vocabulary — the third row of the tokenizer bake-off (same corpus,
+    same languages, three vocabularies), plus the per-language
+    [UNK]-word rate that BPE/unigram (which never emit UNK) don't have:
+    a language whose words keep dead-ending the greedy walk needs a
+    bigger vocab or better coverage, and fertility alone won't show it
+    (an [UNK] word counts ONE token — cheap-looking, information-
+    destroying)."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        WORDPIECE_MAX_WORD,
+        _word_table,
+        _wordpiece_word_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, pieces = wordpiece_artifacts(spark, sf_dir)
+    words = _word_table(docs, "text")
+    enc = _wordpiece_word_tokens(words, pieces, WORDPIECE_MAX_WORD).select(
+        "w", "wtok", "is_unk"
+    )
+    toks_expr = "filter(split(text, '\\\\s+'), t -> t != '')"
+    wc = (
+        docs.select("lang", F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = (
+        wc.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("wtok")).alias("n_tokens"),
+            F.sum(F.col("n") * F.col("is_unk")).alias("n_unk_words"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_unk_words",
+        (
+            F.floor(
+                F.col("n_tokens") * F.lit(1_000_000.0) / F.col("n_words")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("fertility"),
+    )
+
+
+def _wordpiece_fertility_oracle(n_merges: int = WORDPIECE_MERGES) -> str:
+    """Replay: the shared greedy-walk head (_wordpiece_enc_head),
+    aggregated per language."""
+    return (
+        _wordpiece_enc_head(n_merges)
+        + """,
+        wcnt AS (
+            SELECT lang, t AS w, count(*) AS n
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS u(t)
+            GROUP BY lang, t
+        )
+        SELECT lang,
+               CAST(sum(n) AS BIGINT) AS n_words,
+               CAST(sum(n * wtok) AS BIGINT) AS n_tokens,
+               CAST(sum(n * is_unk) AS BIGINT) AS n_unk_words,
+               floor(sum(n * wtok) * 1000000.0 / sum(n)) / 1000000.0
+                   AS fertility
+        FROM wcnt JOIN enc USING (w)
+        GROUP BY lang
+    """
+    )
+
+
+QUERIES["wordpiece_fertility"] = q_wordpiece_fertility
+ORACLES["wordpiece_fertility"] = _wordpiece_fertility_oracle(
+    WORDPIECE_MERGES
+)

@@ -881,3 +881,86 @@ def test_unigram_train_prunes_and_keeps_chars(spark):
     assert {"x", "y", "z", "q", "a"} <= set(pieces)
     assert all(r.cnt >= 1 for r in pieces.values())
     assert abs(sum(r.prob for r in pieces.values()) - 1.0) < 1e-4
+
+
+def test_wordpiece_train_likelihood_objective(spark):
+    """WordPiece picks the LIKELIHOOD-gain argmax, not the raw pair
+    count: on the low/lower/lowest/slow corpus the most frequent pair
+    is l+##o (8 word-weighted occurrences) but rarer symbols give
+    ##s+##t the better count/(c1*c2) score — and the merged symbol
+    keeps exactly one '##' (continuation side stripped)."""
+    from kafka_streams_dexcom_spark.operators.text import _wordpiece_loop
+
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low slow"), (2, "low slow slowest")],
+        "doc_id bigint, text string",
+    )
+    merges, vocab = _wordpiece_loop(df, "text", 4)
+    rows = {r["round"]: r for r in merges.collect()}
+    assert rows[1]["pair"] == "##s+##t"  # 2/(3*3) beats l+##o's 8/(8*8)
+    assert rows[4]["pair"] == "s+##l"
+    syms = {r["w"]: r["syms"] for r in vocab.collect()}
+    assert syms["slow"] == ["sl", "##o", "##w"]  # s+##l -> sl (## stripped)
+    assert syms["slowest"] == ["sl", "##o", "##w", "##est"]
+
+
+def test_wordpiece_encode_greedy_and_unk_legs(spark):
+    """Greedy longest-match-first under a frozen piece set, with all
+    three [UNK] legs: dead-ended walk (in-vocab prefix then no match),
+    fully OOV characters (no candidates at all), and over-long words —
+    each counts ONE token, chars still counted."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.operators.text import (
+        _wordpiece_loop,
+        wordpiece_encode_counts,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "low lower lowest low low slow"), (2, "low slow slowest")],
+        "doc_id bigint, text string",
+    )
+    _m, vocab = _wordpiece_loop(train, "text", 4)
+    pieces = vocab.select(F.explode("syms").alias("s")).distinct()
+    apply_df = spark.createDataFrame(
+        [(9, "low lowx zz " + "a" * 20), (10, "")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in wordpiece_encode_counts(apply_df, pieces=pieces).collect()
+    }
+    # low=3 toks; lowx dead-ends -> 1; zz OOV -> 1; a*20 too long -> 1
+    assert (
+        got[9]["n_words"],
+        got[9]["n_tokens"],
+        got[9]["n_chars"],
+        got[9]["n_unk_words"],
+    ) == (4, 6, 29, 3)
+    assert (got[10]["n_tokens"], got[10]["n_unk_words"]) == (0, 0)
+    assert got[10]["compression"] is None
+
+
+def test_wordpiece_encode_longest_match_first(spark):
+    """The greedy walk takes the LONGEST piece at each position — a
+    word covered by both short and long pieces tokenizes to the long
+    ones (BERT's rule), not a left-to-right shortest path."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.operators.text import (
+        wordpiece_encode_counts,
+    )
+
+    pieces = spark.createDataFrame(
+        [("a",), ("ab",), ("abc",), ("##b",), ("##c",), ("##d",)],
+        "s string",
+    )
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "abc"), (3, "ab")], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in wordpiece_encode_counts(df, pieces=pieces).collect()
+    }
+    # abcd -> [abc, ##d] (2), NOT [a,##b,##c,##d]; abc -> [abc]; ab -> [ab]
+    assert got == {1: 2, 2: 1, 3: 1}
