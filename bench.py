@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_incremental",         # asymmetric new-vs-corpus band join
     "dedup_simhash_pairs",       # simhash + 15-bit-band join
     "dedup_ngram_jaccard",       # inverted-index set-similarity join
+    "bloom_dedup_screen",        # corpus bloom filter vs ingest replay
     "dedup_embedding",           # blocked cosine pairs
     "er_fuzzy_customers",        # pigeonhole-blocked levenshtein linkage
     "dup_span_fraction",         # exact duplicated k-gram exposure

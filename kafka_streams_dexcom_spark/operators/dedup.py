@@ -871,3 +871,107 @@ def fuzzy_pigeonhole_pairs(
         .filter(F.col("dist") <= 1)
         .select(f"{id_col}_a", f"{id_col}_b", F.col("dist").cast("int").alias("dist"))
     )
+
+
+# Bloom-filter exact-dedup screen (the Dolma pipeline's dedupe shape:
+# a Bloom filter over document hashes screens incoming text against an
+# already-ingested corpus without storing the corpus). Geometry: the
+# filter width scales with the corpus (m = BITS_PER_KEY · n), so the
+# fill ratio — and with it the false-positive rate the audit leg
+# measures — is the SAME at every scale factor instead of degenerating
+# to 0 (oversized) or 1 (saturated) as the corpus grows. 8 bits/key ·
+# k=5 is the classic tight budget: ~2% FP, cheap enough that the audit
+# leg has real positives to show at test scale. Both constants are
+# pinned so the oracle replays bit-for-bit; it derives the same m from
+# its own corpus count.
+BLOOM_BITS_PER_KEY = 8
+BLOOM_K = 5  # hash functions per key
+
+
+def _bloom_positions_expr(hash_col: str, k: int, m_bits: int) -> F.Column:
+    """The k filter bit positions of an already-hash60'd key: the same
+    universal-hash permutation family MinHash uses (h_i(x) = (a_i·x +
+    b_i) mod p, constants shared with the oracle via PERM_COEFFS), each
+    folded onto the filter width. Scan-side array expression — no
+    shuffle, no Python."""
+    parts = ", ".join(
+        f"({hash_col} % {MERSENNE_P} * {PERM_COEFFS[i][0]}"
+        f" + {PERM_COEFFS[i][1]}) % {MERSENNE_P} % {m_bits}"
+        for i in range(k)
+    )
+    return F.expr(f"array({parts})")
+
+
+def bloom_dedup_screen(
+    new: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Screen a NEW batch against a Bloom filter built over the corpus
+    (Soldaini et al. 2024's Dolma dedupe shape; Bloom 1970): per new
+    doc, ``probably_seen`` = every one of its k filter positions was
+    set by some corpus doc, ``actually_seen`` = exact text match in
+    the corpus (the audit leg), ``false_positive`` = the filter said
+    seen but the text is genuinely new — the measurable cost of the
+    m/k geometry on this corpus.
+
+    Relational form: the filter is the DISTINCT set-bit relation
+    (position bigint) instead of a dense bitmap — membership semantics
+    and false-positive behavior are IDENTICAL (same positions, same
+    all-k rule); at production scale the same positions aggregate into
+    an O(m/8)-byte broadcast bitmap (Spark's own
+    DataFrame.stat.bloomFilter shape) while THIS form keeps every leg
+    an oracle-checkable join. Costs: one distinct over k·|corpus|
+    positions (map-side combined), one broadcast of the ≤m-row bit
+    set, one scan-side probe — the new batch never joins the corpus
+    row-for-row except in the exact-audit anti-join leg. The corpus
+    count that sizes the filter is the one driver-side scalar (the
+    same bounded-scalar discipline as the threshold-curve queries).
+    """
+    m_bits = max(1, bits_per_key * corpus.count())
+    h = f"CAST(conv(substr(md5({text_col}), 1, 15), 16, 10) AS BIGINT)"
+    bits = (
+        corpus.select(
+            F.explode(
+                _bloom_positions_expr(h, k, m_bits)
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = new.select(
+        id_col,
+        text_col,
+        F.explode(_bloom_positions_expr(h, k, m_bits)).alias("pos"),
+    )
+    hits = (
+        probe.join(F.broadcast(bits), "pos")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    exact = (
+        new.join(
+            corpus.select(F.col(text_col).alias("t")).distinct(),
+            new[text_col] == F.col("t"),
+            "left_semi",
+        )
+        .select(id_col, F.lit(1).alias("actually_seen"))
+    )
+    return (
+        new.select(id_col)
+        .join(hits, id_col, "left")
+        .join(exact, id_col, "left")
+        .select(
+            id_col,
+            (F.coalesce("n_hit", F.lit(0)) == k).cast("int").alias(
+                "probably_seen"
+            ),
+            F.coalesce("actually_seen", F.lit(0)).alias("actually_seen"),
+            (
+                (F.coalesce("n_hit", F.lit(0)) == k)
+                & (F.coalesce("actually_seen", F.lit(0)) == 0)
+            ).cast("int").alias("false_positive"),
+        )
+    )

@@ -2146,3 +2146,79 @@ ORACLES["dedup_threshold_curve"] = f"""
             WHERE dm.max_j >= t.threshold) AS n_docs
     FROM t
 """
+
+
+def q_bloom_dedup_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter exact-dedup screen (Bloom 1970; the Dolma pipeline's
+    dedupe shape): docs with doc_id % 10 == 0 play the NEW ingest batch,
+    the rest the already-ingested corpus whose Bloom filter (8 bits/key
+    so the width scales with the corpus, 5 hashes) screens them — per
+    new doc the filter verdict, the exact ground truth, and the
+    false-positive flag that prices the geometry: ~2% FP at EVERY scale
+    factor by construction (a fixed width would degenerate to 0 or 1 as
+    sf grows). The dedup_incremental split convention."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.bloom_dedup_screen(
+        d.filter(F.col("doc_id") % 10 == 0),
+        d.filter(F.col("doc_id") % 10 != 0),
+    )
+
+
+def _bloom_oracle() -> str:
+    """Replay: same md5-derived 60-bit hash, same PERM_COEFFS universal
+    hashes folded onto the filter width, set-bit relation as DISTINCT
+    positions, all-k membership rule, exact-match audit leg."""
+    from kafka_streams_dexcom_spark.functions.hashing import (
+        MERSENNE_P,
+        PERM_COEFFS,
+    )
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        BLOOM_BITS_PER_KEY,
+        BLOOM_K,
+    )
+
+    coef = ", ".join(
+        f"({PERM_COEFFS[i][0]}, {PERM_COEFFS[i][1]})" for i in range(BLOOM_K)
+    )
+    h = DUCK_HASH60.format(x="text")
+    return f"""
+        WITH coef(a, b) AS (SELECT * FROM (VALUES {coef})),
+        corpus AS (SELECT doc_id, text, {h} AS h FROM documents
+                   WHERE doc_id % 10 != 0),
+        newb AS (SELECT doc_id, text, {h} AS h FROM documents
+                 WHERE doc_id % 10 = 0),
+        geom AS (SELECT greatest(1, {BLOOM_BITS_PER_KEY} * count(*))
+                     AS m FROM corpus),
+        bits AS MATERIALIZED (
+            SELECT DISTINCT (h % {MERSENNE_P} * a + b) % {MERSENNE_P}
+                   % (SELECT m FROM geom) AS pos
+            FROM corpus CROSS JOIN coef
+        ),
+        probe AS (
+            SELECT doc_id, (h % {MERSENNE_P} * a + b) % {MERSENNE_P}
+                   % (SELECT m FROM geom) AS pos
+            FROM newb CROSS JOIN coef
+        ),
+        hits AS (
+            SELECT doc_id, count(*) AS n_hit
+            FROM probe JOIN bits USING (pos)
+            GROUP BY doc_id
+        ),
+        exact AS (
+            SELECT DISTINCT n.doc_id
+            FROM newb n JOIN corpus c ON c.text = n.text
+        )
+        SELECT n.doc_id,
+               CAST(coalesce(h.n_hit, 0) = {BLOOM_K} AS INT)
+                   AS probably_seen,
+               CAST(e.doc_id IS NOT NULL AS INT) AS actually_seen,
+               CAST(coalesce(h.n_hit, 0) = {BLOOM_K}
+                    AND e.doc_id IS NULL AS INT) AS false_positive
+        FROM newb n
+        LEFT JOIN hits h USING (doc_id)
+        LEFT JOIN exact e USING (doc_id)
+    """
+
+
+QUERIES["bloom_dedup_screen"] = q_bloom_dedup_screen
+ORACLES["bloom_dedup_screen"] = _bloom_oracle()

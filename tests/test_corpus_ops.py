@@ -964,3 +964,40 @@ def test_wordpiece_encode_longest_match_first(spark):
     }
     # abcd -> [abc, ##d] (2), NOT [a,##b,##c,##d]; abc -> [abc]; ab -> [ab]
     assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_bloom_dedup_screen_catches_replayed_docs(spark):
+    """A Bloom screen over the corpus must flag every re-delivered
+    (exact-text) doc as probably_seen with actually_seen = 1 and never
+    count it a false positive; a genuinely new doc with no hash
+    coincidence passes clean. Bloom's no-false-negatives guarantee is
+    structural (all k corpus positions are in the set), this pins the
+    relational plumbing to it."""
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        bloom_dedup_screen,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} body") for i in range(1, 201)],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1001, "corpus document number 7 body"),  # exact replay
+            (1002, "corpus document number 150 body"),  # exact replay
+            (1003, "a genuinely unseen document"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["probably_seen"], r["actually_seen"], r["false_positive"]
+        )
+        for r in bloom_dedup_screen(new, corpus).collect()
+    }
+    assert got[1001] == (1, 1, 0)
+    assert got[1002] == (1, 1, 0)
+    # 1003: never actually seen; the filter MAY false-positive, but
+    # then the audit flags it — the two columns can't disagree silently
+    ps, seen, fp = got[1003]
+    assert seen == 0 and fp == ps
