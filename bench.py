@@ -55,6 +55,7 @@ HEADLINE = [
     "dedup_simhash_pairs",       # simhash + 15-bit-band join
     "dedup_ngram_jaccard",       # inverted-index set-similarity join
     "bloom_dedup_screen",        # corpus bloom filter vs ingest replay
+    "boilerplate_rewrite",       # frequent-ngram template removal
     "dedup_embedding",           # blocked cosine pairs
     "er_fuzzy_customers",        # pigeonhole-blocked levenshtein linkage
     "dup_span_fraction",         # exact duplicated k-gram exposure

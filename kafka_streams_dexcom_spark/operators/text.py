@@ -2697,3 +2697,98 @@ def wordpiece_encode_counts(
             ).alias("compression"),
         )
     )
+
+
+# Corpus-level boilerplate threshold: a k-gram present in at least this
+# many DISTINCT documents is boilerplate (headers, footers, license
+# stubs, navigation chrome), not shared content between one pair of
+# near-dups. Absolute, like Dolma's frequent-paragraph rule: the
+# document frequency of a genuine template grows with the corpus while
+# a near-dup group's stays at the group size, so a small fixed floor
+# separates them at every scale.
+BOILERPLATE_MIN_DOCS = 3
+
+
+def boilerplate_ngram_rewrite(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    min_docs: int = BOILERPLATE_MIN_DOCS,
+) -> DataFrame:
+    """Frequent-n-gram boilerplate REMOVAL (the Dolma / RefinedWeb
+    frequent-paragraph rule at k-gram granularity): every token k-gram
+    present in ≥ ``min_docs`` distinct documents is cut from EVERY
+    document — including the first (boilerplate has no canonical owner
+    worth keeping, unlike :func:`span_dedup_rewrite`'s pairwise-dedup
+    keep-one policy; that single policy difference is why these are two
+    operators). A token survives iff no boilerplate k-gram of its own
+    document covers its position; cleaned text preserves token order.
+
+    Scale shape: identical to span_dedup_rewrite — 60-bit gram hashes,
+    one token-scale shuffle to per-(doc, gram) position lists, a
+    sort-only window pass on the gram key for document frequency, then
+    the row-based coverage expansion + LEFT ANTI rebuild (worst-case
+    linear in tokens even for an all-boilerplate document)."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    toks = fan_out_small(df).select(
+        "doc_id", F.expr(toks_expr).alias("tk")
+    )
+    gram_hash = HASH60_TPL.format(x=f"array_join(slice(tk, i, {k}), ' ')")
+    grams = (
+        toks.filter(F.expr(f"size(tk) >= {k}"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(tk) - {k - 1}), "
+                    f"i -> struct(i AS i, {gram_hash} AS gk))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gk").alias("gk"))
+    )
+    w = Window.partitionBy("gk")
+    occ = (
+        grams.groupBy("doc_id", "gk")
+        .agg(F.collect_list("i").alias("pos"))
+        .repartition("gk")
+        .select(
+            "doc_id",
+            "pos",
+            F.count(F.lit(1)).over(w).alias("nd"),
+        )
+    )
+    cov = (
+        occ.filter(F.col("nd") >= min_docs)
+        .select("doc_id", F.explode("pos").alias("i"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {k - 1})")).alias("p"),
+        )
+        .distinct()
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("tk").alias("j", "tok")
+    ).select("doc_id", (F.col("j") + 1).alias("p"), "tok")
+    rebuilt = (
+        pos.join(cov, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(p, tok))), s -> s.tok), ' ')"
+            ).alias("txt"),
+        )
+    )
+    return (
+        toks.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            (F.size("tk") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("txt", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -3806,3 +3806,68 @@ QUERIES["wordpiece_fertility"] = q_wordpiece_fertility
 ORACLES["wordpiece_fertility"] = _wordpiece_fertility_oracle(
     WORDPIECE_MERGES
 )
+
+
+def q_boilerplate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-n-gram boilerplate removal (the Dolma / RefinedWeb
+    frequent-paragraph rule at 8-gram granularity): token 8-grams
+    present in >= BOILERPLATE_MIN_DOCS distinct documents are cut from
+    EVERY document — no canonical copy, the policy difference from
+    span_dedup_rewrite's pairwise keep-one. See
+    operators/text.py:boilerplate_ngram_rewrite for the plan shape."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        boilerplate_ngram_rewrite,
+    )
+
+    return boilerplate_ngram_rewrite(
+        load_table(spark, sf_dir, "documents"), k=SPAN_K
+    )
+
+
+QUERIES["boilerplate_rewrite"] = q_boilerplate_rewrite
+ORACLES["boilerplate_rewrite"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t != '') AS tk
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, i, {_SPAN_GK} AS gk
+        FROM toks, UNNEST(range(1, len(tk) - {SPAN_K - 2})) r(i)
+        WHERE len(tk) >= {SPAN_K}
+    ),
+    st AS (
+        SELECT gk, count(DISTINCT doc_id) AS nd
+        FROM g GROUP BY gk
+    ),
+    dst AS (
+        SELECT g.doc_id, g.i FROM g JOIN st USING (gk)
+        WHERE st.nd >= {tx.BOILERPLATE_MIN_DOCS}
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, i + d AS p
+        FROM dst, UNNEST(range(0, {SPAN_K})) r(d)
+    ),
+    pos AS (
+        SELECT t.doc_id, CAST(j AS BIGINT) AS p, tk[j] AS tok
+        FROM toks t, UNNEST(range(1, len(tk) + 1)) r(j)
+    ),
+    kept AS (
+        SELECT pos.doc_id, pos.p, pos.tok
+        FROM pos LEFT JOIN cov
+          ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        WHERE cov.p IS NULL
+    ),
+    kc AS (
+        SELECT doc_id, count(*) AS cnt,
+               string_agg(tok, ' ' ORDER BY p) AS txt
+        FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(toks.tk) AS BIGINT) AS n_tokens,
+           CAST(len(toks.tk) - coalesce(kc.cnt, 0) AS BIGINT)
+               AS n_removed,
+           coalesce(kc.txt, '') AS clean_text
+    FROM toks LEFT JOIN kc USING (doc_id)
+"""

@@ -1001,3 +1001,38 @@ def test_bloom_dedup_screen_catches_replayed_docs(spark):
     # then the audit flags it — the two columns can't disagree silently
     ps, seen, fp = got[1003]
     assert seen == 0 and fp == ps
+
+
+def test_boilerplate_rewrite_vs_pairwise_policy(spark):
+    """A template 8-gram in >= 3 docs is cut from EVERY doc (no
+    canonical copy); a span shared by only 2 docs is boilerplate in
+    neither — the policy line between boilerplate_ngram_rewrite and
+    span_dedup_rewrite (which would keep one copy and cut the other)."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        boilerplate_ngram_rewrite,
+    )
+
+    tpl = "this site uses cookies accept to continue reading"  # 8 words
+    pair = "shared passage between exactly two documents only here"  # 8
+    rows = [
+        (1, f"alpha beta {tpl} gamma"),
+        (2, f"{tpl} delta epsilon"),
+        (3, f"zeta {tpl}"),
+        (4, f"unique text {pair}"),
+        (5, f"other words {pair}"),
+        (6, "wholly original document body nothing shared at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in boilerplate_ngram_rewrite(df, k=8, min_docs=3).collect()
+    }
+    # the 8-word template is exactly one 8-gram; all 8 tokens covered
+    assert got[1]["clean_text"] == "alpha beta gamma"
+    assert got[2]["clean_text"] == "delta epsilon"
+    assert got[3]["clean_text"] == "zeta"
+    assert got[1]["n_removed"] == 8
+    # two-doc shared span survives in BOTH (df = 2 < min_docs)
+    assert got[4]["n_removed"] == 0 and pair in got[4]["clean_text"]
+    assert got[5]["n_removed"] == 0
+    assert got[6]["n_removed"] == 0
