@@ -132,6 +132,20 @@ PROBE_QUERIES = [
     "unigram_train",
     "unigram_encode",
     "unigram_fertility",
+    # round-9: wordpiece is vocab-bounded like bpe/unigram (training and
+    # the greedy walks run on the unchanged DISTINCT-word table; only
+    # the word-count shuffle and (doc, word) join grow 10×).
+    # boilerplate_rewrite is token-linear like span_dedup_rewrite (the
+    # self-union pushes every gram over the doc-frequency floor, which
+    # changes the OUTPUT — everything stripped — but gram rows grow 10×,
+    # never quadratically). bloom_dedup_screen is row-linear: positions
+    # grow 10×, the bit-set distinct is width-bounded, and the audit
+    # leg is a semi join (≤1 match per probe row by construction).
+    "wordpiece_train",
+    "wordpiece_encode",
+    "wordpiece_fertility",
+    "boilerplate_rewrite",
+    "bloom_dedup_screen",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10
