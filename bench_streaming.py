@@ -399,6 +399,58 @@ def main() -> None:
             "max": max(t["commit_sec"] for t in sem.timings),
         } if sem.timings else None
 
+        # Streaming Bloom-filter dedup maintainer: per batch, screen
+        # against the width-bounded stored bit set (broadcast), commit
+        # the batch's bits O(batch). The contract under measurement is
+        # the same as ann_ingest: commit stays FLAT while the filter
+        # fills; the screen side is bounded by the FIXED width no
+        # matter how many batches have streamed.
+        from kafka_streams_dexcom_spark.streaming.bloom_ingest import (
+            BloomFilterMaintainer,
+        )
+
+        docs_bloom = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        bloom_in = f"{work}/bloom_in"
+        n_bloom = _write_chunks(docs_bloom, bloom_in, NUM_CHUNKS)
+        flagged = [0]
+        bloom = BloomFilterMaintainer(
+            spark,
+            f"{work}/bloom_filter",
+            m_bits=8 * n_bloom,
+            screened=lambda df, bid: flagged.__setitem__(
+                0, flagged[0] + df.agg(
+                    F.sum("probably_seen")
+                ).collect()[0][0]
+            ),
+            lineage_id="bench-bloom",
+        )
+        t0 = time.time()
+        q = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(bloom_in)
+            .writeStream.foreachBatch(bloom)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt_bloom")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results["bloom_ingest_stream"] = round(
+            n_bloom / (time.time() - t0), 1
+        )
+        results["bloom_commit_sec"] = {
+            "first": bloom.timings[0]["commit_sec"],
+            "last": bloom.timings[-1]["commit_sec"],
+            "max": max(t["commit_sec"] for t in bloom.timings),
+        } if bloom.timings else None
+        results["bloom_flagged"] = {
+            "probable_seen": int(flagged[0]),
+            "fill_ratio": round(bloom.fill_ratio(), 4),
+        }
+
         # Streaming curation gate: JSONL landing -> PERMISSIVE parse ->
         # three-way corrupt/rejected/accepted routing with the gopher
         # flags riding the landing scan (streaming/quality_gate.py).

@@ -909,6 +909,7 @@ def bloom_dedup_screen(
     text_col: str = "text",
     bits_per_key: int = BLOOM_BITS_PER_KEY,
     k: int = BLOOM_K,
+    m_bits: int | None = None,
 ) -> DataFrame:
     """Screen a NEW batch against a Bloom filter built over the corpus
     (Soldaini et al. 2024's Dolma dedupe shape; Bloom 1970): per new
@@ -930,8 +931,12 @@ def bloom_dedup_screen(
     row-for-row except in the exact-audit anti-join leg. The corpus
     count that sizes the filter is the one driver-side scalar (the
     same bounded-scalar discipline as the threshold-curve queries).
+    An explicit ``m_bits`` overrides the corpus-count sizing — the
+    streaming maintainer's fixed-capacity geometry, so the batch twin
+    can replay a stream's filter exactly (tests/test_bloom_stream.py).
     """
-    m_bits = max(1, bits_per_key * corpus.count())
+    if m_bits is None:
+        m_bits = max(1, bits_per_key * corpus.count())
     h = f"CAST(conv(substr(md5({text_col}), 1, 15), 16, 10) AS BIGINT)"
     bits = (
         corpus.select(
