@@ -212,6 +212,8 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
     from kafka_streams_dexcom_spark.queries.text import (
         bm25_postings_map,
         bpe_artifacts,
+        unigram_artifacts,
+        wordpiece_artifacts,
     )
 
     def run(name, thunk):
@@ -228,6 +230,8 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
         "pq_artifacts": lambda: pq_artifacts(spark, sf_dir),
         "er_fuzzy_pairs": lambda: q_er_fuzzy_customers(spark, sf_dir),
         "bpe_tokenizer": lambda: bpe_artifacts(spark, sf_dir),
+        "unigram_tokenizer": lambda: unigram_artifacts(spark, sf_dir),
+        "wordpiece_tokenizer": lambda: wordpiece_artifacts(spark, sf_dir),
         "bm25_postings": lambda: bm25_postings_map(spark, sf_dir),
     }
     timings = {name: run(name, thunk) for name, thunk in builds.items()}
