@@ -3542,9 +3542,15 @@ def _wordpiece_cte_chain(n_merges: int = WORDPIECE_MERGES) -> str:
     symbols, then per round the symbol counts, the likelihood-scored
     argmax pair (the ONE double division — IEEE-exact both engines),
     and the greedy left-to-right merge fold with '##' stripped from the
-    absorbed right symbol."""
+    absorbed right symbol.
+
+    Every v{r} is MATERIALIZED: it is referenced THREE times (symbol
+    counts, pair counts, next rewrite), so plain-CTE inlining
+    re-evaluates the word table 3^rounds times — measured as a 20 GB
+    DuckDB spill and an out-of-disk abort at sf10 (the unigram DP's
+    sf1 Lloyd-replay lesson, third occurrence)."""
     parts = ["""
-        v0 AS (
+        v0 AS MATERIALIZED (
             SELECT w, wc,
                    list_transform(range(1, length(w) + 1),
                                   i -> CASE WHEN i = 1 THEN w[i:i]
@@ -3559,19 +3565,19 @@ def _wordpiece_cte_chain(n_merges: int = WORDPIECE_MERGES) -> str:
         )"""]
     for r in range(1, n_merges + 1):
         parts.append(f"""
-        s{r} AS (
+        s{r} AS MATERIALIZED (
             SELECT s, CAST(sum(wc) AS BIGINT) AS cnt
             FROM v{r - 1}, UNNEST(syms) AS u(s)
             GROUP BY s
         ),
-        p{r} AS (
+        p{r} AS MATERIALIZED (
             SELECT syms[i] AS s1, syms[i + 1] AS s2,
                    CAST(sum(wc) AS BIGINT) AS n
             FROM v{r - 1}, UNNEST(range(1, len(syms))) AS rr(i)
             WHERE len(syms) >= 2
             GROUP BY 1, 2
         ),
-        b{r} AS (
+        b{r} AS MATERIALIZED (
             SELECT p.s1 AS bp1, p.s2 AS bp2, p.n,
                    CAST(p.n AS DOUBLE)
                        / (CAST(c1.cnt AS DOUBLE) * CAST(c2.cnt AS DOUBLE))
@@ -3581,7 +3587,7 @@ def _wordpiece_cte_chain(n_merges: int = WORDPIECE_MERGES) -> str:
             JOIN s{r} c2 ON c2.s = p.s2
             ORDER BY score DESC, p.s1 ASC, p.s2 ASC LIMIT 1
         ),
-        v{r} AS (
+        v{r} AS MATERIALIZED (
             SELECT w, wc,
                    CASE WHEN len(syms) <= 1 THEN syms ELSE
                      list_reduce(list_transform(syms, x -> [x]),
