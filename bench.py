@@ -56,6 +56,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",       # inverted-index set-similarity join
     "bloom_dedup_screen",        # corpus bloom filter vs ingest replay
     "boilerplate_rewrite",       # frequent-ngram template removal
+    "agp_profile",               # consensus AGP report (GMI, CV, bands)
     "dedup_embedding",           # blocked cosine pairs
     "er_fuzzy_customers",        # pigeonhole-blocked levenshtein linkage
     "dup_span_fraction",         # exact duplicated k-gram exposure

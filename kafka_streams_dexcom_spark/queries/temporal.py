@@ -1251,3 +1251,124 @@ ORACLES["value_drift_psi"] = f"""
            CAST(sum(u) AS DOUBLE) / 1e9 AS psi
     FROM j GROUP BY week
 """
+
+
+# Consensus AGP glucose bands (Battelino et al. 2019, the international
+# consensus on CGM reporting): <54 very low, 54-<70 low, 70-180 target,
+# >180-250 high, >250 very high (mg/dL). Distinct from the reference's
+# own 75-180 categorize band (TIR_LOW/TIR_HIGH), which time_in_range
+# keeps — the AGP report is the PUBLISHED standard a clinic prints.
+AGP_VERY_LOW = 54.0
+AGP_LOW = 70.0
+AGP_HIGH = 180.0
+AGP_VERY_HIGH = 250.0
+
+
+def q_agp_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ambulatory Glucose Profile summary per user — the standard
+    clinical CGM report (Battelino 2019 consensus + Bergenstal 2018's
+    GMI): reading count, mean, GMI = 3.31 + 0.02392·mean, coefficient
+    of variation (sample sd / mean, the consensus stability metric with
+    its ≤36% target), and the five consensus band percentages.
+
+    Determinism: the ≤2-decimal values sum exactly as DECIMAL (the
+    numeric_corr moment discipline); GMI / CV come out of the moment
+    row in fixed-order double math (+, ·, /, sqrt are all IEEE-exact)
+    and truncate to 6 decimals; band percentages are exact integer
+    milli-percent (cnt·100000 div n). Single-reading users have no
+    sample sd → cv_pct NULL.
+
+    Scale: one map-side-combined aggregation over the events scan,
+    |users| output rows — the bounded-agg shape, no window, no join."""
+    from kafka_streams_dexcom_spark.functions.rounding import trunc6
+
+    e = load_table(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,2)")
+    band = [
+        ("n_very_low", F.col("value") < AGP_VERY_LOW),
+        (
+            "n_low",
+            (F.col("value") >= AGP_VERY_LOW) & (F.col("value") < AGP_LOW),
+        ),
+        (
+            "n_in_range",
+            (F.col("value") >= AGP_LOW) & (F.col("value") <= AGP_HIGH),
+        ),
+        (
+            "n_high",
+            (F.col("value") > AGP_HIGH) & (F.col("value") <= AGP_VERY_HIGH),
+        ),
+        ("n_very_high", F.col("value") > AGP_VERY_HIGH),
+    ]
+    m = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum((dec * dec).cast("decimal(38,4)")).alias("ss"),
+        *[F.sum(cond.cast("long")).alias(name) for name, cond in band],
+    )
+    n_d = F.col("n").cast("double")
+    s_d = F.col("s").cast("double")
+    ss_d = F.col("ss").cast("double")
+    mean = s_d / n_d
+    var = (n_d * ss_d - s_d * s_d) / (n_d * (n_d - F.lit(1.0)))
+    return m.select(
+        "user_id",
+        F.col("n").alias("n_readings"),
+        trunc6(mean).alias("mean_value"),
+        trunc6(F.lit(3.31) + F.lit(0.02392) * mean).alias("gmi"),
+        F.when(
+            F.col("n") > 1,
+            trunc6(F.sqrt(var) / mean * F.lit(100.0)),
+        ).alias("cv_pct"),
+        *[
+            F.expr(f"{name} * 100000 div n").alias(
+                "pct_" + name[2:] + "_milli"
+            )
+            for name, _ in band
+        ],
+    )
+
+
+QUERIES["agp_profile"] = q_agp_profile
+ORACLES["agp_profile"] = f"""
+    WITH m AS (
+        SELECT user_id,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,2))) AS s,
+               sum(CAST(CAST(value AS DECIMAL(18,2))
+                        * CAST(value AS DECIMAL(18,2))
+                        AS DECIMAL(38,4))) AS ss,
+               sum(CASE WHEN value < {AGP_VERY_LOW} THEN 1 ELSE 0 END)
+                   AS n_very_low,
+               sum(CASE WHEN value >= {AGP_VERY_LOW}
+                         AND value < {AGP_LOW} THEN 1 ELSE 0 END) AS n_low,
+               sum(CASE WHEN value >= {AGP_LOW}
+                         AND value <= {AGP_HIGH} THEN 1 ELSE 0 END)
+                   AS n_in_range,
+               sum(CASE WHEN value > {AGP_HIGH}
+                         AND value <= {AGP_VERY_HIGH} THEN 1 ELSE 0 END)
+                   AS n_high,
+               sum(CASE WHEN value > {AGP_VERY_HIGH} THEN 1 ELSE 0 END)
+                   AS n_very_high
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           n AS n_readings,
+           floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000)
+               / 1000000.0 AS mean_value,
+           floor((3.31 + 0.02392 * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                 * 1000000) / 1000000.0 AS gmi,
+           CASE WHEN n > 1 THEN
+               floor(sqrt((CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                           - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                     / (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) * 100.0
+                     * 1000000) / 1000000.0
+           END AS cv_pct,
+           CAST(n_very_low * 100000 // n AS BIGINT) AS pct_very_low_milli,
+           CAST(n_low * 100000 // n AS BIGINT) AS pct_low_milli,
+           CAST(n_in_range * 100000 // n AS BIGINT) AS pct_in_range_milli,
+           CAST(n_high * 100000 // n AS BIGINT) AS pct_high_milli,
+           CAST(n_very_high * 100000 // n AS BIGINT) AS pct_very_high_milli
+    FROM m
+"""
