@@ -14,6 +14,11 @@ from kafka_streams_dexcom_spark.schemas import TESTDATA_TABLES
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Bound the oracle's RAM so heavy sf1/sf10 replays SPILL to the
+    # .tmp temp dir instead of racing co-tenant JVMs to a system OOM
+    # (boilerplate_rewrite at sf10 died at a 16 KB allocation while two
+    # Spark drivers were resident; with a limit DuckDB degrades to disk).
+    con.execute("SET memory_limit='24GB'")
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
