@@ -137,12 +137,22 @@ def main() -> int:
                   f"{name:32s} {row['secs']:8.2f}s", flush=True)
             if not ok:
                 failed.append(name)
-    # aggregate every jsonl row (incl. prior resumed runs; last wins)
+    # aggregate: start from the committed aggregate's rows (the jsonl
+    # is gitignored scratch, so a fresh workspace otherwise forgets
+    # every prior round's gate evidence — the r9 lesson, where a
+    # 7-query resume run silently shrank the 147-row record to 7),
+    # then overlay this workspace's jsonl (last wins).
     rows: dict[str, dict] = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            rows.update(json.load(f).get("results", {}))
     with open(JSONL) as f:
         for line in f:
             r = json.loads(line)
             rows[r["name"]] = r
+    # drop rows for queries no longer registered (renames) — stale
+    # evidence must not pad the denominator
+    rows = {n: r for n, r in rows.items() if n in qs}
     eligible = [n for n in qs if n not in EXCLUDED]
     missing = sorted(set(eligible) - set(rows))
     parity = [r for r in rows.values() if not r.get("rows_only")]

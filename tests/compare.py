@@ -17,8 +17,11 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # Bound the oracle's RAM so heavy sf1/sf10 replays SPILL to the
     # .tmp temp dir instead of racing co-tenant JVMs to a system OOM
     # (boilerplate_rewrite at sf10 died at a 16 KB allocation while two
-    # Spark drivers were resident; with a limit DuckDB degrades to disk).
-    con.execute("SET memory_limit='24GB'")
+    # Spark drivers were resident; with a limit DuckDB degrades to
+    # disk). 32 GB, not lower: the sf10 gram-coverage replay holds a
+    # ~30 GB non-spillable peak (measured: 24 GB OOMs, 32 GB runs in
+    # 14 s), and the box keeps >90 GB for co-tenant JVMs.
+    con.execute("SET memory_limit='32GB'")
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
