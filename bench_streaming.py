@@ -399,6 +399,50 @@ def main() -> None:
             "max": max(t["commit_sec"] for t in sem.timings),
         } if sem.timings else None
 
+        # The same topology with the hot-cell probe cap BINDING: on the
+        # deliberately dense synthetic corpus (every vector lands in a
+        # handful of cells) the uncapped stored side grows per batch;
+        # capped at ONE BATCH's per-cell share the stored probe can
+        # never exceed what batch 1 saw, so the fold must stay FLAT —
+        # the measured form of the r8 watch item (the pytest proves
+        # equality semantics; this row proves the bounded cost).
+        n_cells = cents.count()
+        cap = max(1, n_vecs // NUM_CHUNKS // max(1, n_cells))
+        sem_cap = SemClusterMaintainer(
+            spark,
+            f"{work}/sem_index_cap",
+            cents,
+            lineage_id="bench-cap",
+            tau=SEMDEDUP_TAU,
+            max_cell_probe=cap,
+        )
+        cap_secs: list[float] = []
+
+        def timed_sem_cap(batch_df: DataFrame, batch_id: int) -> None:
+            b0 = time.time()
+            sem_cap(batch_df, batch_id)
+            cap_secs.append(round(time.time() - b0, 2))
+
+        stream = _stream(spark, emb_in, emb_schema)
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(timed_sem_cap)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt_sem_cap")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results["semdedup_capped_stream"] = round(
+            n_vecs / (time.time() - t0), 1
+        )
+        results["semdedup_capped_batch_sec"] = {
+            "first": cap_secs[0] if cap_secs else None,
+            "last": cap_secs[-1] if cap_secs else None,
+            "max": max(cap_secs) if cap_secs else None,
+            "cap": cap,
+        }
+
         # Streaming Bloom-filter dedup maintainer: per batch, screen
         # against the width-bounded stored bit set (broadcast), commit
         # the batch's bits O(batch). The contract under measurement is
