@@ -465,7 +465,8 @@ def main() -> None:
             m_bits=8 * n_bloom,
             screened=lambda df, bid: flagged.__setitem__(
                 0, flagged[0] + df.agg(
-                    F.sum("probably_seen")
+                    # empty micro-batch: F.sum yields NULL, not 0
+                    F.coalesce(F.sum("probably_seen"), F.lit(0))
                 ).collect()[0][0]
             ),
             lineage_id="bench-bloom",
@@ -493,6 +494,13 @@ def main() -> None:
         results["bloom_flagged"] = {
             "probable_seen": int(flagged[0]),
             "fill_ratio": round(bloom.fill_ratio(), 4),
+            # the O(1) manifest counter a monitor reads instead of
+            # scanning the bit set — must track the exact scan above
+            "fill_ratio_meta": round(bloom.fill_ratio_meta(), 4),
+            "fill_trajectory": [
+                t["fill_ratio"] for t in bloom.timings
+            ],
+            "rebuild_due": bloom.rebuild_due(),
         }
 
         # Streaming curation gate: JSONL landing -> PERMISSIVE parse ->

@@ -894,6 +894,20 @@ def _bloom_positions_expr(hash_col: str, k: int, m_bits: int) -> F.Column:
     b_i) mod p, constants shared with the oracle via PERM_COEFFS), each
     folded onto the filter width. Scan-side array expression — no
     shuffle, no Python."""
+    if m_bits > MERSENNE_P:
+        # The permuted values live in [0, 2^31-2] (the fold is mod the
+        # 31-bit Mersenne prime so h*a never overflows BIGINT in either
+        # engine), so bits above MERSENNE_P would be unreachable and the
+        # filter would silently saturate at an effective width of 2^31-1.
+        # 2^31-1 bits = 256 MiB ≈ 268M keys at 8 bits/key; beyond that a
+        # production deployment shards the filter by key prefix (one
+        # maintainer per shard — Dolma's own layout), which this ceiling
+        # makes an explicit decision instead of a silent FP-rate drift.
+        raise ValueError(
+            f"m_bits={m_bits} exceeds the 2^31-1 position ceiling of the "
+            "31-bit universal-hash fold; shard the filter by key prefix "
+            "(one filter per shard) for corpora beyond ~268M keys"
+        )
     parts = ", ".join(
         f"({hash_col} % {MERSENNE_P} * {PERM_COEFFS[i][0]}"
         f" + {PERM_COEFFS[i][1]}) % {MERSENNE_P} % {m_bits}"
@@ -937,7 +951,7 @@ def bloom_dedup_screen(
     """
     if m_bits is None:
         m_bits = max(1, bits_per_key * corpus.count())
-    h = f"CAST(conv(substr(md5({text_col}), 1, 15), 16, 10) AS BIGINT)"
+    h = HASH60_TPL.format(x=text_col)
     bits = (
         corpus.select(
             F.explode(

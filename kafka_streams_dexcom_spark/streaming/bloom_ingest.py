@@ -17,8 +17,10 @@ streaming-friendly dedup state:
    carries.
 2. **Appends are idempotent and commutative.** A bit set twice is the
    same bit: replay re-sets the same positions (the replay guard still
-   skips the work), and concurrent writers' filters union to exactly
-   the filter a serial run would build.
+   skips the bit commit, and RE-EMITS the screen verdicts against the
+   recorded pre-batch filter version so delivery is at-least-once),
+   and concurrent writers' filters union to exactly the filter a
+   serial run would build.
 
 Geometry is FIXED at construction (``m_bits``): positions are already
 folded by m when staged, so the width can never change mid-stream —
@@ -89,6 +91,17 @@ class BloomFilterMaintainer:
     ) -> None:
         if m_bits < 1:
             raise ValueError("m_bits must be positive")
+        from kafka_streams_dexcom_spark.functions.hashing import MERSENNE_P
+
+        if m_bits > MERSENNE_P:
+            # fail at construction, not on the first micro-batch — the
+            # 31-bit universal-hash fold cannot reach bits above 2^31-1
+            # (see operators/dedup.py:_bloom_positions_expr); beyond
+            # ~268M keys shard the filter (one maintainer per shard)
+            raise ValueError(
+                f"m_bits={m_bits} exceeds the 2^31-1 position ceiling; "
+                "shard the filter by key prefix beyond ~268M keys"
+            )
         self.spark = spark
         self.table = VersionedTable(path)
         self.m_bits = m_bits
@@ -128,6 +141,26 @@ class BloomFilterMaintainer:
         n = self.bits().select("pos").distinct().count()
         return n / self.m_bits
 
+    def fill_ratio_meta(self, version: int | None = None) -> float:
+        """fill_ratio read from the running ``fill_bits`` counter the
+        sink publishes to the commit-log meta each batch — O(1), no
+        scan of the bit set. Exact for the single-writer streaming
+        contract (one query per lineage); under concurrent writers it
+        is an UPPER bound (each writer counts its new bits against its
+        own screen base, so bits two writers race to set count twice) —
+        the conservative direction for a rebuild-due alarm."""
+        v = self.table.latest_version() if version is None else version
+        if v < 0:
+            return 0.0
+        return self._meta(v).get("fill_bits", 0) / self.m_bits
+
+    def rebuild_due(self, threshold: float = 0.5) -> bool:
+        """True when the metadata fill ratio crosses ``threshold`` —
+        the monitor-side alarm (FP rate ≈ fill^k: 0.5 fill at k=5 is
+        ~3% FP; beyond that re-ingest into a wider filter). Reads only
+        the latest manifest — no Spark job."""
+        return self.fill_ratio_meta() >= threshold
+
     # -- maintenance -----------------------------------------------------
     def compact(self) -> int | None:
         """Fold increments into one DISTINCT replace commit (set
@@ -160,6 +193,29 @@ class BloomFilterMaintainer:
         new_bits.write.mode("overwrite").parquet(staged)
         return staged
 
+    def _screen(self, batch_df: DataFrame, pos: DataFrame,
+                version: int) -> DataFrame:
+        """(id, probably_seen) for the batch against the bit set at
+        ``version`` (-1 = empty filter). Read-only — safe to re-run on
+        replay against the recorded pre-batch version."""
+        hits = (
+            pos.join(F.broadcast(self.bits(
+                version if version >= 0 else None
+            ).select("pos").distinct()), "pos")
+            .groupBy(self.id_col)
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+        )
+        return (
+            batch_df.select(self.id_col)
+            .join(hits, self.id_col, "left")
+            .select(
+                self.id_col,
+                (F.coalesce("n_hit", F.lit(0)) == self.k)
+                .cast("int")
+                .alias("probably_seen"),
+            )
+        )
+
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         latest = self.table.latest_version()
         if self.lineage_id is not None and latest >= 0:
@@ -170,32 +226,53 @@ class BloomFilterMaintainer:
                     f"lineage {stored!r}; refusing batches from "
                     f"{self.lineage_id!r}"
                 )
-        if batch_id <= self._applied(latest).get(self.writer_id, -1):
-            return  # replayed micro-batch: bits already committed
+        applied_now = self._applied(latest)
+        if batch_id <= applied_now.get(self.writer_id, -1):
+            # Replayed micro-batch: bits already committed (idempotent —
+            # re-setting the same positions is a no-op), but the screen
+            # verdicts must be RE-EMITTED so a downstream consumer that
+            # had not durably persisted the previous delivery still gets
+            # this batch's results (at-least-once). The screen re-runs
+            # read-only against the PRE-batch filter version recorded in
+            # the manifest at first processing, so the replayed verdicts
+            # are bit-identical to the originals. Spark only ever
+            # replays the most recent batch after a restart, which is
+            # exactly the one whose screen base the manifest retains.
+            if self.screened is not None and batch_id == applied_now.get(
+                self.writer_id, -1
+            ):
+                base = self._meta(latest).get("screen_base", {}).get(
+                    self.writer_id, -1
+                )
+                pos = self._positions(batch_df)
+                self.screened(
+                    self._screen(batch_df, pos, base), batch_id
+                )
+            return
         t0 = time.time()
         pos = self._positions(batch_df).localCheckpoint()
         if self.screened is not None:
-            hits = (
-                pos.join(F.broadcast(self.bits(
-                    latest if latest >= 0 else None
-                ).select("pos").distinct()), "pos")
-                .groupBy(self.id_col)
-                .agg(F.count(F.lit(1)).alias("n_hit"))
-            )
-            verdict = (
-                batch_df.select(self.id_col)
-                .join(hits, self.id_col, "left")
-                .select(
-                    self.id_col,
-                    (F.coalesce("n_hit", F.lit(0)) == self.k)
-                    .cast("int")
-                    .alias("probably_seen"),
-                )
-            )
-            self.screened(verdict, batch_id)
+            self.screened(self._screen(batch_df, pos, latest), batch_id)
         # stage ONCE: positions depend only on the batch and the fixed
         # geometry, never on stored state — rebases re-link as metadata
         staged = self._stage(pos.select("pos").distinct())
+        # the batch's genuinely-new bits, counted against the screen
+        # base: feeds the O(1) fill_bits counter in the manifest so a
+        # monitor can alarm rebuild-due without scanning the bit set
+        n_new = (
+            pos.select("pos")
+            .distinct()
+            .join(
+                F.broadcast(
+                    self.bits(latest if latest >= 0 else None)
+                    .select("pos")
+                    .distinct()
+                ),
+                "pos",
+                "left_anti",
+            )
+            .count()
+        )
         stage_sec = time.time() - t0
         t0 = time.time()
         for _ in range(self.max_commit_attempts):
@@ -205,6 +282,12 @@ class BloomFilterMaintainer:
                 shutil.rmtree(staged, ignore_errors=True)
                 return  # race winner was a replay of THIS batch
             applied[self.writer_id] = batch_id
+            # record the version the screen ran against so a replay can
+            # re-emit bit-identical verdicts (carry other writers' bases)
+            base_meta = self._meta(base_version)
+            screen_base = dict(base_meta.get("screen_base", {}))
+            screen_base[self.writer_id] = latest
+            fill_bits = base_meta.get("fill_bits", 0) + n_new
             if not os.path.isdir(staged):
                 staged = self._stage(pos.select("pos").distinct())
             try:
@@ -213,6 +296,8 @@ class BloomFilterMaintainer:
                     base_version=base_version,
                     meta={
                         "applied": applied,
+                        "screen_base": screen_base,
+                        "fill_bits": fill_bits,
                         "lineage": self.lineage_id,
                         "m_bits": self.m_bits,
                         "k": self.k,
@@ -226,6 +311,7 @@ class BloomFilterMaintainer:
                     "version": version,
                     "stage_sec": round(stage_sec, 4),
                     "commit_sec": round(time.time() - t0, 4),
+                    "fill_ratio": round(fill_bits / self.m_bits, 4),
                 }
             )
             return

@@ -130,6 +130,44 @@ def test_replay_guard_and_versions(spark, tmp_path, docs):
     assert m.bits().count() == before
 
 
+def test_replay_of_last_batch_reemits_identical_verdicts(
+    spark, tmp_path, docs
+):
+    """A restart replays the most recent micro-batch: the bit commit is
+    skipped (idempotent), but the screen verdicts must be RE-EMITTED —
+    bit-identically, because the screen re-runs against the pre-batch
+    filter version recorded in the manifest, not the post-commit one
+    (which now contains the batch's own bits and would flip every row
+    to probably_seen=1)."""
+    m, verdicts = _run_stream(spark, tmp_path, docs)
+    last_bid = max(verdicts)
+    last_batch = docs.filter(
+        F.col("doc_id").isin(list(verdicts[last_bid]))
+    )
+    version_before, bits_before = m.table.latest_version(), m.bits().count()
+    replayed: dict[int, dict[int, int]] = {}
+    m.screened = lambda df, bid: replayed.__setitem__(
+        bid, {r["doc_id"]: r["probably_seen"] for r in df.collect()}
+    )
+    m(last_batch, last_bid)
+    assert replayed == {last_bid: verdicts[last_bid]}
+    assert m.table.latest_version() == version_before  # no new commit
+    assert m.bits().count() == bits_before
+
+
+def test_width_ceiling(spark, tmp_path, docs):
+    """m_bits above 2^31-1 would leave bits unreachable under the
+    31-bit universal-hash fold — both twins must refuse, loudly."""
+    with pytest.raises(ValueError, match="ceiling"):
+        BloomFilterMaintainer(
+            spark, str(tmp_path / "f2"), m_bits=2**31
+        )
+    with pytest.raises(ValueError, match="ceiling"):
+        bloom_dedup_screen(
+            docs.limit(1), docs.limit(1), m_bits=2**31
+        ).collect()
+
+
 def test_width_bound_and_compaction(spark, tmp_path, docs):
     m, _ = _run_stream(spark, tmp_path, docs)
     distinct = m.bits().select("pos").distinct().count()
@@ -139,6 +177,29 @@ def test_width_bound_and_compaction(spark, tmp_path, docs):
     assert v is not None
     assert m.bits().count() == distinct  # duplicates folded away
     assert m.bits().select("pos").distinct().count() == distinct
+
+
+def test_fill_meta_tracks_scan_and_alarm_fires(spark, tmp_path, docs):
+    """The O(1) fill_bits counter in the manifest must equal the exact
+    distinct-bit scan after a single-writer run (the streaming
+    contract), the per-batch trajectory must be monotone, and at this
+    deliberately under-sized width (~0.8 fill) the rebuild-due alarm
+    must fire — all without a planted failure path, because the
+    over-fill is the fixture's own geometry."""
+    m, _ = _run_stream(spark, tmp_path, docs)
+    assert m.fill_ratio_meta() == pytest.approx(m.fill_ratio())
+    traj = [t["fill_ratio"] for t in m.timings]
+    assert traj == sorted(traj) and len(traj) == 4
+    assert m.rebuild_due(threshold=0.5)  # ~0.8 fill: alarm fires
+    assert not m.rebuild_due(threshold=0.99)
+    # survives compaction (meta carried through the replace commit)
+    m.compact()
+    assert m.fill_ratio_meta() == pytest.approx(m.fill_ratio())
+    # a replay commits nothing and leaves the counter untouched
+    before = m.fill_ratio_meta()
+    m.screened = None
+    m(docs.limit(5), 0)
+    assert m.fill_ratio_meta() == before
 
 
 def test_lineage_guard(spark, tmp_path, docs):
