@@ -1467,16 +1467,36 @@ def bpe_train(
     return merges
 
 
+# Byte-level base alphabet (GPT-2 / Radford et al. 2019; tiktoken's
+# cl100k family): every word decomposes into its UTF-8 BYTES, written
+# as two-char uppercase hex symbols so the merge loop — which operates
+# on strings — needs no byte-array machinery and both engines render
+# identical symbols (Spark hex() and DuckDB hex() agree on uppercase).
+# The 256-symbol base alphabet means NO escape hatch is ever needed:
+# no [UNK], no word-length cap, total on any unicode input — the
+# property that made byte-level the production choice.
+BYTEBPE_SYMS_SQL = (
+    "transform(sequence(1, octet_length(w)), "
+    "i -> substring(hex(encode(w, 'utf-8')), 2*i - 1, 2))"
+)
+
+
 def _bpe_loop(
     df: DataFrame,
     text_col: str,
     n_merges: int,
     apply_last: bool,
+    syms_sql: str = "split(w, '')",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared BPE merge loop: returns (merge table, vocabulary). With
     ``apply_last`` the final round's merge is also folded into the
     vocabulary — training only needs the merge TABLE (bpe_train), while
-    encoding needs the fully-merged vocab (bpe_encode_counts)."""
+    encoding needs the fully-merged vocab (bpe_encode_counts).
+    ``syms_sql`` picks the base alphabet: per-character splitting
+    (classic BPE, the default) or per-UTF-8-byte hex symbols
+    (BYTEBPE_SYMS_SQL — the GPT-2 byte-level family). The merge
+    semantics, ranking order, and fold are IDENTICAL across alphabets;
+    only the seed decomposition differs."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     vocab = (
         fan_out_small(df)
@@ -1486,7 +1506,7 @@ def _bpe_loop(
         .select(
             "w",
             "wc",
-            F.expr("split(w, '')").alias("syms"),
+            F.expr(syms_sql).alias("syms"),
         )
         .localCheckpoint()
     )

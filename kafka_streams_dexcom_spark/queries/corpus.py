@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kafka_streams_dexcom_spark.functions import html as hx
 from kafka_streams_dexcom_spark.sources import corpus as cs
 from kafka_streams_dexcom_spark.sources.files import (
     corpus_fingerprint,
@@ -421,6 +422,209 @@ def q_format_matrix_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _warc_html_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """WARC archives whose responses serve text/html — each document
+    rendered through the planted-page template
+    (functions/html.py:wrap_html_py): nav/share/related/footer
+    boilerplate, script/style bodies, comments, and entities around the
+    real text in one <p>. The crawl corpus as it actually arrives —
+    BEFORE the extraction stage the reference's pre-extracted Kafka
+    values never needed. Same archive-count scaling as _warc_fixture."""
+    import gzip
+
+    import duckdb
+
+    fp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+
+    def build() -> str:
+        out = os.path.join(
+            session_temp_dir("warc_html_corpus"), fp.replace(os.sep, "_")
+        )
+        os.makedirs(out, exist_ok=True)
+        rows = duckdb.sql(
+            "SELECT doc_id, text, source FROM read_parquet($p) ORDER BY doc_id",
+            params={"p": _duck_path(os.path.join(sf_dir, "documents.parquet"))},
+        ).fetchall()
+        date = "2026-01-01T00:00:00Z"
+        n_shards = max(8, len(rows) // 700)  # see _warc_fixture note
+        buckets: dict[int, list[bytes]] = {b: [] for b in range(n_shards)}
+        for doc_id, text, source in rows:
+            b = doc_id % n_shards
+            uri = f"https://{source}.example/doc/{doc_id}"
+            buckets[b].append(
+                cs.warc_record_bytes(
+                    "response",
+                    {
+                        "WARC-Record-ID": f"<urn:resp:{doc_id}>",
+                        "WARC-Date": date,
+                        "WARC-Target-URI": uri,
+                        "Content-Type": "application/http;msgtype=response",
+                    },
+                    cs.http_response_bytes(
+                        hx.wrap_html_py(doc_id, source, text).encode(
+                            "utf-8"
+                        ),
+                        status=200,
+                        content_type="text/html; charset=utf-8",
+                    ),
+                )
+            )
+        for b, recs in buckets.items():
+            data = b"".join(gzip.compress(r, mtime=0) for r in recs)
+            with open(os.path.join(out, f"crawl-{b}.warc.gz"), "wb") as f:
+                f.write(data)
+        return out
+
+    return session_value(
+        spark, "warc_html_corpus", (os.path.abspath(sf_dir), fp), build
+    )
+
+
+def _html_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, doc_id, html) off the HTML crawl archives — the shared
+    head of both extraction queries."""
+    path = _warc_html_fixture(spark, sf_dir)
+    recs = cs.read_warc(spark, os.path.join(path, "*.warc.gz"))
+    return recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract(
+            "target_uri", r"^https://([^.]+)\.example/", 1
+        ).alias("source"),
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.decode("payload", "UTF-8").alias("html"),
+    )
+
+
+def q_warc_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML→text main-content extraction over the crawl archives — the
+    missing middle of every crawl-to-training-corpus pipeline
+    (trafilatura/jusText's slot between the WARC reader and the Gopher
+    gates). Per source: doc count, EXACT roundtrip count (extracted
+    text == whitespace-normalized original — ground truth via a join
+    back to the documents table, so a leaked nav link or a dropped
+    sentence fails the hash), extracted char mass, and the audit
+    columns pricing what was dropped: blocks seen/kept, anchor-text
+    chars, visible-text chars (their ratio is the corpus link
+    density). Extraction is pure scan-side SQL (functions/html.py) —
+    the only shuffle is the per-source aggregate + the audit join."""
+    pages = _html_pages(spark, sf_dir)
+    ex = hx.extract_cols(pages, "html")
+    orig = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")).alias(
+            "__orig"
+        ),
+    )
+    j = ex.join(orig, "doc_id")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("text") == F.col("__orig")).cast("int")).alias(
+            "n_roundtrip_ok"
+        ),
+        F.sum(F.length("text")).alias("sum_text_chars"),
+        F.sum("n_blocks").alias("sum_blocks"),
+        F.sum("n_kept").alias("sum_kept"),
+        F.sum("link_chars").alias("sum_link_chars"),
+        F.sum("block_chars").alias("sum_block_chars"),
+    )
+
+
+def _warc_text_extract_oracle() -> str:
+    """Rebuild the SAME pages in SQL (shared template segments —
+    functions/html.py:wrap_html_sql), replay the extractor's DuckDB
+    twin, aggregate identically. The roundtrip column compares against
+    the raw documents text, so the oracle is anchored to ground truth,
+    not just to a second copy of the algorithm."""
+    d = hx.extract_cols_duck("html")
+    return f"""
+        WITH h AS (
+            SELECT doc_id, source, text, {hx.wrap_html_sql()} AS html
+            FROM documents
+        ),
+        b AS (
+            SELECT doc_id, source, text, {d["stats"]} AS __st FROM h
+        ),
+        e AS (
+            SELECT doc_id, source, text,
+                   {d["text"]} AS etext,
+                   {d["n_blocks"]} AS nb,
+                   {d["n_kept"]} AS nk,
+                   {d["link_chars"]} AS lc,
+                   {d["block_chars"]} AS bc
+            FROM b
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN etext =
+                       trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_roundtrip_ok,
+               CAST(sum(length(etext)) AS BIGINT) AS sum_text_chars,
+               CAST(sum(nb) AS BIGINT) AS sum_blocks,
+               CAST(sum(nk) AS BIGINT) AS sum_kept,
+               CAST(sum(lc) AS BIGINT) AS sum_link_chars,
+               CAST(sum(bc) AS BIGINT) AS sum_block_chars
+        FROM e
+        GROUP BY source
+    """
+
+
+def q_html_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHY the extraction stage exists, stated as a query: the Gopher
+    rules run twice over the same crawl — once on raw tag soup, once on
+    extracted text — and the per-source keep counts + word masses price
+    the distortion markup causes (at sf0.01: word mass inflates 27k →
+    42k from tag tokens, and ~11% of keep verdicts flip — every flip a
+    doc the gates would mis-route without the stage). Composition is
+    zero-copy: gopher_rules (operators/text.py:162) consumes the
+    extractor's output columns directly."""
+    from kafka_streams_dexcom_spark.operators import text as tx
+
+    pages = _html_pages(spark, sf_dir)
+    ex = hx.extract_cols(pages, "html").select("doc_id", "source", "text")
+    clean = tx.gopher_rules(ex, carry_cols=("source",))
+    soup = tx.gopher_rules(
+        pages.select("doc_id", "source", F.col("html").alias("text")),
+        carry_cols=("source",),
+    )
+    cagg = clean.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").alias("n_keep_clean"),
+        F.sum("n_words").alias("sum_words_clean"),
+    )
+    sagg = soup.groupBy("source").agg(
+        F.sum("keep").alias("n_keep_soup"),
+        F.sum("n_words").alias("sum_words_soup"),
+    )
+    return cagg.join(sagg, "source")
+
+
+def _html_quality_gate_oracle() -> str:
+    """Clean side replays Gopher over the RAW documents text (ground
+    truth — valid because warc_text_extract pins exact roundtrip);
+    soup side replays Gopher over the SQL-rebuilt pages. One shared
+    rule replay (queries/text.py:gopher_duck_sql) serves both."""
+    from kafka_streams_dexcom_spark.queries.text import gopher_duck_sql
+
+    soup_src = (
+        f"(SELECT doc_id, {hx.wrap_html_sql()} AS text FROM documents)"
+    )
+    return f"""
+        WITH g1 AS ({gopher_duck_sql("documents")}),
+        g2 AS ({gopher_duck_sql(soup_src)})
+        SELECT d.source,
+               count(*) AS n_docs,
+               CAST(sum(g1.keep) AS BIGINT) AS n_keep_clean,
+               CAST(sum(g1.n_words) AS BIGINT) AS sum_words_clean,
+               CAST(sum(g2.keep) AS BIGINT) AS n_keep_soup,
+               CAST(sum(g2.n_words) AS BIGINT) AS sum_words_soup
+        FROM documents d
+        JOIN g1 ON g1.doc_id = d.doc_id
+        JOIN g2 ON g2.doc_id = d.doc_id
+        GROUP BY d.source
+    """
+
+
 N_EPOCHS = 8
 BURST_EPOCH = 5
 BURST_EXTRA = 24  # burst epoch gets 1 + 24 corrupt lines, others 1
@@ -493,6 +697,8 @@ QUERIES = {
     "csv_corpus_stats": q_csv_corpus_stats,
     "warc_corpus_stats": q_warc_corpus_stats,
     "warc_optout_filter": q_warc_optout_filter,
+    "warc_text_extract": q_warc_text_extract,
+    "html_quality_gate": q_html_quality_gate,
     "webdataset_stats": q_webdataset_stats,
     "format_matrix_consistency": q_format_matrix_consistency,
 }
@@ -591,4 +797,6 @@ ORACLES = {
         FROM documents
         GROUP BY source
     """,
+    "warc_text_extract": _warc_text_extract_oracle(),
+    "html_quality_gate": _html_quality_gate_oracle(),
 }

@@ -785,6 +785,62 @@ def _markers_values() -> str:
 _STOPS = ", ".join(f"'{t}'" for t in tx.LANG_MARKERS["en"])
 
 
+def gopher_duck_sql(src: str = "documents") -> str:
+    """Per-doc Gopher flag replay (doc_id, n_words, r_*, keep) over any
+    relation ``src`` exposing (doc_id, text) — the gopher_rules oracle,
+    parameterized so the HTML quality-gate oracle (queries/corpus.py)
+    can run the SAME rules over SQL-rebuilt tag soup as well as clean
+    text. ``src`` may be a table name or a parenthesized subquery."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   list_filter(string_split_regex(text, '\\s+'),
+                       x -> x != '') AS toks
+            FROM {src}
+        ),
+        c AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
+                       list_reduce(list_transform(toks,
+                           t -> CAST(length(t) AS BIGINT)),
+                           (a, b) -> a + b)
+                   END AS BIGINT) AS sum_wlen,
+                   CAST(len(list_filter(toks,
+                       x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
+                       AS n_alpha,
+                   CAST(length(text) - length(replace(text, '#', ''))
+                       AS BIGINT) AS n_hash,
+                   CAST((length(text)
+                         - length(replace(text, '...', ''))) // 3
+                       AS BIGINT) AS n_ell,
+                   CAST(len(list_filter([{_STOPS}],
+                       s -> list_contains(toks, s))) AS BIGINT) AS n_stop
+            FROM t
+        )
+        SELECT doc_id, n_words,
+               CAST(n_words BETWEEN {tx.GOPHER_MIN_WORDS}
+                    AND {tx.GOPHER_MAX_WORDS} AS INT) AS r_word_count,
+               CAST({tx.GOPHER_MIN_MEAN_WLEN} * n_words <= sum_wlen
+                    AND sum_wlen <= {tx.GOPHER_MAX_MEAN_WLEN} * n_words
+                    AS INT) AS r_mean_word_len,
+               CAST(10 * (n_hash + n_ell) <= n_words AS INT)
+                   AS r_symbol_ratio,
+               CAST(5 * n_alpha >= 4 * n_words AS INT) AS r_alpha_words,
+               CAST(n_stop >= {tx.GOPHER_MIN_STOP_HITS} AS INT)
+                   AS r_stopwords,
+               CAST(n_words BETWEEN {tx.GOPHER_MIN_WORDS}
+                        AND {tx.GOPHER_MAX_WORDS}
+                    AND {tx.GOPHER_MIN_MEAN_WLEN} * n_words <= sum_wlen
+                    AND sum_wlen <= {tx.GOPHER_MAX_MEAN_WLEN} * n_words
+                    AND 10 * (n_hash + n_ell) <= n_words
+                    AND 5 * n_alpha >= 4 * n_words
+                    AND n_stop >= {tx.GOPHER_MIN_STOP_HITS} AS INT)
+                   AS keep
+        FROM c
+    """
+
+
 def quality_score_sql() -> str:
     """(doc_id, quality_score) oracle fragment mirroring
     operators/text.py:quality_score — shared by the quality_deciles,
@@ -2029,54 +2085,7 @@ ORACLES = {
                      * 1000000) / 1000000.0 AS dup_trigram_frac
         FROM s GROUP BY doc_id
     """,
-    "gopher_rules": f"""
-        WITH t AS (
-            SELECT doc_id, text,
-                   list_filter(string_split_regex(text, '\\s+'),
-                       x -> x != '') AS toks
-            FROM documents
-        ),
-        c AS (
-            SELECT doc_id,
-                   CAST(len(toks) AS BIGINT) AS n_words,
-                   CAST(CASE WHEN len(toks) = 0 THEN 0 ELSE
-                       list_reduce(list_transform(toks,
-                           t -> CAST(length(t) AS BIGINT)),
-                           (a, b) -> a + b)
-                   END AS BIGINT) AS sum_wlen,
-                   CAST(len(list_filter(toks,
-                       x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT)
-                       AS n_alpha,
-                   CAST(length(text) - length(replace(text, '#', ''))
-                       AS BIGINT) AS n_hash,
-                   CAST((length(text)
-                         - length(replace(text, '...', ''))) // 3
-                       AS BIGINT) AS n_ell,
-                   CAST(len(list_filter([{_STOPS}],
-                       s -> list_contains(toks, s))) AS BIGINT) AS n_stop
-            FROM t
-        )
-        SELECT doc_id, n_words,
-               CAST(n_words BETWEEN {tx.GOPHER_MIN_WORDS}
-                    AND {tx.GOPHER_MAX_WORDS} AS INT) AS r_word_count,
-               CAST({tx.GOPHER_MIN_MEAN_WLEN} * n_words <= sum_wlen
-                    AND sum_wlen <= {tx.GOPHER_MAX_MEAN_WLEN} * n_words
-                    AS INT) AS r_mean_word_len,
-               CAST(10 * (n_hash + n_ell) <= n_words AS INT)
-                   AS r_symbol_ratio,
-               CAST(5 * n_alpha >= 4 * n_words AS INT) AS r_alpha_words,
-               CAST(n_stop >= {tx.GOPHER_MIN_STOP_HITS} AS INT)
-                   AS r_stopwords,
-               CAST(n_words BETWEEN {tx.GOPHER_MIN_WORDS}
-                        AND {tx.GOPHER_MAX_WORDS}
-                    AND {tx.GOPHER_MIN_MEAN_WLEN} * n_words <= sum_wlen
-                    AND sum_wlen <= {tx.GOPHER_MAX_MEAN_WLEN} * n_words
-                    AND 10 * (n_hash + n_ell) <= n_words
-                    AND 5 * n_alpha >= 4 * n_words
-                    AND n_stop >= {tx.GOPHER_MIN_STOP_HITS} AS INT)
-                   AS keep
-        FROM c
-    """,
+    "gopher_rules": gopher_duck_sql(),
     "char_entropy": """
         WITH t AS (
             SELECT doc_id,
