@@ -1475,10 +1475,11 @@ def bpe_train(
 # The 256-symbol base alphabet means NO escape hatch is ever needed:
 # no [UNK], no word-length cap, total on any unicode input — the
 # property that made byte-level the production choice.
-BYTEBPE_SYMS_SQL = (
-    "transform(sequence(1, octet_length(w)), "
-    "i -> substring(hex(encode(w, 'utf-8')), 2*i - 1, 2))"
+BYTEBPE_SYMS_TPL = (
+    "transform(sequence(1, octet_length({w})), "
+    "i -> substring(hex(encode({w}, 'utf-8')), 2*i - 1, 2))"
 )
+BYTEBPE_SYMS_SQL = BYTEBPE_SYMS_TPL.format(w="w")
 
 
 def _bpe_loop(
@@ -1588,6 +1589,95 @@ def bpe_encode_counts(
         F.size("syms").alias("wtok"),
         F.length("w").alias("wlen"),
     )
+    return _apply_vocab_counts(df, enc, id_col, text_col, "n_chars")
+
+
+def bytebpe_encode_counts(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize under a learned BYTE-level BPE vocabulary (GPT-2 /
+    Radford et al. 2019; trained via _bpe_loop with BYTEBPE_SYMS_SQL):
+    per doc the word count, token count, UTF-8 BYTE count, and
+    bytes-per-token compression — the byte-level family's signature
+    metric (its merges buy compression against the raw byte stream, the
+    quantity sequence-length budgets are actually written in). Same
+    distinct-word-vocabulary apply shape as bpe_encode_counts; total on
+    ANY input by construction (256-symbol base alphabet, no [UNK], no
+    word-length cap — the reason production tokenizers are byte-level)."""
+    enc = vocab.select(
+        "w",
+        F.size("syms").alias("wtok"),
+        F.expr("octet_length(w)").alias("wlen"),
+    )
+    return _apply_vocab_counts(df, enc, id_col, text_col, "n_bytes")
+
+
+def bytebpe_apply_merges(
+    df: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a FROZEN byte-level merge table to ANY text — including
+    corpora with words never seen at training time: each word
+    decomposes into its UTF-8-byte hex symbols (always known — the
+    256-symbol base alphabet) and the merges replay in round order as
+    a scan-side fold. This is the piece-level apply that makes the
+    byte family total — bpe/bytebpe_encode_counts' word→length join is
+    a memoization valid only on the training corpus, and an unseen
+    word would silently drop out of it.
+
+    Returns (id, n_words, n_tokens). The merge table is a BOUNDED
+    artifact (n_merges rows) — collecting it into an expression
+    literal is O(n_merges) driver work, the same bounded-scalar
+    discipline as the threshold-curve queries; the apply itself is
+    zero-shuffle whole-stage codegen."""
+    rows = sorted(
+        ((r["round"], *r["pair"].split("+")) for r in merges.collect())
+    )
+    seed = BYTEBPE_SYMS_TPL.format(w="wd")  # wd: the outer lambda's word
+    if rows:
+        lits = ", ".join(
+            f"named_struct('s1', '{s1}', 's2', '{s2}')"
+            for _rnd, s1, s2 in rows
+        )
+        per_word = (
+            f"aggregate(array({lits}), {seed}, (sy, m) -> "
+            "CASE WHEN size(sy) <= 1 THEN sy ELSE "
+            "aggregate(sy, CAST(array() AS array<string>), (acc, s) -> "
+            "IF(size(acc) > 0 AND element_at(acc, -1) = m.s1 "
+            "AND s = m.s2, "
+            "concat(slice(acc, 1, size(acc) - 1), "
+            "array(concat(m.s1, m.s2))), concat(acc, array(s)))) END)"
+        )
+    else:
+        per_word = seed
+    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    return df.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").cast("bigint").alias("n_words"),
+        F.expr(
+            f"aggregate(transform({toks}, wd -> size({per_word})), "
+            "0L, (a, v) -> a + v)"
+        ).alias("n_tokens"),
+    )
+
+
+def _apply_vocab_counts(
+    df: DataFrame,
+    enc: DataFrame,
+    id_col: str,
+    text_col: str,
+    len_name: str,
+) -> DataFrame:
+    """Shared apply side of the BPE-family tokenizers: join per-doc word
+    counts through the (w → token-count, unit-length) map ``enc`` and
+    aggregate exact integer counts + the floor-truncated units-per-token
+    compression ratio. Documents with no words survive the left join
+    with zero counts (the phantom-empty-token discipline)."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     wc = (
         df.select(F.col(id_col), F.explode(F.expr(toks_expr)).alias("w"))
@@ -1600,7 +1690,7 @@ def bpe_encode_counts(
         .agg(
             F.sum("n").alias("n_words"),
             F.sum(F.col("n") * F.col("wtok")).alias("n_tokens"),
-            F.sum(F.col("n") * F.col("wlen")).alias("n_chars"),
+            F.sum(F.col("n") * F.col("wlen")).alias(len_name),
         )
     )
     return (
@@ -1610,11 +1700,11 @@ def bpe_encode_counts(
             id_col,
             F.coalesce("n_words", F.lit(0)).alias("n_words"),
             F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce(len_name, F.lit(0)).alias(len_name),
             F.when(
                 F.coalesce("n_tokens", F.lit(0)) > 0,
                 F.floor(
-                    F.col("n_chars")
+                    F.col(len_name)
                     * F.lit(1_000_000).cast("double")
                     / F.col("n_tokens")
                 )

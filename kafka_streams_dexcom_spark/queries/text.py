@@ -972,15 +972,29 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merges
 
 
-def _bpe_train_oracle(n_merges: int = 5) -> str:
+# DuckDB twins of the two base alphabets (operators/text.py:_bpe_loop's
+# syms_sql): per-character (classic BPE) and per-UTF-8-byte uppercase
+# hex pairs (byte-level / GPT-2 — hex() casing agrees across engines)
+_CHAR_SYMS_DUCK = (
+    "list_transform(range(1, length(w) + 1), i -> w[i:i])"
+)
+_BYTE_SYMS_DUCK = (
+    "list_transform(range(1, octet_length(encode(w)) + 1), "
+    "i -> hex(encode(w))[2*i - 1:2*i])"
+)
+
+
+def _bpe_train_oracle(
+    n_merges: int = 5, syms_duck: str = _CHAR_SYMS_DUCK
+) -> str:
     """Unrolled replay of bpe_train: per round, the argmax pair CTE and
     the greedy left-to-right merge fold (list_reduce over singleton
-    lists — the same fold shape as Spark's aggregate)."""
-    parts = ["""
+    lists — the same fold shape as Spark's aggregate). ``syms_duck``
+    picks the base alphabet (char or byte), mirroring _bpe_loop."""
+    parts = [f"""
         v0 AS (
             SELECT wc,
-                   list_transform(range(1, length(w) + 1),
-                                  i -> w[i:i]) AS syms
+                   {syms_duck} AS syms
             FROM (
                 SELECT t AS w, count(*) AS wc
                 FROM documents,
@@ -1039,19 +1053,24 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_enc_head(n_merges: int) -> str:
+def _bpe_enc_head(
+    n_merges: int,
+    syms_duck: str = _CHAR_SYMS_DUCK,
+    wlen_duck: str = "length(w)",
+) -> str:
     """Shared oracle head for the BPE apply family: the unrolled merge
     rounds carrying the word key, ending at ``enc`` (w, wtok, wlen) —
     the word → token-length map. _bpe_encode_oracle and
     _bpe_fertility_oracle append their own word-count tail (per-doc vs
     per-language) to this one chain instead of string-splitting each
     other's SQL (ADVICE r8: the splice broke silently on whitespace
-    edits)."""
-    parts = ["""
+    edits). ``syms_duck``/``wlen_duck`` pick the base alphabet and the
+    unit-length measure (chars for classic BPE, UTF-8 bytes for the
+    byte-level family)."""
+    parts = [f"""
         v0 AS (
             SELECT w, wc,
-                   list_transform(range(1, length(w) + 1),
-                                  i -> w[i:i]) AS syms
+                   {syms_duck} AS syms
             FROM (
                 SELECT t AS w, count(*) AS wc
                 FROM documents,
@@ -1088,18 +1107,24 @@ def _bpe_enc_head(n_merges: int) -> str:
     return (
         "WITH " + ",".join(parts) + f""",
         enc AS (
-            SELECT w, len(syms) AS wtok, length(w) AS wlen
+            SELECT w, len(syms) AS wtok, {wlen_duck} AS wlen
             FROM v{n_merges}
         )"""
     )
 
 
-def _bpe_encode_oracle(n_merges: int = 5) -> str:
-    """Replay of bpe_encode_counts: the shared merged vocabulary
-    (_bpe_enc_head), then the per-doc word join and exact integer count
-    aggregation."""
+def _bpe_encode_oracle(
+    n_merges: int = 5,
+    syms_duck: str = _CHAR_SYMS_DUCK,
+    wlen_duck: str = "length(w)",
+    len_name: str = "n_chars",
+) -> str:
+    """Replay of bpe_encode_counts / bytebpe_encode_counts: the shared
+    merged vocabulary (_bpe_enc_head), then the per-doc word join and
+    exact integer count aggregation. ``len_name`` is the unit-mass
+    column (n_chars for the char family, n_bytes for byte-level)."""
     return (
-        _bpe_enc_head(n_merges) + """,
+        _bpe_enc_head(n_merges, syms_duck, wlen_duck) + f""",
         wcnt AS (
             SELECT doc_id, t AS w, count(*) AS n
             FROM documents,
@@ -1111,22 +1136,175 @@ def _bpe_encode_oracle(n_merges: int = 5) -> str:
             SELECT doc_id,
                    CAST(sum(n) AS BIGINT) AS n_words,
                    CAST(sum(n * wtok) AS BIGINT) AS n_tokens,
-                   CAST(sum(n * wlen) AS BIGINT) AS n_chars
+                   CAST(sum(n * wlen) AS BIGINT) AS {len_name}
             FROM wcnt JOIN enc USING (w)
             GROUP BY doc_id
         )
         SELECT d.doc_id,
                coalesce(per.n_words, 0) AS n_words,
                coalesce(per.n_tokens, 0) AS n_tokens,
-               coalesce(per.n_chars, 0) AS n_chars,
+               coalesce(per.{len_name}, 0) AS {len_name},
                CASE WHEN coalesce(per.n_tokens, 0) > 0
-                    THEN floor(per.n_chars * 1000000.0 / per.n_tokens)
+                    THEN floor(per.{len_name} * 1000000.0 / per.n_tokens)
                          / 1000000.0
                END AS compression
         FROM documents d LEFT JOIN per USING (doc_id)
     """
     )
 
+
+
+def bytebpe_artifacts(
+    spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES
+) -> tuple[DataFrame, DataFrame]:
+    """The learned BYTE-level BPE tokenizer's (merge table, vocabulary)
+    pair — the fourth tokenizer family (GPT-2 / Radford et al. 2019;
+    the tiktoken production shape): the same merge loop as classic BPE
+    over a 256-symbol UTF-8-byte base alphabet (two-char uppercase hex
+    symbols — operators/text.py:BYTEBPE_SYMS_SQL), so there is never an
+    [UNK], never a word-length cap, and the tokenizer is total on any
+    unicode input. Publish-once per (application, corpus), exactly
+    bpe_artifacts' contract."""
+    import os
+
+    from kafka_streams_dexcom_spark.operators.text import (
+        BYTEBPE_SYMS_SQL,
+        _bpe_loop,
+    )
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    key = (
+        os.path.abspath(sf_dir),
+        corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        n_merges,
+    )
+    trained: dict[str, DataFrame] = {}
+
+    def _train() -> None:
+        if not trained:
+            merges, vocab = _bpe_loop(
+                load_table(spark, sf_dir, "documents"),
+                "text",
+                n_merges,
+                apply_last=True,
+                syms_sql=BYTEBPE_SYMS_SQL,
+            )
+            trained["merges"], trained["vocab"] = merges, vocab
+
+    def _build(which: str):
+        def build() -> DataFrame:
+            _train()
+            return trained[which]
+
+        return build
+
+    merges = session_artifact(
+        spark, "bytebpe_merges", key, _build("merges")
+    )
+    vocab = session_artifact(spark, "bytebpe_vocab", key, _build("vocab"))
+    return merges, vocab
+
+
+def q_bytebpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level BPE training: 5 merge rounds over the UTF-8-byte
+    decomposition of the corpus vocabulary — the merge table with pairs
+    as hex symbols (e.g. '61+74' merging bytes 'a','t'). Completes the
+    tokenizer bake-off's fourth row: the family production LLM
+    tokenizers actually ship (no escapes, no [UNK], 256-byte base)."""
+    merges, _vocab = bytebpe_artifacts(spark, sf_dir)
+    return merges
+
+
+def q_bytebpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the learned byte-level vocabulary
+    (operators/text.py:bytebpe_encode_counts): per-doc word / token /
+    UTF-8-byte counts and bytes-per-token compression — the byte
+    family's signature metric. Pure apply off the shared artifact."""
+    _merges, vocab = bytebpe_artifacts(spark, sf_dir)
+    return tx.bytebpe_encode_counts(
+        load_table(spark, sf_dir, "documents"), vocab
+    )
+
+
+def q_bytebpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fertility under byte-level BPE — the fourth row of
+    the bake-off's fertility table, plus bytes_per_token (the byte
+    family reports compression against the raw byte stream, the unit
+    sequence-length budgets are written in). Same join shape as
+    bpe_fertility; exact integer sums, floor-truncated divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, vocab = bytebpe_artifacts(spark, sf_dir)
+    enc = vocab.select(
+        "w",
+        F.size("syms").alias("wtok"),
+        F.expr("octet_length(w)").alias("wb"),
+    )
+    toks_expr = "filter(split(text, '\\\\s+'), t -> t != '')"
+    wc = (
+        docs.select("lang", F.explode(F.expr(toks_expr)).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    agg = (
+        wc.join(enc, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("wtok")).alias("n_tokens"),
+            F.sum(F.col("n") * F.col("wb")).alias("n_bytes"),
+        )
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_tokens",
+        "n_bytes",
+        (
+            F.floor(
+                F.col("n_tokens") * F.lit(1_000_000.0) / F.col("n_words")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("fertility"),
+        (
+            F.floor(
+                F.col("n_bytes") * F.lit(1_000_000.0) / F.col("n_tokens")
+            )
+            / F.lit(1_000_000.0)
+        ).alias("bytes_per_token"),
+    )
+
+
+def _bytebpe_fertility_oracle(n_merges: int = BPE_MERGES) -> str:
+    """Replay: the byte-alphabet merged vocabulary (_bpe_enc_head with
+    the hex-pair seed), aggregated per language with the extra
+    bytes_per_token column."""
+    return (
+        _bpe_enc_head(
+            n_merges, _BYTE_SYMS_DUCK, "octet_length(encode(w))"
+        )
+        + """,
+        wcnt AS (
+            SELECT lang, t AS w, count(*) AS n
+            FROM documents,
+                 UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                    t -> t <> '')) AS u(t)
+            GROUP BY lang, t
+        )
+        SELECT lang,
+               CAST(sum(n) AS BIGINT) AS n_words,
+               CAST(sum(n * wtok) AS BIGINT) AS n_tokens,
+               CAST(sum(n * wlen) AS BIGINT) AS n_bytes,
+               floor(sum(n * wtok) * 1000000.0 / sum(n)) / 1000000.0
+                   AS fertility,
+               floor(sum(n * wlen) * 1000000.0 / sum(n * wtok))
+                   / 1000000.0 AS bytes_per_token
+        FROM wcnt JOIN enc USING (w)
+        GROUP BY lang
+    """
+    )
 
 
 # Unigram-LM (SentencePiece) tokenizer hyperparameters — fixed so the
@@ -1430,6 +1608,9 @@ QUERIES = {
     "bpe_pair_stats": q_bpe_pair_stats,
     "bpe_train": q_bpe_train,
     "bpe_encode": q_bpe_encode,
+    "bytebpe_train": q_bytebpe_train,
+    "bytebpe_encode": q_bytebpe_encode,
+    "bytebpe_fertility": q_bytebpe_fertility,
     "unigram_train": q_unigram_train,
     "unigram_encode": q_unigram_encode,
     "doc_chunks_udtf": q_doc_chunks_udtf,
@@ -1633,6 +1814,14 @@ def _bm25_freetext_oracle() -> str:
 ORACLES = {
     "bpe_train": _bpe_train_oracle(BPE_MERGES),
     "bpe_encode": _bpe_encode_oracle(BPE_MERGES),
+    "bytebpe_train": _bpe_train_oracle(BPE_MERGES, _BYTE_SYMS_DUCK),
+    "bytebpe_encode": _bpe_encode_oracle(
+        BPE_MERGES,
+        _BYTE_SYMS_DUCK,
+        "octet_length(encode(w))",
+        "n_bytes",
+    ),
+    "bytebpe_fertility": _bytebpe_fertility_oracle(BPE_MERGES),
     "unigram_train": _unigram_train_oracle(UNIGRAM_ROUNDS),
     "unigram_encode": _unigram_encode_oracle(UNIGRAM_ROUNDS),
     "bpe_pair_stats": """

@@ -161,3 +161,97 @@ def test_bpe_two_leg_publish_is_atomic(spark, tmp_path):
     # both legs of v0 still pinned-readable
     assert store.read(spark, sub="merges", version=0).count() == 1
     assert [r.w for r in store.read(spark, sub="vocab", version=0).collect()] == ["ab"]
+
+
+def test_bytebpe_family_republish_and_total_apply(spark, tmp_path):
+    """Fourth family through the store: byte-level BPE's two legs
+    (merges, vocab) publish atomically, ``ensure`` retrains only on a
+    corpus change, pinned readers replay the old merges — and the
+    frozen merge table applies TOTALLY to unseen words (including
+    non-ASCII, where one char is several byte symbols), matching a
+    Python replay of the greedy fold exactly."""
+    from kafka_streams_dexcom_spark.operators.text import (
+        BYTEBPE_SYMS_SQL,
+        _bpe_loop,
+        bytebpe_apply_merges,
+    )
+
+    rows_a = [(1, "atlas atlas atoll at"), (2, "atlas atom at at")]
+    rows_b = [(1, "zz zz zz zip"), (2, "zip zip zap zz")]
+
+    def train(rows):
+        merges, vocab = _bpe_loop(
+            _corpus(spark, rows), "text", 3, apply_last=True,
+            syms_sql=BYTEBPE_SYMS_SQL,
+        )
+        return {"merges": merges, "vocab": vocab}
+
+    store = TokenizerArtifactStore(str(tmp_path / "bytebpe"))
+    calls = [0]
+
+    def build_a():
+        calls[0] += 1
+        return train(rows_a)
+
+    v0, _ = store.ensure(
+        spark, family="bytebpe", fingerprint="fp-a", build=build_a
+    )
+    v_again, _ = store.ensure(
+        spark, family="bytebpe", fingerprint="fp-a", build=build_a
+    )
+    assert (v0, v_again, calls[0]) == (0, 0, 1)  # no redundant retrain
+    merges_v0 = [
+        (r["round"], r["pair"])
+        for r in store.read(spark, sub="merges", version=v0)
+        .orderBy("round")
+        .collect()
+    ]
+    # corpus change → republish; pinned merges replay bit-identically
+    v1, _ = store.ensure(
+        spark,
+        family="bytebpe",
+        fingerprint="fp-b",
+        build=lambda: train(rows_b),
+    )
+    assert v1 == 1
+    assert [
+        (r["round"], r["pair"])
+        for r in store.read(spark, sub="merges", version=v0)
+        .orderBy("round")
+        .collect()
+    ] == merges_v0
+    assert store.meta(v1)["family"] == "bytebpe"
+
+    # totality: the frozen v0 merges tokenize an UNSEEN corpus —
+    # words never in the training vocab, one of them non-ASCII
+    unseen = spark.createDataFrame(
+        [(9, "atlas naïve zebra at")], "doc_id long, text string"
+    )
+    got = bytebpe_apply_merges(
+        unseen, store.read(spark, sub="merges", version=v0)
+    ).collect()[0]
+
+    def py_fold(syms, s1, s2):
+        acc = []
+        for s in syms:
+            if acc and acc[-1] == s1 and s == s2:
+                acc[-1] = s1 + s2
+            else:
+                acc.append(s)
+        return acc
+
+    def py_tokens(word, merges):
+        syms = [
+            word.encode("utf-8").hex().upper()[2 * i : 2 * i + 2]
+            for i in range(len(word.encode("utf-8")))
+        ]
+        for _rnd, pair in sorted(merges):
+            s1, s2 = pair.split("+")
+            syms = py_fold(syms, s1, s2)
+        return len(syms)
+
+    want = sum(
+        py_tokens(w, merges_v0) for w in "atlas naïve zebra at".split()
+    )
+    assert got["n_words"] == 4
+    assert got["n_tokens"] == want
