@@ -25,6 +25,65 @@ from kafka_streams_dexcom_spark.functions.hashing import hash60_sql
 DUCK_HASH60 = hash60_sql("{x}")
 
 
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — RefinedWeb/CCNet dedup stage 1 (runs BEFORE
+    any content hashing; see functions/url.py): canonicalize each
+    document's address (lowercase scheme/host, strip www/default
+    port/fragment/tracking params/trailing slashes) and keep one
+    survivor per canonical URL. Per canonical URL: min-id survivor,
+    duplicate count, and the number of DISTINCT raw spellings merged
+    (>1 ⟺ canonicalization actually earned the merge; the planted
+    geometry rotates case/port/utm/fragment/www variants across docs
+    sharing a page — and a kept non-tracking ?ref=a param pins that
+    only the named policy is stripped).
+
+    Scale: canonicalization is scan-side string expressions; the one
+    shuffle groups 8-byte-ish canonical keys — at 100 TB this is the
+    cheapest dedup stage there is, which is exactly why the crawl
+    pipelines run it first."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.expr(ux.messy_url_sql()).alias("raw_url"),
+        )
+        .select(
+            "doc_id",
+            "raw_url",
+            F.expr(ux.canonical_url_sql("raw_url")).alias("url"),
+        )
+        .groupBy("url")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.count_distinct("raw_url").alias("n_spellings"),
+        )
+    )
+
+
+def _dedup_url_oracle() -> str:
+    from kafka_streams_dexcom_spark.functions import url as ux
+
+    return f"""
+        WITH u AS (
+            SELECT doc_id, raw_url,
+                   {ux.canonical_url_sql("raw_url", duck=True)} AS url
+            FROM (
+                SELECT doc_id, {ux.messy_url_sql(duck=True)} AS raw_url
+                FROM documents
+            )
+        )
+        SELECT url,
+               min(doc_id) AS doc_id,
+               count(*) AS dup_count,
+               count(DISTINCT raw_url) AS n_spellings
+        FROM u
+        GROUP BY url
+    """
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one survivor (min doc_id) per distinct text, with the
     duplicate count. Single shuffle on the text hash (never the full
@@ -1187,6 +1246,7 @@ def er_fuzzy_pairs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "dedup_url": q_dedup_url,
     "dedup_exact": q_dedup_exact,
     "dedup_survivors": q_dedup_survivors,
     "dedup_best_survivors": q_dedup_best_survivors,
@@ -1208,6 +1268,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_url": _dedup_url_oracle(),
     "er_fuzzy_customers": """
         SELECT c1.c_custkey AS c_custkey_a, c2.c_custkey AS c_custkey_b,
                CAST(levenshtein(c1.c_name, c2.c_name) AS INTEGER) AS dist
@@ -2041,6 +2102,8 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster map (both sides partitioned on doc_id), token counts
     scan-side, split/keep narrow projections — the manifest writer adds
     nothing beyond the dedup pipeline it composes."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "source",
@@ -2048,6 +2111,12 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "size(filter(split(text, '\\\\s+'), t -> t != ''))"
         ).cast("bigint").alias("n_tokens"),
+        # provenance: the CANONICAL address (functions/url.py — the
+        # form dedup_url dedupes on and release manifests cite), scan-
+        # side off the same row, costing the manifest no extra pass
+        F.expr(
+            ux.canonical_url_sql(ux.messy_url_sql())
+        ).alias("url"),
     )
     member = cluster_map(spark, sf_dir)
     _, split = split_cols()
@@ -2055,6 +2124,7 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         "lang",
+        "url",
         "n_tokens",
         "cluster",
         keep_col().alias("keep"),
@@ -2063,20 +2133,28 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["curation_manifest"] = q_curation_manifest
-ORACLES["curation_manifest"] = f"""
-    WITH comp AS ({_cc_oracle()}),
-    member AS (
-        SELECT d.doc_id, d.source, d.lang,
-               CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
-                    t -> t <> '')) AS BIGINT) AS n_tokens,
-               coalesce(c.component, d.doc_id) AS cluster
-        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-    )
-    SELECT doc_id, source, lang, n_tokens, cluster,
-           CAST(cluster = doc_id AS INT) AS keep,
-           {_SPLIT_CASE} AS split
-    FROM member
-"""
+def _curation_manifest_oracle() -> str:
+    from kafka_streams_dexcom_spark.functions import url as ux
+
+    canon = ux.canonical_url_sql(ux.messy_url_sql(duck=True), duck=True)
+    return f"""
+        WITH comp AS ({_cc_oracle()}),
+        member AS (
+            SELECT d.doc_id, d.source, d.lang,
+                   {canon} AS url,
+                   CAST(len(list_filter(string_split_regex(d.text, '\\s+'),
+                        t -> t <> '')) AS BIGINT) AS n_tokens,
+                   coalesce(c.component, d.doc_id) AS cluster
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        )
+        SELECT doc_id, source, lang, url, n_tokens, cluster,
+               CAST(cluster = doc_id AS INT) AS keep,
+               {_SPLIT_CASE} AS split
+        FROM member
+    """
+
+
+ORACLES["curation_manifest"] = _curation_manifest_oracle()
 
 
 CURVE_THRESHOLDS = (0.2, 0.3, 0.4, 0.5)

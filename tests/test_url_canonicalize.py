@@ -1,0 +1,83 @@
+"""URL canonicalization (functions/url.py): planted near-identical
+URLs collapse to one canonical form, genuinely-different resources
+stay distinct, and the Spark and DuckDB twins agree byte-for-byte."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.functions import url as ux
+
+# (raw, canonical) — each case targets one policy rule
+CASES = [
+    # case-insensitive scheme/host; path case PRESERVED
+    ("HTTPS://Example.COM/Path/A", "https://example.com/Path/A"),
+    # default ports stripped per scheme
+    ("https://example.com:443/x", "https://example.com/x"),
+    ("http://example.com:80/x", "http://example.com/x"),
+    # NON-default port kept
+    ("https://example.com:8443/x", "https://example.com:8443/x"),
+    # www stripped
+    ("https://www.example.com/x", "https://example.com/x"),
+    # fragment dropped
+    ("https://example.com/x#sec-2", "https://example.com/x"),
+    # tracking params stripped, real params kept, order preserved
+    (
+        "https://example.com/x?b=2&utm_source=f&a=1&gclid=G",
+        "https://example.com/x?b=2&a=1",
+    ),
+    ("https://example.com/x?utm_campaign=c", "https://example.com/x"),
+    # trailing slashes stripped
+    ("https://example.com/x///", "https://example.com/x"),
+    # bare host: empty path stays empty
+    ("https://example.com", "https://example.com"),
+    # utm as a VALUE is not a tracking param (anchored match)
+    (
+        "https://example.com/x?q=utm_source",
+        "https://example.com/x?q=utm_source",
+    ),
+]
+
+
+@pytest.mark.parametrize("raw,want", CASES)
+def test_canonical_cases_both_engines(spark, raw, want):
+    got_s = (
+        spark.createDataFrame([(raw,)], "u string")
+        .select(F.expr(ux.canonical_url_sql("u")).alias("c"))
+        .collect()[0]["c"]
+    )
+    got_d = duckdb.sql(
+        f"SELECT {ux.canonical_url_sql('u', duck=True)} FROM "
+        "(SELECT ? AS u)",
+        params=[raw],
+    ).fetchone()[0]
+    assert got_s == want, (raw, got_s)
+    assert got_d == want, (raw, got_d)
+
+
+def test_planted_geometry_dedupes_within_page(spark):
+    """The messy-URL fixture's variants 0/1/2/4 of one page collapse to
+    one canonical URL; variant 3 (real ?ref=a param) stays a distinct
+    resource — over-eager stripping would merge it and break this."""
+    rows = [(i, f"src{i % 20}") for i in range(0, 600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    u = df.select(
+        "doc_id",
+        F.expr(ux.messy_url_sql()).alias("raw"),
+    ).select(
+        "doc_id",
+        "raw",
+        F.expr(ux.canonical_url_sql("raw")).alias("canon"),
+    )
+    n_raw = u.select("raw").distinct().count()
+    n_canon = u.select("canon").distinct().count()
+    assert n_raw == 600  # every messy spelling unique pre-canon
+    assert n_canon < n_raw
+    # variant-3 docs keep their ?ref=a resource identity
+    v3 = u.filter(F.expr("(doc_id div 20) % 5 = 3"))
+    assert v3.filter(~F.col("canon").endswith("?ref=a")).count() == 0
+    # and no non-v3 canonical carries a query string
+    rest = u.filter(F.expr("(doc_id div 20) % 5 != 3"))
+    assert rest.filter(F.col("canon").contains("?")).count() == 0
