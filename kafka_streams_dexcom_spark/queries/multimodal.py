@@ -87,6 +87,105 @@ def q_video_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.video_features(mm.attach_avi_payload(docs))
 
 
+PAIR_BREAK = 101  # every PAIR_BREAK-th doc's media payload is planted
+# TRUNCATED to half its bytes — a broken caption↔media pairing the
+# audit must surface (captions come from the WebDataset .txt members,
+# media bytes from the payload column; a release with silent pairing
+# breaks trains on captions describing the wrong content)
+
+
+def q_paired_media_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal paired-sample audit — the dataset-card table for a
+    multimodal release: per language, sample/label completeness from
+    the WebDataset shard MEMBERS (file side: .txt caption present,
+    .cls label present — WDS_GAP keys planted incomplete), pairing
+    consistency between the caption bytes and the media payload bytes
+    (PAIR_BREAK docs planted broken), a decode-consistency count that
+    pins the Arrow mapInPandas decode path against a scan-side replay
+    of the same stub arithmetic, and the byte masses both modalities
+    contribute.
+
+    This is the content-level join the membership-only WebDataset
+    completeness check can't see: every column is an exact integer, so
+    the oracle replays the planted rules from the documents view and
+    any member loss, size mis-parse, payload corruption, or decode
+    drift fails the hash.
+
+    Scale: members parse one-task-per-shard (the format's own
+    parallelism); joins are doc_id-keyed hash joins of narrow lifted
+    columns (payload bytes never move — only octet lengths); the
+    report is |langs| rows."""
+    import os
+
+    from kafka_streams_dexcom_spark.queries.corpus import _wds_fixture
+    from kafka_streams_dexcom_spark.sources import corpus as cs
+
+    path = _wds_fixture(spark, sf_dir)
+    members = cs.read_webdataset(spark, os.path.join(path, "*.tar"))
+    txt = members.filter(F.col("ext") == "txt").select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("n_bytes").cast("bigint").alias("caption_bytes"),
+    )
+    cls = members.filter(F.col("ext") == "cls").select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.lit(1).alias("has_label"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        "doc_id",
+        "lang",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.when(
+            F.col("doc_id") % PAIR_BREAK == 0,
+            F.expr(
+                "substring(CAST(text AS BINARY), 1, "
+                "octet_length(text) div 2)"
+            ),
+        )
+        .otherwise(F.col("text").cast("binary"))
+        .alias("payload"),
+    )
+    feats = mm.decode_features(
+        media.select("doc_id", "media_type", "payload"),
+        use_real_codecs=False,
+    ).select("doc_id", "width", "height", "n_frames")
+    expected = media.select(
+        "doc_id",
+        "lang",
+        F.octet_length("payload").cast("bigint").alias("media_bytes"),
+    )
+    j = (
+        expected.join(feats, "doc_id")
+        .join(txt, "doc_id")
+        .join(cls, "doc_id", "left")
+    )
+    n = F.col("media_bytes")
+    decode_ok = (
+        (F.col("width") == F.lit(64) + n % 256)
+        & (F.col("height") == F.lit(64) + (n * 7) % 256)
+        & (F.col("n_frames") == F.lit(1) + n % 7)
+    )
+    return j.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum(F.coalesce("has_label", F.lit(0))).alias("n_with_label"),
+        F.sum(
+            (F.coalesce("has_label", F.lit(0)) == 0).cast("int")
+        ).alias("n_missing_label"),
+        F.sum(
+            (F.col("caption_bytes") == F.col("media_bytes")).cast("int")
+        ).alias("n_pairing_ok"),
+        F.sum(
+            (F.col("caption_bytes") != F.col("media_bytes")).cast("int")
+        ).alias("n_pairing_broken"),
+        F.sum(decode_ok.cast("int")).alias("n_decode_consistent"),
+        F.sum("caption_bytes").alias("caption_bytes_sum"),
+        F.sum("media_bytes").alias("media_bytes_sum"),
+    )
+
+
 _MEDIA_TYPE = "['image', 'audio', 'video'][(doc_id % 3) + 1]"
 
 QUERIES = {
@@ -96,9 +195,47 @@ QUERIES = {
     "multimodal_dedup": q_multimodal_dedup,
     "audio_wav_stats": q_audio_wav_stats,
     "video_avi_frames": q_video_avi_frames,
+    "paired_media_audit": q_paired_media_audit,
 }
 
+def _paired_media_audit_oracle() -> str:
+    """Replay from the documents view: the WDS_GAP incomplete-label
+    plant, the PAIR_BREAK half-truncation plant, and the stub decode's
+    scan-side consistency (always consistent — the count pins the
+    Arrow path against drift, like the WebDataset completeness
+    count)."""
+    from kafka_streams_dexcom_spark.queries.corpus import WDS_GAP
+
+    return f"""
+        WITH m AS (
+            SELECT doc_id, lang,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS cap_b,
+                   CAST(CASE WHEN doc_id % {PAIR_BREAK} = 0
+                        THEN octet_length(encode(text)) // 2
+                        ELSE octet_length(encode(text)) END
+                        AS BIGINT) AS med_b
+            FROM documents
+        )
+        SELECT lang,
+               count(*) AS n_samples,
+               CAST(sum(CASE WHEN doc_id % {WDS_GAP} != 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_with_label,
+               CAST(sum(CASE WHEN doc_id % {WDS_GAP} = 0
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_label,
+               CAST(sum(CASE WHEN cap_b = med_b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pairing_ok,
+               CAST(sum(CASE WHEN cap_b != med_b THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_pairing_broken,
+               count(*) AS n_decode_consistent,
+               CAST(sum(cap_b) AS BIGINT) AS caption_bytes_sum,
+               CAST(sum(med_b) AS BIGINT) AS media_bytes_sum
+        FROM m
+        GROUP BY lang
+    """
+
+
 ORACLES = {
+    "paired_media_audit": _paired_media_audit_oracle(),
     "video_avi_frames": """
         WITH b AS (
             SELECT doc_id, octet_length(encode(text)) AS n,
