@@ -271,9 +271,16 @@ def main() -> None:
     qs = all_queries()
 
     # JVM/codegen warm-up on a different SF so timings are steady-state.
-    qs["filter_high"](spark, "/root/testdata/sf0.001").write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # filter_high compiles the scan+filter path; dedup_embedding runs
+    # one cosine-pair batch, compiling the array-float fold + pair-join
+    # machinery the heavy similarity/graph legs share — without it the
+    # first such query in a session pays a ~2x cold start
+    # (triangle_count 66.5s first vs 29.6s warm at sf1, ROUND9_NOTES
+    # §1.7) that contaminates every solo re-time.
+    for wq in ("filter_high", "dedup_embedding"):
+        qs[wq](spark, "/root/testdata/sf0.001").write.format(
+            "noop"
+        ).mode("overwrite").save()
 
     # min of N reps: first runs pay one-time janino-codegen compilation and
     # Python-worker startup, which amortize to zero at scale; min-of-reps

@@ -5,6 +5,8 @@ names, and order-insensitive values (columns sorted by name, rows sorted)."""
 from __future__ import annotations
 
 import math
+import os
+import tempfile
 from typing import Any
 
 import duckdb
@@ -14,14 +16,23 @@ from kafka_streams_dexcom_spark.schemas import TESTDATA_TABLES
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
-    # Bound the oracle's RAM so heavy sf1/sf10 replays SPILL to the
-    # .tmp temp dir instead of racing co-tenant JVMs to a system OOM
-    # (boilerplate_rewrite at sf10 died at a 16 KB allocation while two
-    # Spark drivers were resident; with a limit DuckDB degrades to
-    # disk). 32 GB, not lower: the sf10 gram-coverage replay holds a
-    # ~30 GB non-spillable peak (measured: 24 GB OOMs, 32 GB runs in
-    # 14 s), and the box keeps >90 GB for co-tenant JVMs.
-    con.execute("SET memory_limit='32GB'")
+    # Bound the oracle's RAM so heavy sf1/sf10 replays SPILL instead of
+    # racing co-tenant JVMs to a system OOM (boilerplate_rewrite at
+    # sf10 died at a 16 KB allocation while two Spark drivers were
+    # resident; with a limit DuckDB degrades to disk). 24 GB (r10,
+    # down from 32): the r9 "~30 GB non-spillable peak" does not
+    # reproduce solo — the sf10 gram-coverage replay passes at 24 GB
+    # in ~23 s with spill available (r9's OOM was co-tenant memory
+    # pressure, not an unspillable operator). temp_directory is set
+    # EXPLICITLY: DuckDB's default is the cwd-relative '.tmp', which
+    # silently disables spilling when the harness runs from a
+    # read-only working directory.
+    con.execute("SET memory_limit='24GB'")
+    con.execute(
+        "SET temp_directory='"
+        + os.path.join(tempfile.gettempdir(), "spark_graft_duck_spill")
+        + "'"
+    )
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
