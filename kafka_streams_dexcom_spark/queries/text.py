@@ -2786,40 +2786,40 @@ _SPAN_GK = DUCK_HASH60.format(
 )
 
 ORACLES["span_dedup_rewrite"] = f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
         SELECT doc_id,
                list_filter(string_split_regex(text, '\\s+'),
                            t -> t != '') AS tk
         FROM documents
     ),
-    g AS (
+    g AS MATERIALIZED (
         SELECT doc_id, i, {_SPAN_GK} AS gk
         FROM toks, UNNEST(range(1, len(tk) - {SPAN_K - 2})) r(i)
         WHERE len(tk) >= {SPAN_K}
     ),
-    st AS (
+    st AS MATERIALIZED (
         SELECT gk, min(doc_id) AS mind, count(DISTINCT doc_id) AS nd
         FROM g GROUP BY gk
     ),
-    dst AS (
+    dst AS MATERIALIZED (
         SELECT g.doc_id, g.i FROM g JOIN st USING (gk)
         WHERE st.nd >= 2 AND g.doc_id <> st.mind
     ),
-    cov AS (
+    cov AS MATERIALIZED (
         SELECT DISTINCT doc_id, i + d AS p
         FROM dst, UNNEST(range(0, {SPAN_K})) r(d)
     ),
-    pos AS (
+    pos AS MATERIALIZED (
         SELECT t.doc_id, CAST(j AS BIGINT) AS p, tk[j] AS tok
         FROM toks t, UNNEST(range(1, len(tk) + 1)) r(j)
     ),
-    kept AS (
+    kept AS MATERIALIZED (
         SELECT pos.doc_id, pos.p, pos.tok
         FROM pos LEFT JOIN cov
           ON pos.doc_id = cov.doc_id AND pos.p = cov.p
         WHERE cov.p IS NULL
     ),
-    kc AS (
+    kc AS MATERIALIZED (
         SELECT doc_id, count(*) AS cnt,
                string_agg(tok, ' ' ORDER BY p) AS txt
         FROM kept GROUP BY doc_id
@@ -2833,30 +2833,30 @@ ORACLES["span_dedup_rewrite"] = f"""
 """
 
 ORACLES["span_dedup_maximal"] = f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
         SELECT doc_id,
                list_filter(string_split_regex(text, '\\s+'),
                            t -> t != '') AS tk
         FROM documents
     ),
-    g AS (
+    g AS MATERIALIZED (
         SELECT doc_id, i, {_SPAN_GK} AS gk
         FROM toks, UNNEST(range(1, len(tk) - {SPAN_K - 2})) r(i)
         WHERE len(tk) >= {SPAN_K}
     ),
-    cnt AS (SELECT gk, count(*) AS m FROM g GROUP BY gk),
-    seeds AS (
+    cnt AS MATERIALIZED (SELECT gk, count(*) AS m FROM g GROUP BY gk),
+    seeds AS MATERIALIZED (
         SELECT g.doc_id, g.i, g.gk FROM g JOIN cnt USING (gk)
         WHERE cnt.m BETWEEN 2 AND {tx.SPAN_MAX_OCC}
     ),
-    p AS (
+    p AS MATERIALIZED (
         SELECT a.doc_id AS doc_a, a.i AS ia,
                b.doc_id AS doc_b, b.i AS ib
         FROM seeds a JOIN seeds b USING (gk)
         WHERE a.doc_id < b.doc_id
            OR (a.doc_id = b.doc_id AND a.i < b.i)
     ),
-    runs AS (
+    runs AS MATERIALIZED (
         SELECT doc_a, doc_b, ib - ia AS diag, ia,
                ia - row_number() OVER (
                    PARTITION BY doc_a, doc_b, ib - ia ORDER BY ia
@@ -4030,40 +4030,40 @@ def q_boilerplate_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["boilerplate_rewrite"] = q_boilerplate_rewrite
 ORACLES["boilerplate_rewrite"] = f"""
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
         SELECT doc_id,
                list_filter(string_split_regex(text, '\\s+'),
                            t -> t != '') AS tk
         FROM documents
     ),
-    g AS (
+    g AS MATERIALIZED (
         SELECT doc_id, i, {_SPAN_GK} AS gk
         FROM toks, UNNEST(range(1, len(tk) - {SPAN_K - 2})) r(i)
         WHERE len(tk) >= {SPAN_K}
     ),
-    st AS (
+    st AS MATERIALIZED (
         SELECT gk, count(DISTINCT doc_id) AS nd
         FROM g GROUP BY gk
     ),
-    dst AS (
+    dst AS MATERIALIZED (
         SELECT g.doc_id, g.i FROM g JOIN st USING (gk)
         WHERE st.nd >= {tx.BOILERPLATE_MIN_DOCS}
     ),
-    cov AS (
+    cov AS MATERIALIZED (
         SELECT DISTINCT doc_id, i + d AS p
         FROM dst, UNNEST(range(0, {SPAN_K})) r(d)
     ),
-    pos AS (
+    pos AS MATERIALIZED (
         SELECT t.doc_id, CAST(j AS BIGINT) AS p, tk[j] AS tok
         FROM toks t, UNNEST(range(1, len(tk) + 1)) r(j)
     ),
-    kept AS (
+    kept AS MATERIALIZED (
         SELECT pos.doc_id, pos.p, pos.tok
         FROM pos LEFT JOIN cov
           ON pos.doc_id = cov.doc_id AND pos.p = cov.p
         WHERE cov.p IS NULL
     ),
-    kc AS (
+    kc AS MATERIALIZED (
         SELECT doc_id, count(*) AS cnt,
                string_agg(tok, ' ' ORDER BY p) AS txt
         FROM kept GROUP BY doc_id

@@ -146,6 +146,19 @@ PROBE_QUERIES = [
     "wordpiece_fertility",
     "boilerplate_rewrite",
     "bloom_dedup_screen",
+    # round-10: bytebpe is vocab-bounded like the other three tokenizer
+    # families. html_quality_gate and dedup_url are token/row-linear
+    # (per-doc extraction / canonicalization + a groupBy; no fact-fact
+    # join). warc_text_extract and paired_media_audit are EXCLUDED:
+    # both join the fixture back to documents on doc_id, and a
+    # self-union puts 10 copies of every key on both sides (the
+    # nation_trade_flows exclusion class) — their 100x growth would be
+    # a probe artifact, not a scaling property.
+    "bytebpe_train",
+    "bytebpe_encode",
+    "bytebpe_fertility",
+    "html_quality_gate",
+    "dedup_url",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10
