@@ -150,6 +150,17 @@ HEADLINE = [
     "wordpiece_train",           # likelihood-scored merge training (BERT)
     "wordpiece_encode",          # greedy longest-match + [UNK] apply
     "wordpiece_fertility",       # tokens-per-word + UNK rate, 3rd family
+    # round-10 additions, all scan-side or vocab-bounded
+    "bytebpe_train",             # byte-level BPE (GPT-2 family) training
+    "bytebpe_encode",            # tokenize under the frozen byte merges
+    "bytebpe_fertility",         # bytes/tokens-per-word, 4th family
+    "dedup_url",                 # URL canonicalization dedup (stage 1)
+    "html_quality_gate",         # gopher verdicts: tag soup vs extract
+    "warc_text_extract",         # HTML main-content extraction
+    "paired_media_audit",        # cross-modal pairing consistency audit
+    "host_line_dedup",           # per-domain line-wise chrome removal
+    "domain_mix",                # per-domain census + blocklist + cap
+    "epoch_shuffle",             # deterministic shard-local epoch order
 ]
 
 

@@ -128,3 +128,36 @@ def messy_url_sql(duck: bool = False) -> str:
         ELSE concat('https://www.', source, '.example/p/', {g},
                     '?gclid=XYZ')
     END"""
+
+
+_HOST_OF_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+
+
+def host_sql(x: str, duck: bool = False) -> str:
+    """The registrable host of URL column/expression ``x`` — the
+    grouping key for every per-domain curation stage (RefinedWeb's
+    line-wise corrections and per-domain caps key on it). Lowercased
+    with the ``www.`` prefix and default ports stripped, so it agrees
+    with :func:`canonical_url_sql`'s host on RAW input too."""
+    q = _q
+    hp = f"lower(regexp_extract({x}, {q(_HOST_OF_RE, duck)}, 1))"
+    nowww = f"regexp_replace({hp}, {q(_WWW_RE, duck)}, '')"
+    return (
+        f"regexp_replace(regexp_replace({nowww}, {q(_P443_RE, duck)}, ''), "
+        f"{q(_P80_RE, duck)}, '')"
+    )
+
+
+# Planted page-chrome fixture for the per-domain line pass: every doc
+# of a host renders under the same 8-token navigation header (the
+# chrome RefinedWeb's line-wise corrections exist to strip), followed
+# by the document's own text. 8 tokens = exactly one line at
+# operators/text.py LINE_WORDS granularity, so the header occupies
+# line 0 and leaves the body's line boundaries unshifted — body lines
+# of exact-duplicate docs stay comparable too. Identical string
+# expression in both engines (the messy_url_sql discipline).
+def page_text_sql(duck: bool = False) -> str:  # noqa: ARG001 - same SQL
+    return (
+        "concat('nav ', source, "
+        "' home about contact privacy terms login ', text)"
+    )

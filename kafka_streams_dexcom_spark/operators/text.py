@@ -2902,3 +2902,97 @@ def boilerplate_ngram_rewrite(
             F.coalesce("txt", F.lit("")).alias("clean_text"),
         )
     )
+
+LINE_WORDS = 8
+HOST_LINE_MIN_DOCS = 2
+
+
+def host_line_dedup(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    line_words: int = LINE_WORDS,
+    min_docs: int = HOST_LINE_MIN_DOCS,
+) -> DataFrame:
+    """Per-domain line-wise dedup — RefinedWeb's "line-wise corrections"
+    (Penedo et al. 2023 §3.3): a line that recurs across ≥ ``min_docs``
+    DISTINCT documents of the SAME host is navigation/boilerplate
+    (headers, cookie banners, footers) and is removed from every
+    document of that host. The host scoping is the whole point — a
+    sentence shared across unrelated sites is content; the same
+    sentence on 40 pages of one site is chrome. Corpus-wide frequency
+    rules (:func:`boilerplate_ngram_rewrite`) cannot see the
+    difference.
+
+    Lines are deterministic ``line_words``-token windows aligned at
+    ``line_words`` boundaries (the corpus carries no newlines — see
+    gen_testdata), so both engines re-derive identical line boundaries
+    from the text alone.
+
+    Scale shape: line construction is scan-side (one transform over
+    the token array); the repeated-line census groups 8-byte 60-bit
+    line hashes KEYED BY HOST — at 100 TB that shuffle carries
+    (host, hash) pairs, never line text, and the per-host key prefix
+    keeps each domain's census co-located so no single reducer sees
+    more than one domain's tail. The rebuild is the standard LEFT ANTI
+    + ordered reassembly, linear in lines.
+
+    Reference anchor: the reference dedupes by record key only
+    (StreamsFilterEgvs.java); crawl corpora need the per-site line
+    pass before any content-level dedup spends budget on chrome.
+    """
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    base = fan_out_small(df).select(
+        "doc_id", F.col(host_col).alias("host"), F.expr(toks_expr).alias("tk")
+    )
+    line_hash = HASH60_TPL.format(
+        x=f"array_join(slice(tk, i * {line_words} + 1, {line_words}), ' ')"
+    )
+    lines = (
+        base.filter(F.size("tk") >= 1)
+        .select(
+            "doc_id",
+            "host",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(tk) / "
+                    f"{line_words}.0) AS INT) - 1), "
+                    f"i -> struct(CAST(i AS BIGINT) AS ln, {line_hash} AS lh, "
+                    f"array_join(slice(tk, i * {line_words} + 1, "
+                    f"{line_words}), ' ') AS line))"
+                )
+            ).alias("l"),
+        )
+        .select(
+            "doc_id", "host",
+            F.col("l.ln").alias("ln"),
+            F.col("l.lh").alias("lh"),
+            F.col("l.line").alias("line"),
+        )
+    )
+    boiler = (
+        lines.groupBy("host", "lh")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("host", "lh")
+    )
+    kept = lines.join(boiler, ["host", "lh"], "left_anti")
+    rebuilt = kept.groupBy("doc_id", "host").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr(
+            "array_join(transform(array_sort("
+            "collect_list(struct(ln, line))), s -> s.line), ' ')"
+        ).alias("txt"),
+    )
+    totals = lines.groupBy("doc_id", "host").agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    return totals.join(rebuilt, ["doc_id", "host"], "left").select(
+        "doc_id",
+        "host",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed_lines"),
+        F.coalesce("txt", F.lit("")).alias("clean_text"),
+    )

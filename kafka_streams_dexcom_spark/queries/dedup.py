@@ -2300,3 +2300,191 @@ def _bloom_oracle() -> str:
 
 QUERIES["bloom_dedup_screen"] = q_bloom_dedup_screen
 ORACLES["bloom_dedup_screen"] = _bloom_oracle()
+
+
+# ------------------------------------------------- per-domain crawl stages
+# Stage 2 of the crawl-curation front door (stage 1 = dedup_url above):
+# RefinedWeb's per-domain line-wise corrections and the per-domain
+# blocklist/cap census. Host + page-chrome fixtures live in
+# functions/url.py next to the messy-URL fixture they extend.
+
+DOMAIN_DOC_CAP = 30
+
+
+def q_host_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain line-wise dedup (RefinedWeb §3.3 "line-wise
+    corrections"): lines recurring across >= HOST_LINE_MIN_DOCS distinct
+    documents of the SAME host are site chrome and are removed from all
+    of them. The planted page fixture (functions/url.py:page_text_sql)
+    prepends each host's 8-token nav header, so every multi-doc host
+    has guaranteed chrome to strip; exact-duplicate document bodies
+    contribute organic repeated lines on top. See
+    operators/text.py:host_line_dedup for the plan shape."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+    from kafka_streams_dexcom_spark.operators.text import host_line_dedup
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            ux.host_sql(ux.canonical_url_sql(ux.messy_url_sql()))
+        ).alias("host"),
+        F.expr(ux.page_text_sql()).alias("page"),
+    )
+    return host_line_dedup(d, host_col="host", text_col="page")
+
+
+def _host_line_dedup_oracle() -> str:
+    from kafka_streams_dexcom_spark.functions import url as ux
+    from kafka_streams_dexcom_spark.operators.text import (
+        HOST_LINE_MIN_DOCS,
+        LINE_WORDS,
+    )
+
+    host = ux.host_sql(
+        ux.canonical_url_sql(ux.messy_url_sql(duck=True), duck=True),
+        duck=True,
+    )
+    line = (
+        f"array_to_string(list_slice(tk, i * {LINE_WORDS} + 1, "
+        f"i * {LINE_WORDS} + {LINE_WORDS}), ' ')"
+    )
+    lh = DUCK_HASH60.format(x=line)
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT doc_id, {host} AS host,
+                   list_filter(string_split_regex(
+                       {ux.page_text_sql(duck=True)}, '\\s+'),
+                       t -> t != '') AS tk
+            FROM documents
+        ),
+        l AS MATERIALIZED (
+            SELECT doc_id, host, CAST(i AS BIGINT) AS ln,
+                   {lh} AS lh, {line} AS line
+            FROM d, UNNEST(range(0,
+                CAST(ceil(len(tk) / {LINE_WORDS}.0) AS BIGINT))) r(i)
+            WHERE len(tk) >= 1
+        ),
+        b AS MATERIALIZED (
+            SELECT host, lh FROM l
+            GROUP BY host, lh
+            HAVING count(DISTINCT doc_id) >= {HOST_LINE_MIN_DOCS}
+        ),
+        kept AS MATERIALIZED (
+            SELECT l.doc_id, l.host, l.ln, l.line
+            FROM l LEFT JOIN b
+              ON l.host = b.host AND l.lh = b.lh
+            WHERE b.lh IS NULL
+        ),
+        kc AS MATERIALIZED (
+            SELECT doc_id, host, count(*) AS n_kept,
+                   string_agg(line, ' ' ORDER BY ln) AS txt
+            FROM kept GROUP BY doc_id, host
+        ),
+        tot AS MATERIALIZED (
+            SELECT doc_id, host, count(*) AS n_lines
+            FROM l GROUP BY doc_id, host
+        )
+        SELECT tot.doc_id, tot.host,
+               CAST(tot.n_lines AS BIGINT) AS n_lines,
+               CAST(tot.n_lines - coalesce(kc.n_kept, 0) AS BIGINT)
+                   AS n_removed_lines,
+               coalesce(kc.txt, '') AS clean_text
+        FROM tot LEFT JOIN kc
+          ON tot.doc_id = kc.doc_id AND tot.host = kc.host
+    """
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain census + policy: docs/token mass per host, the UT1-
+    style blocklist verdict (planted rule: host number % 7 = 3 — a
+    deterministic stand-in for the blocklist file a real pipeline
+    broadcasts), and the per-domain contribution cap (kept_docs =
+    least(n_docs, cap), 0 if blocked) that stops any single site from
+    dominating the mix — C4 drops blocklisted domains, RefinedWeb caps
+    them. doc_share is each host's fraction of the corpus.
+
+    Scale shape: one groupBy on the host key (map-side combined), then
+    a broadcast single-row total for the share — no window-over-all,
+    no global sort; the blocklist is an expression here and a broadcast
+    join against the real list in production."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            ux.host_sql(ux.canonical_url_sql(ux.messy_url_sql()))
+        ).alias("host"),
+        F.expr(
+            "size(filter(split(text, '\\\\s+'), t -> t != ''))"
+        ).alias("n_toks"),
+    )
+    per_host = d.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("n_tokens"),
+    )
+    total = per_host.agg(F.sum("n_docs").alias("total_docs"))
+    blocked = F.coalesce(
+        F.expr(
+            "CAST(nullif(regexp_extract(host, '([0-9]+)', 1), '') AS INT)"
+            " % 7 = 3"
+        ),
+        F.lit(False),
+    )
+    return (
+        per_host.crossJoin(F.broadcast(total))
+        .select(
+            "host",
+            "n_docs",
+            "n_tokens",
+            blocked.alias("blocked"),
+            F.when(blocked, F.lit(0))
+            .otherwise(F.least("n_docs", F.lit(DOMAIN_DOC_CAP)))
+            .cast("bigint")
+            .alias("kept_docs"),
+            (
+                F.floor(
+                    F.col("n_docs") * F.lit(1_000_000.0)
+                    / F.col("total_docs")
+                )
+                / F.lit(1_000_000.0)
+            ).alias("doc_share"),
+        )
+    )
+
+
+def _domain_mix_oracle() -> str:
+    from kafka_streams_dexcom_spark.functions import url as ux
+
+    host = ux.host_sql(
+        ux.canonical_url_sql(ux.messy_url_sql(duck=True), duck=True),
+        duck=True,
+    )
+    return f"""
+        WITH d AS (
+            SELECT {host} AS host,
+                   len(list_filter(string_split_regex(text, '\\s+'),
+                       t -> t != '')) AS n_toks
+            FROM documents
+        ),
+        per_host AS (
+            SELECT host, count(*) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS n_tokens
+            FROM d GROUP BY host
+        ),
+        tot AS (SELECT sum(n_docs) AS total_docs FROM per_host)
+        SELECT host, n_docs, n_tokens,
+               coalesce(CAST(nullif(regexp_extract(host, '([0-9]+)', 1),
+                   '') AS INT) % 7 = 3, false) AS blocked,
+               CAST(CASE WHEN coalesce(CAST(nullif(regexp_extract(host,
+                       '([0-9]+)', 1), '') AS INT) % 7 = 3, false)
+                    THEN 0 ELSE least(n_docs, {DOMAIN_DOC_CAP}) END
+                   AS BIGINT) AS kept_docs,
+               floor(n_docs * 1000000.0 / total_docs) / 1000000.0
+                   AS doc_share
+        FROM per_host, tot
+    """
+
+
+QUERIES["host_line_dedup"] = q_host_line_dedup
+QUERIES["domain_mix"] = q_domain_mix
+ORACLES["host_line_dedup"] = _host_line_dedup_oracle()
+ORACLES["domain_mix"] = _domain_mix_oracle()

@@ -4075,3 +4075,83 @@ ORACLES["boilerplate_rewrite"] = f"""
            coalesce(kc.txt, '') AS clean_text
     FROM toks LEFT JOIN kc USING (doc_id)
 """
+
+
+# ------------------------------------------------ training-order shuffle
+N_EPOCHS = 3
+SHUFFLE_SHARDS = 8
+
+
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training-data order WITHOUT a global
+    sort: each (doc, epoch) pair gets a 60-bit order key from the
+    shared portable hash, the key's low bits pick one of
+    SHUFFLE_SHARDS shards, and position is a row_number local to
+    (epoch, shard). A data loader replays any epoch of any shard
+    independently — the order is a pure function of (corpus, epoch),
+    so a crashed training run resumes mid-epoch bit-identically, and
+    re-shuffling for epoch e+1 costs one hash re-key, no state.
+
+    Scale shape: the only ordering work is a sort WITHIN each
+    (epoch, shard) partition — at 100 TB that is 3 x 8 independent
+    sorts of 1/8th of the corpus's 8-byte keys each, embarrassingly
+    parallel, versus the single global sort a naive ORDER BY
+    random() plan would shuffle everything through. Matches how real
+    loaders (e.g. tf.data / torchdata shard-shuffle) consume corpora:
+    shard-parallel, seed-deterministic."""
+    from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = HASH60_TPL.format(
+        x="concat(CAST(doc_id AS STRING), ':', CAST(epoch AS STRING))"
+    )
+    keyed = (
+        d.select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(0, {N_EPOCHS - 1})")).alias(
+                "epoch"
+            ),
+        )
+        .select(
+            F.col("epoch").cast("bigint").alias("epoch"),
+            "doc_id",
+            F.expr(key).alias("okey"),
+        )
+        .select(
+            "epoch",
+            "doc_id",
+            "okey",
+            (F.col("okey") % SHUFFLE_SHARDS).cast("bigint").alias("shard"),
+        )
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("okey", "doc_id")
+    return keyed.select(
+        "epoch",
+        "shard",
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+
+
+def _epoch_shuffle_oracle() -> str:
+    key = DUCK_HASH60.format(
+        x="concat(CAST(doc_id AS STRING), ':', CAST(epoch AS STRING))"
+    )
+    return f"""
+        WITH keyed AS (
+            SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+                   {key} AS okey
+            FROM documents,
+                 UNNEST(range(0, {N_EPOCHS})) r(epoch)
+        )
+        SELECT epoch, CAST(okey % {SHUFFLE_SHARDS} AS BIGINT) AS shard,
+               doc_id,
+               CAST(row_number() OVER (
+                   PARTITION BY epoch, okey % {SHUFFLE_SHARDS}
+                   ORDER BY okey, doc_id) AS BIGINT) AS pos
+        FROM keyed
+    """
+
+
+QUERIES["epoch_shuffle"] = q_epoch_shuffle
+ORACLES["epoch_shuffle"] = _epoch_shuffle_oracle()

@@ -159,6 +159,15 @@ PROBE_QUERIES = [
     "bytebpe_fertility",
     "html_quality_gate",
     "dedup_url",
+    # round-10 (cont.): host_line_dedup is line-linear like
+    # boilerplate_rewrite (a self-union pushes every line over the
+    # per-host distinct-doc floor — output changes, but line rows and
+    # the census shuffle grow 10×, never quadratically). domain_mix is
+    # one row-linear groupBy; epoch_shuffle is row-linear with sorts
+    # confined to (epoch, shard) partitions.
+    "host_line_dedup",
+    "domain_mix",
+    "epoch_shuffle",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10

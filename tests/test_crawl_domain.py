@@ -1,0 +1,168 @@
+"""Per-domain crawl stages: host extraction (functions/url.py:host_sql),
+line-wise dedup (operators/text.py:host_line_dedup — RefinedWeb's
+"line-wise corrections"), the domain census/blocklist/cap (domain_mix),
+and the deterministic epoch shuffle. Cross-engine value parity for the
+registered queries is held by check_parity / the driver gate; these
+tests pin the POLICY on planted geometry."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.functions import url as ux
+from kafka_streams_dexcom_spark.operators.text import (
+    HOST_LINE_MIN_DOCS,
+    LINE_WORDS,
+    host_line_dedup,
+)
+
+HOST_CASES = [
+    ("HTTPS://WWW.Example.COM:443/Path/A#f", "example.com"),
+    ("http://example.com:80/x?a=1", "example.com"),
+    ("https://src3.example/p/9?ref=a", "src3.example"),
+    # non-default port is part of the host identity
+    ("https://example.com:8443/x", "example.com:8443"),
+]
+
+
+@pytest.mark.parametrize("raw,want", HOST_CASES)
+def test_host_sql_both_engines(spark, raw, want):
+    got_s = (
+        spark.createDataFrame([(raw,)], "u string")
+        .select(F.expr(ux.host_sql("u")).alias("h"))
+        .collect()[0]["h"]
+    )
+    got_d = duckdb.sql(
+        f"SELECT {ux.host_sql('u', duck=True)} FROM (SELECT ? AS u)",
+        params=[raw],
+    ).fetchone()[0]
+    assert got_s == want, (raw, got_s)
+    assert got_d == want, (raw, got_d)
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, host string, text string"
+    )
+
+
+def test_host_line_dedup_strips_shared_chrome(spark):
+    """An 8-token nav line shared by both docs of a host is removed
+    from BOTH; each doc's unique body survives in order."""
+    nav = "nav one home about contact privacy terms login"
+    rows = [
+        (0, "a.example", nav + " alpha beta gamma"),
+        (1, "a.example", nav + " delta epsilon"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in host_line_dedup(_mk_docs(spark, rows)).collect()
+    }
+    assert out[0]["n_removed_lines"] == 1
+    assert out[0]["clean_text"] == "alpha beta gamma"
+    assert out[1]["clean_text"] == "delta epsilon"
+
+
+def test_host_line_dedup_is_host_scoped(spark):
+    """The SAME line on two docs of DIFFERENT hosts is content, not
+    chrome — host scoping is the policy difference from the
+    corpus-wide frequent-ngram rule."""
+    line = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        (0, "a.example", line),
+        (1, "b.example", line),
+    ]
+    out = host_line_dedup(_mk_docs(spark, rows)).collect()
+    assert all(r["n_removed_lines"] == 0 for r in out)
+    assert all(r["clean_text"] == line for r in out)
+
+
+def test_host_line_dedup_within_doc_repeat_kept(spark):
+    """A line repeated WITHIN one doc only (count of distinct docs = 1)
+    is below HOST_LINE_MIN_DOCS and survives — the rule counts
+    documents, not occurrences."""
+    assert HOST_LINE_MIN_DOCS == 2
+    line = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [(0, "a.example", line + " " + line)]
+    out = host_line_dedup(_mk_docs(spark, rows)).collect()[0]
+    assert out["n_removed_lines"] == 0
+    assert out["n_lines"] == 2
+
+
+def test_host_line_dedup_order_and_tail_line(spark):
+    """Reassembly preserves line order; the final sub-width line is a
+    real line (boundaries come from ceil(n/LINE_WORDS))."""
+    words = [f"t{i}" for i in range(LINE_WORDS * 2 + 3)]
+    rows = [(0, "a.example", " ".join(words))]
+    out = host_line_dedup(_mk_docs(spark, rows)).collect()[0]
+    assert out["n_lines"] == 3
+    assert out["clean_text"] == " ".join(words)
+
+
+def test_host_line_dedup_planted_fixture_geometry(spark, sf_dir):
+    """Over the real documents table + planted page fixture: every doc
+    of a multi-doc host loses at least the nav header line, and
+    clean_text never contains the header's 'login' marker token."""
+    from kafka_streams_dexcom_spark.queries.dedup import q_host_line_dedup
+
+    out = q_host_line_dedup(spark, sf_dir)
+    multi = out.groupBy("host").count().filter("count >= 2")
+    bad = (
+        out.join(multi.select("host"), "host")
+        .filter(
+            (F.col("n_removed_lines") < 1)
+            | F.col("clean_text").contains("login")
+        )
+        .count()
+    )
+    assert bad == 0
+
+
+def test_domain_mix_policy(spark, sf_dir):
+    from kafka_streams_dexcom_spark.queries.dedup import (
+        DOMAIN_DOC_CAP,
+        q_domain_mix,
+    )
+
+    rows = q_domain_mix(spark, sf_dir).collect()
+    assert rows, "no hosts"
+    for r in rows:
+        num = int("".join(c for c in r["host"] if c.isdigit()))
+        assert r["blocked"] == (num % 7 == 3), r
+        want = 0 if r["blocked"] else min(r["n_docs"], DOMAIN_DOC_CAP)
+        assert r["kept_docs"] == want, r
+    assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-3
+
+
+def test_epoch_shuffle_deterministic_and_complete(spark, sf_dir):
+    from kafka_streams_dexcom_spark.queries.text import (
+        N_EPOCHS,
+        SHUFFLE_SHARDS,
+        q_epoch_shuffle,
+    )
+
+    a = q_epoch_shuffle(spark, sf_dir)
+    b = q_epoch_shuffle(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    n_docs = a.select("doc_id").distinct().count()
+    assert a.count() == n_docs * N_EPOCHS
+    # positions are contiguous 1..n within every (epoch, shard)
+    chk = a.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+    )
+    assert chk.filter("lo != 1 OR hi != n").count() == 0
+    assert chk.count() <= N_EPOCHS * SHUFFLE_SHARDS
+    # epochs genuinely reorder: the doc at pos 1 of shard 0 differs
+    # across epochs for at least one epoch pair
+    firsts = (
+        a.filter("shard = 0 AND pos <= 5")
+        .groupBy("epoch")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .collect()
+    )
+    sets = [tuple(sorted(r["ids"])) for r in firsts]
+    assert len(set(sets)) > 1, "epochs produced identical orders"
