@@ -161,6 +161,8 @@ HEADLINE = [
     "host_line_dedup",           # per-domain line-wise chrome removal
     "domain_mix",                # per-domain census + blocklist + cap
     "epoch_shuffle",             # deterministic shard-local epoch order
+    "robots_filter",             # REP longest-match crawl compliance
+    "cdc_chunk_dedup",           # content-defined chunk storage dedup
 ]
 
 

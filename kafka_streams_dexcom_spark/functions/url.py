@@ -161,3 +161,35 @@ def page_text_sql(duck: bool = False) -> str:  # noqa: ARG001 - same SQL
         "concat('nav ', source, "
         "' home about contact privacy terms login ', text)"
     )
+
+
+_PATH_OF_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?"
+
+
+def path_sql(x: str, duck: bool = False) -> str:
+    """The path component of URL column/expression ``x`` ('' for a bare
+    host) — what robots.txt rules match against."""
+    return f"regexp_extract({x}, {_q(_PATH_OF_RE, duck)}, 1)"
+
+
+# Planted robots.txt fixture: every host serves a REAL Robots Exclusion
+# Protocol body (User-agent group, Disallow + Allow rules, a
+# Crawl-delay line the parser must ignore) derived from the host's own
+# number d = host-number % 10: '/p/<d>' is disallowed, '/p/<d>0' is
+# allowed back (the longest-match override REP is famous for — Google
+# REP spec: most specific rule wins, Allow wins length ties). Pages
+# live at /p/<g>, so g values starting with digit d are blocked except
+# those starting <d>0 — multi-digit prefix semantics, exercised for
+# real. Identical string expression in both engines.
+def robots_txt_sql(host: str, duck: bool = False) -> str:
+    d = (
+        f"CAST(coalesce(CAST(nullif(regexp_extract({host}, '([0-9]+)', 1),"
+        f" '') AS INT) % 10, 0) AS STRING)"
+    )
+    nl = "chr(10)"
+    return (
+        f"concat('User-agent: *', {nl}, "
+        f"'Disallow: /p/', {d}, {nl}, "
+        f"'Allow: /p/', {d}, '0', {nl}, "
+        f"'Crawl-delay: 5')"
+    )

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.functions.hashing import MERSENNE_P, PERM_COEFFS
@@ -993,4 +993,78 @@ def bloom_dedup_screen(
                 & (F.coalesce("actually_seen", F.lit(0)) == 0)
             ).cast("int").alias("false_positive"),
         )
+    )
+
+
+# ------------------------------------------------ content-defined chunking
+CDC_WINDOW = 8    # rolling-window chars hashed at each position
+CDC_DIVISOR = 64  # boundary when hash % divisor == 0 -> ~64-char chunks
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    window: int = CDC_WINDOW,
+    divisor: int = CDC_DIVISOR,
+) -> DataFrame:
+    """Content-defined chunking dedup (the Rabin/FastCDC family every
+    storage dedup system and LLM-era blob store uses): cut each
+    document where the hash of the trailing ``window``-char substring
+    is 0 mod ``divisor`` (mean chunk ~``divisor`` chars), hash each
+    chunk, and count chunks already seen earlier in (doc_id, chunk_idx)
+    order. The point vs fixed-size blocks: boundaries derive from
+    CONTENT, so inserting a prefix shifts every fixed block but leaves
+    almost every CDC chunk hash intact (pinned by the shift-invariance
+    pytest) — the property that makes near-identical crawls dedupe at
+    the storage layer even when byte offsets moved.
+
+    Per doc: chunk count, duplicated-chunk count, total chars, and
+    duplicated chars (the storage the corpus would NOT pay again).
+
+    Scale shape: chunking is one scan-side array expression (no
+    explode until chunks exist); the census is one shuffle of
+    (60-bit chunk hash) keys with a sort-only row_number inside each
+    hash group (group size = copies of that chunk, bounded by the dup
+    rate, not the corpus); the rebuild aggregates back on doc_id.
+    No pair joins anywhere."""
+    win_hash = HASH60_TPL.format(
+        x=f"substring({text_col}, i - {window - 1}, {window})"
+    )
+    bpos = (
+        f"filter(sequence(1, greatest(length({text_col}) - 1, 1)), "
+        f"i -> i >= {window} AND {win_hash} % {divisor} = 0)"
+    )
+    starts = "concat(array(1), transform(bp, b -> b + 1))"
+    # built against the post-alias name "text", not text_col
+    chunk = (
+        f"transform(sequence(1, size(bp) + 1), "
+        f"j -> substring(text, element_at({starts}, j), "
+        f"coalesce(try_element_at(bp, j), length(text)) "
+        f"- element_at({starts}, j) + 1))"
+    )
+    chunks = (
+        fan_out_small(df)
+        .filter(F.length(text_col) >= 1)
+        .select("doc_id", F.col(text_col).alias("text"), F.expr(bpos).alias("bp"))
+        .select("doc_id", F.posexplode(F.expr(chunk)).alias("ci", "ctext"))
+        .select(
+            "doc_id",
+            "ci",
+            F.length("ctext").alias("clen"),
+            F.expr(HASH60_TPL.format(x="ctext")).alias("ch"),
+        )
+    )
+    w = Window.partitionBy("ch").orderBy("doc_id", "ci")
+    flagged = chunks.select(
+        "doc_id",
+        "clen",
+        (F.row_number().over(w) > 1).cast("int").alias("dup"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum("dup").cast("bigint").alias("n_dup_chunks"),
+        F.sum("clen").cast("bigint").alias("chars_total"),
+        F.sum(F.col("clen") * F.col("dup")).cast("bigint").alias(
+            "chars_dup"
+        ),
     )

@@ -2907,6 +2907,49 @@ LINE_WORDS = 8
 HOST_LINE_MIN_DOCS = 2
 
 
+def host_lines(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    line_words: int = LINE_WORDS,
+) -> DataFrame:
+    """Deterministic line rows (doc_id, host, ln, lh, line) for the
+    per-domain line pass — one definition shared by the batch operator
+    (:func:`host_line_dedup`) and the streaming census maintainer
+    (streaming/line_census.py), so batch and stream count identical
+    lines by construction. Entirely scan-side: tokenization + one
+    transform over ``line_words``-token windows + explode."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    base = fan_out_small(df).select(
+        "doc_id", F.col(host_col).alias("host"), F.expr(toks_expr).alias("tk")
+    )
+    line_hash = HASH60_TPL.format(
+        x=f"array_join(slice(tk, i * {line_words} + 1, {line_words}), ' ')"
+    )
+    return (
+        base.filter(F.size("tk") >= 1)
+        .select(
+            "doc_id",
+            "host",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(ceil(size(tk) / "
+                    f"{line_words}.0) AS INT) - 1), "
+                    f"i -> struct(CAST(i AS BIGINT) AS ln, {line_hash} AS lh, "
+                    f"array_join(slice(tk, i * {line_words} + 1, "
+                    f"{line_words}), ' ') AS line))"
+                )
+            ).alias("l"),
+        )
+        .select(
+            "doc_id", "host",
+            F.col("l.ln").alias("ln"),
+            F.col("l.lh").alias("lh"),
+            F.col("l.line").alias("line"),
+        )
+    )
+
+
 def host_line_dedup(
     df: DataFrame,
     host_col: str = "host",
@@ -2941,35 +2984,7 @@ def host_line_dedup(
     (StreamsFilterEgvs.java); crawl corpora need the per-site line
     pass before any content-level dedup spends budget on chrome.
     """
-    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    base = fan_out_small(df).select(
-        "doc_id", F.col(host_col).alias("host"), F.expr(toks_expr).alias("tk")
-    )
-    line_hash = HASH60_TPL.format(
-        x=f"array_join(slice(tk, i * {line_words} + 1, {line_words}), ' ')"
-    )
-    lines = (
-        base.filter(F.size("tk") >= 1)
-        .select(
-            "doc_id",
-            "host",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, CAST(ceil(size(tk) / "
-                    f"{line_words}.0) AS INT) - 1), "
-                    f"i -> struct(CAST(i AS BIGINT) AS ln, {line_hash} AS lh, "
-                    f"array_join(slice(tk, i * {line_words} + 1, "
-                    f"{line_words}), ' ') AS line))"
-                )
-            ).alias("l"),
-        )
-        .select(
-            "doc_id", "host",
-            F.col("l.ln").alias("ln"),
-            F.col("l.lh").alias("lh"),
-            F.col("l.line").alias("line"),
-        )
-    )
+    lines = host_lines(df, host_col, text_col, line_words)
     boiler = (
         lines.groupBy("host", "lh")
         .agg(F.count_distinct("doc_id").alias("nd"))

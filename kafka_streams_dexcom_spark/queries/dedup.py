@@ -2488,3 +2488,186 @@ QUERIES["host_line_dedup"] = q_host_line_dedup
 QUERIES["domain_mix"] = q_domain_mix
 ORACLES["host_line_dedup"] = _host_line_dedup_oracle()
 ORACLES["domain_mix"] = _domain_mix_oracle()
+
+
+ROBOTS_RULE_RE = "^(Disallow|Allow): (.*)$"
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Exclusion Protocol compliance — crawl stage 0, before
+    dedup_url even runs: parse each host's robots.txt BODY (the planted
+    fixture functions/url.py:robots_txt_sql serves a real REP group:
+    User-agent, Disallow, Allow, plus a Crawl-delay line the parser
+    must ignore), extract the rule table, and give every document URL
+    the spec's verdict: the longest-prefix-matching rule wins, Allow
+    wins length ties (Google REP spec / RFC 9309 §2.2.2), no matching
+    rule means allowed. The planted geometry blocks /p/<d> per host but
+    allows /p/<d>0 back — multi-digit prefix semantics exercised for
+    real (g=3x blocked, g=30x crawls).
+
+    Scale shape: the rule table is |hosts|-bounded and broadcast; the
+    verdict is a per-row prefix match + one row_number confined to each
+    doc's matched-rule group (<= rules-per-host rows). Nothing about
+    the plan changes when the fixture is replaced by a fetched robots
+    corpus keyed by host."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr(
+                ux.canonical_url_sql(ux.messy_url_sql())
+            ).alias("url"),
+        )
+        .select(
+            "doc_id",
+            F.expr(ux.host_sql("url")).alias("host"),
+            F.coalesce(F.expr(ux.path_sql("url")), F.lit("")).alias(
+                "path"
+            ),
+        )
+    )
+    rules = (
+        d.select("host")
+        .distinct()
+        .select(
+            "host",
+            F.explode(
+                F.split(F.expr(ux.robots_txt_sql("host")), "\n")
+            ).alias("ln"),
+        )
+        .select(
+            "host",
+            F.regexp_extract("ln", ROBOTS_RULE_RE, 1).alias("kind"),
+            F.regexp_extract("ln", ROBOTS_RULE_RE, 2).alias("prefix"),
+        )
+        .filter(F.col("kind") != "")
+        .select("host", (F.col("kind") == "Allow").alias("allow"), "prefix")
+    )
+    cand = d.join(F.broadcast(rules), ["host"], "inner").filter(
+        F.expr("startswith(path, prefix)")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.length("prefix").desc(), F.col("allow").desc()
+    )
+    winner = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", "allow", F.col("prefix").alias("matched_prefix"))
+    )
+    return d.join(winner, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "path",
+        F.coalesce("allow", F.lit(True)).alias("allowed"),
+        F.coalesce("matched_prefix", F.lit("")).alias("matched_prefix"),
+    )
+
+
+def _robots_filter_oracle() -> str:
+    from kafka_streams_dexcom_spark.functions import url as ux
+
+    host = ux.host_sql("url", duck=True)
+    path = ux.path_sql("url", duck=True)
+    return f"""
+        WITH u AS (
+            SELECT doc_id,
+                   {ux.canonical_url_sql(
+                       ux.messy_url_sql(duck=True), duck=True)} AS url
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, {host} AS host,
+                   coalesce({path}, '') AS path
+            FROM u
+        ),
+        lines AS (
+            SELECT host, unnest(string_split(
+                {ux.robots_txt_sql('host', duck=True)}, chr(10))) AS ln
+            FROM (SELECT DISTINCT host FROM d)
+        ),
+        rules AS (
+            SELECT host,
+                   regexp_extract(ln, '{ROBOTS_RULE_RE}', 1) = 'Allow'
+                       AS allow,
+                   regexp_extract(ln, '{ROBOTS_RULE_RE}', 2) AS prefix
+            FROM lines
+            WHERE regexp_extract(ln, '{ROBOTS_RULE_RE}', 1) != ''
+        ),
+        cand AS (
+            SELECT d.doc_id, r.allow, r.prefix,
+                   row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY length(r.prefix) DESC, r.allow DESC
+                   ) AS rn
+            FROM d JOIN rules r
+              ON d.host = r.host AND starts_with(d.path, r.prefix)
+        )
+        SELECT d.doc_id, d.host, d.path,
+               coalesce(c.allow, true) AS allowed,
+               coalesce(c.prefix, '') AS matched_prefix
+        FROM d LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+          USING (doc_id)
+    """
+
+
+QUERIES["robots_filter"] = q_robots_filter
+ORACLES["robots_filter"] = _robots_filter_oracle()
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup over the corpus — see
+    operators/dedup.py:cdc_chunk_dedup (Rabin/FastCDC family:
+    boundaries derive from content, so shifted-but-identical regions
+    still dedupe; fixed blocks cannot)."""
+    return dd.cdc_chunk_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _cdc_chunk_dedup_oracle() -> str:
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        CDC_DIVISOR,
+        CDC_WINDOW,
+    )
+
+    win_hash = DUCK_HASH60.format(
+        x=f"substring(text, i - {CDC_WINDOW - 1}, {CDC_WINDOW})"
+    )
+    return f"""
+        WITH d AS MATERIALIZED (
+            SELECT doc_id, text,
+                   list_filter(range(1, greatest(length(text), 1)),
+                       i -> i >= {CDC_WINDOW}
+                            AND {win_hash} % {CDC_DIVISOR} = 0) AS bp
+            FROM documents
+            WHERE length(text) >= 1
+        ),
+        c AS MATERIALIZED (
+            SELECT doc_id, j AS ci,
+                   substring(text, s, e - s + 1) AS ctext
+            FROM (
+                SELECT doc_id, text, bp, j,
+                       CASE WHEN j = 1 THEN 1 ELSE bp[j - 1] + 1 END AS s,
+                       CASE WHEN j = len(bp) + 1 THEN length(text)
+                            ELSE bp[j] END AS e
+                FROM d, UNNEST(range(1, len(bp) + 2)) r(j)
+            )
+        ),
+        f AS MATERIALIZED (
+            SELECT doc_id, length(ctext) AS clen,
+                   CASE WHEN row_number() OVER (
+                       PARTITION BY {DUCK_HASH60.format(x='ctext')}
+                       ORDER BY doc_id, ci) > 1 THEN 1 ELSE 0 END AS dup
+            FROM c
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+               CAST(sum(clen) AS BIGINT) AS chars_total,
+               CAST(sum(clen * dup) AS BIGINT) AS chars_dup
+        FROM f GROUP BY doc_id
+    """
+
+
+QUERIES["cdc_chunk_dedup"] = q_cdc_chunk_dedup
+ORACLES["cdc_chunk_dedup"] = _cdc_chunk_dedup_oracle()

@@ -168,6 +168,12 @@ PROBE_QUERIES = [
     "host_line_dedup",
     "domain_mix",
     "epoch_shuffle",
+    # robots_filter joins facts to a |hosts|-bounded broadcast rule
+    # table (dim-shaped, stays 1x under self-union); cdc_chunk_dedup
+    # is chunk-linear — the census window's per-hash groups grow 10x
+    # but total chunk rows grow 10x, never quadratically.
+    "robots_filter",
+    "cdc_chunk_dedup",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10

@@ -1,0 +1,141 @@
+"""Streaming per-domain line census (streaming/line_census.py):
+converged-rewrite ≡ batch-operator equality over any batch partition,
+chrome monotonicity, replay double-count protection, and compaction
+invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.functions import url as ux
+from kafka_streams_dexcom_spark.operators.text import host_line_dedup
+from kafka_streams_dexcom_spark.sources.files import load_table
+from kafka_streams_dexcom_spark.streaming.line_census import (
+    HostLineCensusMaintainer,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    """The registered query's input: documents + planted host + page
+    chrome fixture (same shape check_parity gates)."""
+    d = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.expr(
+            ux.host_sql(ux.canonical_url_sql(ux.messy_url_sql()))
+        ).alias("host"),
+        F.expr(ux.page_text_sql()).alias("text"),
+    )
+    return d.localCheckpoint()
+
+
+def _run_stream(spark, tmp_path, docs, chunks=4, lineage="lc1"):
+    src = str(tmp_path / "in")
+    docs.withColumn("chunk", F.col("doc_id") % chunks).write.partitionBy(
+        "chunk"
+    ).mode("overwrite").parquet(src)
+    verdicts: dict[int, dict[int, int]] = {}
+
+    def screened(df, batch_id):
+        verdicts[batch_id] = {
+            r["doc_id"]: r["n_chrome_lines"] for r in df.collect()
+        }
+
+    m = HostLineCensusMaintainer(
+        spark,
+        str(tmp_path / "census"),
+        screened=screened,
+        lineage_id=lineage,
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, host string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(m)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return m, verdicts
+
+
+def _rows(df):
+    return sorted(
+        (
+            (r["doc_id"], r["host"], r["n_lines"], r["n_removed_lines"],
+             r["clean_text"])
+            for r in df.collect()
+        )
+    )
+
+
+def test_converged_rewrite_equals_batch(spark, tmp_path, docs):
+    m, verdicts = _run_stream(spark, tmp_path, docs)
+    assert len(verdicts) >= 2  # genuinely incremental
+    got = _rows(m.rewrite(docs))
+    want = _rows(host_line_dedup(docs))
+    assert got == want
+
+
+def test_chrome_monotone_across_versions(spark, tmp_path, docs):
+    m, _ = _run_stream(spark, tmp_path, docs)
+    latest = m.table.latest_version()
+    prev: set = set()
+    for v in range(latest + 1):
+        cur = {
+            (r["host"], r["lh"]) for r in m.chrome(v).collect()
+        }
+        assert prev <= cur, f"chrome shrank at version {v}"
+        prev = cur
+    assert prev, "no chrome detected at all"
+
+
+def test_replay_does_not_double_count(spark, tmp_path, docs):
+    m, verdicts = _run_stream(spark, tmp_path, docs)
+    before = sorted(
+        (r["host"], r["lh"], r["nd"])
+        for r in m.census().groupBy("host", "lh")
+        .agg(F.sum("nd").alias("nd")).collect()
+    )
+    last_bid = max(verdicts)
+    replay_batch = docs.filter(F.col("doc_id") % 4 == last_bid % 4)
+    replayed: dict[int, int] = {}
+    m.screened = lambda df, bid: replayed.update(
+        {r["doc_id"]: r["n_chrome_lines"] for r in df.collect()}
+    )
+    m(replay_batch, last_bid)  # replay of the newest applied batch
+    after = sorted(
+        (r["host"], r["lh"], r["nd"])
+        for r in m.census().groupBy("host", "lh")
+        .agg(F.sum("nd").alias("nd")).collect()
+    )
+    assert after == before  # counts unchanged — no double-count
+    assert replayed  # verdicts re-emitted (at-least-once)
+
+
+def test_compaction_preserves_chrome(spark, tmp_path, docs):
+    m, _ = _run_stream(spark, tmp_path, docs)
+    before = sorted(
+        (r["host"], r["lh"]) for r in m.chrome().collect()
+    )
+    assert m.compact() is not None
+    after = sorted(
+        (r["host"], r["lh"]) for r in m.chrome().collect()
+    )
+    assert after == before
+    # and the rewrite output is unchanged too
+    assert _rows(m.rewrite(docs)) == _rows(host_line_dedup(docs))
+
+
+def test_lineage_guard(spark, tmp_path, docs):
+    m, _ = _run_stream(spark, tmp_path, docs, lineage="lcA")
+    rogue = HostLineCensusMaintainer(
+        spark, str(tmp_path / "census"), lineage_id="lcB"
+    )
+    with pytest.raises(RuntimeError, match="lineage"):
+        rogue(docs.limit(1), 999)
