@@ -503,6 +503,64 @@ def main() -> None:
             "rebuild_due": bloom.rebuild_due(),
         }
 
+        # Streaming per-domain line census: per batch, commit the
+        # batch's (host, line-hash) distinct-doc counts O(batch) and
+        # screen the batch against the PRE-batch chrome set. The
+        # contract under measurement: commit cost stays FLAT as the
+        # census grows (increments are batch-sized; the stored census
+        # is only read by the screen aggregate, never rewritten).
+        from kafka_streams_dexcom_spark.functions import url as ux
+        from kafka_streams_dexcom_spark.streaming.line_census import (
+            HostLineCensusMaintainer,
+        )
+
+        docs_lc = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(
+                ux.host_sql(ux.canonical_url_sql(ux.messy_url_sql()))
+            ).alias("host"),
+            F.expr(ux.page_text_sql()).alias("text"),
+        )
+        lc_in = f"{work}/lc_in"
+        n_lc = _write_chunks(docs_lc, lc_in, NUM_CHUNKS)
+        chrome_hits = [0]
+        lc = HostLineCensusMaintainer(
+            spark,
+            f"{work}/line_census",
+            screened=lambda df, bid: chrome_hits.__setitem__(
+                0, chrome_hits[0] + df.agg(
+                    F.coalesce(F.sum("n_chrome_lines"), F.lit(0))
+                ).collect()[0][0]
+            ),
+            lineage_id="bench-lc",
+        )
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(
+                "doc_id long, host string, text string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(lc_in)
+            .writeStream.foreachBatch(lc)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt_lc")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results["line_census_stream"] = round(
+            n_lc / (time.time() - t0), 1
+        )
+        results["line_census_commit_sec"] = {
+            "first": lc.timings[0]["commit_sec"],
+            "last": lc.timings[-1]["commit_sec"],
+            "max": max(t["commit_sec"] for t in lc.timings),
+        } if lc.timings else None
+        results["line_census_chrome"] = {
+            "provisional_chrome_line_hits": int(chrome_hits[0]),
+            "chrome_lines_final": lc.chrome().count(),
+        }
+
         # Streaming curation gate: JSONL landing -> PERMISSIVE parse ->
         # three-way corrupt/rejected/accepted routing with the gopher
         # flags riding the landing scan (streaming/quality_gate.py).
