@@ -2505,11 +2505,12 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     allows /p/<d>0 back — multi-digit prefix semantics exercised for
     real (g=3x blocked, g=30x crawls).
 
-    Scale shape: the rule table is |hosts|-bounded and broadcast; the
-    verdict is a per-row prefix match + one row_number confined to each
-    doc's matched-rule group (<= rules-per-host rows). Nothing about
-    the plan changes when the fixture is replaced by a fetched robots
-    corpus keyed by host."""
+    Scale shape: the rule table is |hosts|-bounded, aggregated to one
+    (host, rules array) row per host and BROADCAST, so the verdict is a
+    scan-side fold over each URL's own host's rules — ZERO fact-side
+    shuffles (the plan a crawler's in-process matcher has, expressed
+    relationally). Nothing about the plan changes when the fixture is
+    replaced by a fetched robots corpus keyed by host."""
     from kafka_streams_dexcom_spark.functions import url as ux
 
     d = (
@@ -2545,23 +2546,31 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kind") != "")
         .select("host", (F.col("kind") == "Allow").alias("allow"), "prefix")
     )
-    cand = d.join(F.broadcast(rules), ["host"], "inner").filter(
-        F.expr("startswith(path, prefix)")
+    by_host = rules.groupBy("host").agg(
+        F.collect_list(F.struct("allow", "prefix")).alias("rs")
     )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.length("prefix").desc(), F.col("allow").desc()
+    # RFC 9309 longest-match fold, scan-side: among the rules whose
+    # prefix matches the path, keep the longest (Allow wins ties)
+    best = F.expr(
+        "aggregate(filter(rs, r -> startswith(path, r.prefix)), "
+        "CAST(null AS struct<allow:boolean,prefix:string>), "
+        "(acc, r) -> CASE WHEN acc IS NULL THEN r "
+        "WHEN length(r.prefix) > length(acc.prefix) "
+        "OR (length(r.prefix) = length(acc.prefix) "
+        "AND r.allow AND NOT acc.allow) THEN r ELSE acc END)"
     )
-    winner = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("doc_id", "allow", F.col("prefix").alias("matched_prefix"))
-    )
-    return d.join(winner, "doc_id", "left").select(
-        "doc_id",
-        "host",
-        "path",
-        F.coalesce("allow", F.lit(True)).alias("allowed"),
-        F.coalesce("matched_prefix", F.lit("")).alias("matched_prefix"),
+    return (
+        d.join(F.broadcast(by_host), "host", "left")
+        .withColumn("best", best)
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.coalesce(F.col("best.allow"), F.lit(True)).alias("allowed"),
+            F.coalesce(F.col("best.prefix"), F.lit("")).alias(
+                "matched_prefix"
+            ),
+        )
     )
 
 
