@@ -4093,11 +4093,14 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-shuffling for epoch e+1 costs one hash re-key, no state.
 
     Scale shape: the only ordering work is a sort WITHIN each
-    (epoch, shard) partition — at 100 TB that is 3 x 8 independent
-    sorts of 1/8th of the corpus's 8-byte keys each, embarrassingly
-    parallel, versus the single global sort a naive ORDER BY
-    random() plan would shuffle everything through. Matches how real
-    loaders (e.g. tf.data / torchdata shard-shuffle) consume corpora:
+    (epoch, shard) partition, embarrassingly parallel across shards,
+    versus the single global sort a naive ORDER BY random() plan
+    would shuffle everything through. SHUFFLE_SHARDS=8 is the oracle
+    demo constant — in production the shard count is the data-loader
+    fan-out knob (thousands at 100 TB, sized so one shard's 8-byte
+    keys sort in one executor); the plan is invariant in it, and the
+    key derivation makes any shard count reproducible. Matches how
+    real loaders (tf.data / torchdata shard-shuffle) consume corpora:
     shard-parallel, seed-deterministic."""
     from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
 
