@@ -27,7 +27,15 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # EXPLICITLY: DuckDB's default is the cwd-relative '.tmp', which
     # silently disables spilling when the harness runs from a
     # read-only working directory.
-    con.execute("SET memory_limit='24GB'")
+    # SPARK_GRAFT_ORACLE_MEM overrides for known-heavy solo replays
+    # (dedup_best_survivors at sf1 spills past the local disk at 24 GB
+    # — its window-heavy survivor election wants RAM, and solo runs
+    # have no co-tenant to protect).
+    con.execute(
+        "SET memory_limit='"
+        + os.environ.get("SPARK_GRAFT_ORACLE_MEM", "24GB")
+        + "'"
+    )
     con.execute(
         "SET temp_directory='"
         + os.path.join(tempfile.gettempdir(), "spark_graft_duck_spill")
