@@ -163,6 +163,7 @@ HEADLINE = [
     "epoch_shuffle",             # deterministic shard-local epoch order
     "robots_filter",             # REP longest-match crawl compliance
     "cdc_chunk_dedup",           # content-defined chunk storage dedup
+    "eval_span_scrub",           # decontamination by span removal
 ]
 
 

@@ -3011,3 +3011,83 @@ def host_line_dedup(
         .alias("n_removed_lines"),
         F.coalesce("txt", F.lit("")).alias("clean_text"),
     )
+
+
+def eval_span_scrub(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+) -> DataFrame:
+    """Decontamination by span REMOVAL: every token ``k``-gram of the
+    frozen eval suite is cut from every TRAINING document (a token
+    survives iff no eval gram covers its position; order preserved).
+    The policy the eval-decontamination pipelines actually want when a
+    long document merely QUOTES a benchmark item: contamination_flags
+    (operators/dedup.py) drops or routes whole documents by containment
+    — this keeps the document and excises the quoted spans, the
+    PaLM/GPT-3-appendix style of leakage control.
+
+    Plan family: :func:`boilerplate_ngram_rewrite` with the matched-
+    gram source swapped — there, corpus document frequency decides
+    (one token-scale shuffle + window); here the eval gram set is
+    BUILT ONCE from the tiny frozen suite and broadcast, so the train
+    side pays one broadcast hash join and the row-based coverage +
+    LEFT ANTI rebuild, no train-side gram shuffle at all. At 100 TB
+    that difference is the whole point: eval suites are thousands of
+    documents, ingest is unbounded."""
+    toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+    gram_hash = HASH60_TPL.format(x=f"array_join(slice(tk, i, {k}), ' ')")
+    grams_tpl = (
+        f"transform(sequence(1, size(tk) - {k - 1}), "
+        f"i -> struct(i AS i, {gram_hash} AS gk))"
+    )
+    eval_grams = (
+        fan_out_small(eval_docs)
+        .select(F.expr(toks_expr).alias("tk"))
+        .filter(F.expr(f"size(tk) >= {k}"))
+        .select(F.explode(F.expr(grams_tpl)).alias("g"))
+        .select(F.col("g.gk").alias("gk"))
+        .distinct()
+    )
+    toks = fan_out_small(train).select(
+        "doc_id", F.expr(toks_expr).alias("tk")
+    )
+    grams = (
+        toks.filter(F.expr(f"size(tk) >= {k}"))
+        .select("doc_id", F.explode(F.expr(grams_tpl)).alias("g"))
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gk").alias("gk"))
+    )
+    cov = (
+        grams.join(F.broadcast(eval_grams), "gk")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(i, i + {k - 1})")).alias("p"),
+        )
+        .distinct()
+    )
+    pos = toks.select(
+        "doc_id", F.posexplode("tk").alias("j", "tok")
+    ).select("doc_id", (F.col("j") + 1).alias("p"), "tok")
+    rebuilt = (
+        pos.join(cov, ["doc_id", "p"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.expr(
+                "array_join(transform(array_sort("
+                "collect_list(struct(p, tok))), s -> s.tok), ' ')"
+            ).alias("txt"),
+        )
+    )
+    return (
+        toks.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("n_tokens"),
+            (F.size("tk") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.coalesce("txt", F.lit("")).alias("clean_text"),
+        )
+    )

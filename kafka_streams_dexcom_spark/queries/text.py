@@ -4158,3 +4158,78 @@ def _epoch_shuffle_oracle() -> str:
 
 QUERIES["epoch_shuffle"] = q_epoch_shuffle
 ORACLES["epoch_shuffle"] = _epoch_shuffle_oracle()
+
+
+# matches queries/dedup.py:EVAL_SOURCE (the frozen eval suite both
+# contamination queries screen against)
+SCRUB_EVAL_SOURCE = "src0"
+
+
+def q_eval_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination by span removal: src0 plays the frozen eval
+    suite (same casting as contamination_check); its token 8-grams are
+    excised from every training document. See
+    operators/text.py:eval_span_scrub for the plan — broadcast eval
+    gram set, no train-side gram shuffle."""
+    from kafka_streams_dexcom_spark.operators.text import eval_span_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    return eval_span_scrub(
+        d.filter(F.col("source") != SCRUB_EVAL_SOURCE),
+        d.filter(F.col("source") == SCRUB_EVAL_SOURCE),
+        k=SPAN_K,
+    )
+
+
+ORACLES["eval_span_scrub"] = f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t != '') AS tk
+        FROM documents
+        WHERE source != '{SCRUB_EVAL_SOURCE}'
+    ),
+    etoks AS MATERIALIZED (
+        SELECT list_filter(string_split_regex(text, '\\s+'),
+                           t -> t != '') AS tk
+        FROM documents
+        WHERE source = '{SCRUB_EVAL_SOURCE}'
+    ),
+    eg AS MATERIALIZED (
+        SELECT DISTINCT {_SPAN_GK} AS gk
+        FROM etoks, UNNEST(range(1, len(tk) - {SPAN_K - 2})) r(i)
+        WHERE len(tk) >= {SPAN_K}
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, i, {_SPAN_GK} AS gk
+        FROM toks, UNNEST(range(1, len(tk) - {SPAN_K - 2})) r(i)
+        WHERE len(tk) >= {SPAN_K}
+    ),
+    cov AS MATERIALIZED (
+        SELECT DISTINCT doc_id, i + d AS p
+        FROM (SELECT g.doc_id, g.i FROM g JOIN eg USING (gk)),
+             UNNEST(range(0, {SPAN_K})) r(d)
+    ),
+    pos AS MATERIALIZED (
+        SELECT t.doc_id, CAST(j AS BIGINT) AS p, tk[j] AS tok
+        FROM toks t, UNNEST(range(1, len(tk) + 1)) r(j)
+    ),
+    kept AS MATERIALIZED (
+        SELECT pos.doc_id, pos.p, pos.tok
+        FROM pos LEFT JOIN cov
+          ON pos.doc_id = cov.doc_id AND pos.p = cov.p
+        WHERE cov.p IS NULL
+    ),
+    kc AS MATERIALIZED (
+        SELECT doc_id, count(*) AS cnt,
+               string_agg(tok, ' ' ORDER BY p) AS txt
+        FROM kept GROUP BY doc_id
+    )
+    SELECT toks.doc_id,
+           CAST(len(toks.tk) AS BIGINT) AS n_tokens,
+           CAST(len(toks.tk) - coalesce(kc.cnt, 0) AS BIGINT)
+               AS n_removed,
+           coalesce(kc.txt, '') AS clean_text
+    FROM toks LEFT JOIN kc USING (doc_id)
+"""
+QUERIES["eval_span_scrub"] = q_eval_span_scrub

@@ -174,6 +174,10 @@ PROBE_QUERIES = [
     # but total chunk rows grow 10x, never quadratically.
     "robots_filter",
     "cdc_chunk_dedup",
+    # eval_span_scrub: the eval gram set is DISTINCT (a x10 self-union
+    # leaves it unchanged); train grams and the coverage join grow 10x
+    # — token-linear like the other rewrite ops.
+    "eval_span_scrub",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10
