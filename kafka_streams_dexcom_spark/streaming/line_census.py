@@ -25,8 +25,12 @@ Two properties worth naming:
    front keyed on (host, line) so only lines *probably seen before*
    enter the exact census — the singleton tail then stays in the
    bounded filter and the exact state holds only candidate chrome.
-   (Composition, not implemented here; both tiers exist in this
-   package.)
+   The composition is wired and MEASURED in
+   tests/test_two_tier_census.py: exact-tier state under half the
+   distinct-line count, zero missed chrome (structural — any line's
+   second occurrence is flagged by the filter, and within-batch
+   repeats feed the census directly because the Bloom screen is
+   prior-state only), FP-promoted extras bounded by fill^k.
 
 Equality contract (pinned in tests/test_line_census_stream.py): after
 streaming any partition of the corpus through in any batch order,
