@@ -131,20 +131,30 @@ def messy_url_sql(duck: bool = False) -> str:
 
 
 _HOST_OF_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+_USERINFO_RE = r"^[^@]*@"
 
 
 def host_sql(x: str, duck: bool = False) -> str:
     """The registrable host of URL column/expression ``x`` — the
     grouping key for every per-domain curation stage (RefinedWeb's
-    line-wise corrections and per-domain caps key on it). Lowercased
-    with the ``www.`` prefix and default ports stripped, so it agrees
-    with :func:`canonical_url_sql`'s host on RAW input too."""
+    line-wise corrections and per-domain caps key on it). Lowercased,
+    with a leading ``userinfo@`` (RFC 3986 §3.2.1) and the ``www.``
+    prefix stripped, and the DEFAULT port stripped scheme-conditionally
+    (``:443`` only under https, ``:80`` only under http — the same rule
+    as :func:`canonical_url_sql`, so the two agree on RAW input too;
+    an unconditional strip would collapse e.g. ``http://h:443/x``,
+    a NON-default port, into ``h``)."""
     q = _q
-    hp = f"lower(regexp_extract({x}, {q(_HOST_OF_RE, duck)}, 1))"
-    nowww = f"regexp_replace({hp}, {q(_WWW_RE, duck)}, '')"
+    scheme = f"lower(regexp_extract({x}, {q(_SCHEME_RE, duck)}, 1))"
+    auth = f"lower(regexp_extract({x}, {q(_HOST_OF_RE, duck)}, 1))"
+    nouser = f"regexp_replace({auth}, {q(_USERINFO_RE, duck)}, '')"
+    nowww = f"regexp_replace({nouser}, {q(_WWW_RE, duck)}, '')"
     return (
-        f"regexp_replace(regexp_replace({nowww}, {q(_P443_RE, duck)}, ''), "
-        f"{q(_P80_RE, duck)}, '')"
+        f"CASE WHEN {scheme} = 'https' THEN "
+        f"regexp_replace({nowww}, {q(_P443_RE, duck)}, '') "
+        f"WHEN {scheme} = 'http' THEN "
+        f"regexp_replace({nowww}, {q(_P80_RE, duck)}, '') "
+        f"ELSE {nowww} END"
     )
 
 

@@ -4160,9 +4160,15 @@ QUERIES["epoch_shuffle"] = q_epoch_shuffle
 ORACLES["epoch_shuffle"] = _epoch_shuffle_oracle()
 
 
-# matches queries/dedup.py:EVAL_SOURCE (the frozen eval suite both
-# contamination queries screen against)
-SCRUB_EVAL_SOURCE = "src0"
+# the frozen eval suite BOTH decontamination stages screen against —
+# one constant (queries/dedup.py:EVAL_SOURCE), imported rather than
+# redeclared so the two stages can never silently screen different
+# suites. Late module-level import: queries.dedup re-enters this module
+# while building its own oracles, and everything it needs
+# (gopher_duck_sql, quality_score_sql) is defined above this line.
+from kafka_streams_dexcom_spark.queries.dedup import (  # noqa: E402
+    EVAL_SOURCE as SCRUB_EVAL_SOURCE,
+)
 
 
 def q_eval_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -226,15 +226,29 @@ class HostLineCensusMaintainer:
                     f"{self.lineage_id!r}"
                 )
         applied_now = self._applied(latest)
-        if batch_id <= applied_now.get(self.writer_id, -1):
+        newest = applied_now.get(self.writer_id, -1)
+        if batch_id <= newest:
             # Replayed micro-batch: counts already committed (adding
             # them again WOULD double-count — the replay guard is
             # correctness-critical here, unlike the Bloom twin's
-            # idempotent bits). Verdicts re-emit against the recorded
-            # pre-batch census — bit-identical, at-least-once.
-            if self.screened is not None and batch_id == applied_now.get(
-                self.writer_id, -1
-            ):
+            # idempotent bits). Verdict re-emission covers exactly the
+            # NEWEST applied batch (Spark's normal crash-replay replays
+            # the last uncommitted-to-the-checkpoint batch): its
+            # verdicts re-emit against the recorded pre-batch census,
+            # bit-identical. A replay of any OLDER batch means the
+            # checkpoint was restored further back than the retained
+            # census — screen_base only keeps the last commit's base
+            # per writer, so those verdicts are unrecoverable; raise
+            # instead of silently emitting nothing.
+            if batch_id < newest:
+                raise RuntimeError(
+                    f"line census at {self.table.root}: replay of batch "
+                    f"{batch_id} but writer {self.writer_id!r} already "
+                    f"applied batch {newest} — verdict re-emission only "
+                    "covers the most recent batch; restore a checkpoint "
+                    "no older than the census, or rebuild the census"
+                )
+            if self.screened is not None:
                 base = self._meta(latest).get("screen_base", {}).get(
                     self.writer_id, -1
                 )

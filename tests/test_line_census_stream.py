@@ -118,6 +118,22 @@ def test_replay_does_not_double_count(spark, tmp_path, docs):
     assert replayed  # verdicts re-emitted (at-least-once)
 
 
+def test_replay_older_than_newest_raises(spark, tmp_path, docs):
+    """Verdict re-emission covers exactly the newest applied batch;
+    restoring a checkpoint FURTHER back against a retained census is a
+    contract violation and must fail loudly (screen_base only keeps the
+    last commit's base — the older verdicts are unrecoverable), not
+    return silently with no verdicts."""
+    import pytest
+
+    m, verdicts = _run_stream(spark, tmp_path, docs)
+    last_bid = max(verdicts)
+    assert last_bid >= 1  # need an older batch to replay
+    older = docs.filter(F.col("doc_id") % 4 == 0)
+    with pytest.raises(RuntimeError, match="most recent batch"):
+        m(older, last_bid - 1)
+
+
 def test_compaction_preserves_chrome(spark, tmp_path, docs):
     m, _ = _run_stream(spark, tmp_path, docs)
     before = sorted(
