@@ -182,15 +182,28 @@ def path_sql(x: str, duck: bool = False) -> str:
     return f"regexp_extract({x}, {_q(_PATH_OF_RE, duck)}, 1)"
 
 
-# Planted robots.txt fixture: every host serves a REAL Robots Exclusion
-# Protocol body (User-agent group, Disallow + Allow rules, a
-# Crawl-delay line the parser must ignore) derived from the host's own
-# number d = host-number % 10: '/p/<d>' is disallowed, '/p/<d>0' is
-# allowed back (the longest-match override REP is famous for — Google
-# REP spec: most specific rule wins, Allow wins length ties). Pages
-# live at /p/<g>, so g values starting with digit d are blocked except
-# those starting <d>0 — multi-digit prefix semantics, exercised for
-# real. Identical string expression in both engines.
+# Planted robots.txt fixture: every host serves a REAL multi-group
+# Robots Exclusion Protocol body (RFC 9309) derived from the host's own
+# number d = host-number % 10, exercising the full parse surface:
+#
+#   User-agent: googlebot      <- multi-agent group (two UA lines, one
+#   User-agent: bingbot           group); blocks EVERYTHING — selected
+#   Disallow: /                   only by those agents, so a parser that
+#                                 combined all groups blocks the corpus
+#   User-agent: trainbot       <- OUR crawler's group (specific beats *)
+#   Disallow: /p/*<d>$         <- §2.2.3 '*' wildcard + '$' end anchor:
+#   Allow: /p/<d>                 blocks paths ENDING in d (prio 6)
+#   Allow: /p/<d><d>$          <- ties the Disallow at prio 6 on path
+#                                 /p/<dd> — Allow wins length ties
+#   User-agent: *              <- generic group, the old prefix rules;
+#   Disallow: /p/<d>              IGNORED for trainbot (a selector that
+#   Allow: /p/<d>0                fell through to * flips verdicts)
+#   Crawl-delay: 5             <- non-rule line the parser must skip
+#
+# Pages live at /p/<g>; for trainbot, g ENDING in digit d is blocked
+# except g == dd (the Allow tie), so wildcard matching, anchor
+# semantics, group selection, AND the Allow tie-break all fire at
+# sf0.01 (g ranges well past 99). Identical string in both engines.
 def robots_txt_sql(host: str, duck: bool = False) -> str:
     d = (
         f"CAST(coalesce(CAST(nullif(regexp_extract({host}, '([0-9]+)', 1),"
@@ -198,7 +211,16 @@ def robots_txt_sql(host: str, duck: bool = False) -> str:
     )
     nl = "chr(10)"
     return (
-        f"concat('User-agent: *', {nl}, "
+        f"concat('User-agent: googlebot', {nl}, "
+        f"'User-agent: bingbot', {nl}, "
+        f"'Disallow: /', {nl}, "
+        f"'', {nl}, "
+        f"'User-agent: trainbot', {nl}, "
+        f"'Disallow: /p/*', {d}, '$', {nl}, "
+        f"'Allow: /p/', {d}, {nl}, "
+        f"'Allow: /p/', {d}, {d}, '$', {nl}, "
+        f"'', {nl}, "
+        f"'User-agent: *', {nl}, "
         f"'Disallow: /p/', {d}, {nl}, "
         f"'Allow: /p/', {d}, '0', {nl}, "
         f"'Crawl-delay: 5')"

@@ -625,6 +625,97 @@ def _html_quality_gate_oracle() -> str:
     """
 
 
+def q_compliance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document compliance table a release audit actually wants
+    — BOTH crawl-consent signals unified in one row: the RFC 9309
+    robots.txt verdict for our agent (operators/robots.py — group
+    selection, wildcard/anchor matching, Allow tie-break) and the
+    HTTP-level X-Robots-Tag `noai` opt-out lifted from the WARC
+    response head (the warc_optout_filter signal). ``compliant`` is the
+    conjunction: a document enters the corpus only if its host's
+    robots.txt allows the fetch AND the response itself didn't opt out.
+    A release ships this table as provenance; either signal alone
+    under-reports exclusions (they fire on different documents by
+    construction here: robots blocks by path geometry, the opt-out by
+    origin header).
+
+    Scale shape: the robots side is the broadcast scan-side fold
+    (zero fact-side shuffles); the header side reads the LIFTED
+    x_robots_tag column (no body decode); the unifying join is one
+    doc_id hash join of two narrow projections."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+    from kafka_streams_dexcom_spark.operators.robots import (
+        robots_verdicts,
+    )
+    from kafka_streams_dexcom_spark.queries.dedup import _robots_docs
+
+    d = _robots_docs(spark, sf_dir)
+    robots = (
+        d.select("host")
+        .distinct()
+        .select("host", F.expr(ux.robots_txt_sql("host")).alias("body"))
+    )
+    rv = robots_verdicts(d, robots)
+    path = _warc_fixture(spark, sf_dir)
+    recs = cs.read_warc(spark, os.path.join(path, "*.warc.gz"))
+    optout = recs.filter(F.col("warc_type") == "response").select(
+        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.coalesce(
+            F.col("x_robots_tag").contains("noai"), F.lit(False)
+        ).alias("header_optout"),
+    )
+    return rv.join(optout, "doc_id").select(
+        "doc_id",
+        "host",
+        "path",
+        F.col("allowed").alias("robots_allowed"),
+        "matched_rule",
+        "header_optout",
+        (F.col("allowed") & ~F.col("header_optout")).alias("compliant"),
+    )
+
+
+def _compliance_report_oracle() -> str:
+    """Robots replay (the shared rep_rules CTE chain) + the planted
+    WARC_OPTOUT origin rule."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+    from kafka_streams_dexcom_spark.operators.robots import (
+        robots_rules_duck_sql,
+    )
+    from kafka_streams_dexcom_spark.queries.dedup import (
+        _robots_docs_duck,
+    )
+
+    bodies = (
+        "SELECT host, "
+        f"{ux.robots_txt_sql('host', duck=True)} AS body "
+        "FROM (SELECT DISTINCT host FROM d)"
+    )
+    return f"""
+        WITH {_robots_docs_duck()},
+        {robots_rules_duck_sql(bodies)},
+        cand AS (
+            SELECT d.doc_id, r.allow, r.pattern,
+                   row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY r.prio DESC, r.allow DESC, r.pattern
+                   ) AS rn
+            FROM d JOIN rep_rules r
+              ON d.host = r.host AND regexp_matches(d.path, r.rx)
+        )
+        SELECT d.doc_id, d.host, d.path,
+               coalesce(c.allow, true) AS robots_allowed,
+               coalesce(c.pattern, '') AS matched_rule,
+               d.doc_id % {WARC_OPTOUT} = 0 AS header_optout,
+               coalesce(c.allow, true)
+                   AND NOT d.doc_id % {WARC_OPTOUT} = 0 AS compliant
+        FROM d LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+          USING (doc_id)
+    """
+
+
 N_EPOCHS = 8
 BURST_EPOCH = 5
 BURST_EXTRA = 24  # burst epoch gets 1 + 24 corrupt lines, others 1
@@ -701,6 +792,7 @@ QUERIES = {
     "html_quality_gate": q_html_quality_gate,
     "webdataset_stats": q_webdataset_stats,
     "format_matrix_consistency": q_format_matrix_consistency,
+    "compliance_report": q_compliance_report,
 }
 
 ORACLES = {
@@ -799,4 +891,5 @@ ORACLES = {
     """,
     "warc_text_extract": _warc_text_extract_oracle(),
     "html_quality_gate": _html_quality_gate_oracle(),
+    "compliance_report": _compliance_report_oracle(),
 }

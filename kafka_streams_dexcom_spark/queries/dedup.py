@@ -2490,30 +2490,12 @@ ORACLES["host_line_dedup"] = _host_line_dedup_oracle()
 ORACLES["domain_mix"] = _domain_mix_oracle()
 
 
-ROBOTS_RULE_RE = "^(Disallow|Allow): (.*)$"
-
-
-def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robots Exclusion Protocol compliance — crawl stage 0, before
-    dedup_url even runs: parse each host's robots.txt BODY (the planted
-    fixture functions/url.py:robots_txt_sql serves a real REP group:
-    User-agent, Disallow, Allow, plus a Crawl-delay line the parser
-    must ignore), extract the rule table, and give every document URL
-    the spec's verdict: the longest-prefix-matching rule wins, Allow
-    wins length ties (Google REP spec / RFC 9309 §2.2.2), no matching
-    rule means allowed. The planted geometry blocks /p/<d> per host but
-    allows /p/<d>0 back — multi-digit prefix semantics exercised for
-    real (g=3x blocked, g=30x crawls).
-
-    Scale shape: the rule table is |hosts|-bounded, aggregated to one
-    (host, rules array) row per host and BROADCAST, so the verdict is a
-    scan-side fold over each URL's own host's rules — ZERO fact-side
-    shuffles (the plan a crawler's in-process matcher has, expressed
-    relationally). Nothing about the plan changes when the fixture is
-    replaced by a fetched robots corpus keyed by host."""
+def _robots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, host, path) off the messy-URL fixture — the doc side
+    both REP queries share."""
     from kafka_streams_dexcom_spark.functions import url as ux
 
-    d = (
+    return (
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",
@@ -2529,58 +2511,49 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    rules = (
+
+
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots Exclusion Protocol compliance — crawl stage 0, before
+    dedup_url even runs: parse each host's robots.txt BODY (the planted
+    fixture functions/url.py:robots_txt_sql serves a real THREE-group
+    RFC 9309 corpus: a googlebot/bingbot multi-agent group, our
+    crawler's own group with '*'-wildcard and '$'-anchored rules, the
+    generic '*' group, plus Crawl-delay/blank lines the parser must
+    skip) and give every document URL the spec's verdict for OUR agent.
+    Full RFC 9309 semantics — group selection (specific beats '*',
+    §2.2.1), wildcard/anchor matching (§2.2.3), most-octets rule
+    priority with Allow winning ties (§2.2.2), empty rule values
+    dropped — live in operators/robots.py, where the unit suite drives
+    the same plan on synthetic bodies.
+
+    Scale shape: the rule table is |hosts|-bounded, aggregated to one
+    (host, rules array) row per host and BROADCAST, so the verdict is a
+    scan-side fold over each URL's own host's rules — ZERO fact-side
+    shuffles (the plan a crawler's in-process matcher has, expressed
+    relationally). Nothing about the plan changes when the fixture is
+    replaced by a fetched robots corpus keyed by host."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+    from kafka_streams_dexcom_spark.operators.robots import (
+        robots_verdicts,
+    )
+
+    d = _robots_docs(spark, sf_dir)
+    robots = (
         d.select("host")
         .distinct()
-        .select(
-            "host",
-            F.explode(
-                F.split(F.expr(ux.robots_txt_sql("host")), "\n")
-            ).alias("ln"),
-        )
-        .select(
-            "host",
-            F.regexp_extract("ln", ROBOTS_RULE_RE, 1).alias("kind"),
-            F.regexp_extract("ln", ROBOTS_RULE_RE, 2).alias("prefix"),
-        )
-        .filter(F.col("kind") != "")
-        .select("host", (F.col("kind") == "Allow").alias("allow"), "prefix")
+        .select("host", F.expr(ux.robots_txt_sql("host")).alias("body"))
     )
-    by_host = rules.groupBy("host").agg(
-        F.collect_list(F.struct("allow", "prefix")).alias("rs")
-    )
-    # RFC 9309 longest-match fold, scan-side: among the rules whose
-    # prefix matches the path, keep the longest (Allow wins ties)
-    best = F.expr(
-        "aggregate(filter(rs, r -> startswith(path, r.prefix)), "
-        "CAST(null AS struct<allow:boolean,prefix:string>), "
-        "(acc, r) -> CASE WHEN acc IS NULL THEN r "
-        "WHEN length(r.prefix) > length(acc.prefix) "
-        "OR (length(r.prefix) = length(acc.prefix) "
-        "AND r.allow AND NOT acc.allow) THEN r ELSE acc END)"
-    )
-    return (
-        d.join(F.broadcast(by_host), "host", "left")
-        .withColumn("best", best)
-        .select(
-            "doc_id",
-            "host",
-            "path",
-            F.coalesce(F.col("best.allow"), F.lit(True)).alias("allowed"),
-            F.coalesce(F.col("best.prefix"), F.lit("")).alias(
-                "matched_prefix"
-            ),
-        )
-    )
+    return robots_verdicts(d, robots)
 
 
-def _robots_filter_oracle() -> str:
+def _robots_docs_duck() -> str:
     from kafka_streams_dexcom_spark.functions import url as ux
 
     host = ux.host_sql("url", duck=True)
     path = ux.path_sql("url", duck=True)
     return f"""
-        WITH u AS (
+        u AS (
             SELECT doc_id,
                    {ux.canonical_url_sql(
                        ux.messy_url_sql(duck=True), duck=True)} AS url
@@ -2590,32 +2563,36 @@ def _robots_filter_oracle() -> str:
             SELECT doc_id, {host} AS host,
                    coalesce({path}, '') AS path
             FROM u
-        ),
-        lines AS (
-            SELECT host, unnest(string_split(
-                {ux.robots_txt_sql('host', duck=True)}, chr(10))) AS ln
-            FROM (SELECT DISTINCT host FROM d)
-        ),
-        rules AS (
-            SELECT host,
-                   regexp_extract(ln, '{ROBOTS_RULE_RE}', 1) = 'Allow'
-                       AS allow,
-                   regexp_extract(ln, '{ROBOTS_RULE_RE}', 2) AS prefix
-            FROM lines
-            WHERE regexp_extract(ln, '{ROBOTS_RULE_RE}', 1) != ''
-        ),
+        )
+    """
+
+
+def _robots_filter_oracle() -> str:
+    from kafka_streams_dexcom_spark.functions import url as ux
+    from kafka_streams_dexcom_spark.operators.robots import (
+        robots_rules_duck_sql,
+    )
+
+    bodies = (
+        "SELECT host, "
+        f"{ux.robots_txt_sql('host', duck=True)} AS body "
+        "FROM (SELECT DISTINCT host FROM d)"
+    )
+    return f"""
+        WITH {_robots_docs_duck()},
+        {robots_rules_duck_sql(bodies)},
         cand AS (
-            SELECT d.doc_id, r.allow, r.prefix,
+            SELECT d.doc_id, r.allow, r.pattern,
                    row_number() OVER (
                        PARTITION BY d.doc_id
-                       ORDER BY length(r.prefix) DESC, r.allow DESC
+                       ORDER BY r.prio DESC, r.allow DESC, r.pattern
                    ) AS rn
-            FROM d JOIN rules r
-              ON d.host = r.host AND starts_with(d.path, r.prefix)
+            FROM d JOIN rep_rules r
+              ON d.host = r.host AND regexp_matches(d.path, r.rx)
         )
         SELECT d.doc_id, d.host, d.path,
                coalesce(c.allow, true) AS allowed,
-               coalesce(c.prefix, '') AS matched_prefix
+               coalesce(c.pattern, '') AS matched_rule
         FROM d LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
           USING (doc_id)
     """

@@ -1,11 +1,12 @@
-"""Robots Exclusion Protocol verdicts (robots_filter) and
-content-defined chunking (cdc_chunk_dedup): the REP longest-match /
-Allow-tie rules on planted geometry (sf0.01 never reaches page ids
-where the Allow override fires, so it is pinned here synthetically),
+"""Robots Exclusion Protocol verdicts (operators/robots.py — the SAME
+plan the registered robots_filter runs, driven here on synthetic robots
+bodies) and content-defined chunking (cdc_chunk_dedup): RFC 9309
+wildcard/anchor matching, multi-group selection, the Allow tie-break,
 and CDC's shift-invariance — the property fixed-size blocks lack."""
 
 from __future__ import annotations
 
+import duckdb
 import pytest
 from pyspark.sql import functions as F
 
@@ -13,128 +14,186 @@ from kafka_streams_dexcom_spark.operators.dedup import (
     CDC_WINDOW,
     cdc_chunk_dedup,
 )
+from kafka_streams_dexcom_spark.operators.robots import (
+    robots_verdicts,
+    rule_regex_sql,
+)
 
 
-def _verdicts(spark, doc_ids):
-    """Run the registered robots_filter plan over a synthetic documents
-    frame with chosen doc_ids (page g = doc_id div 60 controls the
-    path; source controls the host and therefore the planted rules)."""
-    from kafka_streams_dexcom_spark.queries.dedup import q_robots_filter
-
-    rows = [(i, "w", "en", f"src{i % 20}", 1) for i in doc_ids]
-    df = spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, "
-        "n_chars int"
+def _verdicts(spark, body, paths, agent="trainbot"):
+    """Drive the PRODUCTION verdict plan (robots_verdicts: group parse,
+    group selection, broadcast rule fold) over one synthetic robots
+    body and a list of paths; returns {path: (allowed, matched_rule)}."""
+    docs = spark.createDataFrame(
+        [(i, "h.example", p) for i, p in enumerate(paths)],
+        "doc_id long, host string, path string",
     )
-    df.createOrReplaceTempView("__robots_docs")
-    # q_robots_filter loads from sf_dir; replicate its plan on the frame
+    robots = spark.createDataFrame(
+        [("h.example", body)], "host string, body string"
+    )
+    out = robots_verdicts(docs, robots, agent=agent).collect()
+    by_id = {r["doc_id"]: (r["allowed"], r["matched_rule"]) for r in out}
+    return {p: by_id[i] for i, p in enumerate(paths)}
+
+
+def test_robots_wildcard_and_anchor(spark):
+    """RFC 9309 §2.2.3: '*' matches any char sequence, trailing '$'
+    anchors the end — the two special characters real robots bodies
+    use constantly."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /p/*/x\n"
+        "Allow: /p/3$\n"
+        "Disallow: /p/3"
+    )
+    v = _verdicts(
+        spark,
+        body,
+        ["/p/1/x", "/p/22/x/y", "/p/x", "/p/3", "/p/31", "/q"],
+    )
+    assert v["/p/1/x"] == (False, "/p/*/x")
+    assert v["/p/22/x/y"] == (False, "/p/*/x")  # '*' spans many chars
+    assert v["/p/x"] == (True, "")  # '*' needs >= the literal parts
+    # /p/3 matches Allow '/p/3$' (prio 5) over Disallow '/p/3' (prio 4)
+    assert v["/p/3"] == (True, "/p/3$")
+    # /p/31 is NOT end-anchored at /p/3 -> only the Disallow prefix hits
+    assert v["/p/31"] == (False, "/p/3")
+    assert v["/q"] == (True, "")
+
+
+def test_robots_group_selection_specific_beats_star(spark):
+    """§2.2.1: the group naming our token wins over '*'; other agents'
+    groups are ignored entirely; a crawler with no matching group is
+    allowed everywhere."""
+    body = (
+        "User-agent: googlebot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: trainbot\n"
+        "Disallow: /private\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /p"
+    )
+    v = _verdicts(spark, body, ["/p/1", "/private/x", "/open"])
+    # the '*' group's Disallow /p does NOT apply to trainbot
+    assert v["/p/1"] == (True, "")
+    assert v["/private/x"] == (False, "/private")
+    assert v["/open"] == (True, "")
+    # an agent with only the '*' group falls back to it (note /private
+    # ALSO starts with the '*' group's '/p' prefix — blocked for it)
+    v2 = _verdicts(
+        spark, body, ["/p/1", "/private/x", "/open"], agent="otherbot"
+    )
+    assert v2["/p/1"] == (False, "/p")
+    assert v2["/private/x"] == (False, "/p")
+    assert v2["/open"] == (True, "")
+    # an agent with NO matching group at all is allowed everywhere
+    body_no_star = "User-agent: googlebot\nDisallow: /"
+    v3 = _verdicts(spark, body_no_star, ["/p/1"], agent="trainbot")
+    assert v3["/p/1"] == (True, "")
+
+
+def test_robots_multi_agent_group_and_case(spark):
+    """Consecutive User-agent lines open ONE group (multi-agent);
+    token matching is case-insensitive."""
+    body = (
+        "User-agent: TrainBot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /x\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /"
+    )
+    for agent in ("trainbot", "OTHERBOT"):
+        v = _verdicts(spark, body, ["/x/1", "/y"], agent=agent)
+        assert v["/x/1"] == (False, "/x")
+        assert v["/y"] == (True, "")
+
+
+def test_robots_allow_wins_priority_ties(spark):
+    """§2.2.2: equal-octets rules tie-break to Allow."""
+    body = (
+        "User-agent: *\n"
+        "Disallow: /dir/a\n"
+        "Allow: /dir/*\n"  # same 6-octet priority on /dir/a...
+        "Crawl-delay: 5"
+    )
+    v = _verdicts(spark, body, ["/dir/a", "/dir/ab"])
+    assert v["/dir/a"] == (True, "/dir/*")
+    assert v["/dir/ab"] == (True, "/dir/*")
+
+
+def test_robots_empty_disallow_is_allow_all(spark):
+    """§2.2.2: 'Disallow:' with an empty value means allow-all — it
+    must NOT become a ''-prefix rule that startswith-matches every
+    path and blocks the host."""
+    body = "User-agent: *\nDisallow:\nDisallow: /q"
+    v = _verdicts(spark, body, ["/p/1", "/q/1"])
+    assert v["/p/1"] == (True, "")
+    assert v["/q/1"] == (False, "/q")
+
+
+def test_robots_fixture_geometry_end_to_end(spark):
+    """The registered fixture's planted geometry under the REAL fold,
+    for a host with digit d=3 (paths /p/<g>):
+    - g ends in 3, g != 33  -> blocked by 'Disallow: /p/*3$' (prio 6)
+    - g == 33               -> 'Allow: /p/33$' ties at 6 -> allowed
+    - g == 3                -> wildcard Disallow (6) beats 'Allow:
+                               /p/3' (4) -> blocked
+    - otherwise             -> allowed
+    and the googlebot/bingbot 'Disallow: /' group + the '*' group are
+    both ignored for trainbot (selection, not combination)."""
     from kafka_streams_dexcom_spark.functions import url as ux
 
-    d = df.select(
-        "doc_id",
-        F.expr(ux.canonical_url_sql(ux.messy_url_sql())).alias("url"),
-    ).select(
-        "doc_id",
-        F.expr(ux.host_sql("url")).alias("host"),
-        F.coalesce(F.expr(ux.path_sql("url")), F.lit("")).alias("path"),
+    body = (
+        spark.createDataFrame([("src3.example",)], "host string")
+        .select(F.expr(ux.robots_txt_sql("host")).alias("b"))
+        .collect()[0]["b"]
     )
-    import kafka_streams_dexcom_spark.queries.dedup as qd
+    v = _verdicts(
+        spark, body, ["/p/3", "/p/13", "/p/33", "/p/30", "/p/7"]
+    )
+    assert v["/p/3"] == (False, "/p/*3$")
+    assert v["/p/13"] == (False, "/p/*3$")
+    assert v["/p/33"] == (True, "/p/33$")
+    assert v["/p/30"] == (True, "/p/3")
+    assert v["/p/7"] == (True, "")
+    # googlebot sees its own group only: everything blocked
+    vg = _verdicts(spark, body, ["/p/7"], agent="googlebot")
+    assert vg["/p/7"] == (False, "/")
 
-    rules = (
-        d.select("host")
-        .distinct()
-        .select(
-            "host",
-            F.explode(
-                F.split(F.expr(ux.robots_txt_sql("host")), "\n")
-            ).alias("ln"),
+
+@pytest.mark.parametrize(
+    "patt,matches,rejects",
+    [
+        ("/p/*/x", ["/p/1/x", "/p/a/b/x"], ["/p/x", "/q/1/x"]),
+        ("/p/3$", ["/p/3"], ["/p/31", "/p/3/"]),
+        ("/a.b", ["/a.b", "/a.bc"], ["/axb"]),  # '.' stays literal
+        ("/c[d]", ["/c[d]"], ["/cd"]),  # brackets stay literal
+    ],
+)
+def test_rule_regex_both_engines(spark, patt, matches, rejects):
+    """rule_regex_sql builds ONE construction both engines evaluate
+    identically — literal chars bracket-quoted, '*' -> '.*', trailing
+    '$' -> anchor."""
+    for path, want in [(p, True) for p in matches] + [
+        (p, False) for p in rejects
+    ]:
+        got_s = (
+            spark.createDataFrame([(patt, path)], "p string, x string")
+            .select(
+                F.expr(f"x rlike {rule_regex_sql('p')}").alias("m")
+            )
+            .collect()[0]["m"]
         )
-        .select(
-            "host",
-            F.regexp_extract("ln", qd.ROBOTS_RULE_RE, 1).alias("kind"),
-            F.regexp_extract("ln", qd.ROBOTS_RULE_RE, 2).alias("prefix"),
-        )
-        .filter(F.col("kind") != "")
-        .select("host", (F.col("kind") == "Allow").alias("allow"), "prefix")
-    )
-    from pyspark.sql import Window
-
-    cand = d.join(F.broadcast(rules), ["host"], "inner").filter(
-        F.expr("startswith(path, prefix)")
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.length("prefix").desc(), F.col("allow").desc()
-    )
-    winner = (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
-        .select("doc_id", "allow", F.col("prefix").alias("mp"))
-    )
-    out = d.join(winner, "doc_id", "left").select(
-        "doc_id",
-        "path",
-        F.coalesce("allow", F.lit(True)).alias("allowed"),
-        F.coalesce("mp", F.lit("")).alias("matched_prefix"),
-    )
-    return {r["doc_id"]: r for r in out.collect()}
-
-
-def test_robots_longest_match_allow_override(spark):
-    """Host src0 disallows /p/0 but allows /p/00 back. Page g=300
-    (doc_id 18000, source src0) has path /p/300 — no rule matches.
-    doc_id 1800 -> g=30, path /p/30: for src0 the Allow prefix is
-    /p/00 (no match) and Disallow /p/0 (no match) -> allowed. Use
-    src3 geometry instead: doc 1803 -> src3, g=30, path /p/30 matches
-    Disallow /p/3 -> blocked... careful: host rules key on the DOC's
-    OWN source. Pick doc ids whose (source, page) pairs pin each rule:
-    - doc 18003: src3, g=300, path /p/300: Disallow /p/3 matches,
-      Allow /p/30 ALSO matches and is longer -> ALLOWED (override).
-    - doc 1803: src3, g=30, path /p/30: Allow /p/30 exact match wins
-      over Disallow /p/3 -> ALLOWED.
-    - doc 183: src3, g=3, path /p/3: Disallow /p/3 exact, Allow /p/30
-      no match -> BLOCKED.
-    - doc 3: src3, g=0, path /p/0 (variant 0 upper host canon): no
-      src3 rule matches /p/0 -> allowed."""
-    v = _verdicts(spark, [18003, 1803, 183, 3])
-    assert v[18003]["allowed"] is True
-    assert v[18003]["matched_prefix"] == "/p/30"
-    assert v[1803]["allowed"] is True
-    assert v[1803]["matched_prefix"] == "/p/30"
-    assert v[183]["allowed"] is False
-    assert v[183]["matched_prefix"] == "/p/3"
-    assert v[3]["allowed"] is True
-    assert v[3]["matched_prefix"] == ""
-
-
-def test_robots_parser_ignores_non_rule_lines(spark):
-    """The fixture body carries User-agent and Crawl-delay lines; the
-    parsed rule table must contain exactly 2 rules per host."""
-    from kafka_streams_dexcom_spark.functions import url as ux
-
-    hosts = spark.createDataFrame(
-        [("src5.example",)], "host string"
-    )
-    import kafka_streams_dexcom_spark.queries.dedup as qd
-
-    rules = (
-        hosts.select(
-            "host",
-            F.explode(
-                F.split(F.expr(ux.robots_txt_sql("host")), "\n")
-            ).alias("ln"),
-        )
-        .select(
-            "host",
-            F.regexp_extract("ln", qd.ROBOTS_RULE_RE, 1).alias("kind"),
-            F.regexp_extract("ln", qd.ROBOTS_RULE_RE, 2).alias("prefix"),
-        )
-        .filter(F.col("kind") != "")
-        .collect()
-    )
-    assert sorted((r["kind"], r["prefix"]) for r in rules) == [
-        ("Allow", "/p/50"),
-        ("Disallow", "/p/5"),
-    ]
+        got_d = duckdb.sql(
+            f"SELECT regexp_matches(x, {rule_regex_sql('p', duck=True)})"
+            " FROM (SELECT ? AS p, ? AS x)",
+            params=[patt, path],
+        ).fetchone()[0]
+        assert got_s is want, (patt, path, "spark", got_s)
+        assert got_d is want, (patt, path, "duckdb", got_d)
 
 
 def _chunk_hashes(spark, text):
