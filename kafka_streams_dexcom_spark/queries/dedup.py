@@ -6,6 +6,8 @@ products."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2394,43 +2396,82 @@ def _host_line_dedup_oracle() -> str:
     """
 
 
-def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-domain census + policy: docs/token mass per host, the UT1-
-    style blocklist verdict (planted rule: host number % 7 = 3 — a
-    deterministic stand-in for the blocklist file a real pipeline
-    broadcasts), and the per-domain contribution cap (kept_docs =
-    least(n_docs, cap), 0 if blocked) that stops any single site from
-    dominating the mix — C4 drops blocklisted domains, RefinedWeb caps
-    them. doc_share is each host's fraction of the corpus.
+def _blocklist_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write the UT1-style domain blocklist FILE (one host per line,
+    CSV with header) the census broadcasts — the fixture GENERATOR
+    applies the planted rule (host number % 7 == 3) so the oracle can
+    replay the policy, but the query itself consumes only the file:
+    swap in a fetched UT1 category list and nothing else changes.
+    Driver-side DuckDB read, the _warc_fixture discipline."""
+    import re
 
-    Scale shape: one groupBy on the host key (map-side combined), then
-    a broadcast single-row total for the share — no window-over-all,
-    no global sort; the blocklist is an expression here and a broadcast
-    join against the real list in production."""
+    import duckdb
+
     from kafka_streams_dexcom_spark.functions import url as ux
-
-    d = load_table(spark, sf_dir, "documents").select(
-        F.expr(
-            ux.host_sql(ux.canonical_url_sql(ux.messy_url_sql()))
-        ).alias("host"),
-        F.expr(
-            "size(filter(split(text, '\\\\s+'), t -> t != ''))"
-        ).alias("n_toks"),
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_temp_dir,
+        session_value,
     )
+
+    fp = corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+
+    def build() -> str:
+        host = ux.host_sql(
+            ux.canonical_url_sql(ux.messy_url_sql(duck=True), duck=True),
+            duck=True,
+        )
+        pq = os.path.join(sf_dir, "documents.parquet")
+        if os.path.isdir(pq):
+            pq = os.path.join(pq, "*.parquet")
+        hosts = duckdb.sql(
+            f"SELECT DISTINCT {host} AS host "
+            "FROM read_parquet($p) ORDER BY host",
+            params={"p": pq},
+        ).fetchall()
+
+        def planted(h: str) -> bool:
+            m = re.search(r"([0-9]+)", h)
+            return m is not None and int(m.group(1)) % 7 == 3
+
+        out = os.path.join(
+            session_temp_dir("blocklist"), fp.replace(os.sep, "_") + ".csv"
+        )
+        with open(out, "w") as f:
+            f.write("host\n")
+            for (h,) in hosts:
+                if planted(h):
+                    f.write(h + "\n")
+        return out
+
+    return session_value(
+        spark, "blocklist", (os.path.abspath(sf_dir), fp), build
+    )
+
+
+def domain_mix(d: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Census + policy over (host, n_toks) rows against a blocklist
+    TABLE: one groupBy on the host key (map-side combined), a broadcast
+    left join against the |blocklist|-bounded host list for the verdict,
+    and a broadcast single-row total for the share — no window-over-all,
+    no global sort. At 100 TB the blocklist is exactly this: a small
+    published table broadcast to every executor."""
     per_host = d.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").cast("bigint").alias("n_tokens"),
     )
     total = per_host.agg(F.sum("n_docs").alias("total_docs"))
-    blocked = F.coalesce(
-        F.expr(
-            "CAST(nullif(regexp_extract(host, '([0-9]+)', 1), '') AS INT)"
-            " % 7 = 3"
+    joined = per_host.join(
+        F.broadcast(
+            blocklist.select("host").distinct()
+            .withColumn("__bl", F.lit(True))
         ),
-        F.lit(False),
+        "host",
+        "left",
     )
+    blocked = F.coalesce(F.col("__bl"), F.lit(False))
     return (
-        per_host.crossJoin(F.broadcast(total))
+        joined.crossJoin(F.broadcast(total))
         .select(
             "host",
             "n_docs",
@@ -2449,6 +2490,33 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_share"),
         )
     )
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain census + policy: docs/token mass per host, the UT1-
+    style blocklist verdict (a REAL broadcast table input — the fixture
+    file at _blocklist_fixture, generated from the planted rule host
+    number % 7 = 3 so the oracle replays the policy), and the
+    per-domain contribution cap (kept_docs = least(n_docs, cap), 0 if
+    blocked) that stops any single site from dominating the mix — C4
+    drops blocklisted domains, RefinedWeb caps them. doc_share is each
+    host's fraction of the corpus. Plan shape in :func:`domain_mix`."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+
+    d = load_table(spark, sf_dir, "documents").select(
+        F.expr(
+            ux.host_sql(ux.canonical_url_sql(ux.messy_url_sql()))
+        ).alias("host"),
+        F.expr(
+            "size(filter(split(text, '\\\\s+'), t -> t != ''))"
+        ).alias("n_toks"),
+    )
+    bl = spark.read.csv(
+        _blocklist_fixture(spark, sf_dir),
+        header=True,
+        schema="host string",
+    )
+    return domain_mix(d, bl)
 
 
 def _domain_mix_oracle() -> str:

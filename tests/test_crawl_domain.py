@@ -143,6 +143,43 @@ def test_domain_mix_policy(spark, sf_dir):
     assert abs(sum(r["doc_share"] for r in rows) - 1.0) < 1e-3
 
 
+def test_domain_mix_blocklist_table_is_load_bearing(spark):
+    """The verdict comes from the broadcast blocklist TABLE, not a
+    baked-in expression: a custom list blocks exactly the named host,
+    including one the planted rule would never block."""
+    from kafka_streams_dexcom_spark.queries.dedup import (
+        DOMAIN_DOC_CAP,
+        domain_mix,
+    )
+
+    d = spark.createDataFrame(
+        [("a.example", 5), ("a.example", 7), ("b.example", 11)],
+        "host string, n_toks long",
+    )
+    bl = spark.createDataFrame([("a.example",)], "host string")
+    rows = {r["host"]: r for r in domain_mix(d, bl).collect()}
+    assert rows["a.example"]["blocked"] is True
+    assert rows["a.example"]["kept_docs"] == 0
+    assert rows["a.example"]["n_tokens"] == 12
+    assert rows["b.example"]["blocked"] is False
+    assert rows["b.example"]["kept_docs"] == min(1, DOMAIN_DOC_CAP)
+
+
+def test_domain_mix_blocklist_fixture_file(spark, sf_dir):
+    """The fixture writer emits exactly the planted-rule hosts — the
+    oracle's replay contract."""
+    from kafka_streams_dexcom_spark.queries.dedup import (
+        _blocklist_fixture,
+    )
+
+    path = _blocklist_fixture(spark, sf_dir)
+    with open(path) as f:
+        lines = [ln.strip() for ln in f.read().splitlines()[1:] if ln]
+    assert lines, "empty blocklist fixture"
+    for h in lines:
+        assert int("".join(c for c in h if c.isdigit())) % 7 == 3, h
+
+
 def test_epoch_shuffle_deterministic_and_complete(spark, sf_dir):
     from kafka_streams_dexcom_spark.queries.text import (
         N_EPOCHS,
