@@ -213,7 +213,10 @@ def test_cdc_chunks_cover_text_exactly(spark):
 
 
 def test_cdc_identical_docs_fully_dedupe(spark):
-    text = "alpha beta gamma delta epsilon zeta " * 40
+    # aperiodic text: a periodic body would (correctly) dedupe chunks
+    # WITHIN doc 0 too — here every chunk of doc 0 is unique, so the
+    # canonical doc pays full storage and the copy pays zero
+    text = " ".join(f"tok{i}num" for i in range(300))
     df = spark.createDataFrame(
         [(0, text), (1, text)], "doc_id long, text string"
     )
@@ -221,7 +224,11 @@ def test_cdc_identical_docs_fully_dedupe(spark):
     # doc 0 is canonical; doc 1 pays zero storage
     assert rows[1]["n_dup_chunks"] == rows[1]["n_chunks"]
     assert rows[1]["chars_dup"] == rows[1]["chars_total"]
-    assert rows[0]["n_dup_chunks"] == 0
+    # the canonical doc pays (almost) full storage — tiny incidental
+    # self-repeats (a short chunk like ' tok14' recurring before
+    # tok14num and tok140num) are legitimate CDC storage wins
+    assert rows[0]["n_dup_chunks"] <= rows[0]["n_chunks"] // 20
+    assert rows[0]["chars_dup"] <= rows[0]["chars_total"] // 50
 
 
 def test_cdc_shift_invariance(spark):
