@@ -327,6 +327,168 @@ def video_features(media: DataFrame) -> DataFrame:
     )
 
 
+# ------------------------------------------------- perceptual hashing
+# dHash geometry: source frames are PHASH_SRC_H x PHASH_SRC_W gray,
+# box-downsampled 2x2 to 8 rows x 9 cols, then bit (r, c) = d[r][c] >
+# d[r][c+1] -> the standard 64-bit difference hash, carried as four
+# 16-bit band ints (b0..b3) so banded blocking and XOR popcounts stay
+# sign-safe int arithmetic in BOTH engines.
+PHASH_SRC_W = 18
+PHASH_SRC_H = 16
+PHASH_GROUP = 3  # docs per pixel-group: 3 encodings of the same frame
+PHASH_PERTURB = 64  # variant 2's +64 on source pixel 0 (a re-compress)
+
+PHASH_SCHEMA = (
+    "doc_id bigint, variant bigint, b0 bigint, b1 bigint, b2 bigint, "
+    "b3 bigint, phash_hex string"
+)
+
+
+def phash_src_pixels(g: int, perturb: bool) -> "np.ndarray":
+    """The deterministic source frame of pixel-group ``g`` — byte p of
+    the 16x18 gray raster is hex pair p%16 of md5('ph:<g>:<p//16>'),
+    so the DuckDB oracle replays every pixel with its own md5. The
+    perturbed variant bumps pixel 0 by PHASH_PERTURB (mod 256) — the
+    'slightly recompressed' near-duplicate."""
+    import hashlib
+
+    import numpy as np
+
+    n = PHASH_SRC_W * PHASH_SRC_H
+    out = np.empty(n, dtype=np.int64)
+    for row in range((n + 15) // 16):
+        h = hashlib.md5(f"ph:{g}:{row}".encode()).digest()
+        for k in range(min(16, n - row * 16)):
+            out[row * 16 + k] = h[k]
+    if perturb:
+        out[0] = (out[0] + PHASH_PERTURB) % 256
+    return out.reshape(PHASH_SRC_H, PHASH_SRC_W)
+
+
+def dhash_bands(gray: "np.ndarray") -> tuple[int, int, int, int]:
+    """64-bit dHash of an (even-H x even-W) gray raster as four 16-bit
+    band ints: 2x2 integer box-downsample to 8x9, bit k (= r*8+c) set
+    iff d[r][c] > d[r][c+1], band b = bits [16b, 16b+16)."""
+    d = (
+        gray[0::2, 0::2].astype("int64")
+        + gray[0::2, 1::2]
+        + gray[1::2, 0::2]
+        + gray[1::2, 1::2]
+    ) // 4
+    bits = d[:, :-1] > d[:, 1:]  # (8, 8)
+    flat = bits.reshape(-1)
+    bands = []
+    for b in range(4):
+        v = 0
+        for t in range(16):
+            if flat[16 * b + t]:
+                v |= 1 << t
+        bands.append(v)
+    return tuple(bands)
+
+
+def attach_phash_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize the re-encoded-duplicate image corpus (Arrow-batched;
+    REAL PNG bytes, never touching the driver): pixel-group g =
+    doc_id div 3 fixes the frame content; variant v = doc_id % 3 picks
+    the ENCODING — v0 grayscale PNG, v1 RGB PNG with R=G=B (identical
+    luma, zero shared payload bytes with v0: the re-encoded duplicate
+    byte-exact dedup can never see), v2 grayscale PNG of the one-pixel
+    perturbed frame (the slightly-recompressed near-duplicate,
+    dHash hamming <= 1). Deterministic byte-for-byte — the
+    attach_wav_payload stand-in contract."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // PHASH_GROUP, did % PHASH_GROUP
+                px = phash_src_pixels(g, perturb=(v == 2)).astype(
+                    np.uint8
+                )
+                if v == 1:
+                    rgb = np.repeat(px.reshape(-1), 3).tobytes()
+                    payload = encode_png(
+                        PHASH_SRC_W, PHASH_SRC_H, rgb, channels=3
+                    )
+                else:
+                    payload = encode_png(
+                        PHASH_SRC_W, PHASH_SRC_H, px.tobytes(), channels=1
+                    )
+                rows.append((did, v, payload))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "variant", "payload"]
+            )
+
+    return fan_out_small(docs).select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, variant bigint, payload binary"
+    )
+
+
+def phash_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode -> perceptual fingerprint over a
+    binary PNG column: vendored codec (functions/png.py) -> integer
+    luma (Pillow's exact (R*19595 + G*38470 + B*7471) >> 16 for RGB) ->
+    2x2 box downsample -> 64-bit dHash as four 16-bit bands + the hex
+    fingerprint. Payload bytes stay executor-side; a malformed payload
+    raises per-row. Which encoding produced a frame is unobservable in
+    the fingerprint — that IS the operator's point."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for did, v, p in zip(
+                pdf["doc_id"], pdf["variant"], pdf["payload"]
+            ):
+                w, h, ch, px = decode_png(bytes(p))
+                arr = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
+                if ch == 1:
+                    gray = arr.reshape(h, w)
+                else:
+                    rgb = arr.reshape(h, w, ch)
+                    gray = (
+                        rgb[:, :, 0] * 19595
+                        + rgb[:, :, 1] * 38470
+                        + rgb[:, :, 2] * 7471
+                    ) >> 16
+                b0, b1, b2, b3 = dhash_bands(gray)
+                rows.append(
+                    (
+                        int(did),
+                        int(v),
+                        b0,
+                        b1,
+                        b2,
+                        b3,
+                        f"{b3:04X}{b2:04X}{b1:04X}{b0:04X}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "variant", "b0", "b1", "b2", "b3",
+                    "phash_hex",
+                ],
+            )
+
+    return media.select("doc_id", "variant", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
 def frame_sample(
     media: DataFrame,
     every_n: int = 2,

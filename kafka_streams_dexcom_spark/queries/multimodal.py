@@ -186,6 +186,189 @@ def q_paired_media_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_MAX_HAMMING = 4
+
+
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image perceptual fingerprint (dHash) over REAL PNG bytes —
+    the decode->luma->downsample->difference-hash path end to end
+    (operators/multimodal.py:phash_features over the vendored codec).
+    The planted corpus (attach_phash_payload) re-encodes each pixel
+    group three ways (gray PNG / RGB PNG / perturbed gray PNG), so the
+    gray and RGB variants of a group MUST emit the identical
+    fingerprint: the oracle replays the pixel arithmetic per (group,
+    perturbed) key and any codec, luma, downsample, or bit-order drift
+    fails the hash."""
+    media = mm.attach_phash_payload(load_table(spark, sf_dir, "documents"))
+    return mm.phash_features(media).select(
+        "doc_id", "variant", "phash_hex"
+    )
+
+
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup media dedup — the duplicate class byte-exact
+    multimodal_dedup can NEVER see: re-encoded/recompressed images
+    share zero payload bytes but identical pixels. dHash fingerprints
+    (REAL decode of real PNG bytes) -> Hamming-banded candidate pairs
+    (4 x 16-bit bands, the simhash band machinery with the same
+    hot-bucket cap) -> exact popcount verify <= PHASH_MAX_HAMMING.
+    The planted geometry guarantees every pixel-group's three
+    encodings pair up (gray vs RGB at hamming 0, the perturbed
+    variant at <= 2) while cross-group pairs stay ~32 bits apart.
+
+    Scale shape: fingerprints are one Arrow decode pass (payloads
+    never shuffle); candidate generation is one groupBy on (band_idx,
+    band_val) — 65536 buckets per band — with pairs emitted only
+    inside buckets; the exact Hamming check is integer XOR popcounts
+    on the 8-byte fingerprint halves. No all-pairs anywhere; the
+    SIMHASH_MAX_BUCKET cap bounds degenerate buckets (e.g. flat-color
+    frames) at 100 TB."""
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        SIMHASH_MAX_BUCKET,
+        pairs_within_buckets,
+    )
+
+    media = mm.attach_phash_payload(load_table(spark, sf_dir, "documents"))
+    fp = mm.phash_features(media)
+    bands_df = fp.select(
+        "doc_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.posexplode(
+            F.array(F.col("b0"), F.col("b1"), F.col("b2"), F.col("b3"))
+        ).alias("band_idx", "band_val"),
+    )
+    pairs = pairs_within_buckets(
+        bands_df,
+        ["band_idx", "band_val"],
+        F.struct(
+            F.col("doc_id").alias("id"), "b0", "b1", "b2", "b3"
+        ),
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
+    ham = F.expr(
+        "CAST(bit_count(pair_a.b0 ^ pair_b.b0)"
+        " + bit_count(pair_a.b1 ^ pair_b.b1)"
+        " + bit_count(pair_a.b2 ^ pair_b.b2)"
+        " + bit_count(pair_a.b3 ^ pair_b.b3) AS BIGINT)"
+    )
+    return (
+        pairs.select(
+            F.col("pair_a.id").alias("id_a"),
+            F.col("pair_b.id").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
+def _phash_duck_cte() -> str:
+    """DuckDB replay of the planted pixel rule + dHash, per (group,
+    perturbed) key: the same md5-derived source bytes the Spark synth
+    encodes into PNGs, the same integer 2x2 box downsample, the same
+    bit order, as four 16-bit band ints."""
+    w, h = mm.PHASH_SRC_W, mm.PHASH_SRC_H
+    n = w * h
+    base = (
+        "CAST('0x' || substr(md5('ph:' || CAST(g AS VARCHAR) || ':' || "
+        "CAST(p // 16 AS VARCHAR)), CAST(2 * (p % 16) + 1 AS INT), 2) "
+        "AS INT)"
+    )
+    src = (
+        f"list_transform(range(0, {n}), p -> "
+        f"CASE WHEN pert = 1 AND p = 0 "
+        f"THEN ({base} + {mm.PHASH_PERTURB}) % 256 "
+        f"ELSE {base} END)"
+    )
+    x = f"(({w} * 2) * (q // 9) + 2 * (q % 9) + 1)"
+    d72 = (
+        f"list_transform(range(0, 72), q -> "
+        f"(s[{x}] + s[{x} + 1] + s[{x} + {w}] + s[{x} + {w + 1}]) // 4)"
+    )
+    band_exprs = []
+    for b in range(4):
+        terms = []
+        for t in range(16):
+            k = 16 * b + t
+            r, c = k // 8, k % 8
+            terms.append(
+                f"CASE WHEN d[{r * 9 + c + 1}] > d[{r * 9 + c + 2}] "
+                f"THEN {1 << t} ELSE 0 END"
+            )
+        band_exprs.append("(" + " + ".join(terms) + f") AS b{b}")
+    return f"""
+        ph_docs AS (
+            SELECT doc_id, doc_id // {mm.PHASH_GROUP} AS g,
+                   CASE WHEN doc_id % {mm.PHASH_GROUP} = 2
+                        THEN 1 ELSE 0 END AS pert,
+                   CAST(doc_id % {mm.PHASH_GROUP} AS BIGINT) AS variant
+            FROM documents
+        ),
+        ph_keys AS (SELECT DISTINCT g, pert FROM ph_docs),
+        ph_src AS (SELECT g, pert, {src} AS s FROM ph_keys),
+        ph_d AS (SELECT g, pert, {d72} AS d FROM ph_src),
+        ph_fp AS (
+            SELECT g, pert, {", ".join(band_exprs)} FROM ph_d
+        )
+    """
+
+
+def _phash_oracle() -> str:
+    return f"""
+        WITH {_phash_duck_cte()}
+        SELECT pd.doc_id, pd.variant,
+               lpad(hex(f.b3), 4, '0') || lpad(hex(f.b2), 4, '0') ||
+               lpad(hex(f.b1), 4, '0') || lpad(hex(f.b0), 4, '0')
+                   AS phash_hex
+        FROM ph_docs pd
+        JOIN ph_fp f ON f.g = pd.g AND f.pert = pd.pert
+    """
+
+
+def _phash_dedup_oracle() -> str:
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        SIMHASH_MAX_BUCKET,
+    )
+
+    return f"""
+        WITH {_phash_duck_cte()},
+        fp_docs AS (
+            SELECT pd.doc_id, f.b0, f.b1, f.b2, f.b3
+            FROM ph_docs pd
+            JOIN ph_fp f ON f.g = pd.g AND f.pert = pd.pert
+        ),
+        bands_cte AS (
+            SELECT doc_id, b0, b1, b2, b3, bi AS band_idx,
+                   CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1
+                        WHEN 2 THEN b2 ELSE b3 END AS band_val
+            FROM fp_docs, generate_series(0, 3) gs(bi)
+        ),
+        bsz AS (
+            SELECT band_idx, band_val, count(*) AS c
+            FROM bands_cte GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.b0, b.b0))
+                        + bit_count(xor(a.b1, b.b1))
+                        + bit_count(xor(a.b2, b.b2))
+                        + bit_count(xor(a.b3, b.b3)) AS BIGINT)
+                       AS hamming
+            FROM bands_cte a JOIN bands_cte b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+            JOIN bsz s
+              ON s.band_idx = a.band_idx AND s.band_val = a.band_val
+            WHERE s.c <= {SIMHASH_MAX_BUCKET}
+        )
+        SELECT id_a, id_b, hamming FROM cand
+        WHERE hamming <= {PHASH_MAX_HAMMING}
+    """
+
+
 _MEDIA_TYPE = "['image', 'audio', 'video'][(doc_id % 3) + 1]"
 
 QUERIES = {
@@ -196,6 +379,8 @@ QUERIES = {
     "audio_wav_stats": q_audio_wav_stats,
     "video_avi_frames": q_video_avi_frames,
     "paired_media_audit": q_paired_media_audit,
+    "multimodal_phash": q_multimodal_phash,
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
 }
 
 def _paired_media_audit_oracle() -> str:
@@ -236,6 +421,8 @@ def _paired_media_audit_oracle() -> str:
 
 ORACLES = {
     "paired_media_audit": _paired_media_audit_oracle(),
+    "multimodal_phash": _phash_oracle(),
+    "multimodal_phash_dedup": _phash_dedup_oracle(),
     "video_avi_frames": """
         WITH b AS (
             SELECT doc_id, octet_length(encode(text)) AS n,

@@ -1,0 +1,115 @@
+"""Perceptual near-dup media dedup (operators/multimodal.py: dHash
+over the vendored PNG codec): the duplicate class byte-exact dedup
+cannot see. Pins the honesty story end to end — re-encoded variants
+share ZERO payload bytes yet fingerprint identically, byte-dedup finds
+none of the pairs, phash finds all of them, and cross-group frames
+stay far apart in Hamming space."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_streams_dexcom_spark.operators import multimodal as mm
+
+
+def _media(spark, n_docs=12):
+    docs = spark.createDataFrame(
+        [(i,) for i in range(n_docs)], "doc_id long"
+    )
+    return mm.attach_phash_payload(docs)
+
+
+def test_payloads_are_real_distinct_pngs(spark):
+    from kafka_streams_dexcom_spark.functions.png import (
+        PNG_MAGIC,
+        decode_png,
+    )
+
+    rows = _media(spark).collect()
+    assert len(rows) == 12
+    by_id = {r["doc_id"]: bytes(r["payload"]) for r in rows}
+    for p in by_id.values():
+        assert p[:8] == PNG_MAGIC
+        w, h, ch, px = decode_png(p)
+        assert (w, h) == (mm.PHASH_SRC_W, mm.PHASH_SRC_H)
+    # the three encodings of one group are pairwise byte-DISTINCT
+    assert len({by_id[0], by_id[1], by_id[2]}) == 3
+    # and the RGB variant is a genuinely different color type
+    _, _, ch0, _ = decode_png(by_id[0])
+    _, _, ch1, _ = decode_png(by_id[1])
+    assert (ch0, ch1) == (1, 3)
+
+
+def test_reencoded_variants_fingerprint_identically(spark):
+    fp = {
+        r["doc_id"]: r
+        for r in mm.phash_features(_media(spark)).collect()
+    }
+    for g in range(3):
+        gray, rgb, pert = fp[3 * g], fp[3 * g + 1], fp[3 * g + 2]
+        # gray vs RGB: same pixels, different bytes -> SAME fingerprint
+        assert gray["phash_hex"] == rgb["phash_hex"], g
+        # perturbed variant: near-dup, within 2 bits
+        ham = sum(
+            bin(gray[f"b{i}"] ^ pert[f"b{i}"]).count("1")
+            for i in range(4)
+        )
+        assert ham <= 2, (g, ham)
+    # cross-group frames are far apart (md5-random pixels ~ 32 bits)
+    ham_cross = sum(
+        bin(fp[0][f"b{i}"] ^ fp[3][f"b{i}"]).count("1") for i in range(4)
+    )
+    assert ham_cross > mm_max_hamming()
+
+
+def mm_max_hamming():
+    from kafka_streams_dexcom_spark.queries.multimodal import (
+        PHASH_MAX_HAMMING,
+    )
+
+    return PHASH_MAX_HAMMING
+
+
+def test_byte_dedup_blind_phash_sees(spark, sf_dir):
+    """On the planted corpus, md5-of-payload dedup finds ZERO duplicate
+    groups while phash pairs every group's three encodings — the gap
+    multimodal_phash_dedup exists to close."""
+    from kafka_streams_dexcom_spark.queries.multimodal import (
+        q_multimodal_phash_dedup,
+    )
+    from kafka_streams_dexcom_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    media = mm.attach_phash_payload(docs)
+    byte_groups = (
+        media.groupBy(F.md5("payload"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert byte_groups == 0  # every encoding is byte-unique
+    pairs = q_multimodal_phash_dedup(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    full_groups = n_docs // 3
+    # every full group contributes its 3 within-group pairs
+    within = [
+        p
+        for p in pairs
+        if p["id_a"] // 3 == p["id_b"] // 3
+    ]
+    assert len(within) >= full_groups * 3
+    for p in within:
+        assert p["hamming"] <= 2, p
+
+
+def test_dhash_bands_bit_order():
+    """Pin the bit layout the oracle replays: bit k = r*8+c set iff
+    d[r][c] > d[r][c+1], band b = bits [16b, 16b+16)."""
+    import numpy as np
+
+    # gradient rows: every left pixel < right pixel -> all bits 0
+    inc = np.tile(np.arange(0, 36, 2, dtype=np.int64), (16, 1))
+    assert mm.dhash_bands(inc) == (0, 0, 0, 0)
+    # reversed gradient -> every comparison true -> all 64 bits set
+    dec = inc[:, ::-1].copy()
+    assert mm.dhash_bands(dec) == (0xFFFF,) * 4
