@@ -716,6 +716,359 @@ def _compliance_report_oracle() -> str:
     """
 
 
+def _tok_spark(c: str):
+    return F.expr(
+        f"size(filter(split({c}, '\\\\s+'), t -> t != ''))"
+    ).cast("bigint")
+
+
+def q_crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed batch crawl pipeline as ONE plan, reported as the
+    per-stage ROI ledger a dataset card ships — every stage is the
+    already-oracle-pinned operator, chained on the previous stage's
+    survivors:
+
+      1 robots     RFC 9309 verdicts (operators/robots.py) on the url
+                   fixture — docs whose host's robots.txt blocks the
+                   fetch never enter the corpus
+      2 url_dedup  canonical-URL dedup among allowed docs (min-id
+                   survivor per canonical address)
+      3 extract    HTML→text main-content extraction over the crawl
+                   archives (tokens drop from tag soup to clean text —
+                   the stage's ROI)
+      4 chrome     per-domain line-wise dedup over the planted page
+                   chrome (page_text_sql wraps the extracted text in
+                   the host's nav header — the fixture seam standing in
+                   for chrome extraction leaves behind)
+      5 quality    Gopher rules on the chrome-cleaned text
+      6 neardup    near-dup cluster map; min-id survivor per cluster
+                   among quality keepers
+
+    One row per stage: docs_in/docs_out and tokens_in/tokens_out in
+    that stage's own text representation (soup tokens for 1–2, clean
+    tokens out of 3, nav-wrapped page tokens into 4). This is the
+    table nothing else surfaces: what each stage actually cost and
+    saved, composed, not estimated.
+
+    Scale shape: composition adds NO new heavy operator — robots is
+    the broadcast fold, url/neardup winners are map-side-combinable
+    min-aggregates joined back on their keys, extraction is scan-side,
+    the chrome census shuffles (host, hash) pairs, and the ledger
+    itself is two single-row aggregates stacked to 6 rows."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+    from kafka_streams_dexcom_spark.operators.robots import (
+        robots_verdicts,
+    )
+    from kafka_streams_dexcom_spark.operators.text import (
+        gopher_rules,
+        host_line_dedup,
+    )
+    from kafka_streams_dexcom_spark.queries.dedup import (
+        _robots_docs,
+        cluster_map,
+    )
+
+    d = _robots_docs(spark, sf_dir)
+    robots = (
+        d.select("host")
+        .distinct()
+        .select("host", F.expr(ux.robots_txt_sql("host")).alias("body"))
+    )
+    rv = robots_verdicts(d, robots).select("doc_id", "host", "allowed")
+    urls = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(ux.canonical_url_sql(ux.messy_url_sql())).alias("url"),
+    )
+    pages = _html_pages(spark, sf_dir)
+    soup = pages.select("doc_id", _tok_spark("html").alias("tk_soup"))
+    base = rv.join(urls, "doc_id").join(soup, "doc_id")
+    winners = (
+        base.filter("allowed")
+        .groupBy("url")
+        .agg(F.min("doc_id").alias("__w"))
+    )
+    base = base.join(winners, "url", "left").withColumn(
+        "url_keep",
+        F.coalesce(
+            F.col("allowed") & (F.col("doc_id") == F.col("__w")),
+            F.lit(False),
+        ),
+    )
+    ex = hx.extract_cols(pages, "html").select("doc_id", "source", "text")
+    a2 = (
+        base.filter("url_keep")
+        .select("doc_id", "host", "tk_soup")
+        .join(ex, "doc_id")
+        .withColumn("tk_clean", _tok_spark("text"))
+        .withColumn("page", F.expr(ux.page_text_sql()))
+        .withColumn("tk_page", _tok_spark("page"))
+    )
+    hld = host_line_dedup(
+        a2.select("doc_id", "host", "page"),
+        host_col="host",
+        text_col="page",
+    ).select("doc_id", "clean_text")
+    a2 = a2.join(hld, "doc_id").withColumn(
+        "tk_chrome", _tok_spark("clean_text")
+    )
+    g = gopher_rules(
+        a2.select("doc_id", F.col("clean_text").alias("text"))
+    ).select("doc_id", F.col("keep").alias("qkeep"))
+    a2 = a2.join(g, "doc_id").join(cluster_map(spark, sf_dir), "doc_id")
+    ndw = (
+        a2.filter("qkeep = 1")
+        .groupBy("cluster")
+        .agg(F.min("doc_id").alias("__c"))
+    )
+    a2 = a2.join(ndw, "cluster", "left").withColumn(
+        "nd_keep",
+        F.coalesce(
+            (F.col("qkeep") == 1) & (F.col("doc_id") == F.col("__c")),
+            F.lit(False),
+        ).cast("int"),
+    )
+    zero = F.lit(0).cast("bigint")
+    agg1 = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum(F.col("allowed").cast("int")).cast("bigint").alias("n_a1"),
+        F.sum(F.col("url_keep").cast("int")).cast("bigint").alias("n_a2"),
+        F.sum("tk_soup").cast("bigint").alias("tks_all"),
+        F.sum(F.when(F.col("allowed"), F.col("tk_soup")).otherwise(zero))
+        .cast("bigint")
+        .alias("tks_a1"),
+        F.sum(F.when(F.col("url_keep"), F.col("tk_soup")).otherwise(zero))
+        .cast("bigint")
+        .alias("tks_a2"),
+    )
+    agg2 = a2.agg(
+        F.sum("tk_clean").cast("bigint").alias("tkc_a2"),
+        F.sum("tk_page").cast("bigint").alias("tkp_a2"),
+        F.sum("tk_chrome").cast("bigint").alias("tkh_a2"),
+        F.sum("qkeep").cast("bigint").alias("n_a3"),
+        F.sum(
+            F.when(F.col("qkeep") == 1, F.col("tk_chrome")).otherwise(zero)
+        )
+        .cast("bigint")
+        .alias("tkh_a3"),
+        F.sum("nd_keep").cast("bigint").alias("n_a4"),
+        F.sum(
+            F.when(F.col("nd_keep") == 1, F.col("tk_chrome")).otherwise(
+                zero
+            )
+        )
+        .cast("bigint")
+        .alias("tkh_a4"),
+    )
+    row = agg1.crossJoin(F.broadcast(agg2))
+    return row.selectExpr(
+        """stack(6,
+           1L, 'robots',    n_all, n_a1, tks_all, tks_a1,
+           2L, 'url_dedup', n_a1,  n_a2, tks_a1,  tks_a2,
+           3L, 'extract',   n_a2,  n_a2, tks_a2,  tkc_a2,
+           4L, 'chrome',    n_a2,  n_a2, tkp_a2,  tkh_a2,
+           5L, 'quality',   n_a2,  n_a3, tkh_a2,  tkh_a3,
+           6L, 'neardup',   n_a3,  n_a4, tkh_a3,  tkh_a4
+        ) AS (stage, name, docs_in, docs_out, tokens_in, tokens_out)"""
+    )
+
+
+def _crawl_manifest_oracle() -> str:
+    """Zero-glue composition of the stage oracles: the rep_rules chain
+    (robots), canonical-URL winners, the extractor twin over the
+    SQL-rebuilt pages, the per-host line census over the nav-wrapped
+    extracted text, gopher_duck_sql over the chrome-cleaned text, and
+    the recursive-CTE connected components — aggregated to the same
+    6-row ledger."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+    from kafka_streams_dexcom_spark.operators.robots import (
+        robots_rules_duck_sql,
+    )
+    from kafka_streams_dexcom_spark.operators.text import (
+        HOST_LINE_MIN_DOCS,
+        LINE_WORDS,
+    )
+    from kafka_streams_dexcom_spark.queries.dedup import (
+        DUCK_HASH60,
+        _cc_oracle,
+        _robots_docs_duck,
+    )
+    from kafka_streams_dexcom_spark.queries.text import gopher_duck_sql
+
+    def tokd(c: str) -> str:
+        return (
+            f"CAST(len(list_filter(string_split_regex({c}, '\\s+'), "
+            "t -> t != '')) AS BIGINT)"
+        )
+
+    dd_ = hx.extract_cols_duck("html")
+    bodies = (
+        "SELECT host, "
+        f"{ux.robots_txt_sql('host', duck=True)} AS body "
+        "FROM (SELECT DISTINCT host FROM d)"
+    )
+    canon = ux.canonical_url_sql(ux.messy_url_sql(duck=True), duck=True)
+    line = (
+        f"array_to_string(list_slice(tk, i * {LINE_WORDS} + 1, "
+        f"i * {LINE_WORDS} + {LINE_WORDS}), ' ')"
+    )
+    lh = DUCK_HASH60.format(x=line)
+    return f"""
+        WITH {_robots_docs_duck()},
+        {robots_rules_duck_sql(bodies)},
+        cand AS (
+            SELECT d.doc_id, r.allow,
+                   row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY r.prio DESC, r.allow DESC, r.pattern
+                   ) AS rn
+            FROM d JOIN rep_rules r
+              ON d.host = r.host AND regexp_matches(d.path, r.rx)
+        ),
+        rv AS (
+            SELECT d.doc_id, d.host,
+                   coalesce(c.allow, true) AS allowed
+            FROM d LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+              USING (doc_id)
+        ),
+        uc AS (SELECT doc_id, {canon} AS curl FROM documents),
+        h2 AS MATERIALIZED (
+            SELECT doc_id, source, text, {hx.wrap_html_sql()} AS html
+            FROM documents
+        ),
+        soup AS (SELECT doc_id, {tokd('html')} AS tk_soup FROM h2),
+        w2 AS (
+            SELECT curl, min(doc_id) AS w
+            FROM uc JOIN rv USING (doc_id)
+            WHERE rv.allowed GROUP BY curl
+        ),
+        flags AS MATERIALIZED (
+            SELECT uc.doc_id, rv.host, rv.allowed, soup.tk_soup,
+                   coalesce(rv.allowed AND uc.doc_id = w2.w, false)
+                       AS url_keep
+            FROM uc
+            JOIN rv USING (doc_id)
+            JOIN soup USING (doc_id)
+            LEFT JOIN w2 ON w2.curl = uc.curl
+        ),
+        stx AS (
+            SELECT doc_id, source, {dd_["stats"]} AS __st FROM h2
+        ),
+        exd AS MATERIALIZED (
+            SELECT doc_id, source, {dd_["text"]} AS etext FROM stx
+        ),
+        a2 AS MATERIALIZED (
+            SELECT f.doc_id, f.host, f.tk_soup,
+                   {tokd('e.etext')} AS tk_clean,
+                   concat('nav ', e.source,
+                          ' home about contact privacy terms login ',
+                          e.etext) AS page
+            FROM flags f JOIN exd e USING (doc_id)
+            WHERE f.url_keep
+        ),
+        ptk AS MATERIALIZED (
+            SELECT doc_id, host, tk_soup, tk_clean,
+                   list_filter(string_split_regex(page, '\\s+'),
+                               t -> t != '') AS tk
+            FROM a2
+        ),
+        pl AS MATERIALIZED (
+            SELECT doc_id, host, CAST(i AS BIGINT) AS ln,
+                   {lh} AS lh, {line} AS line
+            FROM ptk, UNNEST(range(0,
+                CAST(ceil(len(tk) / {LINE_WORDS}.0) AS BIGINT))) r(i)
+            WHERE len(tk) >= 1
+        ),
+        pb AS (
+            SELECT host, lh FROM pl
+            GROUP BY host, lh
+            HAVING count(DISTINCT doc_id) >= {HOST_LINE_MIN_DOCS}
+        ),
+        pkc AS MATERIALIZED (
+            SELECT pl.doc_id, count(*) AS n_kept,
+                   string_agg(pl.line, ' ' ORDER BY pl.ln) AS clean
+            FROM pl LEFT JOIN pb
+              ON pl.host = pb.host AND pl.lh = pb.lh
+            WHERE pb.lh IS NULL
+            GROUP BY pl.doc_id
+        ),
+        chrome AS MATERIALIZED (
+            SELECT p.doc_id, p.tk_soup, p.tk_clean,
+                   CAST(len(p.tk) AS BIGINT) AS n_page_toks,
+                   coalesce(k.clean, '') AS clean
+            FROM ptk p LEFT JOIN pkc k USING (doc_id)
+        ),
+        gq AS MATERIALIZED (
+            {gopher_duck_sql("(SELECT doc_id, clean AS text FROM chrome)")}
+        ),
+        comp AS ({_cc_oracle()}),
+        clu AS (
+            SELECT c2.doc_id,
+                   coalesce(comp.component, c2.doc_id) AS cluster
+            FROM chrome c2 LEFT JOIN comp ON comp.node = c2.doc_id
+        ),
+        ndw AS (
+            SELECT cluster, min(doc_id) AS w
+            FROM clu JOIN gq USING (doc_id)
+            WHERE gq.keep = 1 GROUP BY cluster
+        ),
+        perdoc AS MATERIALIZED (
+            SELECT c2.doc_id, c2.n_page_toks, c2.tk_clean,
+                   {tokd('c2.clean')} AS tk_chrome,
+                   gq.keep AS qkeep,
+                   CASE WHEN gq.keep = 1 AND c2.doc_id = ndw.w
+                        THEN 1 ELSE 0 END AS nd_keep
+            FROM chrome c2
+            JOIN gq USING (doc_id)
+            JOIN clu USING (doc_id)
+            LEFT JOIN ndw ON ndw.cluster = clu.cluster
+        ),
+        agg1 AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_all,
+                   CAST(sum(CASE WHEN allowed THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a1,
+                   CAST(sum(CASE WHEN url_keep THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_a2,
+                   CAST(sum(tk_soup) AS BIGINT) AS tks_all,
+                   CAST(sum(CASE WHEN allowed THEN tk_soup ELSE 0 END)
+                       AS BIGINT) AS tks_a1,
+                   CAST(sum(CASE WHEN url_keep THEN tk_soup ELSE 0 END)
+                       AS BIGINT) AS tks_a2
+            FROM flags
+        ),
+        agg2 AS (
+            SELECT CAST(sum(tk_clean) AS BIGINT) AS tkc_a2,
+                   CAST(sum(n_page_toks) AS BIGINT) AS tkp_a2,
+                   CAST(sum(tk_chrome) AS BIGINT) AS tkh_a2,
+                   CAST(sum(qkeep) AS BIGINT) AS n_a3,
+                   CAST(sum(CASE WHEN qkeep = 1 THEN tk_chrome
+                       ELSE 0 END) AS BIGINT) AS tkh_a3,
+                   CAST(sum(nd_keep) AS BIGINT) AS n_a4,
+                   CAST(sum(CASE WHEN nd_keep = 1 THEN tk_chrome
+                       ELSE 0 END) AS BIGINT) AS tkh_a4
+            FROM perdoc
+        )
+        SELECT CAST(1 AS BIGINT) AS stage, 'robots' AS name,
+               n_all AS docs_in, n_a1 AS docs_out,
+               tks_all AS tokens_in, tks_a1 AS tokens_out
+        FROM agg1, agg2
+        UNION ALL
+        SELECT 2, 'url_dedup', n_a1, n_a2, tks_a1, tks_a2
+        FROM agg1, agg2
+        UNION ALL
+        SELECT 3, 'extract', n_a2, n_a2, tks_a2, tkc_a2
+        FROM agg1, agg2
+        UNION ALL
+        SELECT 4, 'chrome', n_a2, n_a2, tkp_a2, tkh_a2
+        FROM agg1, agg2
+        UNION ALL
+        SELECT 5, 'quality', n_a2, n_a3, tkh_a2, tkh_a3
+        FROM agg1, agg2
+        UNION ALL
+        SELECT 6, 'neardup', n_a3, n_a4, tkh_a3, tkh_a4
+        FROM agg1, agg2
+    """
+
+
 N_EPOCHS = 8
 BURST_EPOCH = 5
 BURST_EXTRA = 24  # burst epoch gets 1 + 24 corrupt lines, others 1
@@ -793,6 +1146,7 @@ QUERIES = {
     "webdataset_stats": q_webdataset_stats,
     "format_matrix_consistency": q_format_matrix_consistency,
     "compliance_report": q_compliance_report,
+    "crawl_manifest": q_crawl_manifest,
 }
 
 ORACLES = {
@@ -892,4 +1246,5 @@ ORACLES = {
     "warc_text_extract": _warc_text_extract_oracle(),
     "html_quality_gate": _html_quality_gate_oracle(),
     "compliance_report": _compliance_report_oracle(),
+    "crawl_manifest": _crawl_manifest_oracle(),
 }
