@@ -8,7 +8,14 @@ WebDataset shard drop zone to the two published corpus indexes.
         ├─ accepted doc containing an eval item     → contaminated ledger
         │    (broadcast eval n-gram fingerprints, integer-exact
         │     containment ≥ τ — operators/dedup.contamination_flags)
-        └─ clean doc ─┬─ ClusterMapMaintainer  (near-dup cluster map)
+        └─ clean doc ─┬─ HostLineCensusMaintainer (optional chrome leg,
+                      │    chrome_host_expr=...: per-(host, line)
+                      │    distinct-doc census + the per-epoch chrome
+                      │    verdict ledger; the REWRITE applies at
+                      │    publish time against the converged census —
+                      │    census(...).rewrite() ≡ batch
+                      │    host_line_dedup, the line_census contract)
+                      ├─ ClusterMapMaintainer  (near-dup cluster map)
                       ├─ IvfPostingsMaintainer (ANN postings, frozen
                       │    quantizer, deterministic text featurizer)
                       └─ SemClusterMaintainer  (optional semantic-dedup
@@ -57,6 +64,9 @@ from kafka_streams_dexcom_spark.streaming.ann_ingest import (
 )
 from kafka_streams_dexcom_spark.streaming.cluster_map_stream import (
     ClusterMapMaintainer,
+)
+from kafka_streams_dexcom_spark.streaming.line_census import (
+    HostLineCensusMaintainer,
 )
 from kafka_streams_dexcom_spark.streaming.semdedup_stream import (
     SemClusterMaintainer,
@@ -112,12 +122,16 @@ def parse_txt_members(members: DataFrame) -> tuple[DataFrame, DataFrame]:
 class CurationPipeline:
     """foreachBatch sink wiring gate + both maintainers over one epoch.
 
-    ``root`` holds the two commit-log views (``cluster_map/``,
-    ``ann_postings/``) and the two per-epoch ledgers (``quarantine/``,
-    ``rejected/``). ``centroids`` is the FROZEN quantizer frame
-    (cid, cvec). ``crash_after_cluster_commit`` injects a mid-epoch
-    failure between the two maintainer publishes for the given batch
-    id — test hook for the replay contract."""
+    ``root`` holds the commit-log views (``cluster_map/``,
+    ``ann_postings/``, optional ``line_census/``) and the per-epoch
+    ledgers (``quarantine/``, ``rejected/``, optional ``chrome/``).
+    ``centroids`` is the FROZEN quantizer frame (cid, cvec).
+    ``chrome_host_expr`` (a SQL expression over the accepted doc
+    columns yielding the registrable host) enables the chrome-census
+    leg between the quarantine/contamination gates and the cluster
+    map. ``crash_after_census_commit`` / ``crash_after_cluster_commit``
+    inject a mid-epoch failure after that leg's publish for the given
+    batch id — test hooks for the replay contract."""
 
     def __init__(
         self,
@@ -129,6 +143,8 @@ class CurationPipeline:
         eval_docs: DataFrame | None = None,
         contamination_threshold: tuple[int, int] = (4, 5),
         semantic_tau: float | None = None,
+        chrome_host_expr: str | None = None,
+        crash_after_census_commit: int | None = None,
         crash_after_cluster_commit: int | None = None,
     ) -> None:
         self.spark = spark
@@ -139,6 +155,23 @@ class CurationPipeline:
             lineage_id=lineage_id,
             threshold=threshold,
         )
+        # optional chrome leg: incremental per-(host, line) census with
+        # the per-epoch provisional verdict ledger (monotone-sound, see
+        # line_census.py); the rewrite is applied at PUBLISH time
+        # against the converged census, so downstream legs here keep
+        # the raw accepted text
+        self.chrome_host_expr = chrome_host_expr
+        self.census = (
+            HostLineCensusMaintainer(
+                spark,
+                os.path.join(root, "line_census"),
+                screened=lambda df, bid: self._ledger("chrome", df, bid),
+                lineage_id=lineage_id,
+            )
+            if chrome_host_expr is not None
+            else None
+        )
+        self.crash_after_census_commit = crash_after_census_commit
         self.index = IvfPostingsMaintainer(
             spark,
             os.path.join(root, "ann_postings"),
@@ -217,6 +250,20 @@ class CurationPipeline:
                     "doc_id",
                     "left_anti",
                 ).localCheckpoint()
+            # leg 0 (optional): chrome census — counts commit through
+            # the commit log (replay-guarded: counts are NOT
+            # idempotent), provisional verdicts land in the chrome/
+            # ledger via the screened callback
+            if self.census is not None:
+                hosted = accepted.withColumn(
+                    "host", F.expr(self.chrome_host_expr)
+                )
+                self.census(hosted, batch_id)
+                if self.crash_after_census_commit == batch_id:
+                    raise RuntimeError(
+                        "injected crash after census commit, epoch "
+                        f"{batch_id}"
+                    )
             # leg 1: near-dup cluster map (commit-log publish, replay
             # no-op on its own manifest watermark)
             self.cluster(accepted, batch_id)

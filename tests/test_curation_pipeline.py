@@ -86,29 +86,54 @@ def _run_stream(spark, drop, ckpt, pipe):
     q.awaitTermination()
 
 
+HOST_EXPR = "concat('h', CAST(doc_id % 3 AS STRING), '.example')"
+
+
 def test_end_to_end_crash_restart_bit_equal(spark, tmp_path):
     drop = _drop_zone(spark, tmp_path)
     cents = _centroids(spark)
     root = str(tmp_path / "views")
     ckpt = str(tmp_path / "ckpt")
 
-    # first run crashes mid-epoch 1: AFTER the cluster-map commit,
-    # BEFORE the postings commit — the replay contract's hardest spot
-    crashing = CurationPipeline(
+    # run 1 crashes mid-epoch 1: AFTER the chrome-census commit,
+    # BEFORE the cluster-map commit
+    crash1 = CurationPipeline(
         spark,
         root,
         cents,
         lineage_id=LINEAGE,
         threshold=THRESHOLD,
-        crash_after_cluster_commit=1,
+        chrome_host_expr=HOST_EXPR,
+        crash_after_census_commit=1,
     )
     with pytest.raises(Exception, match="injected crash"):
-        _run_stream(spark, drop, ckpt, crashing)
+        _run_stream(spark, drop, ckpt, crash1)
 
-    # restart from the same checkpoint: epoch 1 replays — the cluster
-    # map no-ops on its manifest watermark, the postings leg applies
+    # run 2 replays epoch 1 (census no-ops on its watermark and
+    # re-emits verdicts; cluster + postings apply), then crashes
+    # mid-epoch 2 AFTER the cluster-map commit, BEFORE the postings
+    # commit — both inter-leg gaps exercised across one lineage
+    crash2 = CurationPipeline(
+        spark,
+        root,
+        cents,
+        lineage_id=LINEAGE,
+        threshold=THRESHOLD,
+        chrome_host_expr=HOST_EXPR,
+        crash_after_cluster_commit=2,
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, drop, ckpt, crash2)
+
+    # run 3 restarts clean: epoch 2 replays — census and cluster both
+    # no-op on their manifests, the postings leg applies
     clean = CurationPipeline(
-        spark, root, cents, lineage_id=LINEAGE, threshold=THRESHOLD
+        spark,
+        root,
+        cents,
+        lineage_id=LINEAGE,
+        threshold=THRESHOLD,
+        chrome_host_expr=HOST_EXPR,
     )
     _run_stream(spark, drop, ckpt, clean)
 
@@ -165,6 +190,32 @@ def test_end_to_end_crash_restart_bit_equal(spark, tmp_path):
     }
     got_reject = {r.doc_id for r in clean.ledger("rejected").collect()}
     assert got_reject == want_reject
+
+    # chrome leg: the converged census rewrite bit-equals the BATCH
+    # host_line_dedup over the same accepted docs — despite two
+    # crash-replays (a double-counted census would over-strip)
+    from kafka_streams_dexcom_spark.operators.text import (
+        host_line_dedup,
+    )
+
+    hosted = accepted.withColumn("host", F.expr(HOST_EXPR))
+    got_chrome = {
+        (r.doc_id, r.host, r.n_lines, r.n_removed_lines, r.clean_text)
+        for r in clean.census.rewrite(hosted).collect()
+    }
+    want_chrome = {
+        (r.doc_id, r.host, r.n_lines, r.n_removed_lines, r.clean_text)
+        for r in host_line_dedup(hosted).collect()
+    }
+    assert got_chrome == want_chrome and got_chrome
+    # and something actually crossed the chrome threshold (exact-dup
+    # docs exist in the corpus, so repeated lines per host do too)
+    assert any(r[3] > 0 for r in got_chrome)
+    # chrome verdict ledger: one row per accepted doc, at-least-once
+    got_verdicts = {
+        r.doc_id for r in clean.ledger("chrome").collect()
+    }
+    assert got_verdicts == {r.doc_id for r in accepted.collect()}
 
 
 def test_contamination_gate_routes_planted_eval_dupes(spark, tmp_path):
