@@ -164,6 +164,11 @@ HEADLINE = [
     "robots_filter",             # REP longest-match crawl compliance
     "cdc_chunk_dedup",           # content-defined chunk storage dedup
     "eval_span_scrub",           # decontamination by span removal
+    # round-11 additions
+    "compliance_report",         # robots verdict + X-Robots-Tag unified
+    "multimodal_phash",          # real PNG decode -> dHash fingerprints
+    "multimodal_phash_dedup",    # Hamming-banded perceptual near-dup
+    "crawl_manifest",            # composed 6-stage crawl ROI ledger
 ]
 
 

@@ -781,7 +781,19 @@ def q_crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = _html_pages(spark, sf_dir)
     soup = pages.select("doc_id", _tok_spark("html").alias("tk_soup"))
-    base = rv.join(urls, "doc_id").join(soup, "doc_id")
+    # Stage-output checkpoints (lazy): every stage below has MULTIPLE
+    # consumers (winners + join-back + ledger aggregates; the line
+    # census's three passes; the neardup winners + join-back), so
+    # without a lineage cut Catalyst re-derives the robots fold, url
+    # regexes, and extraction once PER consumer — the composed plan
+    # multiplies to 300+ scans. A production crawl pipeline checkpoints
+    # stage outputs between stages for exactly this reason; the
+    # relational.py:682 discipline.
+    base = (
+        rv.join(urls, "doc_id")
+        .join(soup, "doc_id")
+        .localCheckpoint(eager=False)
+    )
     winners = (
         base.filter("allowed")
         .groupBy("url")
@@ -802,14 +814,17 @@ def q_crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("tk_clean", _tok_spark("text"))
         .withColumn("page", F.expr(ux.page_text_sql()))
         .withColumn("tk_page", _tok_spark("page"))
+        .localCheckpoint(eager=False)
     )
     hld = host_line_dedup(
         a2.select("doc_id", "host", "page"),
         host_col="host",
         text_col="page",
     ).select("doc_id", "clean_text")
-    a2 = a2.join(hld, "doc_id").withColumn(
-        "tk_chrome", _tok_spark("clean_text")
+    a2 = (
+        a2.join(hld, "doc_id")
+        .withColumn("tk_chrome", _tok_spark("clean_text"))
+        .localCheckpoint(eager=False)
     )
     g = gopher_rules(
         a2.select("doc_id", F.col("clean_text").alias("text"))

@@ -2324,13 +2324,19 @@ def q_host_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py:host_line_dedup for the plan shape."""
     from kafka_streams_dexcom_spark.functions import url as ux
     from kafka_streams_dexcom_spark.operators.text import host_line_dedup
+    from kafka_streams_dexcom_spark.sources.files import materialize
 
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(
-            ux.host_sql(ux.canonical_url_sql(ux.messy_url_sql()))
-        ).alias("host"),
-        F.expr(ux.page_text_sql()).alias("page"),
+    # materialize: the canonical-url→host regex pile costs ~70 µs/doc
+    # interpreted, and the line pass consumes its input three times
+    # (census, rebuild, totals) — the exchange barrier computes it once
+    d = materialize(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            F.expr(
+                ux.host_sql(ux.canonical_url_sql(ux.messy_url_sql()))
+            ).alias("host"),
+            F.expr(ux.page_text_sql()).alias("page"),
+        )
     )
     return host_line_dedup(d, host_col="host", text_col="page")
 

@@ -57,6 +57,8 @@ EXCLUDED: dict[str, str] = dict.fromkeys(
         "source_minhash_jaccard", "dedup_rate_by_source",
         "dedup_threshold_curve", "curation_manifest",
         "contamination_check",
+        # composes the ngram pair graph + CC (stage 6) — same shape
+        "crawl_manifest",
         # dense-graph family: same-10-clusters edge blowup
         "triangle_count", "triangle_count_capped", "pagerank_centrality",
         # ER: 10 copies of every name per pigeonhole bucket -> dist-0 pairs
