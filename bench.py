@@ -168,6 +168,7 @@ HEADLINE = [
     "compliance_report",         # robots verdict + X-Robots-Tag unified
     "multimodal_phash",          # real PNG decode -> dHash fingerprints
     "multimodal_phash_dedup",    # Hamming-banded perceptual near-dup
+    "audio_phash_dedup",         # audio energy-contour near-dup twin
     "crawl_manifest",            # composed 6-stage crawl ROI ledger
 ]
 

@@ -489,6 +489,135 @@ def phash_features(media: DataFrame) -> DataFrame:
     )
 
 
+# Audio perceptual hash: 65-frame energy contour -> 64 derivative-sign
+# bits (the chromaprint/shazam family's simplest honest member). Same
+# band/carry conventions as the image dHash above.
+APH_FRAMES = 65
+APH_FRAME = 16  # samples per frame per channel
+APH_PERTURB = 64  # variant 2's +64 (mod 256) on source byte 0
+
+
+def aph_src_bytes(g: int, perturb: bool) -> "np.ndarray":
+    """Deterministic source bytes of audio pixel-group ``g``: byte i is
+    byte i%16 of md5('aph:<g>:<i//16>') — md5-replayable in SQL, the
+    phash_src_pixels discipline. Sample i = (byte−128)·256 (int16)."""
+    import hashlib
+
+    import numpy as np
+
+    n = APH_FRAMES * APH_FRAME
+    out = np.empty(n, dtype=np.int64)
+    for row in range((n + 15) // 16):
+        h = hashlib.md5(f"aph:{g}:{row}".encode()).digest()
+        for k in range(min(16, n - row * 16)):
+            out[row * 16 + k] = h[k]
+    if perturb:
+        out[0] = (out[0] + APH_PERTURB) % 256
+    return out
+
+
+def attach_audio_phash_payload(docs: DataFrame) -> DataFrame:
+    """The audio re-encoded-duplicate corpus (Arrow-batched; REAL WAV
+    bytes): group g = doc_id div 3 fixes the samples; v0 = mono 16-bit,
+    v1 = STEREO with L=R (twice the bytes, identical per-frame energy —
+    the re-encode byte dedup can't see), v2 = mono with sample 0
+    perturbed (the near-dup)."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.wav import wav_encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // PHASH_GROUP, did % PHASH_GROUP
+                s = (
+                    aph_src_bytes(g, perturb=(v == 2)) - 128
+                ) * 256  # int16 range
+                if v == 1:
+                    s = np.repeat(s, 2)  # interleaved stereo, L = R
+                    payload = wav_encode(s, 8000, n_channels=2)
+                else:
+                    payload = wav_encode(s, 8000, n_channels=1)
+                rows.append((did, v, payload))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "variant", "payload"]
+            )
+
+    return fan_out_small(docs).select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, variant bigint, payload binary"
+    )
+
+
+def contour_bands(energies: "np.ndarray") -> tuple[int, int, int, int]:
+    """64-bit energy-contour hash of APH_FRAMES integer frame energies
+    as four 16-bit band ints: bit k set iff e[k+1] > e[k]."""
+    bits = energies[1:] > energies[:-1]
+    bands = []
+    for b in range(4):
+        v = 0
+        for t in range(16):
+            if bits[16 * b + t]:
+                v |= 1 << t
+        bands.append(v)
+    return tuple(bands)
+
+
+def audio_phash_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV decode -> perceptual fingerprint: vendored
+    codec (functions/wav.py) -> per-frame integer mean-abs energy
+    (channel-count invariant: an L=R stereo re-encode yields the exact
+    same contour) -> 64 derivative-sign bits as four 16-bit bands +
+    the hex fingerprint. Malformed payloads raise per-row."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.wav import wav_decode
+
+        for pdf in batches:
+            rows = []
+            for did, v, p in zip(
+                pdf["doc_id"], pdf["variant"], pdf["payload"]
+            ):
+                _rate, ch, _bits, s = wav_decode(bytes(p))
+                a = np.abs(s.astype(np.int64))
+                per = APH_FRAME * ch
+                n_frames = a.size // per
+                e = a[: n_frames * per].reshape(n_frames, per).sum(
+                    axis=1
+                ) // per
+                b0, b1, b2, b3 = contour_bands(e)
+                rows.append(
+                    (
+                        int(did),
+                        int(v),
+                        b0,
+                        b1,
+                        b2,
+                        b3,
+                        f"{b3:04X}{b2:04X}{b1:04X}{b0:04X}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "variant", "b0", "b1", "b2", "b3",
+                    "phash_hex",
+                ],
+            )
+
+    return media.select("doc_id", "variant", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
 def frame_sample(
     media: DataFrame,
     every_n: int = 2,

@@ -1,5 +1,8 @@
 """Multimodal-column queries: metadata-only access (column pruning keeps
-the payload bytes unread) and the Arrow-batched decode stub. The decode
+the payload bytes unread), the Arrow-batched decode stub, and the
+perceptual near-dup family (image dHash + audio energy contour over
+REAL codec decode — the duplicate class byte-exact dedup can't see).
+The decode
 features are deterministic functions of the payload bytes, so the oracle
 can replay them in SQL even though Spark runs them through mapInPandas —
 this checks the full binary-column plumbing end-to-end. Oracle string
@@ -223,13 +226,19 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 8-byte fingerprint halves. No all-pairs anywhere; the
     SIMHASH_MAX_BUCKET cap bounds degenerate buckets (e.g. flat-color
     frames) at 100 TB."""
+    media = mm.attach_phash_payload(load_table(spark, sf_dir, "documents"))
+    return _banded_pairs(mm.phash_features(media))
+
+
+def _banded_pairs(fp: DataFrame) -> DataFrame:
+    """4×16-bit Hamming-banded candidate pairs + exact popcount verify
+    over a (doc_id, b0..b3) fingerprint frame — one blocking plan for
+    every 64-bit perceptual hash family (image dHash, audio contour)."""
     from kafka_streams_dexcom_spark.operators.dedup import (
         SIMHASH_MAX_BUCKET,
         pairs_within_buckets,
     )
 
-    media = mm.attach_phash_payload(load_table(spark, sf_dir, "documents"))
-    fp = mm.phash_features(media)
     bands_df = fp.select(
         "doc_id",
         "b0",
@@ -263,6 +272,37 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
     )
+
+
+def q_audio_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip perceptual fingerprint over REAL WAV bytes — the audio
+    twin of multimodal_phash: vendored RIFF/PCM decode -> per-frame
+    integer mean-abs energy -> 64 derivative-sign contour bits (the
+    chromaprint family's simplest honest member). The planted corpus
+    re-encodes each sample group as mono 16-bit, L=R STEREO (twice the
+    bytes, identical contour), and a one-sample perturbation: mono and
+    stereo MUST fingerprint identically, and the oracle replays every
+    energy integer from the md5 sample rule."""
+    media = mm.attach_audio_phash_payload(
+        load_table(spark, sf_dir, "documents")
+    )
+    return mm.audio_phash_features(media).select(
+        "doc_id", "variant", "phash_hex"
+    )
+
+
+def q_audio_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup AUDIO dedup: a re-encoded clip (mono→stereo,
+    container rewrite) shares zero payload bytes with its original but
+    the identical energy contour — banded pairing catches what
+    byte-exact dedup can't, the multimodal_phash_dedup contract on the
+    second modality. Same blocking plan (_banded_pairs), same scale
+    shape: one Arrow decode pass, (band_idx, band_val) groupBy, XOR
+    popcount verify, hot-bucket cap."""
+    media = mm.attach_audio_phash_payload(
+        load_table(spark, sf_dir, "documents")
+    )
+    return _banded_pairs(mm.audio_phash_features(media))
 
 
 def _phash_duck_cte() -> str:
@@ -328,18 +368,15 @@ def _phash_oracle() -> str:
     """
 
 
-def _phash_dedup_oracle() -> str:
+def _banded_pairs_duck() -> str:
+    """The banded-pair replay tail over a CTE named ``fp_docs``
+    (doc_id, b0..b3) — band explode, hot-bucket cap, XOR popcount,
+    threshold. Shared by the image and audio pair oracles."""
     from kafka_streams_dexcom_spark.operators.dedup import (
         SIMHASH_MAX_BUCKET,
     )
 
     return f"""
-        WITH {_phash_duck_cte()},
-        fp_docs AS (
-            SELECT pd.doc_id, f.b0, f.b1, f.b2, f.b3
-            FROM ph_docs pd
-            JOIN ph_fp f ON f.g = pd.g AND f.pert = pd.pert
-        ),
         bands_cte AS (
             SELECT doc_id, b0, b1, b2, b3, bi AS band_idx,
                    CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1
@@ -369,6 +406,88 @@ def _phash_dedup_oracle() -> str:
     """
 
 
+def _phash_dedup_oracle() -> str:
+    return f"""
+        WITH {_phash_duck_cte()},
+        fp_docs AS (
+            SELECT pd.doc_id, f.b0, f.b1, f.b2, f.b3
+            FROM ph_docs pd
+            JOIN ph_fp f ON f.g = pd.g AND f.pert = pd.pert
+        ),
+        {_banded_pairs_duck()}
+    """
+
+
+def _aph_duck_cte() -> str:
+    """DuckDB replay of the planted audio sample rule + energy contour,
+    per (group, perturbed) key: byte i of md5('aph:<g>:<i//16>'),
+    sample = (byte−128)·256, frame energy = 16·Σ|byte−128| (exact:
+    256/APH_FRAME), bit k = e[k+1] > e[k]."""
+    n_frames, frame = mm.APH_FRAMES, mm.APH_FRAME
+    base_j = (
+        "CAST('0x' || substr(md5('aph:' || CAST(g AS VARCHAR) || ':' || "
+        "CAST((f * 16 + j) // 16 AS VARCHAR)), "
+        "CAST(2 * ((f * 16 + j) % 16) + 1 AS INT), 2) AS INT)"
+    )
+    byte_j = (
+        f"CASE WHEN pert = 1 AND f * {frame} + j = 0 "
+        f"THEN ({base_j} + {mm.APH_PERTURB}) % 256 ELSE {base_j} END"
+    )
+    e = (
+        f"list_transform(range(0, {n_frames}), f -> "
+        f"CAST(list_sum(list_transform(range(0, {frame}), "
+        f"j -> abs({byte_j} - 128))) * {256 // frame} AS BIGINT))"
+    )
+    band_exprs = []
+    for b in range(4):
+        terms = []
+        for t in range(16):
+            k = 16 * b + t
+            terms.append(
+                f"CASE WHEN e[{k + 2}] > e[{k + 1}] "
+                f"THEN {1 << t} ELSE 0 END"
+            )
+        band_exprs.append("(" + " + ".join(terms) + f") AS b{b}")
+    return f"""
+        ph_docs AS (
+            SELECT doc_id, doc_id // {mm.PHASH_GROUP} AS g,
+                   CASE WHEN doc_id % {mm.PHASH_GROUP} = 2
+                        THEN 1 ELSE 0 END AS pert,
+                   CAST(doc_id % {mm.PHASH_GROUP} AS BIGINT) AS variant
+            FROM documents
+        ),
+        ph_keys AS (SELECT DISTINCT g, pert FROM ph_docs),
+        ph_e AS (SELECT g, pert, {e} AS e FROM ph_keys),
+        ph_fp AS (
+            SELECT g, pert, {", ".join(band_exprs)} FROM ph_e
+        )
+    """
+
+
+def _audio_phash_oracle() -> str:
+    return f"""
+        WITH {_aph_duck_cte()}
+        SELECT pd.doc_id, pd.variant,
+               lpad(hex(f.b3), 4, '0') || lpad(hex(f.b2), 4, '0') ||
+               lpad(hex(f.b1), 4, '0') || lpad(hex(f.b0), 4, '0')
+                   AS phash_hex
+        FROM ph_docs pd
+        JOIN ph_fp f ON f.g = pd.g AND f.pert = pd.pert
+    """
+
+
+def _audio_phash_dedup_oracle() -> str:
+    return f"""
+        WITH {_aph_duck_cte()},
+        fp_docs AS (
+            SELECT pd.doc_id, f.b0, f.b1, f.b2, f.b3
+            FROM ph_docs pd
+            JOIN ph_fp f ON f.g = pd.g AND f.pert = pd.pert
+        ),
+        {_banded_pairs_duck()}
+    """
+
+
 _MEDIA_TYPE = "['image', 'audio', 'video'][(doc_id % 3) + 1]"
 
 QUERIES = {
@@ -381,6 +500,8 @@ QUERIES = {
     "paired_media_audit": q_paired_media_audit,
     "multimodal_phash": q_multimodal_phash,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
+    "audio_phash": q_audio_phash,
+    "audio_phash_dedup": q_audio_phash_dedup,
 }
 
 def _paired_media_audit_oracle() -> str:
@@ -423,6 +544,8 @@ ORACLES = {
     "paired_media_audit": _paired_media_audit_oracle(),
     "multimodal_phash": _phash_oracle(),
     "multimodal_phash_dedup": _phash_dedup_oracle(),
+    "audio_phash": _audio_phash_oracle(),
+    "audio_phash_dedup": _audio_phash_dedup_oracle(),
     "video_avi_frames": """
         WITH b AS (
             SELECT doc_id, octet_length(encode(text)) AS n,

@@ -102,6 +102,47 @@ def test_byte_dedup_blind_phash_sees(spark, sf_dir):
         assert p["hamming"] <= 2, p
 
 
+def test_audio_reencode_fingerprints_identically(spark):
+    """The audio twin: mono and L=R stereo encodings of one sample
+    group are byte-distinct REAL WAVs with the IDENTICAL energy
+    contour; the perturbed variant stays within 2 bits."""
+    from kafka_streams_dexcom_spark.functions.wav import wav_decode
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    media = mm.attach_audio_phash_payload(docs)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    # genuinely different encodings of the same samples
+    assert payloads[0] != payloads[1]
+    assert wav_decode(payloads[0])[1] == 1  # mono
+    assert wav_decode(payloads[1])[1] == 2  # stereo
+    fp = {
+        r["doc_id"]: r
+        for r in mm.audio_phash_features(media).collect()
+    }
+    for g in range(3):
+        mono, stereo, pert = fp[3 * g], fp[3 * g + 1], fp[3 * g + 2]
+        assert mono["phash_hex"] == stereo["phash_hex"], g
+        ham = sum(
+            bin(mono[f"b{i}"] ^ pert[f"b{i}"]).count("1")
+            for i in range(4)
+        )
+        assert ham <= 2, (g, ham)
+    ham_cross = sum(
+        bin(fp[0][f"b{i}"] ^ fp[3][f"b{i}"]).count("1") for i in range(4)
+    )
+    assert ham_cross > mm_max_hamming()
+
+
+def test_contour_bands_bit_order():
+    """Pin the audio bit layout: bit k set iff e[k+1] > e[k]."""
+    import numpy as np
+
+    inc = np.arange(mm.APH_FRAMES, dtype=np.int64)
+    assert mm.contour_bands(inc) == (0xFFFF,) * 4
+    dec = inc[::-1].copy()
+    assert mm.contour_bands(dec) == (0, 0, 0, 0)
+
+
 def test_dhash_bands_bit_order():
     """Pin the bit layout the oracle replays: bit k = r*8+c set iff
     d[r][c] > d[r][c+1], band b = bits [16b, 16b+16)."""
