@@ -618,6 +618,138 @@ def audio_phash_features(media: DataFrame) -> DataFrame:
     )
 
 
+# Video perceptual hash: 65-frame brightness contour -> 64
+# derivative-sign bits — the third modality of the phash family. The
+# per-frame energy is floor(sum(pixels) / (w*h)), which is EXACTLY
+# invariant under integer pixel-doubling (4S // 4A == S // A), so a
+# 2x-upscaled re-encode fingerprints identically while sharing zero
+# frame bytes with the original.
+VPH_FRAMES = 65
+VPH_W = 4
+VPH_H = 4
+VPH_PERTURB = 64  # variant 2's +64 (mod 256) on frame 0, pixel 0
+
+
+def vph_src_bytes(g: int, perturb: bool) -> "np.ndarray":
+    """Deterministic source bytes of video pixel-group ``g``: pixel j of
+    frame f is byte j of md5('vph:<g>:<f>') — one digest per 16-pixel
+    frame, md5-replayable in SQL (the aph_src_bytes discipline)."""
+    import hashlib
+
+    import numpy as np
+
+    n = VPH_FRAMES * VPH_W * VPH_H
+    out = np.empty(n, dtype=np.int64)
+    for f in range(VPH_FRAMES):
+        h = hashlib.md5(f"vph:{g}:{f}".encode()).digest()
+        for k in range(VPH_W * VPH_H):
+            out[f * 16 + k] = h[k]
+    if perturb:
+        out[0] = (out[0] + VPH_PERTURB) % 256
+    return out
+
+
+def attach_video_phash_payload(docs: DataFrame) -> DataFrame:
+    """The video re-encoded-duplicate corpus (Arrow-batched; REAL
+    uncompressed-AVI bytes): group g = doc_id div 3 fixes the 65-frame
+    clip; v0 = 4x4 gray frames, v1 = the SAME clip upscaled 2x to 8x8
+    (pixel-doubled — four times the frame bytes, zero shared with v0,
+    identical floor-mean contour: the upscaled re-encode byte dedup
+    can't see), v2 = 4x4 with frame-0 pixel 0 perturbed (the near-dup)."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.avi import avi_encode
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // PHASH_GROUP, did % PHASH_GROUP
+                px = (
+                    vph_src_bytes(g, perturb=(v == 2))
+                    .astype(np.uint8)
+                    .reshape(VPH_FRAMES, VPH_H, VPH_W)
+                )
+                if v == 1:
+                    frames = [
+                        np.repeat(np.repeat(px[f], 2, axis=0), 2, axis=1)
+                        for f in range(VPH_FRAMES)
+                    ]
+                else:
+                    frames = [px[f] for f in range(VPH_FRAMES)]
+                rows.append((did, v, avi_encode(frames)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "variant", "payload"]
+            )
+
+    return fan_out_small(docs).select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, variant bigint, payload binary"
+    )
+
+
+def video_phash_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL AVI decode -> perceptual fingerprint: vendored
+    codec (functions/avi.py) -> per-frame integer brightness
+    floor(sum/area) (resolution-invariant under exact pixel-doubling,
+    so an upscaled re-encode yields the same contour) -> 64
+    derivative-sign bits as four 16-bit bands + the hex fingerprint.
+    Clips shorter than VPH_FRAMES raise per-row (honest failure — a
+    64-bit contour needs 65 frames)."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.avi import avi_decode
+
+        for pdf in batches:
+            rows = []
+            for did, v, p in zip(
+                pdf["doc_id"], pdf["variant"], pdf["payload"]
+            ):
+                w, h, frames = avi_decode(bytes(p))
+                if len(frames) < VPH_FRAMES:
+                    raise ValueError(
+                        f"video phash needs >= {VPH_FRAMES} frames, "
+                        f"got {len(frames)}"
+                    )
+                e = np.array(
+                    [
+                        int(f.astype(np.int64).sum()) // (w * h)
+                        for f in frames[:VPH_FRAMES]
+                    ],
+                    dtype=np.int64,
+                )
+                b0, b1, b2, b3 = contour_bands(e)
+                rows.append(
+                    (
+                        int(did),
+                        int(v),
+                        b0,
+                        b1,
+                        b2,
+                        b3,
+                        f"{b3:04X}{b2:04X}{b1:04X}{b0:04X}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "variant", "b0", "b1", "b2", "b3",
+                    "phash_hex",
+                ],
+            )
+
+    return media.select("doc_id", "variant", "payload").mapInPandas(
+        run, schema=PHASH_SCHEMA
+    )
+
+
 def frame_sample(
     media: DataFrame,
     every_n: int = 2,

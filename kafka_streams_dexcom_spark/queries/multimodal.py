@@ -305,6 +305,39 @@ def q_audio_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _banded_pairs(mm.audio_phash_features(media))
 
 
+def q_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip perceptual fingerprint over REAL AVI bytes — the video
+    twin of multimodal_phash/audio_phash: vendored RIFF/AVI decode ->
+    per-frame integer brightness floor(sum/area) -> 64 derivative-sign
+    contour bits. The planted corpus re-encodes each 65-frame clip as
+    4x4 gray, 2x-UPSCALED 8x8 (four times the frame bytes, identical
+    floor-mean contour — exact because 4S // 4A == S // A), and a
+    one-pixel perturbation: original and upscale MUST fingerprint
+    identically, and the oracle replays every brightness integer from
+    the md5 frame rule."""
+    media = mm.attach_video_phash_payload(
+        load_table(spark, sf_dir, "documents")
+    )
+    return mm.video_phash_features(media).select(
+        "doc_id", "variant", "phash_hex"
+    )
+
+
+def q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup VIDEO dedup: an upscaled re-encode (the
+    dominant duplicate class in scraped video — same clip reposted at
+    a different resolution) shares zero frame bytes with its original
+    but the identical brightness contour. Same blocking plan
+    (_banded_pairs), same scale shape as the image/audio twins: one
+    Arrow decode pass, (band_idx, band_val) groupBy, XOR popcount
+    verify, hot-bucket cap. Completes the perceptual-dedup modality
+    triptych."""
+    media = mm.attach_video_phash_payload(
+        load_table(spark, sf_dir, "documents")
+    )
+    return _banded_pairs(mm.video_phash_features(media))
+
+
 def _phash_duck_cte() -> str:
     """DuckDB replay of the planted pixel rule + dHash, per (group,
     perturbed) key: the same md5-derived source bytes the Spark synth
@@ -488,6 +521,76 @@ def _audio_phash_dedup_oracle() -> str:
     """
 
 
+def _vph_duck_cte() -> str:
+    """DuckDB replay of the planted video frame rule + brightness
+    contour, per (group, perturbed) key: pixel j of frame f is byte j
+    of md5('vph:<g>:<f>'), frame energy = Σpixels // 16 (the 4x4
+    area — the SAME integer the 8x8 upscale floor-means to), bit k =
+    e[k+1] > e[k]."""
+    n_frames, area = mm.VPH_FRAMES, mm.VPH_W * mm.VPH_H
+    base_j = (
+        "CAST('0x' || substr(md5('vph:' || CAST(g AS VARCHAR) || ':' || "
+        "CAST(f AS VARCHAR)), CAST(2 * j + 1 AS INT), 2) AS INT)"
+    )
+    byte_j = (
+        f"CASE WHEN pert = 1 AND f * {area} + j = 0 "
+        f"THEN ({base_j} + {mm.VPH_PERTURB}) % 256 ELSE {base_j} END"
+    )
+    e = (
+        f"list_transform(range(0, {n_frames}), f -> "
+        f"CAST(list_sum(list_transform(range(0, {area}), "
+        f"j -> {byte_j})) // {area} AS BIGINT))"
+    )
+    band_exprs = []
+    for b in range(4):
+        terms = []
+        for t in range(16):
+            k = 16 * b + t
+            terms.append(
+                f"CASE WHEN e[{k + 2}] > e[{k + 1}] "
+                f"THEN {1 << t} ELSE 0 END"
+            )
+        band_exprs.append("(" + " + ".join(terms) + f") AS b{b}")
+    return f"""
+        ph_docs AS (
+            SELECT doc_id, doc_id // {mm.PHASH_GROUP} AS g,
+                   CASE WHEN doc_id % {mm.PHASH_GROUP} = 2
+                        THEN 1 ELSE 0 END AS pert,
+                   CAST(doc_id % {mm.PHASH_GROUP} AS BIGINT) AS variant
+            FROM documents
+        ),
+        ph_keys AS (SELECT DISTINCT g, pert FROM ph_docs),
+        ph_e AS (SELECT g, pert, {e} AS e FROM ph_keys),
+        ph_fp AS (
+            SELECT g, pert, {", ".join(band_exprs)} FROM ph_e
+        )
+    """
+
+
+def _video_phash_oracle() -> str:
+    return f"""
+        WITH {_vph_duck_cte()}
+        SELECT pd.doc_id, pd.variant,
+               lpad(hex(f.b3), 4, '0') || lpad(hex(f.b2), 4, '0') ||
+               lpad(hex(f.b1), 4, '0') || lpad(hex(f.b0), 4, '0')
+                   AS phash_hex
+        FROM ph_docs pd
+        JOIN ph_fp f ON f.g = pd.g AND f.pert = pd.pert
+    """
+
+
+def _video_phash_dedup_oracle() -> str:
+    return f"""
+        WITH {_vph_duck_cte()},
+        fp_docs AS (
+            SELECT pd.doc_id, f.b0, f.b1, f.b2, f.b3
+            FROM ph_docs pd
+            JOIN ph_fp f ON f.g = pd.g AND f.pert = pd.pert
+        ),
+        {_banded_pairs_duck()}
+    """
+
+
 _MEDIA_TYPE = "['image', 'audio', 'video'][(doc_id % 3) + 1]"
 
 QUERIES = {
@@ -502,6 +605,8 @@ QUERIES = {
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "audio_phash": q_audio_phash,
     "audio_phash_dedup": q_audio_phash_dedup,
+    "video_phash": q_video_phash,
+    "video_phash_dedup": q_video_phash_dedup,
 }
 
 def _paired_media_audit_oracle() -> str:
@@ -546,6 +651,8 @@ ORACLES = {
     "multimodal_phash_dedup": _phash_dedup_oracle(),
     "audio_phash": _audio_phash_oracle(),
     "audio_phash_dedup": _audio_phash_dedup_oracle(),
+    "video_phash": _video_phash_oracle(),
+    "video_phash_dedup": _video_phash_dedup_oracle(),
     "video_avi_frames": """
         WITH b AS (
             SELECT doc_id, octet_length(encode(text)) AS n,

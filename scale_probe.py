@@ -180,12 +180,15 @@ PROBE_QUERIES = [
     "eval_span_scrub",
     # round-11: compliance_report is the robots broadcast fold + one
     # doc_id hash join of lifted headers — dim-shaped + row-linear.
-    # multimodal_phash is one Arrow decode pass, row-linear.
-    # (multimodal_phash_dedup and crawl_manifest are pair-family:
-    # a self-union doubles every fingerprint's bucket population /
-    # feeds the ngram pair graph — the excluded probe class.)
+    # multimodal_phash / video_phash are one Arrow decode pass each,
+    # row-linear.
+    # (multimodal_phash_dedup / video_phash_dedup and crawl_manifest
+    # are pair-family: a self-union doubles every fingerprint's bucket
+    # population / feeds the ngram pair graph — the excluded probe
+    # class.)
     "compliance_report",
     "multimodal_phash",
+    "video_phash",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
 # grow the fact volume, not the part catalog — and a ×10'd dim puts 10

@@ -154,3 +154,86 @@ def test_dhash_bands_bit_order():
     # reversed gradient -> every comparison true -> all 64 bits set
     dec = inc[:, ::-1].copy()
     assert mm.dhash_bands(dec) == (0xFFFF,) * 4
+
+
+def test_video_upscale_fingerprints_identically(spark):
+    """The video twin: 4x4 and 2x-upscaled 8x8 encodings of one clip
+    are byte-distinct REAL AVIs with the IDENTICAL brightness contour
+    (floor-mean invariance: 4S // 4A == S // A); the perturbed variant
+    stays within 1 bit (only frame 0's energy can move)."""
+    from kafka_streams_dexcom_spark.functions.avi import avi_decode
+
+    docs = spark.createDataFrame([(i,) for i in range(9)], "doc_id long")
+    media = mm.attach_video_phash_payload(docs)
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    assert payloads[0] != payloads[1]
+    w0, h0, f0 = avi_decode(payloads[0])
+    w1, h1, f1 = avi_decode(payloads[1])
+    assert (w0, h0, len(f0)) == (mm.VPH_W, mm.VPH_H, mm.VPH_FRAMES)
+    assert (w1, h1, len(f1)) == (2 * mm.VPH_W, 2 * mm.VPH_H, mm.VPH_FRAMES)
+    # the upscale really is pixel-doubling of the same content
+    assert (f1[0][::2, ::2] == f0[0]).all()
+    fp = {
+        r["doc_id"]: r
+        for r in mm.video_phash_features(media).collect()
+    }
+    for g in range(3):
+        base, up, pert = fp[3 * g], fp[3 * g + 1], fp[3 * g + 2]
+        assert base["phash_hex"] == up["phash_hex"], g
+        ham = sum(
+            bin(base[f"b{i}"] ^ pert[f"b{i}"]).count("1")
+            for i in range(4)
+        )
+        assert ham <= 1, (g, ham)
+    ham_cross = sum(
+        bin(fp[0][f"b{i}"] ^ fp[3][f"b{i}"]).count("1") for i in range(4)
+    )
+    assert ham_cross > mm_max_hamming()
+
+
+def test_video_byte_dedup_blind_phash_sees(spark, sf_dir):
+    """On the planted video corpus, md5-of-payload dedup finds ZERO
+    duplicate groups while the banded pairing recovers every group's
+    three encodings — the video_phash_dedup contract."""
+    from kafka_streams_dexcom_spark.queries.multimodal import (
+        q_video_phash_dedup,
+    )
+    from kafka_streams_dexcom_spark.sources.files import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    media = mm.attach_video_phash_payload(docs)
+    byte_groups = (
+        media.groupBy(F.md5("payload"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert byte_groups == 0
+    pairs = q_video_phash_dedup(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    full_groups = n_docs // 3
+    within = [
+        p for p in pairs if p["id_a"] // 3 == p["id_b"] // 3
+    ]
+    assert len(within) >= full_groups * 3
+    for p in within:
+        assert p["hamming"] <= 1, p
+
+
+def test_video_phash_short_clip_raises(spark):
+    """A clip with fewer than VPH_FRAMES frames raises per-row (honest
+    failure) instead of emitting a truncated fingerprint."""
+    import numpy as np
+    import pytest
+
+    from kafka_streams_dexcom_spark.functions.avi import avi_encode
+
+    short = avi_encode(
+        [np.zeros((4, 4), dtype=np.uint8) for _ in range(3)]
+    )
+    media = spark.createDataFrame(
+        [(0, 0, bytearray(short))],
+        "doc_id long, variant long, payload binary",
+    )
+    with pytest.raises(Exception, match="65 frames"):
+        mm.video_phash_features(media).collect()
