@@ -170,6 +170,7 @@ HEADLINE = [
     "multimodal_phash_dedup",    # Hamming-banded perceptual near-dup
     "audio_phash_dedup",         # audio energy-contour near-dup twin
     "video_phash_dedup",         # video brightness-contour near-dup twin
+    "phash_survivors",           # cross-modal perceptual survivor election
     "crawl_manifest",            # composed 6-stage crawl ROI ledger
 ]
 

@@ -219,15 +219,17 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     encodings pair up (gray vs RGB at hamming 0, the perturbed
     variant at <= 2) while cross-group pairs stay ~32 bits apart.
 
-    Scale shape: fingerprints are one Arrow decode pass (payloads
-    never shuffle); candidate generation is one groupBy on (band_idx,
+    Scale shape: fingerprints come from the per-session published
+    artifact (_fp_artifact: ONE Arrow decode pass per modality per
+    corpus, shared by every pair/survivor consumer — the cluster_map
+    discipline; payloads never shuffle); candidate generation is one
+    groupBy on (band_idx,
     band_val) — 65536 buckets per band — with pairs emitted only
     inside buckets; the exact Hamming check is integer XOR popcounts
     on the 8-byte fingerprint halves. No all-pairs anywhere; the
     SIMHASH_MAX_BUCKET cap bounds degenerate buckets (e.g. flat-color
     frames) at 100 TB."""
-    media = mm.attach_phash_payload(load_table(spark, sf_dir, "documents"))
-    return _banded_pairs(mm.phash_features(media))
+    return _banded_pairs(_fp_artifact(spark, sf_dir, "image"))
 
 
 def _banded_pairs(fp: DataFrame) -> DataFrame:
@@ -297,12 +299,9 @@ def q_audio_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical energy contour — banded pairing catches what
     byte-exact dedup can't, the multimodal_phash_dedup contract on the
     second modality. Same blocking plan (_banded_pairs), same scale
-    shape: one Arrow decode pass, (band_idx, band_val) groupBy, XOR
-    popcount verify, hot-bucket cap."""
-    media = mm.attach_audio_phash_payload(
-        load_table(spark, sf_dir, "documents")
-    )
-    return _banded_pairs(mm.audio_phash_features(media))
+    shape: fingerprints from the shared per-session artifact, (band_idx,
+    band_val) groupBy, XOR popcount verify, hot-bucket cap."""
+    return _banded_pairs(_fp_artifact(spark, sf_dir, "audio"))
 
 
 def q_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,14 +327,96 @@ def q_video_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominant duplicate class in scraped video — same clip reposted at
     a different resolution) shares zero frame bytes with its original
     but the identical brightness contour. Same blocking plan
-    (_banded_pairs), same scale shape as the image/audio twins: one
-    Arrow decode pass, (band_idx, band_val) groupBy, XOR popcount
-    verify, hot-bucket cap. Completes the perceptual-dedup modality
-    triptych."""
-    media = mm.attach_video_phash_payload(
-        load_table(spark, sf_dir, "documents")
+    (_banded_pairs), same scale shape as the image/audio twins:
+    fingerprints from the shared per-session artifact, (band_idx,
+    band_val) groupBy, XOR popcount verify, hot-bucket cap. Completes
+    the perceptual-dedup modality triptych."""
+    return _banded_pairs(_fp_artifact(spark, sf_dir, "video"))
+
+
+def _fp_artifact(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
+    """Per-modality perceptual fingerprint table, MATERIALIZED once per
+    (Spark application, corpus) and shared — the cluster_map discipline:
+    at 100 TB the fingerprints of a media corpus are a published
+    artifact every downstream consumer (pairing, survivor election,
+    incremental screens) reads, never a decode pass each query re-runs.
+    The parquet round-trip also cuts the mapInPandas lineage, so
+    consumers plan against a flat (doc_id, b0..b3) scan."""
+    import os
+
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
     )
-    return _banded_pairs(mm.video_phash_features(media))
+
+    builders = {
+        "image": lambda d: mm.phash_features(mm.attach_phash_payload(d)),
+        "audio": lambda d: mm.audio_phash_features(
+            mm.attach_audio_phash_payload(d)
+        ),
+        "video": lambda d: mm.video_phash_features(
+            mm.attach_video_phash_payload(d)
+        ),
+    }
+    return session_artifact(
+        spark,
+        f"phash_fp_{modality}",
+        (
+            os.path.abspath(sf_dir),
+            corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        ),
+        lambda: builders[modality](load_table(spark, sf_dir, "documents")),
+    )
+
+
+def q_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The perceptual dedup pipeline's final materialization, across
+    ALL THREE modalities: every (modality, doc) mapped to its near-dup
+    cluster canonical (min doc_id of its perceptual component via exact
+    connected components; its own id when it has no near-dup) and the
+    keep/drop decision — the media twin of dedup_survivors, the row a
+    100 TB media dedup job actually writes back out.
+
+    Scale shape: fingerprints come from the per-session published
+    artifact (_fp_artifact — ONE Arrow decode pass per modality per
+    corpus, shared with every other consumer; payload bytes never
+    shuffle), then three banded pair plans (the _banded_pairs blocking
+    with the hot-bucket cap), three pointer-doubling CCs over pair
+    graphs that are linear in docs (each connects a handful of
+    re-encodes), and doc_id-keyed hash joins of the narrow label
+    tables. No modality's work gates another's — at cluster scale the
+    three legs schedule concurrently."""
+    from kafka_streams_dexcom_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ids = docs.select("doc_id")
+    outs = []
+    for name in ("image", "audio", "video"):
+        comp = connected_components(
+            _banded_pairs(_fp_artifact(spark, sf_dir, name)),
+            a_col="id_a",
+            b_col="id_b",
+        )
+        outs.append(
+            ids.join(comp, ids.doc_id == comp.node, "left").select(
+                F.lit(name).alias("modality"),
+                "doc_id",
+                F.coalesce(F.col("component"), F.col("doc_id")).alias(
+                    "canonical_id"
+                ),
+            )
+        )
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u.select(
+        "modality",
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_survivor"),
+    )
 
 
 def _phash_duck_cte() -> str:
@@ -591,6 +672,68 @@ def _video_phash_dedup_oracle() -> str:
     """
 
 
+def _phash_survivors_oracle() -> str:
+    """Composes the three modality pair oracles zero-glue (each full
+    pair query nests as a derived-table CTE, so their internal CTE
+    names never collide), then runs the pointer-doubling CC chain once
+    per modality. rounds=16 covers min-label paths of 2^16 hops — far
+    beyond any component a banded pair graph over per-group re-encodes
+    can produce — and the cc_bad guards keep non-convergence LOUD: any
+    unconverged leg zeroes the whole result (rows mismatch) instead of
+    silently labeling singletons."""
+    from kafka_streams_dexcom_spark.queries.dedup import cc_doubling_sql
+
+    legs = {
+        "img": _phash_dedup_oracle(),
+        "aud": _audio_phash_dedup_oracle(),
+        "vid": _video_phash_dedup_oracle(),
+    }
+    parts = []
+    for tag, pair_q in legs.items():
+        # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+        # every CC layer references the edge list twice — inlined, the
+        # 16 layers would re-run the whole pair oracle ~32x per leg
+        # (measured 274s -> the materialized form is seconds)
+        parts.append(f"{tag}_pairs AS MATERIALIZED ({pair_q})")
+        parts.append(
+            f"""{tag}_edges AS MATERIALIZED (
+                SELECT id_a AS u, id_b AS v FROM {tag}_pairs
+                UNION ALL
+                SELECT id_b AS u, id_a AS v FROM {tag}_pairs
+            )"""
+        )
+        parts.append(
+            f"""{tag}_comp AS (
+                WITH {cc_doubling_sql(f"{tag}_edges", rounds=16)}
+                SELECT node, component,
+                       (SELECT n FROM cc_bad) AS bad
+                FROM comp
+            )"""
+        )
+    leg_selects = []
+    for tag, modality in (
+        ("img", "image"), ("aud", "audio"), ("vid", "video")
+    ):
+        leg_selects.append(
+            f"""SELECT '{modality}' AS modality, d.doc_id,
+                   COALESCE(c.component, d.doc_id) AS canonical_id
+            FROM documents d
+            LEFT JOIN {tag}_comp c ON c.node = d.doc_id"""
+        )
+    guards = " AND ".join(
+        f"(SELECT COALESCE(MAX(bad), 0) FROM {tag}_comp) = 0"
+        for tag in legs
+    )
+    return f"""
+        WITH {", ".join(parts)},
+        legs AS ({" UNION ALL ".join(leg_selects)})
+        SELECT modality, doc_id, canonical_id,
+               doc_id = canonical_id AS is_survivor
+        FROM legs
+        WHERE {guards}
+    """
+
+
 _MEDIA_TYPE = "['image', 'audio', 'video'][(doc_id % 3) + 1]"
 
 QUERIES = {
@@ -607,6 +750,7 @@ QUERIES = {
     "audio_phash_dedup": q_audio_phash_dedup,
     "video_phash": q_video_phash,
     "video_phash_dedup": q_video_phash_dedup,
+    "phash_survivors": q_phash_survivors,
 }
 
 def _paired_media_audit_oracle() -> str:
@@ -653,6 +797,7 @@ ORACLES = {
     "audio_phash_dedup": _audio_phash_dedup_oracle(),
     "video_phash": _video_phash_oracle(),
     "video_phash_dedup": _video_phash_dedup_oracle(),
+    "phash_survivors": _phash_survivors_oracle(),
     "video_avi_frames": """
         WITH b AS (
             SELECT doc_id, octet_length(encode(text)) AS n,

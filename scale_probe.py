@@ -182,10 +182,10 @@ PROBE_QUERIES = [
     # doc_id hash join of lifted headers — dim-shaped + row-linear.
     # multimodal_phash / video_phash are one Arrow decode pass each,
     # row-linear.
-    # (multimodal_phash_dedup / video_phash_dedup and crawl_manifest
-    # are pair-family: a self-union doubles every fingerprint's bucket
-    # population / feeds the ngram pair graph — the excluded probe
-    # class.)
+    # (multimodal_phash_dedup / video_phash_dedup / phash_survivors
+    # and crawl_manifest are pair-family: a self-union doubles every
+    # fingerprint's bucket population / feeds the pair graph — the
+    # excluded probe class.)
     "compliance_report",
     "multimodal_phash",
     "video_phash",

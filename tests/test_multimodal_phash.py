@@ -237,3 +237,30 @@ def test_video_phash_short_clip_raises(spark):
     )
     with pytest.raises(Exception, match="65 frames"):
         mm.video_phash_features(media).collect()
+
+
+def test_phash_survivors_policy(spark, sf_dir):
+    """Survivor election across the three modality pair graphs: every
+    full planted group keeps exactly its min doc_id (the other two
+    re-encodes map to it), in every modality."""
+    from kafka_streams_dexcom_spark.queries.multimodal import (
+        q_phash_survivors,
+    )
+    from kafka_streams_dexcom_spark.sources.files import load_table
+
+    rows = q_phash_survivors(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == 3 * n_docs
+    by_mod = {}
+    for r in rows:
+        by_mod.setdefault(r["modality"], {})[r["doc_id"]] = r
+    assert set(by_mod) == {"image", "audio", "video"}
+    full_groups = n_docs // 3
+    for mod, docs in by_mod.items():
+        for g in range(full_groups):
+            trio = [docs[3 * g + v] for v in range(3)]
+            for r in trio:
+                assert r["canonical_id"] == 3 * g, (mod, g, r)
+            assert [r["is_survivor"] for r in trio] == [
+                True, False, False,
+            ], (mod, g)
