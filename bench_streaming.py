@@ -561,6 +561,76 @@ def main() -> None:
             "chrome_lines_final": lc.chrome().count(),
         }
 
+        # Streaming perceptual-dup index: per batch, banded candidate
+        # probe against the stored fingerprint index + incremental CC
+        # changelog (streaming/phash_index.py). Fingerprints are
+        # synthesized scan-side in the planted re-encode geometry
+        # (group g = doc_id div 3; two exact twins + a 1-bit near-dup)
+        # so the leg measures the MAINTAINER's fold — pairing, CC
+        # delta, commit — not a codec pass. Same contract as the
+        # cluster-map maintainer: per-batch cost may grow with the
+        # index (the probe side), commits stay O(batch).
+        from kafka_streams_dexcom_spark.streaming.phash_index import (
+            PhashIndexMaintainer,
+        )
+
+        fp_bench = load_table(spark, sf_dir, "documents").select(
+            "doc_id",
+            *[
+                F.expr(
+                    f"CAST(conv(substr(md5(concat('bfp:', "
+                    f"CAST(doc_id div 3 AS STRING))), {1 + 4 * i}, 4), "
+                    f"16, 10) AS BIGINT)"
+                    + (" ^ CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END"
+                       if i == 0 else "")
+                ).alias(f"b{i}")
+                for i in range(4)
+            ],
+        )
+        fp_in = f"{work}/fp_in"
+        n_fp = _write_chunks(fp_bench, fp_in, NUM_CHUNKS)
+        pidx = PhashIndexMaintainer(
+            spark, f"{work}/phash_index", lineage_id="bench-fp"
+        )
+        fp_secs: list[float] = []
+
+        def timed_fp(batch_df: DataFrame, batch_id: int) -> None:
+            b0 = time.time()
+            pidx(batch_df, batch_id)
+            fp_secs.append(round(time.time() - b0, 2))
+
+        t0 = time.time()
+        q = (
+            spark.readStream.schema(
+                "doc_id long, b0 long, b1 long, b2 long, b3 long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(fp_in)
+            .writeStream.foreachBatch(timed_fp)
+            .outputMode("append")
+            .option("checkpointLocation", f"{work}/ckpt_fp")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        results["phash_index_stream"] = round(
+            n_fp / (time.time() - t0), 1
+        )
+        results["phash_index_batch_sec"] = {
+            "first": fp_secs[0] if fp_secs else None,
+            "last": fp_secs[-1] if fp_secs else None,
+            "max": max(fp_secs) if fp_secs else None,
+            "n_batches": len(fp_secs),
+            "dup_docs": pidx.survivors_view()
+            .filter(~F.col("is_survivor"))
+            .count(),
+        }
+        results["phash_index_commit_sec"] = {
+            "first": pidx.timings[0]["commit_sec"],
+            "last": pidx.timings[-1]["commit_sec"],
+            "max": max(t["commit_sec"] for t in pidx.timings),
+        } if pidx.timings else None
+
         # Streaming curation gate: JSONL landing -> PERMISSIVE parse ->
         # three-way corrupt/rejected/accepted routing with the gopher
         # flags riding the landing scan (streaming/quality_gate.py).
