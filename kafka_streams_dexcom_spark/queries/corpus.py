@@ -892,8 +892,17 @@ def _crawl_manifest_oracle() -> str:
     (robots), canonical-URL winners, the extractor twin over the
     SQL-rebuilt pages, the per-host line census over the nav-wrapped
     extracted text, gopher_duck_sql over the chrome-cleaned text, and
-    the recursive-CTE connected components — aggregated to the same
-    6-row ledger."""
+    the pointer-doubling CC chain — aggregated to the same 6-row
+    ledger (a missing 6th row = unconverged CC, the loud cc_bad
+    guard).
+
+    CC is the MATERIALIZED-pairs doubling chain, NOT _cc_oracle: the
+    recursive reach CTE re-derives its inlined shingle-self-join edge
+    list per iteration, which standalone (dedup_clusters) fits the
+    oracle memory cap but INSIDE this composition — coexisting with
+    the extraction/census materializations — spilled past the disk at
+    sf1 (measured: >78 GB of DuckDB temp at the 48 GB cap; the
+    er_customer_golden chain form passes)."""
     from kafka_streams_dexcom_spark.functions import url as ux
     from kafka_streams_dexcom_spark.operators.robots import (
         robots_rules_duck_sql,
@@ -904,8 +913,9 @@ def _crawl_manifest_oracle() -> str:
     )
     from kafka_streams_dexcom_spark.queries.dedup import (
         DUCK_HASH60,
-        _cc_oracle,
+        _ngram_jaccard_oracle,
         _robots_docs_duck,
+        cc_doubling_sql,
     )
     from kafka_streams_dexcom_spark.queries.text import gopher_duck_sql
 
@@ -946,11 +956,11 @@ def _crawl_manifest_oracle() -> str:
               USING (doc_id)
         ),
         uc AS (SELECT doc_id, {canon} AS curl FROM documents),
-        h2 AS MATERIALIZED (
+        hpage AS MATERIALIZED (
             SELECT doc_id, source, text, {hx.wrap_html_sql()} AS html
             FROM documents
         ),
-        soup AS (SELECT doc_id, {tokd('html')} AS tk_soup FROM h2),
+        soup AS (SELECT doc_id, {tokd('html')} AS tk_soup FROM hpage),
         w2 AS (
             SELECT curl, min(doc_id) AS w
             FROM uc JOIN rv USING (doc_id)
@@ -966,7 +976,7 @@ def _crawl_manifest_oracle() -> str:
             LEFT JOIN w2 ON w2.curl = uc.curl
         ),
         stx AS (
-            SELECT doc_id, source, {dd_["stats"]} AS __st FROM h2
+            SELECT doc_id, source, {dd_["stats"]} AS __st FROM hpage
         ),
         exd AS MATERIALIZED (
             SELECT doc_id, source, {dd_["text"]} AS etext FROM stx
@@ -1015,7 +1025,13 @@ def _crawl_manifest_oracle() -> str:
         gq AS MATERIALIZED (
             {gopher_duck_sql("(SELECT doc_id, clean AS text FROM chrome)")}
         ),
-        comp AS ({_cc_oracle()}),
+        ngp AS MATERIALIZED ({_ngram_jaccard_oracle()}),
+        cc_edges AS MATERIALIZED (
+            SELECT doc_a AS u, doc_b AS v FROM ngp
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM ngp
+        ),
+        {cc_doubling_sql("cc_edges")},
         clu AS (
             SELECT c2.doc_id,
                    coalesce(comp.component, c2.doc_id) AS cluster
@@ -1080,7 +1096,7 @@ def _crawl_manifest_oracle() -> str:
         FROM agg1, agg2
         UNION ALL
         SELECT 6, 'neardup', n_a3, n_a4, tkh_a3, tkh_a4
-        FROM agg1, agg2
+        FROM agg1, agg2 WHERE (SELECT n FROM cc_bad) = 0
     """
 
 
