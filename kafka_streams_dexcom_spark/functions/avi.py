@@ -51,15 +51,18 @@ def avi_encode(frames: list[np.ndarray], fps: int = 10) -> bytes:
         h = w = 8
     stride = _row_stride(w)
     size_image = stride * h
-    movi_body = b""
+    movi_parts = []
     for f in frames:
         if f.dtype != np.uint8:
             raise ValueError("frames must be uint8")
-        rows = []
-        for r in range(h - 1, -1, -1):  # bottom-up DIB row order
-            bgr = np.repeat(f[r].astype(np.uint8), 3).tobytes()
-            rows.append(bgr + b"\x00" * (stride - len(bgr)))
-        movi_body += _chunk(b"00db", b"".join(rows))
+        # bottom-up DIB row order, gray tripled to BGR, rows padded to
+        # the 4-byte stride — one vectorized build per frame (a
+        # per-row Python loop here dominated the whole encode at 65
+        # frames/clip: measured x3.75 -> x2 on the video-phash probe)
+        body = np.zeros((h, stride), dtype=np.uint8)
+        body[:, : w * 3] = np.repeat(f[::-1], 3, axis=1)
+        movi_parts.append(_chunk(b"00db", body.tobytes()))
+    movi_body = b"".join(movi_parts)
     avih = struct.pack(
         "<IIIIIIIIII4I",
         1_000_000 // fps,  # dwMicroSecPerFrame

@@ -638,12 +638,15 @@ def vph_src_bytes(g: int, perturb: bool) -> "np.ndarray":
 
     import numpy as np
 
-    n = VPH_FRAMES * VPH_W * VPH_H
-    out = np.empty(n, dtype=np.int64)
-    for f in range(VPH_FRAMES):
-        h = hashlib.md5(f"vph:{g}:{f}".encode()).digest()
-        for k in range(VPH_W * VPH_H):
-            out[f * 16 + k] = h[k]
+    out = np.concatenate(
+        [
+            np.frombuffer(
+                hashlib.md5(f"vph:{g}:{f}".encode()).digest(),
+                dtype=np.uint8,
+            )
+            for f in range(VPH_FRAMES)
+        ]
+    ).astype(np.int64)
     if perturb:
         out[0] = (out[0] + VPH_PERTURB) % 256
     return out
@@ -718,12 +721,11 @@ def video_phash_features(media: DataFrame) -> DataFrame:
                         f"video phash needs >= {VPH_FRAMES} frames, "
                         f"got {len(frames)}"
                     )
-                e = np.array(
-                    [
-                        int(f.astype(np.int64).sum()) // (w * h)
-                        for f in frames[:VPH_FRAMES]
-                    ],
-                    dtype=np.int64,
+                e = (
+                    np.stack(frames[:VPH_FRAMES])
+                    .astype(np.int64)
+                    .sum(axis=(1, 2))
+                    // (w * h)
                 )
                 b0, b1, b2, b3 = contour_bands(e)
                 rows.append(

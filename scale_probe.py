@@ -188,6 +188,7 @@ PROBE_QUERIES = [
     # excluded probe class.)
     "compliance_report",
     "multimodal_phash",
+    "audio_phash",
     "video_phash",
 ]
 # Only FACTS are self-unioned ×10. Dimensions stay 1×: real 10× corpora
