@@ -10,8 +10,10 @@ Normalization policy (deliberately conservative — canonicalization
 must never merge DIFFERENT resources):
 
 1. scheme and host lowercase (RFC 3986 §6.2.2.1 — case-insensitive);
-2. leading ``www.`` stripped from the host (the one host rewrite the
-   crawl pipelines apply; anything more needs a site map);
+2. leading ``userinfo@`` (RFC 3986 §3.2.1) then ``www.`` stripped from
+   the host (the one host rewrite the crawl pipelines apply; anything
+   more needs a site map) — the same order :func:`host_sql` applies,
+   so the two agree on the host of RAW input;
 3. default port stripped (``:443`` for https, ``:80`` for http —
    RFC 3986 §6.2.3);
 4. fragment dropped (never sent to the server);
@@ -67,7 +69,11 @@ def canonical_url_sql(x: str, duck: bool = False) -> str:
     scheme = f"lower(regexp_extract({x}, {p_scheme}, 1))"
     after = f"regexp_replace({x}, {p_scheme}, '')"
     hostport = f"lower(regexp_extract({after}, {p_hp}, 1))"
-    host_nowww = f"regexp_replace({hostport}, {p_www}, '')"
+    # strip userinfo@ (RFC 3986 §3.2.1) BEFORE the www. strip — the
+    # same order host_sql applies, so https://user@www.h/x and
+    # https://h/x share one canonical URL (and one host)
+    host_nouser = f"regexp_replace({hostport}, {q(_USERINFO_RE, duck)}, '')"
+    host_nowww = f"regexp_replace({host_nouser}, {p_www}, '')"
     host = (
         f"CASE WHEN {scheme} = 'https' THEN "
         f"regexp_replace({host_nowww}, {p_443}, '') "

@@ -48,8 +48,13 @@ from pyspark.sql import functions as F
 # matches as); tests pass their own.
 CRAWLER_AGENT = "trainbot"
 
-ROBOTS_RULE_RE = "^(Disallow|Allow): *(.*?) *$"
-ROBOTS_UA_RE = "^User-agent: *(.*?) *$"
+# RFC 9309 field names are CASE-INSENSITIVE and real bodies are
+# commonly CRLF + lowercase ('user-agent:'); '(?i)' is valid in both
+# Java regex (Spark) and RE2 (DuckDB), and the trailing [ \r]* strips
+# the CR a split-on-\n leaves behind — without these, a lowercase CRLF
+# body parses to ZERO rules and compliance fails open.
+ROBOTS_RULE_RE = "(?i)^(Disallow|Allow): *(.*?)[ \r]*$"
+ROBOTS_UA_RE = "(?i)^User-agent: *(.*?)[ \r]*$"
 
 
 def rule_regex_sql(p: str, duck: bool = False) -> str:  # noqa: ARG001
@@ -138,7 +143,7 @@ def robots_rules(
         .filter(F.col("lvl") == F.col("mx"))
         .select(
             "host",
-            (F.col("kind") == "Allow").alias("allow"),
+            (F.lower(F.col("kind")) == "allow").alias("allow"),
             F.col("patt").alias("pattern"),
             F.expr(rule_regex_sql("patt")).alias("rx"),
             F.length("patt").cast("int").alias("prio"),
@@ -239,7 +244,8 @@ def robots_rules_duck_sql(
             WHERE lvl > 0 GROUP BY host
         ),
         rep_rules AS (
-            SELECT g.host, g.kind = 'Allow' AS allow, g.patt AS pattern,
+            SELECT g.host, lower(g.kind) = 'allow' AS allow,
+                   g.patt AS pattern,
                    {rule_regex_sql('g.patt', duck=True)} AS rx,
                    length(g.patt) AS prio
             FROM rep_grouped g

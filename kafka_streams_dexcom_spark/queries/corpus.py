@@ -658,22 +658,33 @@ def q_compliance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rv = robots_verdicts(d, robots)
     path = _warc_fixture(spark, sf_dir)
     recs = cs.read_warc(spark, os.path.join(path, "*.warc.gz"))
-    optout = recs.filter(F.col("warc_type") == "response").select(
-        F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
-        .cast("bigint")
-        .alias("doc_id"),
-        F.coalesce(
-            F.col("x_robots_tag").contains("noai"), F.lit(False)
-        ).alias("header_optout"),
+    # aggregate to one row per doc (a duplicate response record must
+    # not duplicate audit rows) and LEFT-join: a verdict row survives
+    # even when the WARC has no response record for the doc — a
+    # missing fetch is "no opt-out seen", not "drop from the audit"
+    optout = (
+        recs.filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/([0-9]+)$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.coalesce(
+                F.col("x_robots_tag").contains("noai"), F.lit(False)
+            ).alias("header_optout"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("header_optout").alias("header_optout"))
     )
-    return rv.join(optout, "doc_id").select(
+    return rv.join(optout, "doc_id", "left").select(
         "doc_id",
         "host",
         "path",
         F.col("allowed").alias("robots_allowed"),
         "matched_rule",
-        "header_optout",
-        (F.col("allowed") & ~F.col("header_optout")).alias("compliant"),
+        F.coalesce("header_optout", F.lit(False)).alias("header_optout"),
+        (
+            F.col("allowed") & ~F.coalesce("header_optout", F.lit(False))
+        ).alias("compliant"),
     )
 
 

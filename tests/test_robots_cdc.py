@@ -124,6 +124,29 @@ def test_robots_allow_wins_priority_ties(spark):
     assert v["/dir/ab"] == (True, "/dir/*")
 
 
+def test_robots_lowercase_crlf_body(spark):
+    """RFC 9309 field names are case-insensitive and real robots.txt
+    bodies are commonly CRLF with lowercase fields ('user-agent:');
+    before round 12 such a body parsed to ZERO groups/rules and every
+    fetch was allowed — compliance failed open on exactly the corpus
+    the docstrings advertise swapping in."""
+    body = (
+        "user-agent: googlebot\r\n"
+        "disallow: /\r\n"
+        "\r\n"
+        "USER-AGENT: trainbot\r\n"
+        "disallow: /x\r\n"
+        "allow: /x/ok\r\n"
+    )
+    v = _verdicts(spark, body, ["/x/1", "/x/ok/2", "/y"])
+    assert v["/x/1"] == (False, "/x")
+    assert v["/x/ok/2"] == (True, "/x/ok")
+    assert v["/y"] == (True, "")
+    # the googlebot group still blocks everything for googlebot
+    g = _verdicts(spark, body, ["/y"], agent="googlebot")
+    assert g["/y"] == (False, "/")
+
+
 def test_robots_empty_disallow_is_allow_all(spark):
     """§2.2.2: 'Disallow:' with an empty value means allow-all — it
     must NOT become a ''-prefix rule that startswith-matches every
