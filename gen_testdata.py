@@ -9,9 +9,16 @@ Faithful to the driver tables in everything queries depend on:
     embeddings, timestamp[us] dates),
   - identical value domains (region/nation names, mktsegments, order
     status/priority strings, p_type/p_brand sets, 1995-2001 date
-    ranges, events Jan-2024 window, props='{"k": 0..99}', doc vocab of
-    30 words, 20 sources, 5 langs, unit-norm 64-dim embeddings with 10
-    cluster labels),
+    ranges, events Jan-2024 window, props='{"k": 0..99}', 20 sources,
+    5 langs, unit-norm 64-dim embeddings with cluster labels),
+  - REALISTIC shape growth above sf0.1 (round 12): embedding cluster
+    count scales linearly with sf (per-cluster population constant)
+    and the document vocabulary grows as sqrt(sf) per Heaps' law with
+    the stopword-marker mass preserved — holding both constant packed
+    100x rows into the same blocks and exploded pair volume ~10,000x,
+    which excluded the whole near-dup/CC family from the sf10 gate
+    (SF10_PARITY.json r11). At sf <= 0.1 the shape is exactly the
+    driver's (10 clusters, uniform 30-word vocab),
   - the planted structure the curation queries exercise: exact +
     near-duplicate documents (the near-dups perturb a few words to
     'dup', matching the sf0.1 marker token) and clusterable
@@ -39,6 +46,47 @@ VOCAB = (
     "join filter big group hash customer sort order slow line part "
     "fast the row agg key query a scan batch"
 ).split()
+# The two Gopher stopword markers in the driver vocab (LANG_MARKERS
+# overlap) — their per-position probability (1/30 each) is preserved at
+# EVERY sf so quality-gate behavior matches the driver corpus, while
+# the non-marker vocabulary grows with corpus size (below).
+MARKERS = ("the", "a")
+REST_BASE = [w for w in VOCAB if w not in MARKERS]  # 28 words
+# syllables for deterministic synthetic vocabulary growth (word shapes
+# stay 4-6 chars so the Gopher mean-word-length rule keeps its profile)
+_SYL = (
+    "ba de fi go hu ka le mi no pu ra se ti vo wu za ce dy fo gi "
+    "he ju ko lu"
+).split()
+
+
+def rest_vocab(n: int) -> list[str]:
+    """The non-marker vocabulary at size ``n``: the 28 driver words
+    first, then deterministic 2- and 3-syllable pseudo-words. Growing
+    the vocab with corpus size is Heaps' law (V ∝ N^0.5) — the r11
+    sf10 corpus held V at 30, which packed 100x the documents into the
+    same shingle space and exploded within-bucket pair volume ~10,000x
+    (SF10_PARITY.json exclusion class); real 100x corpora add vocab."""
+    out = list(REST_BASE)
+    i = 0
+    while len(out) < n:
+        a, b, c = i % 24, (i // 24) % 24, i // 576
+        w = _SYL[a] + _SYL[b] + (_SYL[c % 24] if c else "")
+        if w not in out:
+            out.append(w)
+        i += 1
+    return out[:n]
+
+
+def scaled_shape(sf: float) -> tuple[int, int]:
+    """(embedding clusters, non-marker vocab size) at scale ``sf``.
+    At sf <= 0.1 (driver scales) both match the driver corpus exactly
+    (10 clusters, 28 non-marker words -> the uniform-30 draw). Above
+    that, clusters grow LINEARLY (real corpus growth adds topics, so
+    per-cluster population stays ~200 vectors) and vocabulary grows as
+    sqrt (Heaps' law), keeping docs-per-shingle roughly constant."""
+    rel = max(1.0, sf / 0.1)
+    return int(round(10 * rel)), int(round(28 * rel ** 0.5))
 REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
 SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
@@ -192,14 +240,25 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         ],
     }))
 
-    # documents: 30-word vocab, 8..100 words, ~1% exact dups, ~4%
-    # near-dups (a few words flipped to the 'dup' marker token)
+    # documents: scaled vocab (see scaled_shape), 8..100 words, ~1%
+    # exact dups, ~4% near-dups (a few words flipped to the 'dup'
+    # marker token). Each position: 2/30 marker ('the'/'a', matching
+    # the driver corpus at every sf), else uniform over the scaled
+    # non-marker vocab.
+    n_clusters, v_rest = scaled_shape(sf)
+    rest = np.array(rest_vocab(v_rest))
+    markers = np.array(MARKERS)
     n_base = int(n_doc * 0.95)
     lens = rng.integers(8, 101, n_base)
-    texts = [
-        " ".join(np.array(VOCAB)[rng.integers(0, len(VOCAB), ln)])
-        for ln in lens
-    ]
+
+    def _doc_words(ln: int) -> np.ndarray:
+        base_idx = rng.integers(0, 30, ln)
+        rest_idx = rng.integers(0, v_rest, ln)
+        return np.where(
+            base_idx < 2, markers[np.minimum(base_idx, 1)], rest[rest_idx]
+        )
+
+    texts = [" ".join(_doc_words(ln)) for ln in lens]
     for _ in range(n_doc - n_base):
         src = int(rng.integers(0, n_base))
         if rng.random() < 0.25:  # exact duplicate
@@ -223,8 +282,12 @@ def generate(sf: float, out: str, seed: int = 42) -> None:
         "n_chars": pa.array([len(t) for t in texts], pa.int64()),
     }))
 
-    # embeddings: 10 gaussian clusters on the unit sphere, dim 64
-    dim, k = 64, 10
+    # embeddings: gaussian clusters on the unit sphere, dim 64; the
+    # cluster count scales linearly with sf (scaled_shape) so
+    # per-cluster population stays ~200 vectors at every scale — real
+    # corpus growth adds topics, it does not multiply each topic's
+    # population 100x
+    dim, k = 64, n_clusters
     centers = rng.normal(0, 1, (k, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     label = rng.integers(0, k, n_emb)

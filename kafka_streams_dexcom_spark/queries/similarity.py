@@ -350,8 +350,22 @@ def _recall_matrix_oracle() -> str:
     """
 
 
-KMEANS_K = 8
+KMEANS_K = 8  # nlist floor — and the exact k at driver scales (<= sf0.1)
 KMEANS_ITERS = 3
+# Production IVF sizes nlist WITH the corpus (FAISS guidance:
+# ~sqrt(N)..N/256 cells; a fixed nlist makes within-cell candidate
+# volume quadratic in N — exactly the r11 sf10 exclusion class for the
+# trained-quantizer family). Cells hold ~KMEANS_CELL_TARGET vectors at
+# any scale; the cap bounds the centroid broadcast + the oracle's
+# unrolled Lloyd replay.
+KMEANS_CELL_TARGET = 500
+KMEANS_K_CAP = 1024
+
+
+def kmeans_k_for(n: int) -> int:
+    """nlist for an ``n``-vector corpus (n = vectors surviving the
+    zero-norm drop, the same population the Lloyd rounds see)."""
+    return max(KMEANS_K, min(KMEANS_K_CAP, n // KMEANS_CELL_TARGET))
 
 
 def kmeans_cells_map(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,10 +380,22 @@ def kmeans_cells_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from kafka_streams_dexcom_spark.operators.clustering import kmeans_assign
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        with_embedding_norm,
+    )
     from kafka_streams_dexcom_spark.sources.files import (
         corpus_fingerprint,
         session_artifact,
     )
+
+    def _build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        # nlist scales with the corpus (kmeans_k_for); the count is
+        # one narrow scan, paid once per (session, corpus) inside the
+        # artifact build — production trains the quantizer offline
+        # with exactly this sizing step
+        n = with_embedding_norm(emb).count()
+        return kmeans_assign(emb, k=kmeans_k_for(n), iterations=KMEANS_ITERS)
 
     return session_artifact(
         spark,
@@ -377,14 +403,10 @@ def kmeans_cells_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             os.path.abspath(sf_dir),
             corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet")),
-            KMEANS_K,
+            "dynamic-nlist",
             KMEANS_ITERS,
         ),
-        lambda: kmeans_assign(
-            load_table(spark, sf_dir, "embeddings"),
-            k=KMEANS_K,
-            iterations=KMEANS_ITERS,
-        ),
+        _build,
     )
 
 
@@ -430,8 +452,11 @@ def pq_artifacts(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame
 
 
 def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train the IVF coarse quantizer: 3 Lloyd rounds of k-means (k=8)
-    over the embeddings. The determinism discipline (fixed init,
+    """Train the IVF coarse quantizer: 3 Lloyd rounds of k-means over
+    the embeddings, with nlist sized from the corpus (kmeans_k_for —
+    floor 8, one cell per ~500 vectors, cap 1024; a FIXED nlist makes
+    within-cell candidate volume quadratic in N, the r11 sf10
+    exclusion class). The determinism discipline (fixed init,
     lowest-cid tie-breaks, round(avg, 6) centroid components,
     sequential-fold distances) exists precisely so the iterations can be
     replayed exactly in SQL — see _kmeans_oracle's unrolled rounds.
@@ -439,13 +464,18 @@ def q_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_cells_map(spark, sf_dir)
 
 
-def kmeans_oracle_ctes(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> list[str]:
+def kmeans_oracle_ctes(
+    k: int | None = None, iterations: int = KMEANS_ITERS
+) -> list[str]:
     """DuckDB replay of kmeans_assign: the Lloyd rounds unrolled as CTEs.
 
     Distances are the same sequential left fold as the Spark side
     (bit-identical doubles — see DOT/DIST parity rules), argmin ties
     break on lowest cid, and centroid components are round(avg(x), 6) on
-    both engines, so assignments agree exactly."""
+    both engines, so assignments agree exactly. With ``k=None`` (the
+    registered queries' form) the init LIMIT replays kmeans_k_for as a
+    scalar subquery over the same zero-norm-filtered population, so the
+    oracle sizes nlist exactly as the engine does at ANY sf."""
     dist2 = (
         "list_reduce(list_transform(range(1, len({a}) + 1), "
         "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
@@ -482,7 +512,7 @@ def kmeans_oracle_ctes(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> lis
         # orderBy+limit (filter vid<k breaks on non-dense id spaces)
         f"""c0 AS (
             SELECT vid AS cid, vec AS cvec FROM n
-            ORDER BY vid LIMIT {k}
+            ORDER BY vid LIMIT {_k_limit(k)}
         )""",
         assign_cte("a1", "c0"),
     ]
@@ -506,7 +536,20 @@ def kmeans_oracle_ctes(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> lis
     return ctes
 
 
-def _kmeans_oracle(k: int = KMEANS_K, iterations: int = KMEANS_ITERS) -> str:
+def _k_limit(k: int | None) -> str:
+    """The c0 LIMIT: a literal when the caller pins k (tests), else the
+    kmeans_k_for sizing rule as a scalar subquery over ``n``."""
+    if k is not None:
+        return str(k)
+    return (
+        f"(SELECT greatest({KMEANS_K}, least({KMEANS_K_CAP}, "
+        f"count(*) // {KMEANS_CELL_TARGET})) FROM n)"
+    )
+
+
+def _kmeans_oracle(
+    k: int | None = None, iterations: int = KMEANS_ITERS
+) -> str:
     """DuckDB replay of kmeans_assign (see kmeans_oracle_ctes)."""
     ctes = kmeans_oracle_ctes(k, iterations)
     return (
