@@ -1085,37 +1085,120 @@ def _triangle_oracle(max_degree: int | None = None) -> str:
     """
 
 
-def _cc_oracle() -> str:
-    """Exact connected components over the ngram near-dup graph:
-    recursive-CTE reachability (UNION dedups, so the recursion
-    terminates), then min reachable id per node — matches the Spark
-    operator's run-to-fixpoint label propagation on ANY graph, not just
-    ones whose diameter fits a fixed round count."""
-    return f"""
-        WITH RECURSIVE p AS ({_ngram_jaccard_oracle()}),
-        edges AS (
+def cc_doubling_sql(edges: str = "edges", rounds: int = 64) -> str:
+    """Exact connected components as a CTE chain for DEEP graphs:
+    ``rounds`` unrolled layers of min-neighbor HOOKING + one
+    pointer-doubling self-jump (label ← label-of-label against the same
+    layer), the SQL twin of operators/graph.connected_components.
+
+    Why not the recursive-CTE reachability oracle (_cc_oracle): plain
+    ``WITH RECURSIVE`` reach accumulates Σ size² (node, label) rows over
+    O(diameter) iterations — on the customer-name digit-edit chains
+    (hundreds of hops deep) that is ~300s at sf0.1, 70x the engine
+    query it checks. Doubling halves the remaining pointer depth each
+    layer, so 20 layers cover any component whose min-label path is
+    ≤ 2^20 hops at a few ms per layer.
+
+    Each layer is ``AS MATERIALIZED``: DuckDB 1.0 INLINES plain CTEs,
+    and layer i references layer i-1 twice — without materialization
+    the expansion is 2^rounds scans ("too many open files", then heat
+    death).
+
+    Emits ``comp(node, component)`` plus ``cc_bad(n)``, the count of
+    edges whose endpoints still disagree. The CONSUMER's final SELECT
+    must append ``AND/WHERE (SELECT n FROM cc_bad) = 0`` — an
+    unconverged run then returns ZERO rows (a loud rows_match failure)
+    instead of silently returning partial labels. The guard cannot live
+    on ``comp`` itself: downstream LEFT JOIN + coalesce(component, id)
+    patterns would quietly turn an empty comp into all-singletons.
+
+    Exactness when the guard passes: labels start as identity, only
+    ever copy node ids, and are monotone non-increasing, so each
+    component's minimum node keeps its own id; if every edge's
+    endpoints agree, each component is uniformly labeled — necessarily
+    with that minimum."""
+    ctes = [
+        f"l0 AS MATERIALIZED ("
+        f"SELECT DISTINCT u AS node, u AS label FROM {edges})"
+    ]
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        hook, cur = f"h{i}", f"l{i}"
+        ctes.append(
+            f"""{hook} AS MATERIALIZED (
+            SELECT n.node, LEAST(n.label, COALESCE(mm.nl, n.label)) AS label
+            FROM {prev} n LEFT JOIN (
+                SELECT e.u AS hk_node, MIN(l.label) AS nl
+                FROM {edges} e JOIN {prev} l ON e.v = l.node GROUP BY e.u
+            ) mm ON n.node = mm.hk_node)"""
+        )
+        ctes.append(
+            f"""{cur} AS MATERIALIZED (
+            SELECT h.node, LEAST(h.label, COALESCE(l2.label, h.label)) AS label
+            FROM {hook} h LEFT JOIN {hook} l2 ON h.label = l2.node)"""
+        )
+        prev = cur
+    ctes.append(
+        f"""cc_bad AS (
+        SELECT COUNT(*) AS n FROM {edges} e
+        JOIN {prev} a ON e.u = a.node JOIN {prev} b ON e.v = b.node
+        WHERE a.label <> b.label)"""
+    )
+    ctes.append(
+        f"comp AS (SELECT node, label AS component FROM {prev})"
+    )
+    return ",\n".join(ctes)
+
+
+def _cc_chain() -> str:
+    """The shared CC oracle CTE chain over the ngram near-dup graph:
+    MATERIALIZED pairs → MATERIALIZED symmetric edges → the
+    pointer-doubling layers (cc_doubling_sql) → ``comp(node,
+    component)`` + the ``cc_bad`` convergence counter. Every consumer
+    composes this FLAT (one WITH) and appends ``{_CC_GUARD}`` to its
+    final SELECT.
+
+    This replaced the recursive-CTE reachability form in round 12
+    (verdict item 8): DuckDB re-derives a plain CTE referenced inside a
+    recursive body PER ITERATION, so the inlined shingle self-join edge
+    list was recomputed every reachability step — affordable standalone
+    at sf1 but >78 GB of disk spill inside the crawl_manifest
+    composition (r11), and fatal for the whole family at the sf10 gate
+    this chain now passes."""
+    return f"""p AS MATERIALIZED ({_ngram_jaccard_oracle()}),
+        cc_edges AS MATERIALIZED (
             SELECT doc_a AS u, doc_b AS v FROM p
             UNION
             SELECT doc_b AS u, doc_a AS v FROM p
         ),
-        reach AS (
-            SELECT DISTINCT u AS node, u AS label FROM edges
-            UNION
-            SELECT e.u AS node, r.label
-            FROM edges e JOIN reach r ON e.v = r.node
-        )
-        SELECT node, min(label) AS component FROM reach GROUP BY node
+        {cc_doubling_sql("cc_edges")}"""
+
+
+# convergence guard — consumers append to their FINAL select (0 rows on
+# a non-converged doubling run = loud rows_match failure; see
+# cc_doubling_sql docstring for why it can't live on comp itself)
+_CC_GUARD = "(SELECT n FROM cc_bad) = 0"
+
+
+def _cc_oracle() -> str:
+    """Exact connected components over the ngram near-dup graph —
+    standalone form of :func:`_cc_chain` with the guard folded into
+    the final select."""
+    return f"""
+        WITH {_cc_chain()}
+        SELECT node, component FROM comp WHERE {_CC_GUARD}
     """
 
 
 def _best_survivors_oracle() -> str:
-    """Recursive-CTE exact CC + the shared quality-score fragment
+    """Doubling-chain exact CC (_cc_chain, flat — no nested
+    re-derivation) + the shared quality-score fragment
     (queries/text.py:quality_score_sql), argmax per cluster via
     row_number — mirrors q_dedup_best_survivors."""
     from kafka_streams_dexcom_spark.queries.text import quality_score_sql
 
     return f"""
-        WITH comp AS ({_cc_oracle()}),
+        WITH {_cc_chain()},
         q AS ({quality_score_sql()}),
         member AS (
             SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
@@ -1139,17 +1222,19 @@ def _best_survivors_oracle() -> str:
                CAST(CASE WHEN s.doc_id = b.kept_doc THEN 1 ELSE 0 END
                     AS INTEGER) AS is_kept
         FROM scored s JOIN best b ON s.cluster = b.cluster
+        WHERE {_CC_GUARD}
     """
 
 
 def _survivors_oracle() -> str:
     return f"""
-        WITH comp AS ({_cc_oracle()})
+        WITH {_cc_chain()}
         SELECT d.doc_id,
                coalesce(c.component, d.doc_id) AS canonical_id,
                CAST(coalesce(c.component, d.doc_id) = d.doc_id AS INT)
                    AS is_survivor
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+        WHERE {_CC_GUARD}
     """
 
 
@@ -1412,7 +1497,7 @@ _SPLIT_CASE = (
 )
 
 ORACLES["leakage_safe_split"] = f"""
-    WITH comp AS ({{cc}}),
+    WITH {_cc_chain()},
     member AS (
         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
@@ -1421,7 +1506,8 @@ ORACLES["leakage_safe_split"] = f"""
            CAST({_SPLIT_BUCKET} AS BIGINT) AS bucket,
            {_SPLIT_CASE} AS split
     FROM member
-""".format(cc=_cc_oracle())
+    WHERE {_CC_GUARD}
+"""
 
 
 def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1502,7 +1588,7 @@ def q_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["cluster_size_histogram"] = q_cluster_size_histogram
 ORACLES["cluster_size_histogram"] = f"""
-    WITH comp AS ({_cc_oracle()}),
+    WITH {_cc_chain()},
     member AS (
         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
@@ -1513,6 +1599,7 @@ ORACLES["cluster_size_histogram"] = f"""
     )
     SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
     FROM sizes GROUP BY cluster_size
+    HAVING {_CC_GUARD}
 """
 
 
@@ -1565,8 +1652,7 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dedup_cluster_stats"] = q_dedup_cluster_stats
 ORACLES["dedup_cluster_stats"] = f"""
-    WITH p AS ({_ngram_jaccard_oracle()}),
-    comp AS ({_cc_oracle()}),
+    WITH {_cc_chain()},
     member AS (SELECT node AS doc_id, component AS cluster FROM comp),
     sizes AS (
         SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -1586,6 +1672,7 @@ ORACLES["dedup_cluster_stats"] = f"""
            CAST(2 * e.n_edges = s.n_docs * (s.n_docs - 1) AS INT)
                AS is_complete
     FROM sizes s JOIN e USING (cluster)
+    WHERE {_CC_GUARD}
 """
 
 
@@ -1636,7 +1723,7 @@ _STS_DROP = (
     " / CAST(total_tokens AS DOUBLE)"
 )
 ORACLES["survivor_token_savings"] = f"""
-    WITH comp AS ({_cc_oracle()}),
+    WITH {_cc_chain()},
     member AS (
         SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
@@ -1662,6 +1749,7 @@ ORACLES["survivor_token_savings"] = f"""
                 ELSE floor(({_STS_DROP}) * 1000000) / 1000000.0
            END AS drop_ratio
     FROM agg
+    WHERE {_CC_GUARD}
 """
 
 
@@ -1710,71 +1798,6 @@ def q_er_customer_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["er_customer_golden"] = q_er_customer_golden
-def cc_doubling_sql(edges: str = "edges", rounds: int = 64) -> str:
-    """Exact connected components as a CTE chain for DEEP graphs:
-    ``rounds`` unrolled layers of min-neighbor HOOKING + one
-    pointer-doubling self-jump (label ← label-of-label against the same
-    layer), the SQL twin of operators/graph.connected_components.
-
-    Why not the recursive-CTE reachability oracle (_cc_oracle): plain
-    ``WITH RECURSIVE`` reach accumulates Σ size² (node, label) rows over
-    O(diameter) iterations — on the customer-name digit-edit chains
-    (hundreds of hops deep) that is ~300s at sf0.1, 70x the engine
-    query it checks. Doubling halves the remaining pointer depth each
-    layer, so 20 layers cover any component whose min-label path is
-    ≤ 2^20 hops at a few ms per layer.
-
-    Each layer is ``AS MATERIALIZED``: DuckDB 1.0 INLINES plain CTEs,
-    and layer i references layer i-1 twice — without materialization
-    the expansion is 2^rounds scans ("too many open files", then heat
-    death).
-
-    Emits ``comp(node, component)`` plus ``cc_bad(n)``, the count of
-    edges whose endpoints still disagree. The CONSUMER's final SELECT
-    must append ``AND/WHERE (SELECT n FROM cc_bad) = 0`` — an
-    unconverged run then returns ZERO rows (a loud rows_match failure)
-    instead of silently returning partial labels. The guard cannot live
-    on ``comp`` itself: downstream LEFT JOIN + coalesce(component, id)
-    patterns would quietly turn an empty comp into all-singletons.
-
-    Exactness when the guard passes: labels start as identity, only
-    ever copy node ids, and are monotone non-increasing, so each
-    component's minimum node keeps its own id; if every edge's
-    endpoints agree, each component is uniformly labeled — necessarily
-    with that minimum."""
-    ctes = [
-        f"l0 AS MATERIALIZED ("
-        f"SELECT DISTINCT u AS node, u AS label FROM {edges})"
-    ]
-    prev = "l0"
-    for i in range(1, rounds + 1):
-        hook, cur = f"h{i}", f"l{i}"
-        ctes.append(
-            f"""{hook} AS MATERIALIZED (
-            SELECT n.node, LEAST(n.label, COALESCE(mm.nl, n.label)) AS label
-            FROM {prev} n LEFT JOIN (
-                SELECT e.u AS hk_node, MIN(l.label) AS nl
-                FROM {edges} e JOIN {prev} l ON e.v = l.node GROUP BY e.u
-            ) mm ON n.node = mm.hk_node)"""
-        )
-        ctes.append(
-            f"""{cur} AS MATERIALIZED (
-            SELECT h.node, LEAST(h.label, COALESCE(l2.label, h.label)) AS label
-            FROM {hook} h LEFT JOIN {hook} l2 ON h.label = l2.node)"""
-        )
-        prev = cur
-    ctes.append(
-        f"""cc_bad AS (
-        SELECT COUNT(*) AS n FROM {edges} e
-        JOIN {prev} a ON e.u = a.node JOIN {prev} b ON e.v = b.node
-        WHERE a.label <> b.label)"""
-    )
-    ctes.append(
-        f"comp AS (SELECT node, label AS component FROM {prev})"
-    )
-    return ",\n".join(ctes)
-
-
 ORACLES["er_customer_golden"] = f"""
     WITH p AS MATERIALIZED ({ORACLES["er_fuzzy_customers"]}),
     edges AS MATERIALIZED (
@@ -2140,7 +2163,7 @@ def _curation_manifest_oracle() -> str:
 
     canon = ux.canonical_url_sql(ux.messy_url_sql(duck=True), duck=True)
     return f"""
-        WITH comp AS ({_cc_oracle()}),
+        WITH {_cc_chain()},
         member AS (
             SELECT d.doc_id, d.source, d.lang,
                    {canon} AS url,
@@ -2153,6 +2176,7 @@ def _curation_manifest_oracle() -> str:
                CAST(cluster = doc_id AS INT) AS keep,
                {_SPLIT_CASE} AS split
         FROM member
+        WHERE {_CC_GUARD}
     """
 
 
