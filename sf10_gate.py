@@ -5,13 +5,13 @@ driver's bench scale (60M lineitem / 10M events / 500k docs / 200k
 embeddings), extending r7's 12-query spot check to the full fact-bound
 registry.
 
-Exclusions are DATA-shape, not engine-shape: gen_testdata packs 100x
-documents/vectors into the SAME 10 clusters and the same 30-word vocab,
-so within-cluster pair volume grows ~10,000x — a growth profile no real
-100x corpus has (real growth adds clusters; BASELINE.md r7 records the
-same boundary for the sf10 bench subset). The pair-graph family is
-instead gated end-to-end at sf1 (171/171, r7) where the planted
-structure stays realistic.
+Round 12 removed the r7-r11 pair-graph exclusion class: gen_testdata
+now grows embedding clusters linearly and vocabulary as sqrt(sf)
+(Heaps' law) above sf0.1, and the trained quantizer sizes nlist with
+the corpus, so the near-dup/CC family's candidate volume scales
+linearly like a real corpus and gates here. Remaining exclusions (the
+ER pair family's name-format artifact + the deliberate Python
+slow-path twin) carry measured reasons below.
 
 Results append to SF10_PARITY.jsonl as they land (a crash preserves
 progress; pass remaining names as argv to resume) and aggregate into
@@ -38,38 +38,34 @@ SF10 = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 JSONL = "SF10_PARITY.jsonl"
 OUT = "SF10_PARITY.json"
 
-_PAIR = (
-    "pair-graph shape: the synthetic sf10 corpus packs 100x docs/vectors "
-    "into the SAME 10 clusters / 30-word vocab, so within-cluster pair "
-    "volume grows ~10,000x — a profile real 100x corpora don't have; "
-    "gated at sf1 (171/171) where the planted structure is realistic"
+# Round 12: the r11 pair-graph exclusion class is GONE — gen_testdata
+# now scales embedding cluster count linearly and document vocabulary
+# as sqrt(sf) (Heaps' law), and the trained quantizer sizes nlist with
+# the corpus (queries/similarity.kmeans_k_for), so within-block pair
+# volume grows linearly with sf like a real corpus. The whole near-dup/
+# CC family gates here now. Only the ER pair family keeps a measured
+# exclusion:
+_ER = (
+    "TPC-H name-format artifact, measured: c_name is 'Customer#%09d' "
+    "over sequential ids, so at sf10 the corpus contains EXACTLY "
+    "39,750,000 Levenshtein<=1 name pairs (53 neighbors per record on "
+    "average — every one-digit substitution of a live id is another "
+    "live id). The engine's pigeonhole blocking handles it, but the "
+    "declared oracle is the EXHAUSTIVE within-block self-join "
+    "(25 blocks x 60k^2 = 4.5e10 levenshtein evals, deliberately "
+    "quadratic to prove the blocking lossless) and the compare harness "
+    "would hash 2 x 39.75M result rows; real registries do not have "
+    "53-fold dist-1 ambiguity per record. Gated at sf1 "
+    "(3.3M pairs at 150k records)."
 )
-EXCLUDED: dict[str, str] = dict.fromkeys(
-    [
-        # near-dup / semantic pair generators and their consumers
-        "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
-        "dedup_ngram_jaccard", "dedup_clusters", "dedup_survivors",
-        "dedup_best_survivors", "dedup_embedding", "dedup_embedding_ivf",
-        "semdedup", "d4_selection", "dedup_cross_source",
-        "cluster_size_histogram", "dedup_cluster_stats",
-        "survivor_token_savings", "leakage_safe_split",
-        "cc_incremental_replay", "dedup_incremental",
-        "source_minhash_jaccard", "dedup_rate_by_source",
-        "dedup_threshold_curve", "curation_manifest",
-        "contamination_check",
-        # composes the ngram pair graph + CC (stage 6) — same shape
-        "crawl_manifest",
-        # dense-graph family: same-10-clusters edge blowup
-        "triangle_count", "triangle_count_capped", "pagerank_centrality",
-        # ER: 10 copies of every name per pigeonhole bucket -> dist-0 pairs
-        "er_fuzzy_customers", "er_customer_golden",
-    ],
-    _PAIR,
-)
-EXCLUDED["doc_chunks_udtf"] = (
-    "deliberate row-at-a-time Python slow-path twin (API-surface "
-    "demonstrator); the codegen doc_chunks IS gated here"
-)
+EXCLUDED: dict[str, str] = {
+    "er_fuzzy_customers": _ER,
+    "er_customer_golden": _ER,
+    "doc_chunks_udtf": (
+        "deliberate row-at-a-time Python slow-path twin (API-surface "
+        "demonstrator); the codegen doc_chunks IS gated here"
+    ),
+}
 
 # Oracle-less queries that LEGITIMATELY return zero rows at sf10 (the
 # rows-only smoke check would otherwise flag them): name -> reason.
