@@ -96,12 +96,21 @@ def shingle_sets(
 
 
 def shingle_hashes(df: DataFrame) -> DataFrame:
-    """Hash each shingle into [0, P) with the portable hash."""
+    """Hash each shingle to its 60-bit fingerprint.
+
+    FULL 60 bits, not % MERSENNE_P (round-12 fix): reducing the shingle
+    universe to 31 bits puts ~1,700 real collisions in a 2.7M-shingle
+    corpus (sf10) — measured as 76 flipped argmax rows in
+    contamination_check — while 60 bits keeps the collision expectation
+    at ~3e-6 corpus-wide. MinHash permutations still need [0, P)
+    inputs; the reduction now happens INSIDE minhash_signature
+    ((v % P) * a + b), which reproduces the previous signatures
+    bit-for-bit."""
     return materialize(
         df.withColumn(
             "sh_hashes",
             F.expr(
-                f"transform(shingles, x -> {HASH60_TPL.format(x='x')} % {MERSENNE_P})"
+                f"transform(shingles, x -> {HASH60_TPL.format(x='x')})"
             ),
         )
     )
@@ -114,9 +123,12 @@ def minhash_signature(df: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
     sig = F.array(
         *[
             F.expr(
+                # (v % P) first: sh_hashes are 60-bit, and v*a would
+                # overflow int64; the reduced value equals the old
+                # [0, P) hash, so signatures are unchanged
                 f"array_min(transform(sh_hashes, "
-                f"v -> (v * {PERM_COEFFS[i][0]}L + {PERM_COEFFS[i][1]}L) "
-                f"% {MERSENNE_P}))"
+                f"v -> (v % {MERSENNE_P} * {PERM_COEFFS[i][0]}L "
+                f"+ {PERM_COEFFS[i][1]}L) % {MERSENNE_P}))"
             )
             for i in range(num_perm)
         ]
@@ -264,9 +276,12 @@ def hashed_shingle_corpus(
     t = t.filter(F.size("tokens") >= n)  # == "has at least one shingle"
     hashed = t.select(
         id_col,
+        # full 60-bit fingerprints (see shingle_hashes: 31-bit reduction
+        # put real collisions in the sf10 corpus); minhash reduces to
+        # [0, P) inside the permutation
         F.expr(
             f"transform({_shingle_expr('tokens', n)}, "
-            f"x -> {HASH60_TPL.format(x='x')} % {MERSENNE_P})"
+            f"x -> {HASH60_TPL.format(x='x')})"
         ).alias("sh_hashes"),
     )
     return hashed.localCheckpoint()

@@ -650,8 +650,10 @@ def _duck_shingles_cte() -> str:
             FROM toks WHERE len(t) >= 3
         ),
         hs AS (
+            -- full 60-bit fingerprints (operators/dedup.shingle_hashes
+            -- round-12 fix); minhash reduces to [0, P) per permutation
             SELECT doc_id, s,
-                   list_transform(s, x -> {h} % {MERSENNE_P}) AS h
+                   list_transform(s, x -> {h}) AS h
             FROM sh
         )
     """
@@ -662,7 +664,7 @@ def _sig_band_elems() -> tuple[str, str]:
     both the symmetric and the incremental oracle — a banding change
     must reach both or the two silently diverge)."""
     sig_elems = ", ".join(
-        f"list_min(list_transform(h, v -> (v * {a} + {b}) % {MERSENNE_P}))"
+        f"list_min(list_transform(h, v -> (v % {MERSENNE_P} * {a} + {b}) % {MERSENNE_P}))"
         for a, b in PERM_COEFFS[: dd.NUM_PERM]
     )
     band_elems = []
@@ -875,7 +877,7 @@ def _embedding_oracle() -> str:
 
 def _source_minhash_oracle() -> str:
     sig_elems = ", ".join(
-        f"list_min(list_transform(h, v -> (v * {a} + {b}) % {MERSENNE_P}))"
+        f"list_min(list_transform(h, v -> (v % {MERSENNE_P} * {a} + {b}) % {MERSENNE_P}))"
         for a, b in PERM_COEFFS[: dd.NUM_PERM]
     )
     mins = ", ".join(
