@@ -489,6 +489,150 @@ def phash_features(media: DataFrame) -> DataFrame:
     )
 
 
+# Rotation-invariant DCT perceptual hash (functions/dct.py): 16x16
+# gray corpus with planted DIHEDRAL re-posts + recompression dither —
+# the duplicate classes the dHash family above provably misses /
+# marginally catches. See the dct module docstring for the algebra.
+DCTP_GROUP = 3
+DCTP_DITHER = 4  # variant 2's per-pixel +/-4 (the re-compress artifact)
+DCTP_BRIGHT = 8  # variant 2's +8 brightness (clipped at 255)
+
+DCTP_SCHEMA = (
+    "doc_id bigint, variant bigint, orient bigint, b0 bigint, "
+    "b1 bigint, b2 bigint, b3 bigint, phash_hex string"
+)
+
+
+def dctp_src_pixels(g: int) -> "np.ndarray":
+    """Deterministic 16x16 source frame of pixel-group ``g`` — byte p
+    is hex pair p%16 of md5('phd:<g>:<p//16>') (the phash_src_pixels
+    rule under its own tag), so the oracle replays every pixel."""
+    import hashlib
+
+    import numpy as np
+
+    from kafka_streams_dexcom_spark.functions.dct import DCTP_N
+
+    n = DCTP_N * DCTP_N
+    out = np.empty(n, dtype=np.int64)
+    for row in range((n + 15) // 16):
+        h = hashlib.md5(f"phd:{g}:{row}".encode()).digest()
+        for k in range(min(16, n - row * 16)):
+            out[row * 16 + k] = h[k]
+    return out.reshape(DCTP_N, DCTP_N)
+
+
+def dctp_variant_pixels(g: int, v: int) -> "np.ndarray":
+    """Pixel raster of doc variant ``v`` in group ``g``: v0 the base
+    frame, v1 its 90-degree rotation (the rotated re-post — zero
+    shared payload bytes, ~32/64 dHash bits away, EXACTLY the same
+    DCT fingerprint set), v2 the dithered+brightened re-encode
+    (per-pixel +/-DCTP_DITHER from md5('phdn:...') byte parity, then
+    +DCTP_BRIGHT, clipped to [0, 255] — the recompression artifact,
+    within DCT threshold)."""
+    import hashlib
+
+    import numpy as np
+
+    from kafka_streams_dexcom_spark.functions.dct import DCTP_N
+
+    img = dctp_src_pixels(g)
+    if v == 1:
+        return np.rot90(img)
+    if v == 2:
+        n = DCTP_N * DCTP_N
+        d = np.empty(n, dtype=np.int64)
+        for row in range((n + 15) // 16):
+            h = hashlib.md5(f"phdn:{g}:{row}".encode()).digest()
+            for k in range(min(16, n - row * 16)):
+                d[row * 16 + k] = h[k]
+        dither = np.where(d % 2 == 1, DCTP_DITHER, -DCTP_DITHER)
+        return np.clip(
+            img + dither.reshape(DCTP_N, DCTP_N) + DCTP_BRIGHT, 0, 255
+        )
+    return img
+
+
+def attach_dct_phash_payload(docs: DataFrame) -> DataFrame:
+    """Synthesize the dihedral/recompressed duplicate image corpus as
+    REAL PNG bytes (Arrow-batched, never on the driver): group
+    g = doc_id div 3 fixes the content, variant v = doc_id % 3 picks
+    the re-encode (base / rot90 / dither+brighten). All three PNGs of
+    a group are pairwise byte-distinct — byte-exact dedup sees
+    nothing."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.dct import DCTP_N
+        from kafka_streams_dexcom_spark.functions.png import encode_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g, v = did // DCTP_GROUP, did % DCTP_GROUP
+                px = dctp_variant_pixels(g, v).astype(np.uint8)
+                payload = encode_png(
+                    DCTP_N, DCTP_N, px.tobytes(), channels=1
+                )
+                rows.append((did, v, payload))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "variant", "payload"]
+            )
+
+    return fan_out_small(docs).select("doc_id").mapInPandas(
+        run, schema="doc_id bigint, variant bigint, payload binary"
+    )
+
+
+def dct_phash_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode -> the 8-orientation DCT fingerprint
+    SET per image (functions/dct.py:dct_fingerprints): 8 rows per doc,
+    (orient, b0..b3, hex). Payload bytes stay executor-side; which
+    dihedral pose produced the bytes is unobservable in the SET —
+    that IS the operator's point."""
+    from collections.abc import Iterator as _It
+
+    def run(batches: _It["pd.DataFrame"]) -> _It["pd.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from kafka_streams_dexcom_spark.functions.dct import (
+            dct_fingerprints,
+        )
+        from kafka_streams_dexcom_spark.functions.png import decode_png
+
+        for pdf in batches:
+            rows = []
+            for did, v, p in zip(
+                pdf["doc_id"], pdf["variant"], pdf["payload"]
+            ):
+                w, h, ch, px = decode_png(bytes(p))
+                gray = (
+                    np.frombuffer(px, dtype=np.uint8)
+                    .astype(np.int64)
+                    .reshape(h, w)
+                )
+                for o, b0, b1, b2, b3, hx in dct_fingerprints(gray):
+                    rows.append(
+                        (int(did), int(v), o, b0, b1, b2, b3, hx)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "variant", "orient", "b0", "b1", "b2",
+                    "b3", "phash_hex",
+                ],
+            )
+
+    return media.select("doc_id", "variant", "payload").mapInPandas(
+        run, schema=DCTP_SCHEMA
+    )
+
+
 # Audio perceptual hash: 65-frame energy contour -> 64 derivative-sign
 # bits (the chromaprint/shazam family's simplest honest member). Same
 # band/carry conventions as the image dHash above.

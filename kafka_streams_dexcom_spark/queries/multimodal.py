@@ -276,6 +276,93 @@ def _banded_pairs(fp: DataFrame) -> DataFrame:
     )
 
 
+def q_multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotation-invariant DCT perceptual fingerprint SET over REAL PNG
+    bytes (functions/dct.py): 8 rows per image — one per dihedral
+    orientation of the integer 8x8 DCT low-frequency block, each a
+    64-bit lower-median sign hash. The planted corpus
+    (attach_dct_phash_payload) re-encodes each group as base gray /
+    90-degree-ROTATED / dithered+brightened PNGs: the rotated re-post
+    shares zero payload bytes yet produces the IDENTICAL fingerprint
+    set (the D4 orbit of the coefficient matrix is closed — exact
+    integer algebra, no canonicalization boundary), while the image
+    dHash lands ~32/64 bits away on it (the miss pinned in
+    tests/test_multimodal_dct.py). The oracle replays pixels, integer
+    DCT, orientation remaps, and median thresholds from the md5 rule."""
+    media = mm.attach_dct_phash_payload(
+        load_table(spark, sf_dir, "documents")
+    )
+    return mm.dct_phash_features(media).select(
+        "doc_id", "variant", "orient", "phash_hex"
+    )
+
+
+def q_multimodal_phash_dct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup dedup over the DCT fingerprint SETS — the
+    duplicate class the dHash family provably misses: dihedral
+    re-posts (rotations/mirrors) pair at EXACT Hamming 0 here, and the
+    dithered re-encode within PHASH_MAX_HAMMING. Pairing is min-over-
+    orientations Hamming: side L contributes each doc's orientation-0
+    fingerprint, side R all 8, candidates collide on any 16-bit band
+    (the _banded_pairs machinery with the same hot-bucket cap), and
+    the pair keeps min Hamming over every matched orientation — exact
+    on rotations because the re-post's SET equals the original's.
+
+    Scale shape: fingerprints from the per-session artifact (ONE
+    decode pass; payloads never shuffle); the R side is 8 narrow rows
+    per doc (a documented constant factor, not a growth term); one
+    groupBy on (band_idx, band_val); XOR popcount verify; min-agg per
+    pair."""
+    return _banded_pairs_oriented(_fp_artifact(spark, sf_dir, "image_dct"))
+
+
+def _banded_pairs_oriented(fp: DataFrame) -> DataFrame:
+    """Min-over-orientations Hamming-banded pairs over a (doc_id,
+    orient, b0..b3) fingerprint-set frame. L = orientation-0 rows,
+    R = all rows; ham(L_a(0), R_b(k)) ranges over the full relative
+    orbit (ham(a(j), b(0)) = ham(a(0), b(j^-1)) — the group acts by
+    permutation), so min per unordered pair is orientation-complete
+    without an 8x8 cross."""
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        SIMHASH_MAX_BUCKET,
+    )
+
+    def explode_bands(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias(f"{tag}_id"),
+            *[F.col(c).alias(f"{tag}_{c}") for c in ("b0", "b1", "b2", "b3")],
+            F.posexplode(
+                F.array(F.col("b0"), F.col("b1"), F.col("b2"), F.col("b3"))
+            ).alias("band_idx", "band_val"),
+        )
+
+    left = explode_bands(fp.filter(F.col("orient") == 0), "l")
+    right = explode_bands(fp, "r")
+    bsz = right.groupBy("band_idx", "band_val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ham = F.expr(
+        "CAST(bit_count(l_b0 ^ r_b0) + bit_count(l_b1 ^ r_b1)"
+        " + bit_count(l_b2 ^ r_b2) + bit_count(l_b3 ^ r_b3) AS BIGINT)"
+    )
+    return (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("l_id") != F.col("r_id"))
+        .join(
+            bsz.filter(F.col("c") <= SIMHASH_MAX_BUCKET),
+            ["band_idx", "band_val"],
+        )
+        .select(
+            F.least("l_id", "r_id").alias("id_a"),
+            F.greatest("l_id", "r_id").alias("id_b"),
+            ham.alias("h"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.min("h").alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_MAX_HAMMING)
+    )
+
+
 def q_audio_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-clip perceptual fingerprint over REAL WAV bytes — the audio
     twin of multimodal_phash: vendored RIFF/PCM decode -> per-frame
@@ -357,6 +444,9 @@ def _fp_artifact(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
         "video": lambda d: mm.video_phash_features(
             mm.attach_video_phash_payload(d)
         ),
+        "image_dct": lambda d: mm.dct_phash_features(
+            mm.attach_dct_phash_payload(d)
+        ),
     }
     return session_artifact(
         spark,
@@ -371,21 +461,24 @@ def _fp_artifact(spark: SparkSession, sf_dir: str, modality: str) -> DataFrame:
 
 def q_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The perceptual dedup pipeline's final materialization, across
-    ALL THREE modalities: every (modality, doc) mapped to its near-dup
-    cluster canonical (min doc_id of its perceptual component via exact
-    connected components; its own id when it has no near-dup) and the
-    keep/drop decision — the media twin of dedup_survivors, the row a
-    100 TB media dedup job actually writes back out.
+    ALL FOUR perceptual legs: every (modality, doc) mapped to its
+    near-dup cluster canonical (min doc_id of its perceptual component
+    via exact connected components; its own id when it has no
+    near-dup) and the keep/drop decision — the media twin of
+    dedup_survivors, the row a 100 TB media dedup job actually writes
+    back out. Round 12 adds the rotation-invariant image_dct leg
+    (oriented min-Hamming pairs), so a rotated re-post now loses its
+    survivor election too.
 
     Scale shape: fingerprints come from the per-session published
     artifact (_fp_artifact — ONE Arrow decode pass per modality per
     corpus, shared with every other consumer; payload bytes never
-    shuffle), then three banded pair plans (the _banded_pairs blocking
-    with the hot-bucket cap), three pointer-doubling CCs over pair
+    shuffle), then four banded pair plans (the _banded_pairs blocking
+    with the hot-bucket cap), four pointer-doubling CCs over pair
     graphs that are linear in docs (each connects a handful of
     re-encodes), and doc_id-keyed hash joins of the narrow label
-    tables. No modality's work gates another's — at cluster scale the
-    three legs schedule concurrently."""
+    tables. No leg's work gates another's — at cluster scale the
+    legs schedule concurrently."""
     from kafka_streams_dexcom_spark.operators.graph import (
         connected_components,
     )
@@ -393,9 +486,15 @@ def q_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ids = docs.select("doc_id")
     outs = []
-    for name in ("image", "audio", "video"):
+    for name in ("image", "audio", "video", "image_dct"):
+        fp = _fp_artifact(spark, sf_dir, name)
+        pairs = (
+            _banded_pairs_oriented(fp)
+            if name == "image_dct"
+            else _banded_pairs(fp)
+        )
         comp = connected_components(
-            _banded_pairs(_fp_artifact(spark, sf_dir, name)),
+            pairs,
             a_col="id_a",
             b_col="id_b",
         )
@@ -529,6 +628,146 @@ def _phash_dedup_oracle() -> str:
             JOIN ph_fp f ON f.g = pd.g AND f.pert = pd.pert
         ),
         {_banded_pairs_duck()}
+    """
+
+
+def _dctp_duck_cte() -> str:
+    """DuckDB replay of the DCT phash corpus: the md5 pixel rules for
+    all three variants (base / rot90 index remap / dither+brighten
+    clip), the separable integer DCT (functions/dct.py SQL twins, CTE-
+    staged so the row pass runs once per image), the 8 orientation
+    remaps, and the lower-median band ints — ends in
+    ``dctp_fp(g, v, o, b0, b1, b2, b3)``."""
+    from kafka_streams_dexcom_spark.functions import dct as dx
+
+    n = dx.DCTP_N * dx.DCTP_N
+    base = (
+        "CAST('0x' || substr(md5('phd:' || CAST(g AS VARCHAR) || ':' || "
+        "CAST(i // 16 AS VARCHAR)), CAST(2 * (i % 16) + 1 AS INT), 2) "
+        "AS BIGINT)"
+    )
+    dith = (
+        "CAST('0x' || substr(md5('phdn:' || CAST(g AS VARCHAR) || ':' || "
+        "CAST(i // 16 AS VARCHAR)), CAST(2 * (i % 16) + 1 AS INT), 2) "
+        "AS BIGINT)"
+    )
+    src = f"list_transform(range(0, {n}), i -> {base})"
+    # np.rot90: out[r][c] = in[c][15 - r]; flat i: r=i//16, c=i%16
+    rot = (
+        f"list_transform(range(0, {n}), i -> "
+        f"s[(i % 16) * 16 + (15 - i // 16) + 1])"
+    )
+    redo = (
+        f"list_transform(range(0, {n}), i -> "
+        f"greatest(0, least(255, s[i + 1] "
+        f"+ CASE WHEN {dith} % 2 = 1 THEN {mm.DCTP_DITHER} "
+        f"ELSE -{mm.DCTP_DITHER} END + {mm.DCTP_BRIGHT})))"
+    )
+    orient_case = " ".join(
+        f"WHEN {o} THEN {dx.orient_flat_sql('c', o)}"
+        for o in range(8)
+    )
+    bands = ", ".join(
+        f"{dx.band_sql('fl', 'th', b)} AS b{b}" for b in range(4)
+    )
+    return f"""
+        dctp_keys AS (
+            SELECT DISTINCT doc_id // {mm.DCTP_GROUP} AS g FROM documents
+        ),
+        {dx.dct_table_cte()},
+        dctp_base AS (SELECT g, {src} AS s FROM dctp_keys),
+        dctp_px AS MATERIALIZED (
+            SELECT g, 0 AS v, s AS p FROM dctp_base
+            UNION ALL SELECT g, 1, {rot} FROM dctp_base
+            UNION ALL SELECT g, 2, {redo} FROM dctp_base
+        ),
+        dctp_r AS MATERIALIZED (
+            SELECT g, v, {dx.row_pass_sql('p')} AS r
+            FROM dctp_px CROSS JOIN dct_ct
+        ),
+        dctp_co AS MATERIALIZED (
+            SELECT g, v, {dx.col_pass_sql('r')} AS c
+            FROM dctp_r CROSS JOIN dct_ct
+        ),
+        dctp_fl AS (
+            SELECT g, v, o, CASE o {orient_case} END AS fl
+            FROM dctp_co, generate_series(0, 7) gs(o)
+        ),
+        dctp_th AS (
+            SELECT g, v, o, fl, {dx.threshold_sql('fl')} AS th
+            FROM dctp_fl
+        ),
+        dctp_fp AS MATERIALIZED (
+            SELECT g, v, o, {bands} FROM dctp_th
+        )
+    """
+
+
+def _dctp_oracle() -> str:
+    return f"""
+        WITH {_dctp_duck_cte()}
+        SELECT d.doc_id,
+               CAST(d.doc_id % {mm.DCTP_GROUP} AS BIGINT) AS variant,
+               CAST(f.o AS BIGINT) AS orient,
+               lpad(hex(f.b3), 4, '0') || lpad(hex(f.b2), 4, '0') ||
+               lpad(hex(f.b1), 4, '0') || lpad(hex(f.b0), 4, '0')
+                   AS phash_hex
+        FROM documents d
+        JOIN dctp_fp f ON f.g = d.doc_id // {mm.DCTP_GROUP}
+                      AND f.v = d.doc_id % {mm.DCTP_GROUP}
+    """
+
+
+def _dctp_dedup_oracle() -> str:
+    """Oriented banded-pair replay: L = orientation-0 rows, R = all 8,
+    band collide, hot-bucket cap on the R side, min XOR-popcount over
+    matched orientations per unordered pair."""
+    from kafka_streams_dexcom_spark.operators.dedup import (
+        SIMHASH_MAX_BUCKET,
+    )
+
+    return f"""
+        WITH {_dctp_duck_cte()},
+        fp_docs AS (
+            SELECT d.doc_id, f.o AS orient, f.b0, f.b1, f.b2, f.b3
+            FROM documents d
+            JOIN dctp_fp f ON f.g = d.doc_id // {mm.DCTP_GROUP}
+                          AND f.v = d.doc_id % {mm.DCTP_GROUP}
+        ),
+        l_bands AS (
+            SELECT doc_id, b0, b1, b2, b3, bi AS band_idx,
+                   CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1
+                        WHEN 2 THEN b2 ELSE b3 END AS band_val
+            FROM fp_docs, generate_series(0, 3) gs(bi)
+            WHERE orient = 0
+        ),
+        r_bands AS (
+            SELECT doc_id, b0, b1, b2, b3, bi AS band_idx,
+                   CASE bi WHEN 0 THEN b0 WHEN 1 THEN b1
+                        WHEN 2 THEN b2 ELSE b3 END AS band_val
+            FROM fp_docs, generate_series(0, 3) gs(bi)
+        ),
+        bsz AS (
+            SELECT band_idx, band_val, count(*) AS c
+            FROM r_bands GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT least(l.doc_id, r.doc_id) AS id_a,
+                   greatest(l.doc_id, r.doc_id) AS id_b,
+                   CAST(bit_count(xor(l.b0, r.b0))
+                        + bit_count(xor(l.b1, r.b1))
+                        + bit_count(xor(l.b2, r.b2))
+                        + bit_count(xor(l.b3, r.b3)) AS BIGINT) AS h
+            FROM l_bands l JOIN r_bands r
+              ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+             AND l.doc_id <> r.doc_id
+            JOIN bsz s
+              ON s.band_idx = l.band_idx AND s.band_val = l.band_val
+            WHERE s.c <= {SIMHASH_MAX_BUCKET}
+        )
+        SELECT id_a, id_b, min(h) AS hamming
+        FROM cand GROUP BY id_a, id_b
+        HAVING min(h) <= {PHASH_MAX_HAMMING}
     """
 
 
@@ -687,6 +926,7 @@ def _phash_survivors_oracle() -> str:
         "img": _phash_dedup_oracle(),
         "aud": _audio_phash_dedup_oracle(),
         "vid": _video_phash_dedup_oracle(),
+        "dct": _dctp_dedup_oracle(),
     }
     parts = []
     for tag, pair_q in legs.items():
@@ -712,7 +952,8 @@ def _phash_survivors_oracle() -> str:
         )
     leg_selects = []
     for tag, modality in (
-        ("img", "image"), ("aud", "audio"), ("vid", "video")
+        ("img", "image"), ("aud", "audio"), ("vid", "video"),
+        ("dct", "image_dct"),
     ):
         leg_selects.append(
             f"""SELECT '{modality}' AS modality, d.doc_id,
@@ -746,6 +987,8 @@ QUERIES = {
     "paired_media_audit": q_paired_media_audit,
     "multimodal_phash": q_multimodal_phash,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
+    "multimodal_phash_dct": q_multimodal_phash_dct,
+    "multimodal_phash_dct_dedup": q_multimodal_phash_dct_dedup,
     "audio_phash": q_audio_phash,
     "audio_phash_dedup": q_audio_phash_dedup,
     "video_phash": q_video_phash,
@@ -793,6 +1036,8 @@ ORACLES = {
     "paired_media_audit": _paired_media_audit_oracle(),
     "multimodal_phash": _phash_oracle(),
     "multimodal_phash_dedup": _phash_dedup_oracle(),
+    "multimodal_phash_dct": _dctp_oracle(),
+    "multimodal_phash_dct_dedup": _dctp_dedup_oracle(),
     "audio_phash": _audio_phash_oracle(),
     "audio_phash_dedup": _audio_phash_dedup_oracle(),
     "video_phash": _video_phash_oracle(),
