@@ -227,6 +227,7 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
         cluster_map,
         ngram_pairs_map,
         q_er_fuzzy_customers,
+        url_map,
     )
     from kafka_streams_dexcom_spark.queries.similarity import (
         kmeans_cells_map,
@@ -247,6 +248,7 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
         return round(time.time() - t0, 3)
 
     builds = {
+        "url_map": lambda: url_map(spark, sf_dir),
         "ngram_pairs": lambda: ngram_pairs_map(spark, sf_dir),
         "cluster_map": lambda: cluster_map(spark, sf_dir),
         "kmeans_cells": lambda: kmeans_cells_map(spark, sf_dir),

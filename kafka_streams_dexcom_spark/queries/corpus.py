@@ -777,6 +777,7 @@ def q_crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dexcom_spark.queries.dedup import (
         _robots_docs,
         cluster_map,
+        url_map,
     )
 
     d = _robots_docs(spark, sf_dir)
@@ -786,10 +787,7 @@ def q_crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host", F.expr(ux.robots_txt_sql("host")).alias("body"))
     )
     rv = robots_verdicts(d, robots).select("doc_id", "host", "allowed")
-    urls = load_table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.expr(ux.canonical_url_sql(ux.messy_url_sql())).alias("url"),
-    )
+    urls = url_map(spark, sf_dir).select("doc_id", "url")
     pages = _html_pages(spark, sf_dir)
     soup = pages.select("doc_id", _tok_spark("html").alias("tk_soup"))
     # Stage-output checkpoints (lazy): every stage below has MULTIPLE
