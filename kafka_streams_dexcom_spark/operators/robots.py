@@ -168,24 +168,45 @@ def _verdict_fold() -> Column:
     )
 
 
+# Broadcast budget for the per-host rule table: one (host, rules-array)
+# row per host, ~100 bytes + rule text per row. 2M hosts ≈ a few
+# hundred MB serialized — near the practical executor-broadcast
+# ceiling; beyond it the verdict switches to a shuffle hash join on
+# host with IDENTICAL semantics (the fold runs after either join).
+# Measured crossover in SCALE.md (round 12).
+ROBOTS_BROADCAST_MAX_HOSTS = 2_000_000
+
+
 def robots_verdicts(
     docs: DataFrame,
     robots: DataFrame,
     agent: str = CRAWLER_AGENT,
+    max_broadcast_hosts: int = ROBOTS_BROADCAST_MAX_HOSTS,
 ) -> DataFrame:
     """REP verdict per document row (doc_id, host, path) against a
     (host, body) robots corpus: (doc_id, host, path, allowed,
     matched_rule). ``matched_rule`` is the winning rule's pattern text
     ('' when no rule matched ⇒ allowed). The rule table aggregates to
-    one array row per host and is broadcast — the verdict itself is a
-    scan-side fold, zero fact-side shuffles."""
+    one array row per host; when it fits the broadcast budget
+    (``max_broadcast_hosts`` — counted on the |hosts|-bounded
+    dimension side, a cheap action) it is BROADCAST and the verdict is
+    a scan-side fold with zero fact-side shuffles. A rule table beyond
+    the budget (10^8-host robots corpora exist) switches to a shuffle
+    hash join on host — same fold, same verdicts, one fact-side
+    shuffle; tests/test_robots_cdc.py pins plan-level divergence and
+    row-level equality of the two paths."""
     by_host = robots_rules(robots, agent).groupBy("host").agg(
         F.collect_list(
             F.struct("allow", "pattern", "rx", "prio")
         ).alias("rs")
     )
+    use_broadcast = (
+        max_broadcast_hosts > 0
+        and by_host.count() <= max_broadcast_hosts
+    )
+    dim = F.broadcast(by_host) if use_broadcast else by_host
     return (
-        docs.join(F.broadcast(by_host), "host", "left")
+        docs.join(dim, "host", "left")
         .withColumn("best", _verdict_fold())
         .select(
             "doc_id",

@@ -147,6 +147,33 @@ def test_robots_lowercase_crlf_body(spark):
     assert g["/y"] == (False, "/")
 
 
+def test_robots_shuffle_path_equals_broadcast(spark):
+    """The non-broadcast fallback (rule table beyond the broadcast
+    budget → shuffle hash join on host): forcing it with
+    max_broadcast_hosts=0 must produce row-identical verdicts, and the
+    two physical plans must actually diverge (broadcast join vs none)."""
+    bodies = []
+    docs = []
+    for h in range(40):
+        host = f"h{h}.example"
+        bodies.append((host, f"User-agent: *\nDisallow: /p/{h % 7}"))
+        for p in range(5):
+            docs.append((h * 5 + p, host, f"/p/{p}"))
+    docs_df = spark.createDataFrame(
+        docs, "doc_id long, host string, path string"
+    )
+    robots_df = spark.createDataFrame(bodies, "host string, body string")
+    bc = robots_verdicts(docs_df, robots_df)
+    sh = robots_verdicts(docs_df, robots_df, max_broadcast_hosts=0)
+    assert "BroadcastHashJoin" in bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in sh._jdf.queryExecution().executedPlan().toString()
+    rows_bc = sorted(map(tuple, bc.collect()))
+    rows_sh = sorted(map(tuple, sh.collect()))
+    assert rows_bc == rows_sh
+    # and the verdicts themselves exercise both outcomes
+    assert {r[3] for r in rows_bc} == {True, False}
+
+
 def test_robots_empty_disallow_is_allow_all(spark):
     """§2.2.2: 'Disallow:' with an empty value means allow-all — it
     must NOT become a ''-prefix rule that startswith-matches every
