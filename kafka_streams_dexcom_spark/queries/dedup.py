@@ -2160,6 +2160,156 @@ QUERIES["d4_selection"] = q_d4_selection
 ORACLES["d4_selection"] = _d4_oracle()
 
 
+# Semantic contamination: the eval side of the embedding corpus, the
+# same 1/20 key split convention as dedup_incremental's batch split
+# (documents' EVAL_SOURCE = src0 is likewise 1/20 of the corpus).
+CONTAM_SEM_EVERY = 20
+CONTAM_SEM_TAU = SEMDEDUP_TAU
+
+
+def semantic_contamination(
+    train: DataFrame,
+    eval_: DataFrame,
+    tau: float = CONTAM_SEM_TAU,
+) -> DataFrame:
+    """Embedding-level eval-leak screen: per TRAIN vector, its most
+    similar eval vector among the candidates sharing its ``cell``
+    (trained-quantizer blocking — semdedup's candidate bound), and the
+    ``contaminated`` verdict (best cosine >= tau). A paraphrased eval
+    item shares no n-grams with its leaked training copy —
+    contamination_check's lexical containment scores it 0.0 — but
+    lands next to it in embedding space; this is the screen that
+    catches it (pinned in tests/test_contamination_semantic.py).
+
+    Inputs are (id, vec, norm, cell) frames (with_embedding_norm +
+    a quantizer assignment). Scale: candidates are Σ|cell_train|x
+    |cell_eval| under the learned partition (dedup_embedding_ivf's
+    bound, with the eval side 1/CONTAM_SEM_EVERY of the corpus); the
+    argmax is a struct max (hash aggregate, no sort); ties break to
+    the lowest eval id. Train vectors with no in-cell eval candidate
+    keep cos 0.0 / NULL eval_vec — every train row is screened."""
+    ev = eval_.select(
+        F.col("cell"),
+        F.col("vec_id").alias("e_id"),
+        F.col("vec").alias("evec"),
+        F.col("norm").alias("enorm"),
+    )
+    cand = train.join(ev, "cell").select(
+        "vec_id",
+        "e_id",
+        F.round(
+            F.expr(dd.DOT_EXPR_TPL.format(a="vec", b="evec"))
+            / (F.col("norm") * F.col("enorm")),
+            6,
+        ).alias("cs"),
+    )
+    top = (
+        cand.select(
+            "vec_id",
+            F.struct(
+                F.col("cs").alias("c"), (-F.col("e_id")).alias("ne")
+            ).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("m"))
+        .select(
+            "vec_id",
+            (-F.col("m.ne")).alias("eval_vec"),
+            F.col("m.c").alias("best_cos"),
+        )
+    )
+    return (
+        train.select("vec_id")
+        .join(top, "vec_id", "left")
+        .select(
+            "vec_id",
+            "eval_vec",
+            F.coalesce("best_cos", F.lit(0.0)).alias("cos_sim"),
+            (F.coalesce("best_cos", F.lit(0.0)) >= F.lit(tau))
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def q_contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark-contamination screen over the embedding
+    corpus — the layer contamination_check (lexical n-gram
+    containment) cannot provide: vec_id % 20 == 0 plays the frozen
+    eval suite, the rest the training corpus; candidates block on the
+    shared trained quantizer (kmeans_cells_map — the published
+    artifact), and every train vector gets its best in-cell eval match
+    + the >= tau verdict. Composes existing machinery: semdedup's cell
+    blocking, dedup_embedding's exact cosine fold, contamination's
+    argmax/anchor discipline."""
+    from kafka_streams_dexcom_spark.queries.similarity import (
+        kmeans_cells_map,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = (
+        dd.with_embedding_norm(e)
+        .select("vec_id", "vec", "norm")
+        .join(kmeans_cells_map(spark, sf_dir), "vec_id")
+    )
+    return semantic_contamination(
+        v.filter(F.col("vec_id") % CONTAM_SEM_EVERY != 0),
+        v.filter(F.col("vec_id") % CONTAM_SEM_EVERY == 0),
+    )
+
+
+def _contamination_semantic_oracle() -> str:
+    from kafka_streams_dexcom_spark.queries.similarity import (
+        KMEANS_ITERS,
+        kmeans_oracle_ctes,
+    )
+
+    dot = "list_inner_product({a}, {b})"
+    ctes = kmeans_oracle_ctes()
+    final = f"a{KMEANS_ITERS}"
+    ctes.append(f"""nn AS MATERIALIZED (
+            SELECT vid, cid, vec,
+                   sqrt({dot.format(a='vec', b='vec')}) AS norm
+            FROM {final}
+        )""")
+    ctes.append(f"""sc_cand AS (
+            SELECT t.vid, e.vid AS e_id,
+                   round({dot.format(a='t.vec', b='e.vec')}
+                         / (t.norm * e.norm), 6) AS cs
+            FROM nn t JOIN nn e
+              ON t.cid = e.cid
+             AND t.vid % {CONTAM_SEM_EVERY} != 0
+             AND e.vid % {CONTAM_SEM_EVERY} = 0
+            WHERE t.norm > 0 AND e.norm > 0
+        )""")
+    ctes.append("""sc_top AS (
+            SELECT vid, e_id, cs FROM (
+                SELECT vid, e_id, cs,
+                       row_number() OVER (
+                           PARTITION BY vid
+                           ORDER BY cs DESC, e_id ASC
+                       ) AS rk
+                FROM sc_cand
+            ) WHERE rk = 1
+        )""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT n.vid AS vec_id, t.e_id AS eval_vec,
+               coalesce(t.cs, 0.0) AS cos_sim,
+               CAST(coalesce(t.cs, 0.0) >= {CONTAM_SEM_TAU} AS INT)
+                   AS contaminated
+        FROM nn n LEFT JOIN sc_top t ON t.vid = n.vid
+        WHERE n.vid % {CONTAM_SEM_EVERY} != 0
+    """
+    )
+
+
+QUERIES["contamination_semantic"] = q_contamination_semantic
+ORACLES["contamination_semantic"] = _contamination_semantic_oracle()
+
+
 def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The curated-corpus manifest — the single table a training run
     consumes at the end of the pipeline: per document its near-dup
