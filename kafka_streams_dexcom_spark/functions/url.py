@@ -118,20 +118,25 @@ def canonical_url_sql(x: str, duck: bool = False) -> str:
 # DISTINCT resource, pinning that canonicalization only strips what
 # the policy names (an over-eager dedup that dropped all params would
 # merge it and fail the hash).
-def messy_url_sql(duck: bool = False) -> str:
+def messy_url_sql(duck: bool = False, source_expr: str = "source") -> str:
+    """``source_expr`` names the SQL expression for the doc's source
+    token (default: the documents column; the streaming pipeline test
+    reconstructs it from doc_id because parsed shard members carry only
+    (doc_id, text) — same strings either way)."""
     g = "CAST(doc_id // 60 AS STRING)" if duck else (
         "CAST(doc_id div 60 AS STRING)"
     )
     v = "((doc_id // 20) % 5)" if duck else "((doc_id div 20) % 5)"
+    s = source_expr
     return f"""CASE {v}
-        WHEN 0 THEN concat('https://', upper(source), '.EXAMPLE/p/', {g})
-        WHEN 1 THEN concat('https://', source, '.example:443/p/', {g},
+        WHEN 0 THEN concat('https://', upper({s}), '.EXAMPLE/p/', {g})
+        WHEN 1 THEN concat('https://', {s}, '.example:443/p/', {g},
                            '?utm_source=feed&utm_campaign=spring')
-        WHEN 2 THEN concat('https://', source, '.example/p/', {g},
+        WHEN 2 THEN concat('https://', {s}, '.example/p/', {g},
                            '/#frag-2')
-        WHEN 3 THEN concat('https://', source, '.example/p/', {g},
+        WHEN 3 THEN concat('https://', {s}, '.example/p/', {g},
                            '?ref=a&utm_medium=email')
-        ELSE concat('https://www.', source, '.example/p/', {g},
+        ELSE concat('https://www.', {s}, '.example/p/', {g},
                     '?gclid=XYZ')
     END"""
 

@@ -195,16 +195,36 @@ def robots_verdicts(
     hash join on host — same fold, same verdicts, one fact-side
     shuffle; tests/test_robots_cdc.py pins plan-level divergence and
     row-level equality of the two paths."""
-    by_host = robots_rules(robots, agent).groupBy("host").agg(
-        F.collect_list(
-            F.struct("allow", "pattern", "rx", "prio")
-        ).alias("rs")
-    )
+    by_host = robots_rules_by_host(robots, agent)
     use_broadcast = (
         max_broadcast_hosts > 0
         and by_host.count() <= max_broadcast_hosts
     )
-    dim = F.broadcast(by_host) if use_broadcast else by_host
+    return apply_robots_verdicts(docs, by_host, broadcast=use_broadcast)
+
+
+def robots_rules_by_host(
+    robots: DataFrame, agent: str = CRAWLER_AGENT
+) -> DataFrame:
+    """The selected rule table aggregated to ONE (host, rules-array)
+    row per host — the frozen dimension a crawl epoch broadcasts (the
+    streaming CurationPipeline builds it once per robots snapshot and
+    every epoch applies it; see apply_robots_verdicts)."""
+    return robots_rules(robots, agent).groupBy("host").agg(
+        F.collect_list(
+            F.struct("allow", "pattern", "rx", "prio")
+        ).alias("rs")
+    )
+
+
+def apply_robots_verdicts(
+    docs: DataFrame, by_host: DataFrame, broadcast: bool = True
+) -> DataFrame:
+    """The verdict join+fold against an already-built per-host rule
+    table: scan-side RFC 9309 fold after a broadcast (or shuffle) hash
+    join — the half of robots_verdicts that runs per epoch when the
+    rule table is a frozen artifact."""
+    dim = F.broadcast(by_host) if broadcast else by_host
     return (
         docs.join(dim, "host", "left")
         .withColumn("best", _verdict_fold())

@@ -4,6 +4,12 @@ WebDataset shard drop zone to the two published corpus indexes.
     shard drop zone (read_webdataset_stream, exactly-once file pickup)
         │  txt members
         ├─ corrupt member (bad key / invalid UTF-8) → quarantine ledger
+        ├─ robots-blocked URL (optional crawl stage 0: scan-side
+        │    RFC 9309 fold vs the FROZEN per-host rule table built once
+        │    per robots snapshot)                   → robots_blocked ledger
+        ├─ duplicate canonical address (optional crawl stage 1:
+        │    UrlFirstSeenMaintainer — exact first-seen index through
+        │    the commit log; screen verdicts        → url_screen ledger)
         ├─ parsed doc failing gopher_rules          → rejected ledger
         ├─ accepted doc containing an eval item     → contaminated ledger
         │    (broadcast eval n-gram fingerprints, integer-exact
@@ -144,11 +150,52 @@ class CurationPipeline:
         contamination_threshold: tuple[int, int] = (4, 5),
         semantic_tau: float | None = None,
         chrome_host_expr: str | None = None,
+        robots: DataFrame | None = None,
+        url_expr: str | None = None,
+        crash_after_url_commit: int | None = None,
         crash_after_census_commit: int | None = None,
         crash_after_cluster_commit: int | None = None,
     ) -> None:
+        from kafka_streams_dexcom_spark.streaming.url_index import (
+            UrlFirstSeenMaintainer,
+        )
+
         self.spark = spark
         self.root = root
+        # crawl stages 0-1 (round 12, ahead of the quality gate — the
+        # crawl_manifest stage order): ``url_expr`` (SQL over the
+        # parsed doc columns yielding the RAW address) enables BOTH
+        # legs; ``robots`` is the (host, body) robots.txt snapshot,
+        # folded ONCE here into the frozen per-host rule table that
+        # every epoch broadcasts (a crawl refreshes robots bodies on
+        # their own cadence — a new snapshot is a new pipeline run,
+        # exactly like the frozen quantizer).
+        self.url_expr = url_expr
+        if robots is not None and url_expr is None:
+            raise ValueError("robots leg needs url_expr")
+        if robots is not None:
+            from kafka_streams_dexcom_spark.operators.robots import (
+                robots_rules_by_host,
+            )
+
+            self.robots_by_host = robots_rules_by_host(
+                robots
+            ).localCheckpoint()
+        else:
+            self.robots_by_host = None
+        self.url_index = (
+            UrlFirstSeenMaintainer(
+                spark,
+                os.path.join(root, "url_index"),
+                screened=lambda df, bid: self._ledger(
+                    "url_screen", df, bid
+                ),
+                lineage_id=lineage_id,
+            )
+            if url_expr is not None
+            else None
+        )
+        self.crash_after_url_commit = crash_after_url_commit
         self.cluster = ClusterMapMaintainer(
             spark,
             os.path.join(root, "cluster_map"),
@@ -218,6 +265,74 @@ class CurationPipeline:
         try:
             docs, quarantine = parse_txt_members(batch_df)
             self._ledger("quarantine", quarantine, batch_id)
+            # crawl stage 0: robots verdicts against the FROZEN per-host
+            # rule table (broadcast join + scan-side RFC 9309 fold);
+            # blocked docs land in the robots_blocked/ ledger and never
+            # reach the quality gate
+            if self.url_expr is not None:
+                from kafka_streams_dexcom_spark.functions import url as ux
+
+                docs = docs.withColumn(
+                    "url",
+                    F.expr(
+                        ux.canonical_url_sql(f"({self.url_expr})")
+                    ),
+                )
+            if self.robots_by_host is not None:
+                from kafka_streams_dexcom_spark.operators.robots import (
+                    apply_robots_verdicts,
+                )
+
+                sides = docs.select(
+                    "doc_id",
+                    F.expr(ux.host_sql("url")).alias("host"),
+                    F.coalesce(
+                        F.expr(ux.path_sql("url")), F.lit("")
+                    ).alias("path"),
+                )
+                rv = apply_robots_verdicts(
+                    sides, self.robots_by_host
+                ).localCheckpoint()
+                self._ledger(
+                    "robots_blocked",
+                    rv.filter("NOT allowed").select(
+                        "doc_id", "host", "path", "matched_rule"
+                    ),
+                    batch_id,
+                )
+                docs = docs.join(
+                    F.broadcast(
+                        rv.filter("NOT allowed").select("doc_id")
+                    ),
+                    "doc_id",
+                    "left_anti",
+                )
+            # crawl stage 1: canonical-URL first-seen dedup through the
+            # commit log (exact index; screen verdicts -> url_screen/
+            # ledger); duplicates never reach the quality gate
+            if self.url_index is not None:
+                docs = docs.localCheckpoint()
+                self.url_index(docs, batch_id)
+                if self.crash_after_url_commit == batch_id:
+                    raise RuntimeError(
+                        "injected crash after url-index commit, epoch "
+                        f"{batch_id}"
+                    )
+                # THIS epoch's screen verdicts (the ledger subdir the
+                # maintainer just published — re-published identically
+                # on replay, so the downstream filter is replay-stable)
+                dup_ids = self.spark.read.parquet(
+                    os.path.join(
+                        self.root, "url_screen", f"batch={batch_id}"
+                    )
+                )
+                docs = docs.join(
+                    F.broadcast(
+                        dup_ids.filter("url_dup = 1").select("doc_id")
+                    ),
+                    "doc_id",
+                    "left_anti",
+                ).select("doc_id", "text")
             flagged = gopher_rules(docs, carry_cols=("text",)).persist()
             try:
                 self._ledger(

@@ -361,3 +361,116 @@ def test_contamination_gate_routes_planted_eval_dupes(spark, tmp_path):
     }
     assert got_member == want_member and got_member
     assert pipe.sem.vectors().filter("vec_id >= 900000").count() == 0
+
+
+def test_crawl_front_door_legs_crash_replay(spark, tmp_path):
+    """Round-12 crawl stages 0-1 in the streaming topology: robots
+    verdicts against the FROZEN per-host rule table + the canonical-URL
+    first-seen index through the commit log, AHEAD of the quality gate.
+    Crashes after the url-index commit of epoch 1, restarts, and
+    asserts (a) the robots_blocked ledger row-equals the batch verdict
+    set, (b) the converged index holds exactly one holder per distinct
+    canonical address among allowed docs, (c) the streamed stage-0/1
+    counts equal q_crawl_manifest's stage-1/2 ledger rows over the same
+    corpus."""
+    from kafka_streams_dexcom_spark.functions import url as ux
+    from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
+    from kafka_streams_dexcom_spark.operators.robots import (
+        robots_verdicts,
+    )
+    from kafka_streams_dexcom_spark.queries.corpus import q_crawl_manifest
+
+    drop = tmp_path / "drop2"
+    drop.mkdir()
+    docs_src = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text"
+    )
+    members = docs_src.select(
+        F.col("doc_id").cast("string").alias("key"),
+        F.lit("txt").alias("ext"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    write_webdataset(members, str(drop), n_shards=4)
+
+    # the same planted address fixture crawl_manifest runs on, with
+    # the source token reconstructed from doc_id (shard members carry
+    # only (doc_id, text))
+    src_expr = "concat('src', CAST(doc_id % 20 AS STRING))"
+    url_expr = ux.messy_url_sql(source_expr=src_expr)
+    um = load_table(spark, SF_DIR, "documents").select(
+        "doc_id",
+        F.expr(ux.canonical_url_sql(f"({ux.messy_url_sql()})")).alias(
+            "url"
+        ),
+    ).select(
+        "doc_id",
+        "url",
+        F.expr(ux.host_sql("url")).alias("host"),
+        F.coalesce(F.expr(ux.path_sql("url")), F.lit("")).alias("path"),
+    ).localCheckpoint()
+    robots_df = um.select("host").distinct().select(
+        "host", F.expr(ux.robots_txt_sql("host")).alias("body")
+    ).localCheckpoint()
+
+    cents = _centroids(spark)
+    root = str(tmp_path / "views2")
+    ckpt = str(tmp_path / "ckpt2")
+    kwargs = dict(
+        lineage_id=LINEAGE + "-crawl",
+        threshold=THRESHOLD,
+        robots=robots_df,
+        url_expr=url_expr,
+    )
+    crash = CurationPipeline(
+        spark, root, cents, crash_after_url_commit=1, **kwargs
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        _run_stream(spark, str(drop), ckpt, crash)
+    clean = CurationPipeline(spark, root, cents, **kwargs)
+    _run_stream(spark, str(drop), ckpt, clean)
+
+    # (a) robots ledger == batch verdicts (despite the epoch replay)
+    rv = robots_verdicts(um.select("doc_id", "host", "path"), robots_df)
+    want_blocked = {
+        r.doc_id for r in rv.filter("NOT allowed").collect()
+    }
+    got_blocked = {
+        r.doc_id for r in clean.ledger("robots_blocked").collect()
+    }
+    assert got_blocked == want_blocked and got_blocked
+
+    # (b) converged first-seen index: one holder per distinct
+    # canonical address among ALLOWED docs, every holder a member of
+    # its own address group
+    allowed_urls = (
+        um.join(
+            spark.createDataFrame(
+                [(d,) for d in want_blocked], "doc_id long"
+            ),
+            "doc_id",
+            "left_anti",
+        )
+        .select("doc_id", F.expr(HASH60_TPL.format(x="url")).alias("h"))
+        .localCheckpoint()
+    )
+    idx = clean.url_index.index().localCheckpoint()
+    assert idx.count() == allowed_urls.select("h").distinct().count()
+    bad_holder = idx.join(
+        allowed_urls.withColumnRenamed("h", "url_hash"),
+        ["url_hash", "doc_id"],
+        "left_anti",
+    ).count()
+    assert bad_holder == 0
+
+    # (c) streamed stage counts == crawl_manifest stage-1/2 ledger
+    led = {r.name: r for r in q_crawl_manifest(spark, SF_DIR).collect()}
+    n_all = um.count()
+    assert led["robots"].docs_in == n_all
+    assert led["robots"].docs_out == n_all - len(want_blocked)
+    assert led["url_dedup"].docs_out == idx.count()
+
+    # the url_screen ledger accounts for every duplicate exactly
+    dup_total = (
+        clean.ledger("url_screen").filter("url_dup = 1").count()
+    )
+    assert dup_total == (n_all - len(want_blocked)) - idx.count()
