@@ -486,17 +486,22 @@ def kmeans_oracle_ctes(
     )
 
     def assign_cte(label: str, cents: str) -> str:
-        d2 = dist2.format(a="n.vec", b="c.cvec")
+        # arg_min over the streamed cross join, NOT a row_number
+        # window: the window form materializes |n|·k rows WITH both
+        # 64-dim vectors (~80 GB at sf10's 200k x 400) before sorting;
+        # the aggregate streams narrow (vid, cid, d2) rows into 200k
+        # groups. Same argmin semantics: the [d2, cid] key is unique
+        # (cids distinct), so ties on d2 still break to lowest cid.
+        d2 = dist2.format(a="n2.vec", b="c.cvec")
         return f"""
         {label} AS (
-            SELECT vid, vec, cid FROM (
-                SELECT n.vid, n.vec, c.cid,
-                       row_number() OVER (
-                           PARTITION BY n.vid
-                           ORDER BY {d2} ASC, c.cid ASC
-                       ) AS rk
-                FROM n CROSS JOIN {cents} c
-            ) WHERE rk = 1
+            SELECT n.vid, n.vec, am.cid
+            FROM n JOIN (
+                SELECT n2.vid,
+                       min(struct_pack(d := {d2}, c := c.cid)).c AS cid
+                FROM n n2 CROSS JOIN {cents} c
+                GROUP BY n2.vid
+            ) am USING (vid)
         )"""
 
     ctes = [
