@@ -172,6 +172,10 @@ HEADLINE = [
     "video_phash_dedup",         # video brightness-contour near-dup twin
     "phash_survivors",           # cross-modal perceptual survivor election
     "crawl_manifest",            # composed 6-stage crawl ROI ledger
+    # round-12 additions
+    "multimodal_phash_dct",      # rotation-invariant DCT fingerprint sets
+    "multimodal_phash_dct_dedup",  # D4-orbit min-Hamming near-dup pairing
+    "contamination_semantic",    # embedding-level eval-leak screen
 ]
 
 

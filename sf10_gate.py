@@ -99,14 +99,23 @@ def main() -> int:
     print(f"{len(names)} queries to gate at sf10 "
           f"({len(EXCLUDED)} excluded by data shape)")
     spark = vanilla_spark()
-    con = duckdb_con(SF10)
     failed = []
     with open(JSONL, "a") as log:
         for i, name in enumerate(names, 1):
             t0 = time.time()
             try:
                 if name in oracles:
+                    # FRESH connection per query (round 12): DuckDB
+                    # retains its buffer pool up to memory_limit across
+                    # queries and lambda-heavy replays carry untracked
+                    # vector memory on top — the accumulated footprint
+                    # plus the resident Spark JVM OOM-killed the r12
+                    # first run at query 2; a per-query connection
+                    # returns the pool between replays for the cost of
+                    # re-registering ten views
+                    con = duckdb_con(SF10)
                     res = compare(qs[name](spark, SF10), con, oracles[name])
+                    con.close()
                     ok = res["values_match"] and res["types_match"]
                     row = {"name": name, "ok": ok,
                            "rows": res["spark_rows"],
