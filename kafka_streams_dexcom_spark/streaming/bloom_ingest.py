@@ -197,11 +197,18 @@ class BloomFilterMaintainer:
                 version: int) -> DataFrame:
         """(id, probably_seen) for the batch against the bit set at
         ``version`` (-1 = empty filter). Read-only — safe to re-run on
-        replay against the recorded pre-batch version."""
+        replay against the recorded pre-batch version. -1 must mean
+        EMPTY even when later state exists (bits(None) reads LATEST):
+        a replayed batch 0 screens against the pre-ingest filter, not
+        its own committed bits — the line_census discipline, fixed
+        here in round 12."""
+        stored = (
+            self.bits(version)
+            if version >= 0
+            else self.spark.createDataFrame([], _BITS_SCHEMA)
+        )
         hits = (
-            pos.join(F.broadcast(self.bits(
-                version if version >= 0 else None
-            ).select("pos").distinct()), "pos")
+            pos.join(F.broadcast(stored.select("pos").distinct()), "pos")
             .groupBy(self.id_col)
             .agg(F.count(F.lit(1)).alias("n_hit"))
         )

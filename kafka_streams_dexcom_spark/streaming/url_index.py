@@ -116,9 +116,15 @@ class UrlFirstSeenMaintainer:
     ) -> DataFrame:
         from pyspark.sql import Window
 
-        stored = self.index(version if version >= 0 else None).select(
-            "url_hash", F.lit(1).alias("__prior")
+        # -1 means EMPTY even when later state exists (index(None)
+        # reads LATEST): a replayed batch 0 screens against the
+        # pre-ingest index, not its own committed addresses
+        base = (
+            self.index(version)
+            if version >= 0
+            else self.spark.createDataFrame([], _IDX_SCHEMA)
         )
+        stored = base.select("url_hash", F.lit(1).alias("__prior"))
         holder = F.min(self.id_col).over(
             Window.partitionBy("url_hash")
         )

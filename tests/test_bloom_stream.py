@@ -155,6 +155,37 @@ def test_replay_of_last_batch_reemits_identical_verdicts(
     assert m.bits().count() == bits_before
 
 
+def test_replay_of_batch_zero_reemits_identical_verdicts(
+    spark, tmp_path, docs
+):
+    """The batch-0 edge of the re-emission contract: screen_base is -1
+    (the pre-ingest EMPTY filter), and -1 must not fall through to the
+    LATEST version (which holds batch 0's own bits and would flip its
+    rows to probably_seen=1). Found by review in round 12 — the
+    line_census handled -1 explicitly, bloom/url_index did not."""
+    base = docs.limit(40).localCheckpoint()
+    verdicts: dict[int, dict[int, int]] = {}
+    m = BloomFilterMaintainer(
+        spark,
+        str(tmp_path / "filter0"),
+        m_bits=M_BITS,
+        screened=lambda df, bid: verdicts.__setitem__(
+            bid, {r["doc_id"]: r["probably_seen"] for r in df.collect()}
+        ),
+        lineage_id="q0",
+    )
+    m(base, 0)
+    original = dict(verdicts[0])
+    # against the empty pre-ingest filter nothing is probably_seen
+    assert set(original.values()) == {0}
+    replayed: dict[int, dict[int, int]] = {}
+    m.screened = lambda df, bid: replayed.__setitem__(
+        bid, {r["doc_id"]: r["probably_seen"] for r in df.collect()}
+    )
+    m(base, 0)  # replay of the one applied batch
+    assert replayed == {0: original}
+
+
 def test_width_ceiling(spark, tmp_path, docs):
     """m_bits above 2^31-1 would leave bits unreachable under the
     31-bit universal-hash fold — both twins must refuse, loudly."""
