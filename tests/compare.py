@@ -41,6 +41,14 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
         + os.path.join(tempfile.gettempdir(), "spark_graft_duck_spill")
         + "'"
     )
+    # thread cap for lambda-heavy replays: DuckDB's list-lambda
+    # intermediates are NOT tracked by memory_limit, and per-thread
+    # vector memory on the 8e7-row Lloyd/pair replays reached ~70-95 GB
+    # RSS at 32 threads (r12 sf10 gate OOM); halving threads roughly
+    # halves the untracked footprint for a modest wall-clock cost
+    thr = os.environ.get("SPARK_GRAFT_ORACLE_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
