@@ -240,9 +240,12 @@ def test_video_phash_short_clip_raises(spark):
 
 
 def test_phash_survivors_policy(spark, sf_dir):
-    """Survivor election across the three modality pair graphs: every
+    """Survivor election across the four modality pair graphs: every
     full planted group keeps exactly its min doc_id (the other two
-    re-encodes map to it), in every modality."""
+    re-encodes map to it) in the contour modalities; the image_dct leg
+    merges the rotated re-post ALWAYS (exact orbit identity) and the
+    dithered re-encode for nearly every group (the p99<=threshold
+    design bound — see test_multimodal_dct.py)."""
     from kafka_streams_dexcom_spark.queries.multimodal import (
         q_phash_survivors,
     )
@@ -250,13 +253,15 @@ def test_phash_survivors_policy(spark, sf_dir):
 
     rows = q_phash_survivors(spark, sf_dir).collect()
     n_docs = load_table(spark, sf_dir, "documents").count()
-    assert len(rows) == 3 * n_docs
+    assert len(rows) == 4 * n_docs
     by_mod = {}
     for r in rows:
         by_mod.setdefault(r["modality"], {})[r["doc_id"]] = r
-    assert set(by_mod) == {"image", "audio", "video"}
+    assert set(by_mod) == {"image", "audio", "video", "image_dct"}
     full_groups = n_docs // 3
     for mod, docs in by_mod.items():
+        if mod == "image_dct":
+            continue
         for g in range(full_groups):
             trio = [docs[3 * g + v] for v in range(3)]
             for r in trio:
@@ -264,3 +269,21 @@ def test_phash_survivors_policy(spark, sf_dir):
             assert [r["is_survivor"] for r in trio] == [
                 True, False, False,
             ], (mod, g)
+    dct = by_mod["image_dct"]
+    merged_redo = 0
+    for g in range(full_groups):
+        base, rot, redo = (dct[3 * g + v] for v in range(3))
+        # base always survives its group; the rot re-post always merges
+        assert base["canonical_id"] == 3 * g and base["is_survivor"], g
+        assert rot["canonical_id"] == 3 * g and not rot["is_survivor"], g
+        if redo["canonical_id"] == 3 * g:
+            assert not redo["is_survivor"], g
+            merged_redo += 1
+        else:  # the rare over-threshold dither: survives alone
+            assert redo["canonical_id"] == 3 * g + 2, g
+            assert redo["is_survivor"], g
+    # design bound: dither stays within threshold for >= ~95% of groups
+    assert merged_redo >= full_groups - max(1, full_groups // 20), (
+        merged_redo,
+        full_groups,
+    )
