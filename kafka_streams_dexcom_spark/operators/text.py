@@ -2984,32 +2984,43 @@ def host_line_dedup(
     (StreamsFilterEgvs.java); crawl corpora need the per-site line
     pass before any content-level dedup spends budget on chrome.
     """
+    # Round-12 join-free single-plan formulation (guide §2.4). The r11
+    # shape had THREE consumers of the line rows (census groupBy,
+    # anti-join rebuild, totals groupBy) + two joins; DataFrame fan-out
+    # duplicates the subtree per consumer, so the plan ran the document
+    # scan and the tokenize+md5 line construction three times with ~6
+    # exchanges. Here the census is computed as windows over ONE
+    # (host, lh) exchange — the exact distinct-doc count per line is
+    # max(dense_rank(doc_id)) over the (host, lh) partition — and the
+    # rebuild/totals/report collapse into ONE (doc_id, host)
+    # aggregation over the flagged rows (collect_list skips the NULLs
+    # the CASE leaves on boilerplate lines). One construction, two
+    # keyed exchanges, zero joins; the shuffles still carry
+    # (host, 8-byte hash, line) rows, never page text.
     lines = host_lines(df, host_col, text_col, line_words)
-    boiler = (
-        lines.groupBy("host", "lh")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("host", "lh")
+    w_set = Window.partitionBy("host", "lh").orderBy("doc_id")
+    w_full = Window.partitionBy("host", "lh")
+    flagged = (
+        lines.withColumn("dr", F.dense_rank().over(w_set))
+        .withColumn("kept", F.max("dr").over(w_full) < F.lit(min_docs))
     )
-    kept = lines.join(boiler, ["host", "lh"], "left_anti")
-    rebuilt = kept.groupBy("doc_id", "host").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    out = flagged.groupBy("doc_id", "host").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
         F.expr(
-            "array_join(transform(array_sort("
-            "collect_list(struct(ln, line))), s -> s.line), ' ')"
+            "array_join(transform(array_sort(collect_list("
+            "CASE WHEN kept THEN struct(ln, line) END)), "
+            "s -> s.line), ' ')"
         ).alias("txt"),
     )
-    totals = lines.groupBy("doc_id", "host").agg(
-        F.count(F.lit(1)).alias("n_lines")
-    )
-    return totals.join(rebuilt, ["doc_id", "host"], "left").select(
+    return out.select(
         "doc_id",
         "host",
-        F.col("n_lines").cast("bigint").alias("n_lines"),
-        (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+        "n_lines",
+        (F.col("n_lines") - F.col("n_kept"))
         .cast("bigint")
         .alias("n_removed_lines"),
-        F.coalesce("txt", F.lit("")).alias("clean_text"),
+        F.col("txt").alias("clean_text"),
     )
 
 

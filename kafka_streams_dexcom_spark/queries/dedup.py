@@ -2543,13 +2543,14 @@ def q_host_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py:host_line_dedup for the plan shape."""
     from kafka_streams_dexcom_spark.functions import url as ux
     from kafka_streams_dexcom_spark.operators.text import host_line_dedup
-    from kafka_streams_dexcom_spark.sources.files import materialize
 
     # hosts come from the shared url_map artifact (parsed once per
-    # session — the regex pile was host_line_dedup's r11 ×1.61);
-    # materialize the narrow (doc_id, host, page) join output because
-    # the line pass consumes it three times (census, rebuild, totals)
-    d = materialize(
+    # session — the regex pile was host_line_dedup's r11 ×1.61). No
+    # materialize barrier here any more: host_line_dedup now exchanges
+    # the CONSTRUCTED line rows once by host (round 12), so its input
+    # is consumed exactly once and a barrier would only add an exchange
+    # of the page text.
+    d = (
         load_table(spark, sf_dir, "documents")
         .select(
             "doc_id",

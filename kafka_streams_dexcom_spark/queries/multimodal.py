@@ -480,37 +480,62 @@ def q_phash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables. No leg's work gates another's — at cluster scale the
     legs schedule concurrently."""
     from kafka_streams_dexcom_spark.operators.graph import (
+        CC_SINGLE_TASK_EDGES,
         connected_components,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     ids = docs.select("doc_id")
-    outs = []
-    for name in ("image", "audio", "video", "image_dct"):
+    names = ("image", "audio", "video", "image_dct")
+    # Round-12 (guide §2.4/§2.6): ONE connected-components invocation
+    # over the union of the four per-leg pair graphs instead of four.
+    # The legs are disjoint by construction, so prefixing node ids with
+    # the leg index (doc_id·4 + leg) yields the identical labels — a
+    # component's min composite id decodes to the leg's min doc_id —
+    # while paying the CC machinery (edge materialization + count +
+    # label loop / single-task dispatch + survivor join) once instead
+    # of four times. The single-task dispatch bound scales by the
+    # number of merged legs, keeping the PER-LEG work bound the
+    # measured constant.
+    allp = None
+    for idx, name in enumerate(names):
         fp = _fp_artifact(spark, sf_dir, name)
         pairs = (
             _banded_pairs_oriented(fp)
             if name == "image_dct"
             else _banded_pairs(fp)
         )
-        comp = connected_components(
-            pairs,
-            a_col="id_a",
-            b_col="id_b",
+        tagged = pairs.select(
+            (F.col("id_a") * 4 + idx).alias("id_a"),
+            (F.col("id_b") * 4 + idx).alias("id_b"),
         )
-        outs.append(
-            ids.join(comp, ids.doc_id == comp.node, "left").select(
-                F.lit(name).alias("modality"),
-                "doc_id",
-                F.coalesce(F.col("component"), F.col("doc_id")).alias(
-                    "canonical_id"
-                ),
-            )
+        allp = tagged if allp is None else allp.unionByName(tagged)
+    comp = connected_components(
+        allp,
+        a_col="id_a",
+        b_col="id_b",
+        single_task_edges=len(names) * CC_SINGLE_TASK_EDGES,
+    )
+    mods = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(i, n) for i, n in enumerate(names)],
+            "leg int, modality string",
         )
-    u = outs[0]
-    for o in outs[1:]:
-        u = u.unionByName(o)
-    return u.select(
+    )
+    base = ids.crossJoin(mods).select(
+        "modality",
+        "doc_id",
+        (F.col("doc_id") * 4 + F.col("leg")).alias("cnode"),
+    )
+    return base.join(comp, base.cnode == comp.node, "left").select(
+        "modality",
+        "doc_id",
+        F.coalesce(
+            F.expr("component div 4"), F.col("doc_id")
+        )
+        .cast("bigint")
+        .alias("canonical_id"),
+    ).select(
         "modality",
         "doc_id",
         "canonical_id",

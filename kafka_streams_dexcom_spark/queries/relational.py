@@ -131,8 +131,20 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle asserts them as literal 1s — a documented bound check
     with a full hash match instead of the old rows-only row."""
     e = load_table(spark, sf_dir, "events")
+    # Exact distinct count in its OWN aggregation (round 12, guide
+    # §2.3): mixing countDistinct with buffer-heavy aggregates makes
+    # Spark's distinct rewrite key the FIRST aggregation stage by
+    # (event_type, user_id) — an HLL sketch, two percentile_approx GK
+    # summaries and the exact-percentile buffer built and merged PER
+    # USER (~40k sketch buffers at sf0.1; read the r12 before-plan).
+    # Split out, the sketches aggregate classically per
+    # (partition × event_type) — a few hundred buffers — and the
+    # |event_types|-row exact count broadcast-joins back. Output
+    # columns and values are unchanged.
+    dist = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
     agg = e.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users_exact"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("au"),
         F.percentile_approx("value", 0.5, 10_000).alias("ap50"),
         F.percentile_approx("value", 0.99, 10_000).alias("ap99"),
@@ -141,7 +153,7 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         # independently, so the array form is ~3x cheaper (measured)
         F.expr("percentile(value, array(0.45D, 0.55D, 0.97D))").alias("px"),
         F.max("value").alias("vmax"),
-    )
+    ).join(F.broadcast(dist), "event_type")
     agg = agg.select(
         "*",
         F.col("px").getItem(0).alias("p45"),
