@@ -30,23 +30,58 @@ def debounced_alerts_batch(
     # Python loop — at 1-2% alert rate that is a 50x shuffle reduction.
     events = events.filter(events.value >= threshold)
 
-    def per_user(pdf: pd.DataFrame) -> pd.DataFrame:
-        # (ts, value) order: equal-timestamp rows would otherwise emit
-        # whichever arrived first off the shuffle — nondeterministic and
-        # un-replayable by the SQL oracle
-        pdf = pdf.sort_values(["ts_us", "value"])
-        ts = pdf["ts_us"].to_numpy()
-        # the carried-state recurrence only *lands* on emission rows, so
-        # jump emission→emission with searchsorted (first ts at-or-after
-        # last + debounce) instead of visiting every row in Python:
-        # O(emissions · log n) per user, not O(n) interpreter steps
-        idxs = []
-        i, n = 0, len(ts)
-        while i < n:
-            idxs.append(i)
-            i = int(np.searchsorted(ts, ts[i] + debounce_us, side="left"))
-        return pdf.iloc[idxs][["user_id", "ts_us", "value"]]
+    # Round-12 (guide §4.5): ONE Python/Arrow transition per input
+    # batch, not per user. applyInPandas called the per-user function
+    # once per key (~1,400 single-digit-row pandas frames at sf0.1 —
+    # pure per-group transition overhead); a partition scan over
+    # repartition(user_id) + sortWithinPartitions sees every user's
+    # rows contiguous and sorted, applies the identical
+    # emission→emission searchsorted recurrence per user run, and
+    # carries the partition-boundary user between Arrow batches. Same
+    # shuffle (hash by user_id), same per-user order (ts, value — the
+    # tie-break that keeps equal-timestamp emissions deterministic),
+    # same emitted rows.
+    ev = (
+        events.select("user_id", "ts_us", "value")
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts_us", "value")
+    )
 
-    return events.select("user_id", "ts_us", "value").groupBy(
-        "user_id"
-    ).applyInPandas(per_user, ALERT_SCHEMA)
+    def scan(batches):
+        def emit(pdf: pd.DataFrame) -> pd.DataFrame:
+            u = pdf["user_id"].to_numpy()
+            ts = pdf["ts_us"].to_numpy()
+            starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+            ends = np.r_[starts[1:], len(u)]
+            idxs = []
+            for s, e in zip(starts, ends):
+                i = s
+                while i < e:
+                    idxs.append(i)
+                    i = s + int(
+                        np.searchsorted(
+                            ts[s:e], ts[i] + debounce_us, side="left"
+                        )
+                    )
+            return pdf.iloc[idxs]
+
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            # hold the (possibly batch-spanning) last user's rows for
+            # the next batch; user_id is ascending within a partition
+            cut = int(
+                pdf["user_id"].searchsorted(
+                    pdf["user_id"].iloc[-1], side="left"
+                )
+            )
+            carry = pdf.iloc[cut:]
+            if cut:
+                yield emit(pdf.iloc[:cut])
+        if carry is not None and len(carry):
+            yield emit(carry)
+
+    return ev.mapInPandas(scan, ALERT_SCHEMA)

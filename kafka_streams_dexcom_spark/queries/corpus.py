@@ -643,19 +643,13 @@ def q_compliance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero fact-side shuffles); the header side reads the LIFTED
     x_robots_tag column (no body decode); the unifying join is one
     doc_id hash join of two narrow projections."""
-    from kafka_streams_dexcom_spark.functions import url as ux
-    from kafka_streams_dexcom_spark.operators.robots import (
-        robots_verdicts,
+    from kafka_streams_dexcom_spark.queries.dedup import (
+        _robots_docs,
+        robots_verdicts_shared,
     )
-    from kafka_streams_dexcom_spark.queries.dedup import _robots_docs
 
     d = _robots_docs(spark, sf_dir)
-    robots = (
-        d.select("host")
-        .distinct()
-        .select("host", F.expr(ux.robots_txt_sql("host")).alias("body"))
-    )
-    rv = robots_verdicts(d, robots)
+    rv = robots_verdicts_shared(spark, sf_dir, d)
     path = _warc_fixture(spark, sf_dir)
     recs = cs.read_warc(spark, os.path.join(path, "*.warc.gz"))
     # aggregate to one row per doc (a duplicate response record must
@@ -767,9 +761,6 @@ def q_crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chrome census shuffles (host, hash) pairs, and the ledger
     itself is two single-row aggregates stacked to 6 rows."""
     from kafka_streams_dexcom_spark.functions import url as ux
-    from kafka_streams_dexcom_spark.operators.robots import (
-        robots_verdicts,
-    )
     from kafka_streams_dexcom_spark.operators.text import (
         gopher_rules,
         host_line_dedup,
@@ -777,16 +768,14 @@ def q_crawl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_dexcom_spark.queries.dedup import (
         _robots_docs,
         cluster_map,
+        robots_verdicts_shared,
         url_map,
     )
 
     d = _robots_docs(spark, sf_dir)
-    robots = (
-        d.select("host")
-        .distinct()
-        .select("host", F.expr(ux.robots_txt_sql("host")).alias("body"))
+    rv = robots_verdicts_shared(spark, sf_dir, d).select(
+        "doc_id", "host", "allowed"
     )
-    rv = robots_verdicts(d, robots).select("doc_id", "host", "allowed")
     urls = url_map(spark, sf_dir).select("doc_id", "url")
     pages = _html_pages(spark, sf_dir)
     soup = pages.select("doc_id", _tok_spark("html").alias("tk_soup"))

@@ -2797,6 +2797,85 @@ def _robots_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_map(spark, sf_dir).select("doc_id", "host", "path")
 
 
+def robots_rules_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTED per-host rule table (host, rules array) as a
+    published per-(session, corpus) artifact — the crawl epoch's frozen
+    dimension (streaming/curation_pipeline.py already builds this table
+    once per robots snapshot and applies it every epoch; this is the
+    batch twin of that contract). Round 12 (guide §1.2/§2.4):
+    robots_filter, compliance_report and crawl_manifest each re-planned
+    the |hosts|-bounded dimension parse per invocation AND paid a
+    count() action per query just to pick broadcast-vs-shuffle; the
+    artifact parses once per (session, corpus) and the gate count is a
+    cached session_value. Verdicts are identical — same rule rows,
+    same fold — and every oracle still replays the parse from the
+    bodies."""
+    import os
+
+    from kafka_streams_dexcom_spark.functions import url as ux
+    from kafka_streams_dexcom_spark.operators.robots import (
+        CRAWLER_AGENT,
+        robots_rules_by_host,
+    )
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    def build() -> DataFrame:
+        hosts = _robots_docs(spark, sf_dir).select("host").distinct()
+        robots = hosts.select(
+            "host", F.expr(ux.robots_txt_sql("host")).alias("body")
+        )
+        return robots_rules_by_host(robots)
+
+    return session_artifact(
+        spark,
+        "robots_rules",
+        (
+            os.path.abspath(sf_dir),
+            corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+            CRAWLER_AGENT,
+        ),
+        build,
+    )
+
+
+def robots_verdicts_shared(
+    spark: SparkSession, sf_dir: str, docs: DataFrame
+) -> DataFrame:
+    """REP verdicts for ``docs`` (doc_id, host, path) against the
+    frozen per-corpus rule-table artifact: the broadcast-vs-shuffle
+    gate count runs once per (session, corpus) instead of once per
+    query invocation (operators/robots.py:robots_verdicts keeps the
+    self-contained DataFrame-in/DataFrame-out form for tests and
+    ad-hoc corpora)."""
+    import os
+
+    from kafka_streams_dexcom_spark.operators.robots import (
+        ROBOTS_BROADCAST_MAX_HOSTS,
+        apply_robots_verdicts,
+    )
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_value,
+    )
+
+    by_host = robots_rules_map(spark, sf_dir)
+    n_hosts = session_value(
+        spark,
+        "robots_n_hosts",
+        (
+            os.path.abspath(sf_dir),
+            corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        ),
+        lambda: by_host.count(),
+    )
+    return apply_robots_verdicts(
+        docs, by_host, broadcast=n_hosts <= ROBOTS_BROADCAST_MAX_HOSTS
+    )
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots Exclusion Protocol compliance — crawl stage 0, before
     dedup_url even runs: parse each host's robots.txt BODY (the planted
@@ -2817,18 +2896,9 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles (the plan a crawler's in-process matcher has, expressed
     relationally). Nothing about the plan changes when the fixture is
     replaced by a fetched robots corpus keyed by host."""
-    from kafka_streams_dexcom_spark.functions import url as ux
-    from kafka_streams_dexcom_spark.operators.robots import (
-        robots_verdicts,
+    return robots_verdicts_shared(
+        spark, sf_dir, _robots_docs(spark, sf_dir)
     )
-
-    d = _robots_docs(spark, sf_dir)
-    robots = (
-        d.select("host")
-        .distinct()
-        .select("host", F.expr(ux.robots_txt_sql("host")).alias("body"))
-    )
-    return robots_verdicts(d, robots)
 
 
 def _robots_docs_duck() -> str:
