@@ -72,6 +72,14 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
+    # Deployment-specific overrides without code edits (cluster runs
+    # tune shuffle partitions / join strategy / codecs per environment):
+    # SPARK_GRAFT_EXTRA_CONF="spark.a=b;spark.c=d". Applied before
+    # extra_conf so explicit callers win.
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
