@@ -846,24 +846,88 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     shorter PQ codes) before retrieval quality collapses. The 64-dim row
     is the sanity anchor (recall 1.0 by construction).
 
-    Scale: one broadcast-query brute-force pass per width over the same
-    corpus scan shape as sim_search_bruteforce; at production scale the
-    widths run on a sample, exactly like ann_recall_matrix."""
+    Scale: ONE corpus scan and ONE broadcast pair join score every
+    width (round-12 rework; previously one full brute-force pass — scan
+    + broadcast join + two-level top-k — per width plus one for the
+    ground truth, 5 passes total). A truncated dot is a PREFIX of the
+    full fold, so per-width cosines come from slices of the one decoded
+    vector: identical doubles (same sequential fold over the same
+    operands), identical top-k sets, same recall rows. The truth leg is
+    exactly the dim-64 ann leg, so it reads the checkpointed top-k
+    table instead of re-running a sixth pass. Per-width zero-norm
+    filtering (with_embedding_norm drops norm == 0 per truncation) is
+    preserved by the per-leg ok flag."""
     from pyspark.sql import functions as F
 
+    from kafka_streams_dexcom_spark.operators.dedup import DOT_EXPR_TPL
+    from kafka_streams_dexcom_spark.sources.files import fan_out_small
+
     e = load_table(spark, sf_dir, "embeddings")
-    truth = sim.brute_force_topk(e, QUERY_IDS, TOP_K).select(
-        "query_id", "vec_id"
+    v = fan_out_small(e).withColumn(
+        "vec", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
     )
-    ann = None
+
+    def norm_d(d: int):
+        sl = f"slice(vec, 1, {d})"
+        return F.sqrt(F.expr(DOT_EXPR_TPL.format(a=sl, b=sl)))
+
+    base = v.select(
+        "vec_id",
+        "vec",
+        *[norm_d(d).alias(f"n{d}") for d in MATRYOSHKA_DIMS],
+    )
+    q = base.filter(F.col("vec_id").isin(list(QUERY_IDS))).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        *[F.col(f"n{d}").alias(f"qn{d}") for d in MATRYOSHKA_DIMS],
+    )
+    pairs = base.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    legs = []
     for d in MATRYOSHKA_DIMS:
-        te = e.withColumn("embedding", F.slice("embedding", 1, d))
-        part = sim.brute_force_topk(te, QUERY_IDS, TOP_K).select(
-            F.lit(d).cast("int").alias("dim"),
-            "query_id",
-            F.col("vec_id").alias("m_vec_id"),
+        dot = F.expr(
+            DOT_EXPR_TPL.format(
+                a=f"slice(qvec, 1, {d})", b=f"slice(vec, 1, {d})"
+            )
         )
-        ann = part if ann is None else ann.unionByName(part)
+        legs.append(
+            F.struct(
+                F.lit(d).cast("int").alias("dim"),
+                (dot / (F.col(f"qn{d}") * F.col(f"n{d}"))).alias("cos"),
+                (
+                    (F.col(f"qn{d}") > 0) & (F.col(f"n{d}") > 0)
+                ).alias("ok"),
+            )
+        )
+    scored = (
+        pairs.select(
+            "query_id", "vec_id", F.explode(F.array(*legs)).alias("leg")
+        )
+        .filter(F.col("leg.ok"))
+        .select(
+            F.col("leg.dim").alias("dim"),
+            "query_id",
+            "vec_id",
+            F.col("leg.cos").alias("cos"),
+        )
+    )
+    ann = (
+        sim._topk(
+            scored,
+            ["dim", "query_id"],
+            [F.col("cos").desc(), F.col("vec_id").asc()],
+            TOP_K,
+        )
+        .select("dim", "query_id", F.col("vec_id").alias("m_vec_id"))
+        # |dims| x |queries| x k rows; the truth leg below reads it as a
+        # second consumer, which would otherwise re-run the whole pair
+        # pipeline for the join's other side
+        .localCheckpoint()
+    )
+    truth = ann.filter(F.col("dim") == 64).select(
+        "query_id", F.col("m_vec_id").alias("vec_id")
+    )
     dims = spark.createDataFrame(
         [(d,) for d in MATRYOSHKA_DIMS], "dim int"
     )
