@@ -562,22 +562,50 @@ def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairwise estimated Jaccard (signature agreement / 16) side-by-side
     with the exact shingle-set Jaccard so the sketch error is visible.
 
-    Scale: per-doc signatures are the scan-side minhash pipeline; the
-    source signature is a 20-row aggregate; exact Jaccard runs on
+    Scale: ONE shingle-hash pipeline feeds both legs (round-12 rework;
+    previously the per-doc signature chain — materialize + 16 array_min
+    transforms per doc + a doc_id join back to source — ran beside the
+    exact leg's explode). min is associative and the permutation is a
+    pure function of the 60-bit shingle hash, so
+    min-of-document-minima == min over the DISTINCT (source, h) set:
+    the source signature is a 16-column min aggregate over the same
+    exploded table the exact leg already builds. Exact Jaccard runs on
     distinct (source, shingle-hash) pairs via the bucket combination
     generator — bounded by C(sources, 2) pairs per shingle."""
+    from kafka_streams_dexcom_spark.sources.files import fan_out_small
+
     d = load_table(spark, sf_dir, "documents")
-    hashed = dd.hashed_shingle_corpus(d)  # doc_id, sh_hashes
-    src = d.select("doc_id", "source")
-    sig = dd.minhash_signature(hashed).join(src, "doc_id")
-    # consumed by both self-join sides: materialize the 20-row sketch
-    # table once instead of re-running the signature pipeline per branch
-    per_source = sig.groupBy("source").agg(
+    t = dd.tokenize(fan_out_small(d.select("source", "text")), "text")
+    t = t.filter(F.size("tokens") >= 3)
+    # no materialize barrier: explode is the array's ONLY consumer, so
+    # Generate evaluates it once per input row (the recompute trap needs
+    # multiple sibling consumers); measured 1.1 s vs 1.9 s with the
+    # barrier's extra array shuffle
+    hashed = t.select(
+        "source",
+        F.expr(
+            f"transform({dd._shingle_expr('tokens', 3)}, "
+            f"x -> {dd.HASH60_TPL.format(x='x')})"
+        ).alias("sh_hashes"),
+    )
+    # (source, hash) vocabulary feeds the sketch aggregate, the pair
+    # generator and the per-source sizes — one distinct, materialized once
+    sh = (
+        hashed.select("source", F.explode("sh_hashes").alias("h"))
+        .distinct()
+        .localCheckpoint()
+    )
+    per_source = sh.groupBy("source").agg(
         *[
-            F.min(F.col("sig")[i]).alias(f"m{i}")
+            F.min(
+                F.expr(
+                    f"(h % {MERSENNE_P} * {PERM_COEFFS[i][0]}L "
+                    f"+ {PERM_COEFFS[i][1]}L) % {MERSENNE_P}"
+                )
+            ).alias(f"m{i}")
             for i in range(dd.NUM_PERM)
         ]
-    ).localCheckpoint()
+    ).localCheckpoint()  # consumed by both self-join sides; 20 rows
     a = per_source.select(
         F.col("source").alias("src_a"),
         *[F.col(f"m{i}").alias(f"a{i}") for i in range(dd.NUM_PERM)],
@@ -596,14 +624,6 @@ def q_source_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         (matches.cast("double") / F.lit(float(dd.NUM_PERM))).alias(
             "est_jaccard"
         ),
-    )
-    # (source, hash) vocabulary feeds both the pair generator and the
-    # per-source sizes — one distinct, materialized once
-    sh = (
-        hashed.join(src, "doc_id")
-        .select("source", F.explode("sh_hashes").alias("h"))
-        .distinct()
-        .localCheckpoint()
     )
     inter = (
         dd.pairs_within_buckets(
