@@ -756,7 +756,24 @@ def embedding_cosine_pairs(
     Blocking (here: a label/cluster column; at scale: coarse LSH or IVF
     cell assignment) bounds the pair count; within a block the cross
     product is evaluated in codegen. Output is pairs >= threshold."""
-    base = with_embedding_norm(emb, vec_col)
+    return cosine_pairs_from_normed(
+        with_embedding_norm(emb, vec_col), id_col, block_col, threshold
+    )
+
+
+def cosine_pairs_from_normed(
+    base: DataFrame,
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Pair-join half of :func:`embedding_cosine_pairs` — identical
+    arithmetic (sequential-fold dot, round 6, >= threshold). ``base``
+    must carry (id_col, vec, norm[, block_col]) as produced by
+    with_embedding_norm. Callers whose pipeline consumes the same
+    normed base from several plan branches (e.g. semdedup: pair sides,
+    centroid stats, distances) checkpoint it ONCE and feed it here,
+    instead of re-running the norm cast + assignment join per branch."""
     cols = [id_col, "vec", "norm"] + ([block_col] if block_col else [])
     base = base.select(*cols)
     a = base.select(

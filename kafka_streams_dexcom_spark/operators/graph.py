@@ -163,22 +163,27 @@ def connected_components(
     p0 = pairs.select(
         F.col(a_col).alias("u"), F.col(b_col).alias("v")
     ).localCheckpoint()
+    # runtime-stats physical dispatch (the AQE discipline): a small
+    # graph runs as one union-find task — identical output, none of the
+    # per-round scheduling cost. Dispatch on the RAW pair count (one
+    # job over the just-materialized checkpoint): union-find is
+    # insensitive to duplicate AND unmirrored edges, so the small path
+    # skips the mirror+distinct shuffle and the persist entirely
+    # (round-12: that shuffle cost ~1 s per CC invocation at bench
+    # scale for graphs of a few thousand edges). 2·|pairs| bounds the
+    # mirrored-distinct count the threshold was calibrated against.
+    if single_task_edges and 2 * p0.count() <= single_task_edges:
+        return _cc_single_task(p0).localCheckpoint()
     edges = p0.union(
         p0.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct()
     # iterative algorithm hygiene: without this, round k's plan re-derives
     # the whole upstream pairs pipeline k times (measured 23s -> 4s at
-    # sf0.01). Persist the loop-invariant edge list; cut the label
-    # lineage every round with an eager localCheckpoint.
+    # sf0.01). Persist the loop-invariant edge list (materialized by the
+    # count below, exactly as before the dispatch moved to p0); cut the
+    # label lineage every round with an eager localCheckpoint.
     edges = edges.persist()
-    # runtime-stats physical dispatch (the AQE discipline): a small
-    # graph runs as one union-find task — identical output, none of the
-    # per-round scheduling cost. The count materializes the persisted
-    # edge list either way, so it's not an extra pass.
-    if single_task_edges and edges.count() <= single_task_edges:
-        out = _cc_single_task(edges).localCheckpoint()
-        edges.unpersist()
-        return out
+    edges.count()
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()

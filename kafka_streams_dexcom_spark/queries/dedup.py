@@ -1943,7 +1943,13 @@ def _semdedup_frames(spark: SparkSession, sf_dir: str):
     # the shared quantizer artifact is parquet-backed, so the FOUR
     # consumers below (pair blocking, membership, centroid stats,
     # distances) each plan against a flat scan — no localCheckpoint
-    # needed, no per-query retraining
+    # needed, no per-query retraining. (Round-12 A/B: materializing a
+    # shared (vec_id, vec, norm, cell) base via localCheckpoint was
+    # TESTED and REVERTED — the checkpointed RDD has no size stats, so
+    # every downstream join degraded from broadcast-capable parquet
+    # joins to SortMergeJoin, measured 2.2 s -> 4.2 s at sf0.1. The
+    # per-branch norm+join recompute is pipelined scan work and stays
+    # cheaper than the statistics it would destroy.)
     cells = kmeans_cells_map(spark, sf_dir)
     v = dd.with_embedding_norm(e).select("vec_id", "vec")
     base = v.join(cells, "vec_id")
