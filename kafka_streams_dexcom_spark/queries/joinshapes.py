@@ -354,31 +354,32 @@ def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     'holds most of the stock' predicate re-expressed from lineitem,
     since the schema has no partsupp.ps_availqty).
 
-    Scale: both aggregation levels reduce before any join — (part,supp)
-    sums then part totals, the second reusing the first's output (never
-    a second fact scan). The share filter shrinks pairs to near-nothing
+    Scale: ONE fact aggregation to (part, supp) sums; the part total is
+    a window sum over the same rows (round-12 rework — previously a
+    second aggregation joined back to its own input through a lineage
+    cut, paying an extra exchange + sort-merge join + checkpoint write
+    for numbers one window pass produces from the identical exact
+    DECIMAL sums). The share filter shrinks pairs to near-nothing
     before the distinct-supplier semi reduction; nation dim broadcasts.
-    Both the inner sums are exact DECIMAL so the > share comparison is
+    All sums are exact DECIMAL so the > share comparison is
     deterministic."""
+    from pyspark.sql import Window
+
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    ps = (
-        l.groupBy("l_partkey", "l_suppkey")
-        .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(
-                "supp_qty"
-            )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias(
+            "supp_qty"
         )
-        # eager=False: the cut materializes on first ACTION, so plan
-        # construction (dump_plans, lint, bench build) stays free
-        .localCheckpoint(eager=False)
     )
-    totals = ps.groupBy("l_partkey").agg(
-        F.sum("supp_qty").cast("decimal(38,4)").alias("part_qty")
+    part_qty = (
+        F.sum("supp_qty")
+        .over(Window.partitionBy("l_partkey"))
+        .cast("decimal(38,4)")
     )
     dominant = (
-        ps.join(totals, "l_partkey")
+        ps.withColumn("part_qty", part_qty)
         .filter(
             F.col("supp_qty").cast("decimal(38,4)")
             > F.col("part_qty") * F.lit(DOMINANT_SHARE).cast("decimal(3,2)")
