@@ -239,6 +239,7 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
     )
     from kafka_streams_dexcom_spark.queries.text import (
         bm25_postings_map,
+        bm25_stats_map,
         bpe_artifacts,
         unigram_artifacts,
         wordpiece_artifacts,
@@ -262,6 +263,9 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
         "unigram_tokenizer": lambda: unigram_artifacts(spark, sf_dir),
         "wordpiece_tokenizer": lambda: wordpiece_artifacts(spark, sf_dir),
         "bm25_postings": lambda: bm25_postings_map(spark, sf_dir),
+        # priced after the postings row so this is the INCREMENTAL cost
+        # of the stats row over the already-built index
+        "bm25_stats": lambda: bm25_stats_map(spark, sf_dir),
     }
     timings = {name: run(name, thunk) for name, thunk in builds.items()}
     emit(

@@ -630,8 +630,16 @@ def kneser_ney_trigram(df: DataFrame, text_col: str = "text") -> DataFrame:
     first_w1 = (
         F.row_number().over(bg_win.orderBy("w1")) == 1
     ).cast("long")
+    # repartition by w2 ALONE: HashPartitioning(w2) satisfies the
+    # clustered distribution of BOTH the (w2, w3) windows and the (w2)
+    # windows (subset rule, guide §2.4) — one exchange fewer than the
+    # (w2, w3) repartition this replaced (the w2-only windows then
+    # needed their own re-shuffle of the full type table). Skew bound:
+    # rows here are trigram TYPES, so a hot w2 holds at most
+    # |vocab following w2|² rows, not token mass. The w2-keyed window
+    # columns run FIRST, while the partitioning still matches.
     marked = (
-        counts.repartition("w2", "w3")
+        counts.repartition("w2")
         .withColumn("cc_bg", F.count(F.lit(1)).over(bg_win))
         .withColumn("is_first", first_w1)
     )
@@ -639,10 +647,10 @@ def kneser_ney_trigram(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum("is_first").alias("n_tot_bg")
     )
     stats = (
-        marked.withColumn("n_ctx", F.sum("n_tri").over(ctx_win))
-        .withColumn("n1p_ctx", F.count(F.lit(1)).over(ctx_win))
-        .withColumn("cc_mid", F.count(F.lit(1)).over(w2_win))
+        marked.withColumn("cc_mid", F.count(F.lit(1)).over(w2_win))
         .withColumn("n1p_w2", F.sum("is_first").over(w2_win))
+        .withColumn("n_ctx", F.sum("n_tri").over(ctx_win))
+        .withColumn("n1p_ctx", F.count(F.lit(1)).over(ctx_win))
         .withColumn("n1_w3", F.sum("is_first").over(w3_win))
         .crossJoin(F.broadcast(tot))
     )
@@ -1177,6 +1185,7 @@ def bm25_freetext(
     text_col: str = "text",
     k: int = 20,
     postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Free-text BM25 over the inverted index: query terms arrive as
     DATA — a small (query_id, term) table — not compile-time constants,
@@ -1200,25 +1209,31 @@ def bm25_freetext(
 
     ``postings``: a pre-built inverted index (term, doc_id, tf, dl) —
     the published search-index artifact a production deployment reads;
-    None rebuilds it from the corpus (self-contained mode)."""
+    None rebuilds it from the corpus (self-contained mode).
+
+    ``stats``: a pre-computed 1-row (n_docs, sum_dl) corpus-stats table
+    (a search index ships with its collection statistics); None derives
+    it per call — a doc-scale distinct over the postings plus a corpus
+    row count, paid by EVERY query batch against the same corpus."""
     post = (
         postings
         if postings is not None
         else build_inverted_index(df, text_col).localCheckpoint()
     )
-    # Corpus stats WITHOUT a second tokenization scan: per-doc lengths
-    # are already denormalized into the postings (doc-scale distinct),
-    # empty docs contribute dl=0 to the sum anyway, and n_docs is a
-    # column-free row count of the documents table.
-    sum_dl = (
-        post.select("doc_id", "dl")
-        .distinct()
-        .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
-    )
-    stats = (
-        df.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(F.broadcast(sum_dl))
-    )
+    if stats is None:
+        # Corpus stats WITHOUT a second tokenization scan: per-doc
+        # lengths are already denormalized into the postings (doc-scale
+        # distinct), empty docs contribute dl=0 to the sum anyway, and
+        # n_docs is a column-free row count of the documents table.
+        sum_dl = (
+            post.select("doc_id", "dl")
+            .distinct()
+            .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+        )
+        stats = (
+            df.agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(F.broadcast(sum_dl))
+        )
     qt = query_df.select("query_id", "term")
     terms = qt.select("term").distinct()
     tpost = post.join(F.broadcast(terms), "term").localCheckpoint()
@@ -1772,6 +1787,7 @@ def bm25_rerank_proximity(
     k: int = 20,
     topn: int = 10,
     postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage retrieval: BM25 candidate generation (bm25_freetext)
     then a term-PROXIMITY re-rank — the classic cheap second-stage
@@ -1788,7 +1804,7 @@ def bm25_rerank_proximity(
     units recovered exactly + an integer bonus), so the re-ranking is
     deterministic and the oracle replays it."""
     cand = bm25_freetext(
-        df, query_df, text_col, k=k, postings=postings
+        df, query_df, text_col, k=k, postings=postings, stats=stats
     ).localCheckpoint()
     cdocs = cand.select("query_id", "doc_id").distinct()
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"

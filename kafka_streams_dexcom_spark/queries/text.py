@@ -66,6 +66,47 @@ def bm25_postings_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_stats_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index's collection statistics — ONE row (n_docs, sum_dl) —
+    materialized beside the postings artifact (round-12: a search index
+    ships with its stats; recomputing them per query batch paid a
+    doc-scale distinct over the postings plus a corpus row count on
+    every bm25_freetext / bm25_rerank / hybrid_search_rrf invocation).
+    Same values bm25_freetext derives itself when ``stats`` is None, so
+    oracles are unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_dexcom_spark.sources.files import (
+        corpus_fingerprint,
+        session_artifact,
+    )
+
+    def _build() -> DataFrame:
+        post = bm25_postings_map(spark, sf_dir)
+        sum_dl = (
+            post.select("doc_id", "dl")
+            .distinct()
+            .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+        )
+        return (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .crossJoin(F.broadcast(sum_dl))
+        )
+
+    return session_artifact(
+        spark,
+        "bm25_stats",
+        (
+            os.path.abspath(sf_dir),
+            corpus_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        ),
+        _build,
+    )
+
+
 def q_bm25_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Free-text BM25 over a posting-list inverted index: a BATCH of
     ad-hoc queries arrives as (query_id, term) rows and is answered in
@@ -84,6 +125,7 @@ def q_bm25_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdf,
         k=BM25_FREETEXT_K,
         postings=bm25_postings_map(spark, sf_dir),
+        stats=bm25_stats_map(spark, sf_dir),
     )
 
 
@@ -105,6 +147,7 @@ def q_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=BM25_FREETEXT_K,
         topn=RERANK_TOPN,
         postings=bm25_postings_map(spark, sf_dir),
+        stats=bm25_stats_map(spark, sf_dir),
     )
 
 
