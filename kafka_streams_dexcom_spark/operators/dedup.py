@@ -6,13 +6,16 @@ Python UDFs in any hot path, so every stage stays inside whole-stage
 codegen and the only shuffles are the ones the algorithms require:
 
 - exact:        1 shuffle (groupBy text hash).
-- minhash+LSH:  signatures are computed scan-side (array_min over
-                transform — no explode, no shuffle); the only shuffle is
-                the band-bucket self-join, whose fan-in is bounded by the
-                band width. This is the 100 TB path: candidate generation
-                touches each doc O(bands) times instead of O(n²).
-- simhash:      scan-side 60-bit fingerprint; near-dup candidates via
-                15-bit-band equi-join + popcount filter.
+- minhash+LSH:  signatures are map-side-combined MIN aggregates over the
+                exploded shingle-hash stream (codegen, one narrow
+                (id, num_perm longs) shuffle), then the band-bucket
+                join, whose fan-in is bounded by the band width. This is
+                the 100 TB path: candidate generation touches each doc
+                O(bands) times instead of O(n²).
+- simhash:      per-bit vote counts as codegen SUM aggregates over the
+                exploded token-hash stream (one narrow shuffle);
+                near-dup candidates via 15-bit-band equi-join +
+                popcount filter.
 - ngram-jaccard: prefix-filtered set-similarity join (PPJoin-style):
                 shingles ordered by global document frequency, only each
                 doc's first |s|-ceil(t*|s|)+1 indexed — lossless for
@@ -117,23 +120,45 @@ def shingle_hashes(df: DataFrame) -> DataFrame:
 
 
 def minhash_signature(df: DataFrame, num_perm: int = NUM_PERM) -> DataFrame:
-    """MinHash signature as an array column — array_min over a transform,
-    entirely scan-side: no explode, no shuffle, O(num_perm · |shingles|)
-    per row inside codegen."""
-    sig = F.array(
+    """MinHash signature as an array column, keyed by every non-
+    ``sh_hashes`` column of ``df`` (callers pass (id, sh_hashes)).
+
+    Shape (round-12 rework, the simhash lesson): per-permutation minima
+    are codegen'd MIN aggregates over the exploded hash stream — one
+    map-side-combined shuffle of (keys, num_perm longs). The previous
+    form ran num_perm interpreted array_min(transform(...)) folds per
+    document plus a materialize exchange that shuffled the full
+    shingle-hash ARRAYS alongside the signature (guide §2.3: shuffle
+    fewer bytes; Spark evaluates HOF lambdas interpreted, so cost ∝
+    expression-node count). min is associative, so the aggregate minima
+    equal the per-document fold bit-for-bit. Empty shingle sets cannot
+    reach here (hashed_shingle_corpus guarantees >= 1 shingle), so the
+    explode drops no documents."""
+    keys = [c for c in df.columns if c != "sh_hashes"]
+    # (v % P) first: sh_hashes are 60-bit, and v*a would overflow
+    # int64; the reduced value equals the old [0, P) hash, so
+    # signatures are unchanged. The reduction is aliased ONCE below the
+    # aggregate (cheap enough that inlining it per permutation would
+    # also be fine, but one attribute read is cheaper still).
+    vp = df.select(
+        *keys,
+        F.explode("sh_hashes").alias("__v"),
+    ).select(*keys, F.expr(f"__v % {MERSENNE_P}").alias("__vp"))
+    agg = vp.groupBy(*keys).agg(
         *[
-            F.expr(
-                # (v % P) first: sh_hashes are 60-bit, and v*a would
-                # overflow int64; the reduced value equals the old
-                # [0, P) hash, so signatures are unchanged
-                f"array_min(transform(sh_hashes, "
-                f"v -> (v % {MERSENNE_P} * {PERM_COEFFS[i][0]}L "
-                f"+ {PERM_COEFFS[i][1]}L) % {MERSENNE_P}))"
-            )
+            F.min(
+                F.expr(
+                    f"(__vp * {PERM_COEFFS[i][0]}L "
+                    f"+ {PERM_COEFFS[i][1]}L) % {MERSENNE_P}"
+                )
+            ).alias(f"__m{i}")
             for i in range(num_perm)
         ]
     )
-    return materialize(df.withColumn("sig", sig))
+    return agg.select(
+        *keys,
+        F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("sig"),
+    )
 
 
 def lsh_band_hashes(
@@ -371,9 +396,12 @@ def incremental_minhash_dedup(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = SIMHASH_BITS,
+    id_col: str = "doc_id",
 ) -> DataFrame:
-    """Frequency-weighted SimHash fingerprint (scan-side, no shuffle).
+    """Frequency-weighted SimHash fingerprint → (id_col, simhash).
 
     Each token votes +1/-1 per bit of its 60-bit md5 hash (the portable
     hash's full width); bit i of the fingerprint is set when the vote is
@@ -381,32 +409,39 @@ def simhash(
     to 0). 60 bits (vs a 32-bit fingerprint) is what makes the banded
     candidate join survive scale: band selectivity grows with band width,
     and hamming distance over a wider fingerprint separates near-dups
-    from random collisions far more sharply."""
-    t = tokenize(fan_out_small(df), text_col).filter(F.size("tokens") >= 1)
-    t = materialize(
-        t.withColumn(
-            "tok_hashes",
-            F.expr(f"transform(tokens, x -> {HASH60_TPL.format(x='x')})"),
-        )
+    from random collisions far more sharply.
+
+    Shape (round-12 rework): per-bit vote counts are codegen'd integer
+    SUM aggregates over the exploded token-hash stream — one map-side-
+    combined shuffle of (id, 61 longs). The previous form folded the
+    hash array through an interpreted aggregate/zip_with that built two
+    ``bits``-element arrays PER TOKEN (plus two materialize exchanges
+    carrying token-scale arrays); Spark evaluates higher-order lambdas
+    interpreted, so cost ∝ expression-node count (the CDC gear-hash
+    lesson, operators/dedup.py:CDC_WINDOW). Measured 1.72 → 0.91 s for
+    the fingerprint stage at sf0.1. Docs with zero tokens vanish at the
+    explode, exactly as the former size>=1 filter dropped them."""
+    t = tokenize(fan_out_small(df), text_col)
+    h = t.select(
+        id_col, F.explode("tokens").alias("tok")
+    ).select(id_col, F.expr(HASH60_TPL.format(x="tok")).alias("h"))
+    # h is md5-derived (not cheap), so CollapseProject leaves the
+    # projection below the aggregate and the 60 sums read the computed
+    # attribute — the hash runs once per token, not once per bit
+    agg = h.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.expr(f"shiftright(h, {i}) & 1")).alias(f"__c{i}")
+            for i in range(bits)
+        ],
     )
-    # single fold over the tokens accumulating per-bit set-counts (vs the
-    # naive 32 separate filter() passes — 16x fewer interpreted
-    # higher-order evals), then assemble the fingerprint from the counts.
-    counts = (
-        f"aggregate(tok_hashes, "
-        f"array_repeat(0L, {bits}), "
-        f"(acc, h) -> zip_with(acc, "
-        f"transform(sequence(0, {bits - 1}), i -> shiftright(h, i) & 1), "
-        f"(a, b) -> a + b))"
-    )
-    t = materialize(t.withColumn("bit_counts", F.expr(counts)))
     fingerprint = " + ".join(
-        f"(CASE WHEN 2 * bit_counts[{i}] > size(tok_hashes) "
+        f"(CASE WHEN 2 * __c{i} > __n "
         f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
         for i in range(bits)
     )
-    return t.withColumn("simhash", F.expr(fingerprint)).drop(
-        "tokens", "tok_hashes", "bit_counts"
+    return agg.withColumn("simhash", F.expr(fingerprint)).select(
+        id_col, "simhash"
     )
 
 
