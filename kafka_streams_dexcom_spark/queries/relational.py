@@ -201,18 +201,24 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP subtotal hierarchy over lineitem (returnflag → linestatus →
-    grand total) — single-pass multi-level aggregation."""
+    grand total).
+
+    Shape (round-12): aggregate to the (returnflag, linestatus) base
+    FIRST, then rollup the tiny base table. A direct fact-side rollup
+    Expands every input row ×3 before the partial aggregation (guide
+    §2.3 "aggregate before you shuffle" — here, before you Expand);
+    sums/counts re-aggregate exactly (DECIMAL sums of sums), so the
+    subtotal rows are bit-identical."""
     l = load_table(spark, sf_dir, "lineitem")
+    base = l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("__s"),
+    )
     return (
-        l.rollup("l_returnflag", "l_linestatus")
+        base.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
-                    "double"
-                ),
-                2,
-            ).alias("sum_price"),
+            F.sum("__n").alias("n_items"),
+            F.round(F.sum("__s").cast("double"), 2).alias("sum_price"),
         )
     )
 
