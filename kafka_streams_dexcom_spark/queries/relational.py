@@ -1393,11 +1393,19 @@ def q_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     per metric — the one-pass column-profiling shape (the inverse of
     event_type_pivot, completing the pivot/unpivot API pair).
 
-    Scale: unpivot is a narrow Expand (4 rows out per row in, no
-    shuffle); the profile is a 4-group hash aggregate with map-side
-    partials, so the shuffle moves ~4 rows per task regardless of fact
-    volume. Determinism: values are ≤2-decimal inputs cast to DECIMAL
-    *before* any arithmetic, so sums are exact on both engines."""
+    Scale (round-12 rework, the sales_rollup lesson applied to the
+    melt): Expanding the fact ×4 *before* the aggregation made every
+    lineitem row cross the Expand and the partial aggregation as four
+    rows (guide §2.3 "aggregate before you shuffle" — Expand IS the
+    multiplier). The per-metric profile is really 16 independent
+    column aggregates, so ONE keyless pass over the wide fact computes
+    them map-side (a single 16-buffer row per partition, one 1-row
+    shuffle) and the melt runs over the single profiled row — the
+    Expand now multiplies 1 row, not the fact. Per-metric n is the
+    plain row count (unpivot emits a row per metric per input row,
+    null or not), and min/max/sum are per-column — identical rows.
+    Determinism: values are ≤2-decimal inputs cast to DECIMAL *before*
+    any arithmetic, so sums are exact on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
     wide = li.select(
         *[
@@ -1405,12 +1413,38 @@ def q_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for c in UNPIVOT_METRICS
         ]
     )
-    long = wide.unpivot([], list(UNPIVOT_METRICS), "metric", "val")
-    return long.groupBy("metric").agg(
+    prof = wide.agg(
         F.count(F.lit(1)).alias("n"),
-        F.min("val").cast("double").alias("min_val"),
-        F.max("val").cast("double").alias("max_val"),
-        F.sum("val").cast("double").alias("sum_val"),
+        *[
+            agg(F.col(c)).alias(f"{tag}_{c}")
+            for c in UNPIVOT_METRICS
+            for tag, agg in (
+                ("min", F.min),
+                ("max", F.max),
+                ("sum", F.sum),
+            )
+        ],
+    )
+    return prof.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("metric"),
+                        F.col("n").alias("n"),
+                        F.col(f"min_{c}").cast("double").alias("min_val"),
+                        F.col(f"max_{c}").cast("double").alias("max_val"),
+                        F.col(f"sum_{c}").cast("double").alias("sum_val"),
+                    )
+                    for c in UNPIVOT_METRICS
+                ]
+            )
+        ).alias("r")
+    ).select("r.*").filter(
+        # a keyless agg emits one row even over an EMPTY fact, where
+        # the grouped original emits none — n>0 restores that exactly
+        # (free on any non-empty input)
+        F.col("n") > 0
     )
 
 
