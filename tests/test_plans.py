@@ -409,3 +409,49 @@ def test_audio_video_pipelines_are_shuffle_free(spark, sf_dir):
         assert plan.count("MapInPandas") >= 2, plan
         assert "Join" not in plan, plan
         assert plan.count("Exchange") <= 2, plan  # fan_out_small only
+
+
+def test_metrics_unpivot_aggregates_before_melt(spark, sf_dir):
+    """Round-12 rework: the per-metric profile is 16 independent column
+    aggregates computed in ONE keyless pass over the wide fact; the
+    melt (Generate) runs over the single profiled row. The old form
+    Expanded every fact row x4 BEFORE the partial aggregation — if an
+    Expand reappears below the aggregate, the multiplier is back."""
+    from kafka_streams_dexcom_spark.queries.relational import (
+        q_metrics_unpivot,
+    )
+
+    plan = explain_str(q_metrics_unpivot(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert "Generate" in plan, plan  # the 1-row melt
+    # map-side combine still fires: partial + final HashAggregate
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_sales_rollup_expands_base_not_fact(spark, sf_dir):
+    """Round-12 rework: rollup over the tiny (returnflag, linestatus)
+    base — the Expand must sit ABOVE the base aggregation, not directly
+    on the fact scan (where it tripled every lineitem row)."""
+    from kafka_streams_dexcom_spark.queries.relational import (
+        q_sales_rollup,
+    )
+
+    plan = explain_str(q_sales_rollup(spark, sf_dir))
+    # operator ids in 'formatted' explain are listed leaf-last in the
+    # tree header; assert order structurally instead: the first
+    # HashAggregate below the Expand (reading the indented tree top
+    # down) is the rollup's own partial — the fact scan feeds a plain
+    # aggregate first, so at least 4 HashAggregate nodes exist
+    # (base partial+final, rollup partial+final) and exactly one Expand
+    # (each operator appears twice in 'formatted' output: once in the
+    # tree header, once as its numbered detail block)
+    assert plan.count("Expand (") == 1, plan
+    assert plan.count(") Expand") == 1, plan
+    assert plan.count("HashAggregate") >= 8, plan
+    # the Expand consumes the base aggregate's output columns, not raw
+    # lineitem columns
+    import re
+
+    m = re.search(r"\(\d+\) Expand[^(]*Input \[\d+\]: \[([^]]*)\]", plan)
+    assert m, plan
+    assert "l_extendedprice" not in m.group(1), plan
