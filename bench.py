@@ -189,6 +189,19 @@ FULL_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "BENCH_FULL_latest.json")
 
 
+def load1() -> float | None:
+    """1-minute load average — recorded at run start and end so a reader
+    can tell co-tenant contamination from a real regression (the sandbox
+    shares CPUs; round-12 measured 167.8 vs 239.4 s for IDENTICAL trees
+    under load 0.4 vs 14+). Additions-only: the JSON contract's existing
+    keys are untouched."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def emit(result: dict, per_key: str) -> None:
     """Write the full result to FULL_OUT, print it for humans, then
     print the compact tail-budgeted line LAST (the driver parses that
@@ -218,7 +231,7 @@ def emit(result: dict, per_key: str) -> None:
     print(json.dumps(compact, separators=(",", ":")))
 
 
-def bench_artifacts(spark, sf_dir: str, sf) -> None:
+def bench_artifacts(spark, sf_dir: str, sf, load1_start=None) -> None:
     """Cold-build cost of the shared session artifacts (cluster map,
     ngram pair set, k-means cells, PQ codebooks). The per-query bench
     rows show the AMORTIZED cost (a cached parquet read); these rows
@@ -275,6 +288,9 @@ def bench_artifacts(spark, sf_dir: str, sf) -> None:
             "unit": "sec",
             "artifacts": timings,
             "sf": sf,
+            "load1_start": load1_start,
+            "load1_end": load1(),
+            "cpus": os.cpu_count(),
         },
         "artifacts",
     )
@@ -287,6 +303,7 @@ def main() -> None:
     # its series comparable across rounds.
     full = "--full" in sys.argv[1:]
     artifacts = "--artifacts" in sys.argv[1:]
+    load1_start = load1()  # before Spark starts: pure co-tenant signal
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
         sf = float(
@@ -297,7 +314,7 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     if artifacts:
-        bench_artifacts(spark, sf_dir, sf)
+        bench_artifacts(spark, sf_dir, sf, load1_start)
         spark.stop()
         return
     qs = all_queries()
@@ -346,6 +363,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # Contamination legibility (round 13): the sandbox shares CPUs
+        # with co-tenants, and a run started under external load measures
+        # the co-tenant, not the tree. load1_start is sampled before the
+        # JVM launches (pure external signal); load1_end after the last
+        # query (self-induced by local[N] — only the start value gates).
+        "load1_start": load1_start,
+        "load1_end": load1(),
+        "cpus": os.cpu_count(),
     }
     if not full and names is HEADLINE:
         # Round-current counter-evidence for the two stale driver reds

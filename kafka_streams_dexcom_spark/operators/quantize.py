@@ -306,21 +306,16 @@ def pq_topk(
 
 
 def _adc_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Two-level top-k over (query_id, vid, adist_u) — local heads per
-    partition first, so no reducer sees the full candidate list."""
-    local_w = Window.partitionBy(
-        "query_id", F.spark_partition_id()
-    ).orderBy(F.col("adist_u").asc(), F.col("vid").asc())
-    pruned = (
-        scored.withColumn("__lrn", F.row_number().over(local_w))
-        .filter(F.col("__lrn") <= k)
-        .drop("__lrn")
-    )
+    """Top-k over (query_id, vid, adist_u) as one rank window —
+    WindowGroupLimit prunes per-partition heads below the exchange, so
+    no reducer sees the full candidate list and the handwritten
+    spark_partition_id() local pass (an extra exchange + sorts per
+    query, round 13) is gone."""
     global_w = Window.partitionBy("query_id").orderBy(
         F.col("adist_u").asc(), F.col("vid").asc()
     )
     return (
-        pruned.withColumn("rnk", F.row_number().over(global_w))
+        scored.withColumn("rnk", F.row_number().over(global_w))
         .filter(F.col("rnk") <= k)
         .select(
             "query_id",

@@ -63,20 +63,18 @@ def lsh_planes(bits: int = LSH_BITS, dim: int = 64, seed: int = 7):
 def _topk(
     scored: DataFrame, part_cols: list[str], order, k: int
 ) -> DataFrame:
-    """Two-level top-k: per-(partition, key) heads first, then the global
-    head — the union of local top-ks provably contains the global top-k,
-    and no reducer materializes the full candidate list."""
-    local_w = Window.partitionBy(
-        *part_cols, F.spark_partition_id()
-    ).orderBy(*order)
-    pruned = (
-        scored.withColumn("__lrn", F.row_number().over(local_w))
-        .filter(F.col("__lrn") <= k)
-        .drop("__lrn")
-    )
+    """Top-k per key as ONE rank window: Spark 3.5+'s WindowGroupLimit
+    rule inserts a per-map-partition partial limit BELOW the exchange
+    (and compiles the empty-partition case to TakeOrderedAndProject), so
+    no reducer materializes the full candidate list. The handwritten
+    spark_partition_id() local-prune pass this replaces (round 13) paid
+    an extra hash exchange + two sorts per top-k for the same pruning —
+    verified in plans/r13/sim_search_*_{before,after}.txt. Requires
+    k <= spark.sql.optimizer.windowGroupLimitThreshold (default 1000;
+    every caller's k is <= 1000)."""
     global_w = Window.partitionBy(*part_cols).orderBy(*order)
     return (
-        pruned.withColumn("rank", F.row_number().over(global_w))
+        scored.withColumn("rank", F.row_number().over(global_w))
         .filter(F.col("rank") <= k)
     )
 

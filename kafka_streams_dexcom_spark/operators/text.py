@@ -1075,16 +1075,28 @@ def bm25_search(
     query_terms: tuple[str, ...],
     text_col: str = "text",
     k: int = 20,
+    postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 keyword retrieval for a fixed query-term bag.
 
-    Scale shape: because the query terms are known up front, per-doc term
-    frequencies are computed SCAN-SIDE (size(filter(tokens, t = term)) per
-    term) — the token stream is never exploded or shuffled, unlike the
-    general tfidf pipeline. The only wide operations are (a) a single-row
-    corpus-stats aggregate (N, Σdl, per-term document frequencies) that
-    broadcasts back, and (b) the two-level global top-k. At 100 TB this is
-    one narrow pass over the corpus plus a k-row result.
+    Scale shape: with a published index (``postings`` + ``stats``, round
+    13) the corpus is never scanned at all — candidate term frequencies
+    come from the postings rows of the query terms (an IN filter PUSHED
+    into the artifact's parquet scan), document frequencies are one
+    tiny aggregate over the same rows, collection stats ship with the
+    index. Without the artifacts (self-contained mode) per-doc term
+    frequencies are computed SCAN-SIDE (size(filter(tokens, t = term))
+    per term) — the token stream is never exploded or shuffled. Either
+    way the only wide operations are a single-row stats broadcast and
+    the rank-window top-k.
+
+    Score equivalence of the two modes is exact, not approximate: a doc
+    absent from a term's postings has tf = 0, whose BM25 part is exactly
+    0.0, and adding IEEE +0.0 terms in the same fixed term order leaves
+    the double sum bit-identical; docs matching NO query term score 0
+    and are dropped by the same score > 0 filter that drops them in the
+    scan-side mode.
 
     Determinism: idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the
     Robertson-Sparck-Jones form, non-negative by construction); the
@@ -1096,30 +1108,69 @@ def bm25_search(
         return df.sparkSession.createDataFrame(
             [], "doc_id long, dl bigint, score double, rank long"
         )
-    toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    safe = [t.replace("'", "''") for t in query_terms]
-    base = fan_out_small(df).select(
-        "doc_id",
-        F.expr(f"size({toks})").cast("bigint").alias("dl"),
-        *[
-            F.expr(f"size(filter({toks}, t -> t = '{t}'))")
-            .cast("bigint")
-            .alias(f"tf_{i}")
-            for i, t in enumerate(safe)
-        ],
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("sum_dl"),
-        *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
-            for i in range(len(safe))
-        ],
-    )
-    scored = base.join(F.broadcast(stats), how="cross")
+    if postings is not None:
+        tp = postings.filter(F.col("term").isin(list(query_terms)))
+        base = tp.groupBy("doc_id", "dl").agg(
+            *[
+                F.sum(
+                    F.when(F.col("term") == t, F.col("tf")).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("bigint")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(query_terms)
+            ]
+        )
+        dfreqs = tp.agg(
+            *[
+                F.sum((F.col("term") == t).cast("bigint")).alias(
+                    f"df_{i}"
+                )
+                for i, t in enumerate(query_terms)
+            ]
+        )
+        if stats is None:
+            # same derivation bm25_freetext uses: dl is denormalized in
+            # the postings; empty docs contribute dl=0 to the sum anyway
+            sum_dl = (
+                postings.select("doc_id", "dl")
+                .distinct()
+                .agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("sum_dl"))
+            )
+            stats = (
+                df.agg(F.count(F.lit(1)).alias("n_docs"))
+                .crossJoin(F.broadcast(sum_dl))
+            )
+        stats = stats.crossJoin(F.broadcast(dfreqs))
+        scored = base.join(F.broadcast(stats), how="cross")
+    else:
+        toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
+        safe = [t.replace("'", "''") for t in query_terms]
+        base = fan_out_small(df).select(
+            "doc_id",
+            F.expr(f"size({toks})").cast("bigint").alias("dl"),
+            *[
+                F.expr(f"size(filter({toks}, t -> t = '{t}'))")
+                .cast("bigint")
+                .alias(f"tf_{i}")
+                for i, t in enumerate(safe)
+            ],
+        )
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("sum_dl"),
+            *[
+                F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(
+                    f"df_{i}"
+                )
+                for i in range(len(safe))
+            ],
+        )
+        scored = base.join(F.broadcast(stats), how="cross")
     avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
     parts = []
-    for i in range(len(safe)):
+    for i in range(len(query_terms)):
         tf = F.col(f"tf_{i}").cast("double")
         dfreq = F.col(f"df_{i}").cast("double")
         idf = F.log(
@@ -1137,19 +1188,15 @@ def bm25_search(
     scored = scored.select(
         "doc_id", "dl", trunc6(total).alias("score")
     ).filter(F.col("score") > 0)
-    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(
-        F.col("score").desc(), F.col("doc_id").asc()
-    )
-    pruned = (
-        scored.withColumn("__lrn", F.row_number().over(local_w))
-        .filter(F.col("__lrn") <= k)
-        .drop("__lrn")
-    )
+    # One rank window: the empty-partition row_number + filter <= k
+    # compiles to TakeOrderedAndProject (zero exchanges) — the
+    # handwritten spark_partition_id() local prune paid a hash exchange
+    # + two sorts for the same bound (round 13).
     global_w = Window.partitionBy().orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return (
-        pruned.withColumn("rank", F.row_number().over(global_w))
+        scored.withColumn("rank", F.row_number().over(global_w))
         .filter(F.col("rank") <= k)
         .select("doc_id", "dl", "score", F.col("rank").cast("bigint").alias("rank"))
     )
@@ -1268,19 +1315,14 @@ def bm25_freetext(
             (F.expr("units div 1000") / F.lit(1.0e6)).alias("score"),
         )
     )
-    local_w = Window.partitionBy(
-        F.spark_partition_id(), F.col("query_id")
-    ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    pruned = (
-        grouped.withColumn("__lrn", F.row_number().over(local_w))
-        .filter(F.col("__lrn") <= k)
-        .drop("__lrn")
-    )
+    # One rank window per query: WindowGroupLimit prunes partial heads
+    # below the exchange — the spark_partition_id() local pass paid an
+    # extra exchange + sorts for the same bound (round 13).
     global_w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
     return (
-        pruned.withColumn("rank", F.row_number().over(global_w))
+        grouped.withColumn("rank", F.row_number().over(global_w))
         .filter(F.col("rank") <= k)
         .select(
             "query_id",
@@ -1316,19 +1358,15 @@ def zipf_slope(
         F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
     ).filter(F.col("term") != "")
     counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(
-        F.col("cnt").desc(), F.col("term").asc()
-    )
-    pruned = (
-        counts.withColumn("__lrn", F.row_number().over(local_w))
-        .filter(F.col("__lrn") <= k)
-        .drop("__lrn")
-    )
+    # One rank window: compiles to TakeOrderedAndProject (k = 1000 is
+    # exactly WindowGroupLimit's default threshold — still eligible,
+    # probed on Spark 4.1.2); the spark_partition_id() local prune paid
+    # an extra exchange + sorts (round 13).
     global_w = Window.partitionBy().orderBy(
         F.col("cnt").desc(), F.col("term").asc()
     )
     ranked = (
-        pruned.withColumn("rank", F.row_number().over(global_w))
+        counts.withColumn("rank", F.row_number().over(global_w))
         .filter(F.col("rank") <= k)
     )
     x = trunc6(F.log(F.col("rank").cast("double")))
@@ -1382,17 +1420,25 @@ def dup_span_fraction(
     Determinism: counts are exact integers; the fraction is truncated to
     6 decimals on both engines."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    # slice a bound column — per-gram re-tokenization inside the
-    # lambda is quadratic in tokens (see kneser_ney_lm)
-    grams = F.expr(
-        f"transform(sequence(1, size(tk) - {k - 1}), "
-        f"i -> array_join(slice(tk, i, {k}), ' '))"
-    )
+    # explode positions first, build the gram string in codegen — not an
+    # interpreted transform() lambda (round 13; see span_dedup_rewrite).
+    # Gram identity stays the STRING (the oracle groups on it), only the
+    # construction moved out of the HOF.
     occ = (
         fan_out_small(df)
         .select("doc_id", F.expr(toks_expr).alias("tk"))
         .filter(F.size("tk") >= k)
-        .select("doc_id", F.explode(grams).alias("gram"))
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(
+                F.expr(f"sequence(1, size(tk) - {k - 1})")
+            ).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"array_join(slice(tk, i, {k}), ' ')").alias("gram"),
+        )
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .repartition("gram")
@@ -1806,9 +1852,17 @@ def bm25_rerank_proximity(
     cand = bm25_freetext(
         df, query_df, text_col, k=k, postings=postings, stats=stats
     ).localCheckpoint()
-    cdocs = cand.select("query_id", "doc_id").distinct()
+    # (query_id, doc_id) is UNIQUE in cand by construction (row_number
+    # rank per query), so no distinct pass (and its exchange) is needed
+    # to use it as a join key set (round 13).
+    cdocs = cand.select("query_id", "doc_id")
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    docs = fan_out_small(df).join(
+    # No fan_out_small here: the broadcast semi join keeps <= k·|queries|
+    # docs, so repartitioning the FULL corpus (a round-robin exchange of
+    # every text payload) to parallelize 60 rows of tokenize work was
+    # backwards — the scan side of a broadcast join is not shuffled at
+    # all (round 13; guide §3.1).
+    docs = df.join(
         F.broadcast(cand.select("doc_id").distinct()), "doc_id"
     )
     pos = docs.select(
@@ -1841,8 +1895,12 @@ def bm25_rerank_proximity(
         F.floor(F.lit(1000000) / (F.lit(1) + F.col("min_span"))),
     ).otherwise(F.lit(0)).cast("bigint")
     total = (bm25_units + bonus).alias("total_units")
+    # spans is k-bounded (<= k·|queries| rows) but sits behind a window
+    # + aggregate, and cand is a checkpointed RDD with no size stats —
+    # without the hint the planner sort-merge-joined two <= 60-row
+    # tables through a full exchange + 3 sorts (round 13; guide §3.1).
     ranked = (
-        cand.join(spans, ["query_id", "doc_id"], "left")
+        cand.join(F.broadcast(spans), ["query_id", "doc_id"], "left")
         .select("query_id", "doc_id", "score", "min_span", total)
     )
     w2 = Window.partitionBy("query_id").orderBy(
@@ -1895,18 +1953,23 @@ def span_dedup_rewrite(
         "doc_id", F.expr(toks_expr).alias("tk")
     )
     gram_hash = HASH60_TPL.format(x=f"array_join(slice(tk, i, {k}), ' ')")
+    # Explode the start positions FIRST, then hash in whole-stage
+    # codegen: the previous transform(sequence(...), i -> struct(...))
+    # lambda evaluated the md5 chain interpreted (HigherOrderFunction
+    # bodies are CodegenFallback) once per gram; exploding the bare
+    # position sequence keeps tk streaming in the generate loop and the
+    # identical slice/array_join/md5 expression compiles (round 13; the
+    # round-12 simhash/minhash explode-then-codegen lesson, guide §4.1).
     grams = (
         toks.filter(F.expr(f"size(tk) >= {k}"))
         .select(
             "doc_id",
+            "tk",
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(tk) - {k - 1}), "
-                    f"i -> struct(i AS i, {gram_hash} AS gk))"
-                )
-            ).alias("g"),
+                F.expr(f"sequence(1, size(tk) - {k - 1})")
+            ).alias("i"),
         )
-        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gk").alias("gk"))
+        .select("doc_id", "i", F.expr(gram_hash).alias("gk"))
     )
     w = Window.partitionBy("gk")
     occ = (
@@ -2009,20 +2072,20 @@ def maximal_dup_spans(
     all-pairs across documents."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     gram_hash = HASH60_TPL.format(x=f"array_join(slice(tk, i, {k}), ' ')")
+    # explode positions first, hash in codegen — not an interpreted
+    # transform() lambda (round 13; see span_dedup_rewrite)
     occ = (
         fan_out_small(df)
         .select("doc_id", F.expr(toks_expr).alias("tk"))
         .filter(F.expr(f"size(tk) >= {k}"))
         .select(
             "doc_id",
+            "tk",
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(tk) - {k - 1}), "
-                    f"i -> struct(i AS i, {gram_hash} AS gk))"
-                )
-            ).alias("g"),
+                F.expr(f"sequence(1, size(tk) - {k - 1})")
+            ).alias("i"),
         )
-        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gk").alias("gk"))
+        .select("doc_id", "i", F.expr(gram_hash).alias("gk"))
         .repartition("gk")
     )
     nocc = F.count(F.lit(1)).over(Window.partitionBy("gk"))
@@ -2860,18 +2923,18 @@ def boilerplate_ngram_rewrite(
         "doc_id", F.expr(toks_expr).alias("tk")
     )
     gram_hash = HASH60_TPL.format(x=f"array_join(slice(tk, i, {k}), ' ')")
+    # explode positions first, hash in codegen — not an interpreted
+    # transform() lambda (round 13; see span_dedup_rewrite)
     grams = (
         toks.filter(F.expr(f"size(tk) >= {k}"))
         .select(
             "doc_id",
+            "tk",
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, size(tk) - {k - 1}), "
-                    f"i -> struct(i AS i, {gram_hash} AS gk))"
-                )
-            ).alias("g"),
+                F.expr(f"sequence(1, size(tk) - {k - 1})")
+            ).alias("i"),
         )
-        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gk").alias("gk"))
+        .select("doc_id", "i", F.expr(gram_hash).alias("gk"))
     )
     w = Window.partitionBy("gk")
     occ = (
@@ -2939,29 +3002,38 @@ def host_lines(
     base = fan_out_small(df).select(
         "doc_id", F.col(host_col).alias("host"), F.expr(toks_expr).alias("tk")
     )
-    line_hash = HASH60_TPL.format(
-        x=f"array_join(slice(tk, i * {line_words} + 1, {line_words}), ' ')"
-    )
+    # explode the line indexes first, build the line + its hash in
+    # codegen — not an interpreted transform() lambda (round 13; see
+    # span_dedup_rewrite). Identical (ln, lh, line) rows; the streaming
+    # census twin shares this construction unchanged.
     return (
         base.filter(F.size("tk") >= 1)
         .select(
             "doc_id",
             "host",
+            "tk",
             F.explode(
                 F.expr(
-                    f"transform(sequence(0, CAST(ceil(size(tk) / "
-                    f"{line_words}.0) AS INT) - 1), "
-                    f"i -> struct(CAST(i AS BIGINT) AS ln, {line_hash} AS lh, "
-                    f"array_join(slice(tk, i * {line_words} + 1, "
-                    f"{line_words}), ' ') AS line))"
+                    f"sequence(0, CAST(ceil(size(tk) / "
+                    f"{line_words}.0) AS INT) - 1)"
                 )
-            ).alias("l"),
+            ).alias("i"),
         )
         .select(
-            "doc_id", "host",
-            F.col("l.ln").alias("ln"),
-            F.col("l.lh").alias("lh"),
-            F.col("l.line").alias("line"),
+            "doc_id",
+            "host",
+            F.col("i").cast("bigint").alias("ln"),
+            F.expr(
+                f"array_join(slice(tk, i * {line_words} + 1, "
+                f"{line_words}), ' ')"
+            ).alias("line"),
+        )
+        .select(
+            "doc_id",
+            "host",
+            "ln",
+            F.expr(HASH60_TPL.format(x="line")).alias("lh"),
+            "line",
         )
     )
 
@@ -3065,16 +3137,15 @@ def eval_span_scrub(
     documents, ingest is unbounded."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
     gram_hash = HASH60_TPL.format(x=f"array_join(slice(tk, i, {k}), ' ')")
-    grams_tpl = (
-        f"transform(sequence(1, size(tk) - {k - 1}), "
-        f"i -> struct(i AS i, {gram_hash} AS gk))"
-    )
+    # explode positions first, hash in codegen — not an interpreted
+    # transform() lambda (round 13; see span_dedup_rewrite)
+    seq_tpl = f"sequence(1, size(tk) - {k - 1})"
     eval_grams = (
         fan_out_small(eval_docs)
         .select(F.expr(toks_expr).alias("tk"))
         .filter(F.expr(f"size(tk) >= {k}"))
-        .select(F.explode(F.expr(grams_tpl)).alias("g"))
-        .select(F.col("g.gk").alias("gk"))
+        .select("tk", F.explode(F.expr(seq_tpl)).alias("i"))
+        .select(F.expr(gram_hash).alias("gk"))
         .distinct()
     )
     toks = fan_out_small(train).select(
@@ -3082,8 +3153,8 @@ def eval_span_scrub(
     )
     grams = (
         toks.filter(F.expr(f"size(tk) >= {k}"))
-        .select("doc_id", F.explode(F.expr(grams_tpl)).alias("g"))
-        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gk").alias("gk"))
+        .select("doc_id", "tk", F.explode(F.expr(seq_tpl)).alias("i"))
+        .select("doc_id", "i", F.expr(gram_hash).alias("gk"))
     )
     cov = (
         grams.join(F.broadcast(eval_grams), "gk")

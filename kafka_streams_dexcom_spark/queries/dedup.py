@@ -1911,16 +1911,8 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph; centroid stats are K x dim rows broadcast back. Zero-norm
     vectors are dropped upstream (with_embedding_norm), as everywhere
     in the embedding family."""
-    from kafka_streams_dexcom_spark.operators.clustering import DIST2_TPL
-    from kafka_streams_dexcom_spark.operators.graph import (
-        connected_components,
-    )
-    from kafka_streams_dexcom_spark.queries.similarity import (
-        kmeans_cells_map,
-    )
-
-    member, dist, keepers = _semdedup_frames(spark, sf_dir)
-    return member.join(keepers, "sem_cluster").select(
+    md = _semdedup_frames(spark, sf_dir)
+    return md.select(
         "vec_id",
         "cell",
         "sem_cluster",
@@ -1929,8 +1921,16 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _semdedup_frames(spark: SparkSession, sf_dir: str):
-    """(member, dist, keepers) — the SemDeDup building blocks shared by
-    q_semdedup and the D4 diversification stage on top of it."""
+    """One (vec_id, cell, sem_cluster, d2, keeper) frame shared by
+    q_semdedup and the D4 diversification stage on top of it.
+
+    Round 13: the keeper election is a max_by WINDOW over sem_cluster
+    instead of a separate groupBy + join back (the dominant_suppliers
+    move, guide §2.4) — the membership table was previously built TWICE
+    (once for the final output, once inside the keepers aggregate) and
+    re-joined to its own aggregate through two SortMergeJoins; now one
+    construction, one window. Identical election: same max_by key
+    (d2, -vec_id) over the same (sem_cluster, vec_id, d2) rows."""
     from kafka_streams_dexcom_spark.operators.clustering import DIST2_TPL
     from kafka_streams_dexcom_spark.operators.graph import (
         connected_components,
@@ -1989,16 +1989,11 @@ def _semdedup_frames(spark: SparkSession, sf_dir: str):
             ).alias("d2"),
         )
     )
-    keepers = (
-        member.join(dist, "vec_id")
-        .groupBy("sem_cluster")
-        .agg(
-            F.max_by(
-                F.col("vec_id"), F.struct(F.col("d2"), (-F.col("vec_id")).alias("nid"))
-            ).alias("keeper")
-        )
-    )
-    return member, dist, keepers
+    keeper = F.max_by(
+        F.col("vec_id"),
+        F.struct(F.col("d2"), (-F.col("vec_id")).alias("nid")),
+    ).over(Window.partitionBy("sem_cluster"))
+    return member.join(dist, "vec_id").withColumn("keeper", keeper)
 
 
 # D4 prototypes stage: keep this fraction of each cell's SemDeDup
@@ -2024,12 +2019,10 @@ def q_d4_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     the added stage is one survivors-only window sort per cell —
     bounded partitions under the learned quantizer, never a global
     sort."""
-    member, dist, keepers = _semdedup_frames(spark, sf_dir)
-    surv = (
-        member.join(keepers, "sem_cluster")
-        .filter(F.col("vec_id") == F.col("keeper"))
-        .join(dist, "vec_id")
-    )
+    md = _semdedup_frames(spark, sf_dir)
+    # d2 already rides the shared frame — the previous form re-joined
+    # the distance table onto the survivors (round 13)
+    surv = md.filter(F.col("vec_id") == F.col("keeper"))
     cell_win = Window.partitionBy("cell")
     rk = F.row_number().over(
         cell_win.orderBy(F.desc("d2"), F.asc("vec_id"))

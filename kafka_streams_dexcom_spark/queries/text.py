@@ -22,11 +22,17 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval: top-20 documents for the query bag
     'join hash vector' — the classic lexical-retrieval baseline a
     training-data pipeline uses for targeted corpus slicing (and the
-    retrieval half of contamination checks). Shuffle-free candidate
-    scoring: term frequencies are scan-side expressions, corpus stats a
-    broadcast single-row aggregate (see operators/text.py:bm25_search)."""
+    retrieval half of contamination checks). Round 13: served from the
+    SAME published index artifacts the freetext family reads (postings
+    + collection stats) — the query-term IN filter pushes into the
+    postings parquet scan, so the corpus text is never touched; scores
+    are bit-identical to the scan-side mode (see
+    operators/text.py:bm25_search for the +0.0 argument)."""
     return tx.bm25_search(
-        load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS
+        load_table(spark, sf_dir, "documents"),
+        BM25_QUERY_TERMS,
+        postings=bm25_postings_map(spark, sf_dir),
+        stats=bm25_stats_map(spark, sf_dir),
     )
 
 
@@ -380,19 +386,14 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = (h + F.lit(1)).cast("double") / F.lit(float(1 << 60))
     key = trunc6(-F.log(u) / F.col("n_chars").cast("double"))
     base = d.select("doc_id", "n_chars", key.alias("race_key"))
-    local_w = Window.partitionBy(F.spark_partition_id()).orderBy(
-        F.col("race_key").asc(), F.col("doc_id").asc()
-    )
-    pruned = (
-        base.withColumn("__lrn", F.row_number().over(local_w))
-        .filter(F.col("__lrn") <= WS_K)
-        .drop("__lrn")
-    )
+    # One rank window: compiles to TakeOrderedAndProject — per-partition
+    # heads are pruned scan-side, zero exchanges (the handwritten
+    # spark_partition_id() local pass paid one, round 13).
     global_w = Window.partitionBy().orderBy(
         F.col("race_key").asc(), F.col("doc_id").asc()
     )
     return (
-        pruned.withColumn("rank", F.row_number().over(global_w))
+        base.withColumn("rank", F.row_number().over(global_w))
         .filter(F.col("rank") <= WS_K)
         .select(
             "doc_id",
