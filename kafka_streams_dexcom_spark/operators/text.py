@@ -319,19 +319,21 @@ def bigram_lm(
     table (vocabulary-sized, not token-sized); top-N is a TakeOrdered
     with a total order so the cut is deterministic."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    # tokenize ONCE into a bound column — element_at inside the lambda
-    # must not re-run split+filter per element (see kneser_ney_lm)
-    bigrams = F.expr(
-        "transform(sequence(1, size(tk) - 1), "
-        "i -> struct(element_at(tk, i) AS w1, "
-        "element_at(tk, i + 1) AS w2))"
-    )
+    # explode positions first, index the bound token array in codegen —
+    # not an interpreted transform() lambda (round 13; see
+    # span_dedup_rewrite)
     pairs = (
         fan_out_small(df)
         .select(F.expr(toks_expr).alias("tk"))
         .filter(F.size("tk") >= 2)
-        .select(F.explode(bigrams).alias("bg"))
-        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .select(
+            "tk",
+            F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"),
+        )
+        .select(
+            F.expr("element_at(tk, i)").alias("w1"),
+            F.expr("element_at(tk, i + 1)").alias("w2"),
+        )
     )
     counts = pairs.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).alias("n_bigram")
@@ -412,19 +414,21 @@ def _bigram_type_counts(df: DataFrame, text_col: str) -> DataFrame:
     rather than re-running split+filter per element (a 2.67x -> ~1x
     x10-probe difference at bigram volume)."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    bigrams = F.expr(
-        "transform(sequence(1, size(tk) - 1), "
-        "i -> struct(element_at(tk, i) AS w1, "
-        "element_at(tk, i + 1) AS w2))"
-    )
+    # explode positions first, index in codegen (round 13; see
+    # span_dedup_rewrite)
     return (
         fan_out_small(df)
         .select(F.expr(toks_expr).alias("tk"))
         .filter(F.size("tk") >= 2)
-        .select(F.explode(bigrams).alias("bg"))
-        .groupBy(
-            F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+        .select(
+            "tk",
+            F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"),
         )
+        .select(
+            F.expr("element_at(tk, i)").alias("w1"),
+            F.expr("element_at(tk, i + 1)").alias("w2"),
+        )
+        .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_bigram"))
     )
 
@@ -605,22 +609,22 @@ def kneser_ney_trigram(df: DataFrame, text_col: str = "text") -> DataFrame:
     and (w3) windows; the global type total joins as a broadcast 1-row
     aggregate (never a single-partition global window)."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    trigrams = F.expr(
-        "transform(sequence(1, size(tk) - 2), "
-        "i -> struct(element_at(tk, i) AS w1, "
-        "element_at(tk, i + 1) AS w2, "
-        "element_at(tk, i + 2) AS w3))"
-    )
+    # explode positions first, index in codegen (round 13; see
+    # span_dedup_rewrite)
     counts = (
         fan_out_small(df)
         .select(F.expr(toks_expr).alias("tk"))
         .filter(F.size("tk") >= 3)
-        .select(F.explode(trigrams).alias("tg"))
-        .groupBy(
-            F.col("tg.w1").alias("w1"),
-            F.col("tg.w2").alias("w2"),
-            F.col("tg.w3").alias("w3"),
+        .select(
+            "tk",
+            F.explode(F.expr("sequence(1, size(tk) - 2)")).alias("i"),
         )
+        .select(
+            F.expr("element_at(tk, i)").alias("w1"),
+            F.expr("element_at(tk, i + 1)").alias("w2"),
+            F.expr("element_at(tk, i + 2)").alias("w3"),
+        )
+        .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("n_tri"))
     )
     bg_win = Window.partitionBy("w2", "w3")
@@ -705,19 +709,24 @@ def doc_cross_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     bigram's unit by its integer occurrence count — partition-order
     independent and exactly replayable in SQL."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    # tokenize ONCE into a bound column — element_at inside the lambda
-    # must not re-run split+filter per element (see kneser_ney_lm)
-    bigrams = F.expr(
-        "transform(sequence(1, size(tk) - 1), "
-        "i -> struct(element_at(tk, i) AS w1, "
-        "element_at(tk, i + 1) AS w2))"
-    )
+    # explode positions first, index the bound token array in codegen —
+    # not an interpreted transform() lambda (round 13; see
+    # span_dedup_rewrite)
     doc_counts = (
         fan_out_small(df)
         .select("doc_id", F.expr(toks_expr).alias("tk"))
         .filter(F.size("tk") >= 2)
-        .select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .select(
+            "doc_id",
+            "tk",
+            F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.expr("element_at(tk, i)").alias("w1"),
+            F.expr("element_at(tk, i + 1)").alias("w2"),
+        )
+        .groupBy("doc_id", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .repartition("w1")
     )
@@ -755,31 +764,45 @@ def winnow_fingerprints(
     k + window - 1 (but >= k) emit the min of their single partial
     window, so short near-identical docs remain detectable.
 
-    The gram-hash array goes through `materialize` before the window
-    pass: the window transform references the array once per window, so
-    without the barrier CollapseProject would inline the O(n) md5
-    construction into every window evaluation — O(n·w) md5 calls per
-    document instead of O(n)."""
-    grams = (
-        f"transform(sequence(1, length({text_col}) - {k - 1}), "
-        f"i -> substring({text_col}, i, {k}))"
-    )
-    h_expr = f"transform({grams}, g -> {HASH60_TPL.format(x='g')})"
-    d = materialize(
+    Round 13: gram hashes are exploded to rows (md5 in whole-stage
+    codegen, not an interpreted transform() lambda) and the sliding
+    minimum is a ROWS-frame window over the per-doc position order —
+    the `materialize` barrier the array form needed (one round-robin
+    exchange carrying the full gram-hash arrays) becomes the window's
+    hash(doc_id) exchange carrying the same bytes as (doc_id, i, h)
+    rows, and the O(n·w) per-window array_min(slice(...)) lambdas run
+    as the native frame aggregate. The trailing distinct reuses the
+    window's partitioning (subset rule) — no extra exchange."""
+    # any doc with at least ONE k-gram fingerprints: a doc shorter
+    # than k + window - 1 chars emits the min of its single partial
+    # window instead of silently vanishing from dup detection
+    gram_hash = HASH60_TPL.format(x=f"substring({text_col}, i, {k})")
+    d = (
         fan_out_small(df)
-        # any doc with at least ONE k-gram fingerprints: a doc shorter
-        # than k+window-1 chars emits the min of its single partial
-        # window instead of silently vanishing from dup detection
         .filter(F.length(text_col) >= k)
-        .select("doc_id", F.expr(h_expr).alias("gh"))
+        .select(
+            "doc_id",
+            (F.length(text_col) - (k - 1)).alias("n"),
+            F.explode(
+                F.expr(f"sequence(1, length({text_col}) - {k - 1})")
+            ).alias("i"),
+            F.col(text_col),
+        )
+        .select("doc_id", "n", "i", F.expr(gram_hash).alias("h"))
     )
-    mins = (
-        f"transform(sequence(1, greatest(1, size(gh) - {window - 1})), "
-        f"j -> array_min(slice(gh, j, {window})))"
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, window - 1)
     )
-    return d.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.expr(mins))).alias("fingerprint"),
+    return (
+        d.withColumn("m", F.min("h").over(w))
+        .filter(
+            F.col("i")
+            <= F.greatest(F.lit(1), F.col("n") - F.lit(window - 1))
+        )
+        .select("doc_id", F.col("m").alias("fingerprint"))
+        .distinct()
     )
 
 
@@ -834,16 +857,10 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     doc-level conditional aggregation — token-volume data crosses the
     wire exactly once."""
     toks = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-
-    # slice must index a bound column — re-running split+filter per
-    # gram inside the lambda is quadratic in tokens (see kneser_ney_lm)
-    def gram_structs(n: int) -> str:
-        return (
-            f"transform(sequence(1, size(tk) - {n - 1}), "
-            f"i -> struct({n} AS n, "
-            f"concat_ws(' ', slice(tk, i, {n})) AS gram))"
-        )
-
+    # explode (position, gram order) pairs and build the gram string in
+    # codegen — not interpreted transform() lambdas (round 13; see
+    # span_dedup_rewrite). Same single shuffle carrying both gram
+    # orders; row set identical to the concat-of-transforms form.
     g = (
         fan_out_small(df)
         .select("doc_id", F.expr(toks).alias("tk"))
@@ -851,11 +868,21 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.size("tk") >= 3)
         .select(
             "doc_id",
-            F.explode(
-                F.expr(f"concat({gram_structs(2)}, {gram_structs(3)})")
-            ).alias("g"),
+            "tk",
+            F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"),
         )
-        .select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+        .select(
+            "doc_id",
+            "tk",
+            "i",
+            F.explode(F.array(F.lit(2), F.lit(3))).alias("n"),
+        )
+        .filter(F.expr("i <= size(tk) - n + 1"))
+        .select(
+            "doc_id",
+            "n",
+            F.expr("concat_ws(' ', slice(tk, i, n))").alias("gram"),
+        )
     )
     counts = g.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
     stats = counts.groupBy("doc_id", "n").agg(
@@ -934,21 +961,24 @@ def pmi_pairs(
     second token-volume shuffle. Corpus total joins in as a broadcast
     single-row aggregate."""
     toks_expr = f"filter(split({text_col}, '\\\\s+'), t -> t != '')"
-    # tokenize ONCE into a bound column — element_at inside the lambda
-    # must not re-run split+filter per element (see kneser_ney_lm)
-    pairs_expr = (
-        "transform(sequence(1, size(tk) - 1), "
-        "i -> struct(least(element_at(tk, i), "
-        "element_at(tk, i + 1)) AS a, "
-        "greatest(element_at(tk, i), "
-        "element_at(tk, i + 1)) AS b))"
-    )
+    # explode positions first, order-normalize in codegen — not an
+    # interpreted transform() lambda (round 13; see span_dedup_rewrite)
     pairs = (
         fan_out_small(df)
         .select(F.expr(toks_expr).alias("tk"))
         .filter(F.size("tk") >= 2)
-        .select(F.explode(F.expr(pairs_expr)).alias("p"))
-        .select(F.col("p.a").alias("w_a"), F.col("p.b").alias("w_b"))
+        .select(
+            "tk",
+            F.explode(F.expr("sequence(1, size(tk) - 1)")).alias("i"),
+        )
+        .select(
+            F.expr(
+                "least(element_at(tk, i), element_at(tk, i + 1))"
+            ).alias("w_a"),
+            F.expr(
+                "greatest(element_at(tk, i), element_at(tk, i + 1))"
+            ).alias("w_b"),
+        )
     )
     # the pair-count table feeds FOUR plan branches (both marginal sides,
     # the corpus total, and the scored join); the total goes through a
@@ -1052,6 +1082,13 @@ def doc_fingerprint(
     content fingerprint robust to word reordering at the edges. All
     scan-side; at 100 TB this is a narrow map over the corpus."""
     df = fan_out_small(df)
+    # Round-13 NEGATIVE result, kept as the array form: exploding char
+    # positions + codegen md5 + map-side MIN aggregate measured x0.53
+    # (0.35 -> 0.66 s solo A/B) — the per-ROW generate/agg machinery on
+    # a char-scale stream costs more than the interpreted lambda saves
+    # on this zero-shuffle single-scan query. The explode-then-codegen
+    # lesson pays only when a shuffle/aggregate already exists
+    # downstream (span family) — not worth introducing one.
     grams = (
         f"transform(sequence(1, length({text_col}) - {k - 1}), "
         f"i -> substring({text_col}, i, {k}))"
