@@ -428,6 +428,79 @@ def test_metrics_unpivot_aggregates_before_melt(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan
 
 
+def test_metrics_unpivot_null_semantics(spark):
+    """Round-13 (ADVICE): the keyless-profile rewrite's per-metric n is
+    the plain row count, which equals the grouped original ONLY because
+    DataFrame.unpivot retains null values (SQL UNPIVOT would drop
+    them). The lineitem metric columns are never null, so the full
+    parity runs exercise this implicitly — pin it explicitly over a
+    null-bearing frame so an engine/API change can't silently diverge:
+    n counts null rows, min/max/sum skip them (the UNION-ALL oracle
+    semantics)."""
+    from pyspark.sql import functions as F
+
+    wide = spark.createDataFrame(
+        [(1.0, None), (2.0, 5.0), (None, None)],
+        "a double, b double",
+    ).select(
+        F.col("a").cast("decimal(15,2)").alias("a"),
+        F.col("b").cast("decimal(15,2)").alias("b"),
+    )
+    # reference: the grouped unpivot form the rewrite replaced
+    ref = {
+        r["metric"]: r
+        for r in (
+            wide.unpivot([], ["a", "b"], "metric", "val")
+            .groupBy("metric")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("val").cast("double").alias("min_val"),
+                F.max("val").cast("double").alias("max_val"),
+                F.sum("val").cast("double").alias("sum_val"),
+            )
+            .collect()
+        )
+    }
+    # the rewrite's shape: one keyless pass, melt the single row
+    prof = wide.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            agg(F.col(c)).alias(f"{tag}_{c}")
+            for c in ("a", "b")
+            for tag, agg in (("min", F.min), ("max", F.max), ("sum", F.sum))
+        ],
+    )
+    new = {
+        r["metric"]: r
+        for r in prof.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("metric"),
+                            F.col("n").alias("n"),
+                            F.col(f"min_{c}").cast("double").alias("min_val"),
+                            F.col(f"max_{c}").cast("double").alias("max_val"),
+                            F.col(f"sum_{c}").cast("double").alias("sum_val"),
+                        )
+                        for c in ("a", "b")
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert set(ref) == set(new) == {"a", "b"}
+    for m in ref:
+        # n counts the null rows too (3 for both metrics); min/max/sum
+        # skip nulls (b: min=max=sum=5.0)
+        assert ref[m]["n"] == new[m]["n"] == 3, (m, ref[m], new[m])
+        for f in ("min_val", "max_val", "sum_val"):
+            assert ref[m][f] == new[m][f], (m, f, ref[m], new[m])
+
+
 def test_sales_rollup_expands_base_not_fact(spark, sf_dir):
     """Round-12 rework: rollup over the tiny (returnflag, linestatus)
     base — the Expand must sit ABOVE the base aggregation, not directly
@@ -437,21 +510,21 @@ def test_sales_rollup_expands_base_not_fact(spark, sf_dir):
     )
 
     plan = explain_str(q_sales_rollup(spark, sf_dir))
-    # operator ids in 'formatted' explain are listed leaf-last in the
-    # tree header; assert order structurally instead: the first
-    # HashAggregate below the Expand (reading the indented tree top
-    # down) is the rollup's own partial — the fact scan feeds a plain
-    # aggregate first, so at least 4 HashAggregate nodes exist
-    # (base partial+final, rollup partial+final) and exactly one Expand
-    # (each operator appears twice in 'formatted' output: once in the
-    # tree header, once as its numbered detail block)
-    assert plan.count("Expand (") == 1, plan
-    assert plan.count(") Expand") == 1, plan
-    assert plan.count("HashAggregate") >= 8, plan
-    # the Expand consumes the base aggregate's output columns, not raw
-    # lineitem columns
+    # Round-13 hardening (ADVICE): anchor on the numbered detail
+    # blocks only — counting the tree-header spelling ("Expand (") vs
+    # the detail spelling (") Expand") relied on 'formatted'-layout
+    # quirks that an explain-format or AQE change would break
+    # confusingly. One Expand detail block must exist, and its Input
+    # must be the BASE aggregate's __n/__s outputs — never the raw
+    # fact columns (the r12 rework's whole point).
     import re
 
-    m = re.search(r"\(\d+\) Expand[^(]*Input \[\d+\]: \[([^]]*)\]", plan)
-    assert m, plan
-    assert "l_extendedprice" not in m.group(1), plan
+    blocks = re.findall(
+        r"\(\d+\) Expand\b[^(]*Input \[\d+\]: \[([^]]*)\]", plan
+    )
+    assert len(blocks) == 1, plan
+    assert "__n" in blocks[0] and "__s" in blocks[0], plan
+    assert "l_extendedprice" not in blocks[0], plan
+    # base partial+final, rollup partial+final (each aggregate appears
+    # in the tree header and its detail block)
+    assert plan.count("HashAggregate") >= 8, plan
