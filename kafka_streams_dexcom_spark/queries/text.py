@@ -130,8 +130,23 @@ def q_bm25_freetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"),
         qdf,
         k=BM25_FREETEXT_K,
-        postings=bm25_postings_map(spark, sf_dir),
+        postings=_query_term_postings(spark, sf_dir),
         stats=bm25_stats_map(spark, sf_dir),
+    )
+
+
+def _query_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The postings artifact pre-filtered to this batch's STATIC term
+    bag (round 13): the batch is a compile-time constant here, so the
+    IN filter pushes into the artifact's parquet scan (PushedFilters)
+    instead of scanning the full index into the term join — at 100 TB
+    with a term-bucketed index this is row-group pruning. Safe because
+    the operator consumes ``postings`` only through the term join when
+    ``stats`` is supplied (rows outside the term bag never matter), so
+    scores are unchanged."""
+    terms = sorted({t for _, ts in BM25_FREETEXT_QUERIES for t in ts})
+    return bm25_postings_map(spark, sf_dir).filter(
+        F.col("term").isin(terms)
     )
 
 
@@ -152,7 +167,7 @@ def q_bm25_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         qdf,
         k=BM25_FREETEXT_K,
         topn=RERANK_TOPN,
-        postings=bm25_postings_map(spark, sf_dir),
+        postings=_query_term_postings(spark, sf_dir),
         stats=bm25_stats_map(spark, sf_dir),
     )
 
