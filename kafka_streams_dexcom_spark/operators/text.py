@@ -13,10 +13,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_dexcom_spark.operators.dedup import HASH60_TPL
 from kafka_streams_dexcom_spark.functions.rounding import trunc6
-from kafka_streams_dexcom_spark.sources.files import (
-    fan_out_small,
-    materialize,
-)
+from kafka_streams_dexcom_spark.sources.files import fan_out_small
 
 # Marker tokens per language for the n-gram/stopword heuristic. Tiny on
 # purpose — a broadcast dimension, exactly like the reference's ranges
