@@ -90,6 +90,11 @@ def _run_counted(
 
 
 def main() -> None:
+    try:  # pre-JVM load sample: pure co-tenant signal (round 13)
+        with open("/proc/loadavg") as f:
+            load1_start = float(f.read().split()[0])
+    except (OSError, ValueError, IndexError):
+        load1_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark(
@@ -770,6 +775,15 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    def load1():
+        # co-tenant legibility, mirroring bench.py (round 13):
+        # additions-only — existing keys untouched
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except (OSError, ValueError, IndexError):
+            return None
+
     print(
         json.dumps(
             {
@@ -779,6 +793,9 @@ def main() -> None:
                 "input_rows": n_json,
                 "topologies": results,
                 "sf": sf_dir,
+                "load1_start": load1_start,
+                "load1_end": load1(),
+                "cpus": os.cpu_count(),
             }
         )
     )
